@@ -1,0 +1,133 @@
+"""End-to-end ingest: directory → normalize/validate → merge → audit.
+
+The reference's orchestration (ingest/sink.go:36-93 →
+datalake/client.go:33-79 → datalake/datalake.go:77-154) with its
+sequential per-file loop replaced by one declarative plan; per-file
+error isolation becomes per-file *status accounting* computed from the
+same scan (a file's rows are identifiable via input_file_name) in one
+tiny aggregate — the collected frame has one row per FILE, never per
+data row, so the driver-side footprint is O(files) at any data scale.
+
+Stats parity (datalake/stats.go:9-14) with the SURVEY §4 quirk fixes:
+failures counted once (quirk 1), `total_files` = every directory entry
+(reference semantics; the non-CSV/CSV split is kept explicit).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.config import EngineConfig
+from babylon_data_loader_spark.ingest.normalize import (
+    normalize_transactions,
+    validate_transactions,
+)
+from babylon_data_loader_spark.operators.merge import merge_upsert
+from babylon_data_loader_spark.sources.csv_source import (
+    list_csv_files,
+    read_csv_dir,
+)
+from babylon_data_loader_spark.sources.parquet_lake import append_sync_log
+
+
+@dataclass
+class IngestResult:
+    """Run stats (reference Stats, datalake/stats.go:9-14)."""
+
+    total_files: int = 0
+    processed_files: int = 0
+    failed_files: int = 0
+    skipped_entries: int = 0
+    records_uploaded: int = 0
+    failures: dict[str, str] = field(default_factory=dict)
+
+
+def ingest(spark: SparkSession, config: EngineConfig) -> IngestResult:
+    """Run the full ingest pipeline once (batch mode).
+
+    Streaming-shaped variant lives in streaming/ingest_stream.py.
+    """
+    result = IngestResult()
+    directory = config.unprocessed_dir
+    if not os.path.isdir(directory):
+        raise FileNotFoundError(
+            f"unprocessed directory does not exist: {directory}"
+        )
+
+    entries = os.listdir(directory)
+    result.total_files = len(entries)  # reference counts every entry
+    csv_files, skipped = list_csv_files(directory)
+    result.skipped_entries = len(skipped)
+    for path in skipped:
+        if os.path.isfile(path):
+            result.failures[os.path.basename(path)] = "not a csv file"
+
+    if not csv_files:
+        result.failed_files = len(result.failures)
+        return result
+
+    raw = read_csv_dir(spark, directory)
+    normalized = normalize_transactions(raw)
+
+    # One row per FILE: raw rows, valid rows, extractor verdict.
+    file_stats = (
+        normalized.groupBy(
+            F.element_at(F.split("_input_file", "/"), -1).alias("file")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("raw_rows"),
+            F.sum(
+                (
+                    F.col("_valid_date")
+                    & F.col("_valid_amount")
+                    & F.col("data_source").isNotNull()
+                ).cast("long")
+            ).alias("valid_rows"),
+            F.max(F.col("data_source").isNull().cast("int")).alias("rejected"),
+        )
+        .collect()
+    )
+    seen_files: set[str] = set()
+    for row in file_stats:
+        seen_files.add(row["file"])
+        if row["rejected"]:
+            result.failures[row["file"]] = (
+                "unable to extract source info from filename"
+            )
+        elif row["raw_rows"] > 0 and (row["valid_rows"] or 0) == 0:
+            # P11 per-file sanity guard (datalake.go:200-204).
+            result.failures[row["file"]] = "no valid transactions found"
+        else:
+            result.records_uploaded += int(row["valid_rows"] or 0)
+
+    valid = validate_transactions(
+        normalized.filter(F.col("data_source").isNotNull())
+    ).drop("_input_file")
+    if result.records_uploaded > 0:
+        merge_upsert(spark, config.transactions_path, valid)
+        append_sync_log(spark, config.sync_log_path, valid)
+
+    processed = {
+        os.path.basename(p)
+        for p in csv_files
+        if os.path.basename(p) not in result.failures
+    }
+    # (Files absent from the scan parsed to zero rows — empty/header-only
+    # — and still count as processed, csv/csv.go:58-62.)
+    result.processed_files = len(processed)
+    result.failed_files = len(result.failures)
+
+    if config.move_processed_files:
+        os.makedirs(config.processed_dir, exist_ok=True)
+        for path in csv_files:
+            name = os.path.basename(path)
+            if name in processed:
+                # Absolute source path (SURVEY §4 quirk 2 fixed).
+                shutil.move(path, os.path.join(config.processed_dir, name))
+
+    return result

@@ -1,0 +1,118 @@
+"""Canonical schemas for the engine.
+
+Core fact table derived from the reference Transaction model
+(reference datalake/model/transaction.go:4-15, populated at
+datalake/datalake.go:257-268) plus the sync-log audit row
+(datalake/model/sync_log.go:6-10), and helpers for the driver-provided
+testdata tables (/root/testdata/sf*/ — see TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# The 10-field fact row. `posting_date` is deliberately a STRING in
+# MM/dd/yyyy form — the reference stores the re-formatted string and the
+# upsert key compares it as a string (datalake/datalake.go:259,
+# storage/mongo_repository.go:44-50). Money stays DOUBLE (not DECIMAL)
+# for behavioral parity with the reference's float64.
+TRANSACTION_SCHEMA = StructType(
+    [
+        StructField("details", StringType()),
+        StructField("posting_date", StringType()),
+        StructField("description", StringType()),
+        StructField("amount", DoubleType()),
+        StructField("category", StringType()),
+        StructField("type", StringType()),
+        StructField("balance", DoubleType()),
+        StructField("check_or_slip_num", StringType()),
+        StructField("data_source", StringType()),
+        StructField("account_id", StringType()),
+    ]
+)
+
+# Upsert identity (reference storage/mongo_repository.go:44-50).
+# NOTE: amount/balance are NOT part of the key — re-ingest is idempotent
+# and same-key rows merge (last write wins).
+TRANSACTION_KEY = [
+    "details",
+    "posting_date",
+    "description",
+    "data_source",
+    "account_id",
+]
+
+SYNC_LOG_SCHEMA = StructType(
+    [
+        StructField("collection_name", StringType()),
+        StructField("sync_timestamp", TimestampType()),
+        StructField("records_uploaded", LongType()),
+    ]
+)
+
+# Raw CSV header aliases for the posting-date column, in priority order
+# (reference datalake/datalake.go:184-189). Headers are lower-cased
+# before this lookup, so only the lower-case forms matter here.
+POSTING_DATE_ALIASES = ["post date", "posting date"]
+
+# Known lower-cased CSV columns consumed by the ingest mapping
+# (reference datalake/datalake.go:257-268). Unknown columns are dropped,
+# missing ones default to '' — reproduced in sources/csv_source.py.
+RAW_CSV_COLUMNS = [
+    "details",
+    "post date",
+    "posting date",
+    "description",
+    "amount",
+    "category",
+    "type",
+    "balance",
+    "check or slip #",
+]
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table.
+
+    Requires `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    configure_session) because `events.ts` is TIMESTAMP(NANOS); it
+    arrives as BIGINT nanoseconds-since-epoch.
+    """
+    from babylon_data_loader_spark.session import configure_session
+
+    configure_session(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_with_time(df: DataFrame) -> DataFrame:
+    """Add derived microsecond/timestamp views of the nanos BIGINT `ts`.
+
+    `ts_us` uses integer division (exact); `ts_ts` is a TIMESTAMP for
+    windowing. Keep comparisons in integer microseconds when a DuckDB
+    oracle is involved (DuckDB truncates parquet nanos to micros).
+    """
+    return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
