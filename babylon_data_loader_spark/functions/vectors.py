@@ -1,0 +1,37 @@
+"""Vector (embedding) column expressions — similarity search
+primitives over ARRAY<FLOAT> columns, all built-in higher-order
+functions (JVM-side; no Python in the hot path).
+
+Every element is cast to DOUBLE before arithmetic and folds run
+left-to-right, so results are reproducible and match engines with the
+same evaluation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ (sequential left fold, double precision)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_sq(a: Column) -> Column:
+    return F.aggregate(
+        a,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(norm_sq(a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

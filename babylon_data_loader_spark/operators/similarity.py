@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns.
+
+Two strategies:
+- :func:`knn_bruteforce` — exact cosine top-k. One scan, no shuffle,
+  TakeOrdered(k). Right answer, O(N·d) work; the baseline.
+- :func:`knn_lsh` — random-hyperplane LSH with multi-probe. Each
+  vector gets a sign-bit bucket from `n_planes` deterministic
+  hyperplanes; the query probes all buckets within Hamming distance
+  `probe_hamming`, then exact cosine re-ranks the candidates. At
+  100 TB: the bucket column is computed once at write time (cheap,
+  scan-local), candidate selection is a pushed-down IN filter on a
+  low-cardinality column (partition/bucket prunable), and the exact
+  re-rank touches only candidates.
+
+Hyperplane determinism: components are ±1 derived from md5 parities of
+"plane:dim" — reproducible across runs/engines with no RNG state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.functions.vectors import cosine
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane components."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}:{d}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) % 2 == 1 else -1.0)
+    return out
+
+
+def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-string bucket id: one sign bit per hyperplane."""
+    bits = []
+    for comps in planes:
+        plane = F.array(*[F.lit(c) for c in comps])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _probe_buckets(bucket: str, hamming: int) -> list[str]:
+    """All bucket ids within the given Hamming distance."""
+    from itertools import combinations
+
+    n = len(bucket)
+    out = {bucket}
+    for dist in range(1, hamming + 1):
+        for flips in combinations(range(n), dist):
+            b = list(bucket)
+            for i in flips:
+                b[i] = "1" if b[i] == "0" else "0"
+            out.add("".join(b))
+    return sorted(out)
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k (excluding the query itself)."""
+    qvec = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("_q")), 9).alias("sim")
+    return (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(id_col, sim)
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_lsh(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-probe sign-LSH.
+
+    Returns (id, label if present, sim) for up to k candidates. The
+    query vector's bucket is computed driver-side from one collected
+    row (O(d), not a data-plane collect).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+
+    bucketed = emb.withColumn("_bucket", sign_bucket(F.col(vec_col), planes))
+    qrow = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        vec_col, "_bucket"
+    ).first()
+    probes = _probe_buckets(qrow["_bucket"], probe_hamming)
+
+    qvec = F.array(*[F.lit(float(x)) for x in qrow[vec_col]])
+    sim = F.round(cosine(F.col(vec_col), qvec), 9).alias("sim")
+    keep = [c for c in (id_col, "label") if c in emb.columns]
+    return (
+        bucketed.filter(
+            (F.col("_bucket").isin(probes)) & (F.col(id_col) != query_vec_id)
+        )
+        .select(*keep, sim)
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

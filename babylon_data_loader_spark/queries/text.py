@@ -1,0 +1,350 @@
+"""Text-analysis declared queries over `documents` — the
+training-data-pipeline operators (BASELINE north star): token
+statistics, language ID, quality scoring, fingerprinting, exact dedup,
+deterministic MinHash + LSH candidate pairs, SimHash.
+
+All expressible with built-in functions (no UDFs) and — because the
+hash family is md5 — checkable against a DuckDB oracle, including the
+MinHash signatures themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.functions.text import (
+    STOPWORDS_EN,
+    fingerprint,
+    hex_char_parity,
+    minhash_band,
+    n_tokens,
+    normalize_text,
+    shingles,
+    stopword_hits,
+    tokens,
+)
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+# DuckDB twins of functions/text.py expressions.
+_TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_FP_SQL = f"md5({_NORM_SQL})"
+_TOKENS_LOWER_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_SHINGLES_SQL = f"""
+  CASE WHEN len({_TOKENS_LOWER_SQL}) >= 3
+       THEN list_transform(generate_series(1, len({_TOKENS_LOWER_SQL}) - 2),
+              j -> concat_ws(' ', {_TOKENS_LOWER_SQL}[j], {_TOKENS_LOWER_SQL}[j+1],
+                             {_TOKENS_LOWER_SQL}[j+2]))
+       ELSE [concat_ws(' ', {_TOKENS_LOWER_SQL})] END
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# Token counting / document statistics ----------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           n_chars
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char counts (row-level, scan-only — no
+    shuffle)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        n_tokens(F.col("text")).cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("len_chars"),
+        "n_chars",
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+           CAST(SUM(len({_TOKENS_SQL})) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language."""
+    docs = _docs(spark, sf_dir)
+    nt = n_tokens(F.col("text")).cast("bigint")
+    return (
+        docs.select("lang", nt.alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            (
+                F.sum("nt").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+# Language ID (n-gram/stopword heuristic) --------------------------------------
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter({_TOKENS_SQL},
+                  t -> t IN ({_STOP_SQL}))) AS BIGINT) AS stop_hits,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, stop_hits,
+           CASE WHEN CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) >= 0.05
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM t
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language-ID heuristic: docs whose English
+    stopword ratio ≥ 5% are tagged 'en'."""
+    docs = _docs(spark, sf_dir)
+    tok = tokens(F.col("text"))
+    hits = stopword_hits(tok).cast("bigint")
+    nt = F.size(tok).cast("bigint")
+    return docs.select(
+        "doc_id",
+        hits.alias("stop_hits"),
+        F.when(
+            hits.cast("double") / nt.cast("double") >= 0.05, "en"
+        ).otherwise("other").alias("pred_lang"),
+    )
+
+
+# Quality scoring ---------------------------------------------------------------
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+             CAST(len(list_filter({_TOKENS_SQL},
+                  t -> t IN ({_STOP_SQL}))) AS DOUBLE) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           0.5 * least(n_tok / 100.0, 1.0)
+           + 0.5 * (stop_hits / n_tok) AS quality_score
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score: length saturation + stopword
+    density (both engines evaluate the identical float expression
+    tree, so the doubles match bit-for-bit)."""
+    docs = _docs(spark, sf_dir)
+    tok = tokens(F.col("text"))
+    nt = F.size(tok).cast("double")
+    hits = stopword_hits(tok).cast("double")
+    score = 0.5 * F.least(nt / 100.0, F.lit(1.0)) + 0.5 * (hits / nt)
+    return docs.select("doc_id", score.alias("quality_score"))
+
+
+# Exact dedup + fingerprints ------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact_text",
+    oracle=f"""
+    SELECT {_FP_SQL} AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY fp
+    """,
+)
+def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (normalized) text dedup: hash-groupBy on the md5
+    fingerprint, deterministic keeper = min doc_id. At 100 TB this is
+    one shuffle on a 16-byte key — the canonical first dedup pass."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT {_FP_SQL}) AS BIGINT) AS n_distinct
+    FROM documents GROUP BY source
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-fingerprint accounting per source (dup-rate monitor)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("source", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_distinct"),
+        )
+    )
+
+
+# MinHash signatures + LSH candidate pairs ----------------------------------------
+
+_N_BANDS = 4
+
+
+def _band_sql(seed: int) -> str:
+    return (
+        f"list_aggregate(list_transform({_SHINGLES_SQL}, "
+        f"s -> md5('{seed}:' || s)), 'min')"
+    )
+
+
+@query(
+    "q_minhash_bands",
+    oracle="""
+    SELECT doc_id, """
+    + ", ".join(f"{_band_sql(i)} AS b{i}" for i in range(_N_BANDS))
+    + """
+    FROM documents
+    """,
+)
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash signature (word-3-gram shingles, md5 hash
+    family, 4 bands). Fully oracle-checkable because md5 is identical
+    across engines — signatures, not just row counts."""
+    from babylon_data_loader_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), n_bands=_N_BANDS)
+
+
+@query(
+    "q_near_dup_pairs",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, """
+    + ", ".join(f"{_band_sql(i)} AS b{i}" for i in range(_N_BANDS))
+    + """
+      FROM documents
+    ), bands AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS band_idx, b{i} AS band_val FROM sig"
+        for i in range(_N_BANDS)
+    )
+    + """
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    """,
+)
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing ANY band value become candidate
+    near-duplicate pairs. The join key is (band_idx, band_val) — at
+    100 TB the shuffle is per-bucket, never all-pairs; skewed buckets
+    (boilerplate docs) are the known hazard and AQE skew-join splits
+    them."""
+    from babylon_data_loader_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), n_bands=_N_BANDS)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").alias("band_val"),
+                    )
+                    for i in range(_N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+# SimHash --------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    # Per-token md5; bit j = parity of hex char j; simhash bit j set
+    # when Σ(±1) > 0 over tokens.
+    bit_terms = []
+    for j in range(1, 17):
+        bit_terms.append(
+            f"CASE WHEN SUM(CASE WHEN (strpos('0123456789abcdef', "
+            f"substr(h, {j}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN {1 << (j - 1)} ELSE 0 END"
+        )
+    bits = " + ".join(bit_terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, md5(t.token) AS h
+      FROM documents, unnest({_TOKENS_SQL}) AS t(token)
+    )
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+    FROM tok GROUP BY doc_id
+    """
+
+
+@query("q_simhash", oracle=_simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: per-token md5, hex-char-parity bit
+    sampling, majority vote per bit. Explode + conditional aggregation
+    — one shuffle keyed by doc_id."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).withColumn("h", F.md5("token"))
+    bit_sum = None
+    for j in range(1, 17):
+        vote = F.sum(
+            F.when(hex_char_parity("h", j) == 1, 1).otherwise(-1)
+        )
+        term = F.when(vote > 0, F.lit(1 << (j - 1))).otherwise(F.lit(0))
+        bit_sum = term if bit_sum is None else (bit_sum + term)
+    return tok.groupBy("doc_id").agg(bit_sum.cast("bigint").alias("simhash"))

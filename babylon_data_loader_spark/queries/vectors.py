@@ -1,0 +1,107 @@
+"""Similarity-search declared queries over `embeddings`
+(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+
+Brute-force cosine top-k is the exactness baseline (oracle-checked);
+the LSH-bucketed variant in operators/similarity.py is the 100 TB
+path (rows-only check — the bucketing is not reasonably
+SQL-expressible).
+
+Float discipline: similarity values are ROUNDED to 9 decimals in both
+engines before ranking/output, and ranking tiebreaks on vec_id, so
+sub-ulp fold differences cannot flip the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.functions.vectors import cosine, l2_norm
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+# DuckDB twins: explicit double-cast element folds.
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+
+
+def _norm_sql(tbl: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform({tbl}.embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+@query(
+    "q_knn_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT a.vec_id, a.label,
+           round({_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('q')}), 9)
+             AS sim
+    FROM embeddings a, q
+    WHERE a.vec_id <> 0
+    ORDER BY sim DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id 0. The one-row
+    query vector is broadcast (literally: a 1-row crossJoin); the scan
+    side never shuffles — top-k is a TakeOrdered. This is the correct
+    baseline ANN answers are measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    sim = F.round(
+        cosine(F.col("embedding"), F.col("q_embedding")), 9
+    ).alias("sim")
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select("vec_id", "label", sim)
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q_embedding_stats",
+    oracle=f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(round({_norm_sql('embeddings')}, 9)) AS min_norm,
+           MAX(round({_norm_sql('embeddings')}, 9)) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats over the vector column (min/max are
+    order-insensitive, so no decimal dance needed — just rounding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(l2_norm(F.col("embedding")), 9)
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+@query("q_knn_lsh")  # rows-only: LSH bucketing is not SQL-expressible
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id 0 via random-hyperplane
+    LSH (operators/similarity.py): candidates share the query's sign
+    bucket, exact cosine re-ranks candidates. Declared without an
+    oracle (driver records rows-only); tests/test_similarity.py checks
+    recall against q_knn_cosine."""
+    from babylon_data_loader_spark.operators.similarity import knn_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, query_vec_id=0, k=10, n_planes=8)

@@ -1,0 +1,77 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (count + collect of the usually-small
+result) — not just planned. A warmup pass of one trivial job absorbs
+JVM/codegen startup so numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from babylon_data_loader_spark.session import build_session  # noqa: E402
+
+# The headline set: scan+agg, join+topk, star join, window dedup,
+# sessionization, as-of join, text dedup family, similarity search.
+HEADLINE = [
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_dedup_key",
+    "q_sessionize",
+    "q_asof_join",
+    "q_dedup_exact_text",
+    "q_minhash_bands",
+    "q_near_dup_pairs",
+    "q_simhash",
+    "q_knn_cosine",
+    "q_text_stats",
+    "q_flagship_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = build_session(app_name="babylon-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+
+    # Warmup: JVM + parquet footer reads.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

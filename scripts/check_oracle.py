@@ -1,0 +1,44 @@
+"""Run every declared query against its DuckDB oracle at an arbitrary
+scale factor (default sf0.01 — what the real driver uses).
+
+Usage: python scripts/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from babylon_data_loader_spark.session import build_session  # noqa: E402
+from tests.oracle_harness import compare_query  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session(app_name="oracle-check")
+    qmap = entrymod.queries()
+    omap = entrymod.oracle_sql()
+    failures = 0
+    for name in sorted(qmap):
+        t0 = time.time()
+        try:
+            res = compare_query(spark, sf_dir, name, qmap[name], omap.get(name))
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: exception {exc}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        status = "ok  " if res.ok else "FAIL"
+        if not res.ok:
+            failures += 1
+        print(f"{status}  {name:24s} {dt:6.2f}s  {res.detail}")
+    spark.stop()
+    print(f"\n{len(qmap) - failures}/{len(qmap)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

