@@ -41,6 +41,7 @@ def load_all() -> None:
     from babylon_data_loader_spark.queries import (  # noqa: F401
         analytics,
         core,
+        extra,
         text,
         vectors,
     )

@@ -1,0 +1,353 @@
+"""Second-wave declared queries: the remaining relational capability
+categories (semi/anti joins, grouping sets, pivot, lag/lead, distinct
+aggregates, HAVING, union-dedup) plus batch similarity and verified
+near-dup pairs — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+# Q4 — echo / identity smoke --------------------------------------------------
+
+
+@query("q_echo", oracle="SELECT 'echo' AS value")
+def q_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoEcho (reference apiClient/apiClient.go:131-185): identity."""
+    return spark.sql("SELECT 'echo' AS value")
+
+
+# Semi / anti joins ------------------------------------------------------------
+
+
+@query(
+    "q_semi_anti_join",
+    oracle="""
+    SELECT 'with_orders' AS kind, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c WHERE EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS kind, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti — EXISTS and NOT-EXISTS as join types."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = c.join(o, on="c_custkey", how="left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_orders").alias("kind"), "n")
+    anti = c.join(o, on="c_custkey", how="left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("without_orders").alias("kind"), "n")
+    return semi.unionByName(anti)
+
+
+# Cube / grouping sets ----------------------------------------------------------
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions (all grouping-set combinations)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+        )
+    )
+
+
+# Pivot --------------------------------------------------------------------------
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types into columns per user bucket. The value list
+    is explicit — at scale, never let pivot() run its discovery job."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot(
+            "event_type", ["click", "error", "purchase", "signup", "view"]
+        )
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+# lag / lead ---------------------------------------------------------------------
+
+
+@query(
+    "q_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           lead(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-event deltas per user (lag/lead frames)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+# Distinct aggregates --------------------------------------------------------------
+
+
+@query(
+    "q_distinct_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain COUNT (expand-based plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# HAVING ----------------------------------------------------------------------------
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+# UNION dedup vs UNION ALL ------------------------------------------------------------
+
+
+@query(
+    "q_union_dedup",
+    oracle="""
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT 'union_distinct' AS kind, x FROM (
+        SELECT c_nationkey AS x FROM customer
+        UNION
+        SELECT s_nationkey AS x FROM supplier)
+      UNION ALL
+      SELECT 'union_all' AS kind, x FROM (
+        SELECT c_nationkey AS x FROM customer
+        UNION ALL
+        SELECT s_nationkey AS x FROM supplier) t
+    ) GROUP BY kind
+    """,
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) vs UNION ALL row accounting."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("x")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("x")
+    )
+    distinct = c.union(s).distinct().select(
+        F.lit("union_distinct").alias("kind"), "x"
+    )
+    union_all = c.unionAll(s).select(F.lit("union_all").alias("kind"), "x")
+    return (
+        distinct.unionByName(union_all)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# Batch kNN (many query vectors at once) -----------------------------------------------
+
+
+@query(
+    "q_knn_batch",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), scored AS (
+      SELECT q.q_id, a.vec_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.q_emb,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9) AS sim
+      FROM embeddings a, q
+      WHERE a.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, sim FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) <= 3
+    """,
+)
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for a BATCH of query vectors in one plan: the
+    query set broadcasts, similarities compute scan-side, and a
+    per-query window takes the top-k — the shape that scales to
+    thousands of queries × 100 TB of vectors."""
+    from babylon_data_loader_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4))
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries_df))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 9).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .drop("_rn")
+    )
+
+
+# Verified near-dup pairs (LSH candidates + exact n-gram Jaccard) ------------------------
+
+_JACCARD_TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_JACCARD_SHINGLES = f"""
+  CASE WHEN len({_JACCARD_TOKENS}) >= 3
+       THEN list_distinct(list_transform(
+              generate_series(1, len({_JACCARD_TOKENS}) - 2),
+              j -> concat_ws(' ', {_JACCARD_TOKENS}[j],
+                             {_JACCARD_TOKENS}[j+1], {_JACCARD_TOKENS}[j+2])))
+       ELSE [concat_ws(' ', {_JACCARD_TOKENS})] END
+"""
+
+
+def _jaccard_band_sql(seed: int) -> str:
+    return (
+        f"list_aggregate(list_transform({_JACCARD_SHINGLES}, "
+        f"s -> md5('{seed}:' || s)), 'min')"
+    )
+
+
+@query(
+    "q_jaccard_pairs",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, """
+    + ", ".join(f"{_jaccard_band_sql(i)} AS b{i}" for i in range(4))
+    + """
+      FROM documents
+    ), bands AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS bv FROM sig" for i in range(4)
+    )
+    + f"""
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ), sh AS (
+      SELECT doc_id, unnest({_JACCARD_SHINGLES}) AS s FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE)
+             AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) >= 0.5
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs with exact n-gram Jaccard ≥ 0.5, verified
+    only on LSH candidates (never all-pairs). Distinct shingles via
+    explode + join — set intersection as a join, no UDFs."""
+    from babylon_data_loader_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # The signature and candidate tables both feed self-joins; lazy
+    # local checkpoints make each evaluate once instead of per side
+    # (on a cluster this would be a persisted intermediate table).
+    sig = minhash_signatures(docs).localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(sig, max_bucket_size=None).localCheckpoint(
+        eager=False
+    )
+    return jaccard_verify(docs, pairs, threshold=0.5)
