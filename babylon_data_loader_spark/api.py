@@ -1,0 +1,70 @@
+"""The apiClient query/write surface as engine functions
+(reference apiClient/apiClient.go — SURVEY.md §2.4).
+
+Read functions return DataFrames against the lake; the write function
+is the single-row insert with a server-assigned id (Q3/S13).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.schemas import TRANSACTION_SCHEMA
+
+
+def get_transaction_by_id(
+    transactions: DataFrame, transaction_id: str, transaction_type: str
+) -> DataFrame:
+    """Q1 point lookup (apiClient.go:188-243): id + type equi-filter;
+    both predicates push to the scan."""
+    return transactions.filter(
+        (F.col("transaction_id") == transaction_id)
+        & (F.col("type") == transaction_type)
+    )
+
+
+def get_transaction_history(
+    transactions: DataFrame,
+    transaction_type: str,
+    start_epoch_s: int,
+    end_epoch_s: int,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Q2 time-range scan by type (apiClient.go:305-358): epoch-second
+    bounds, inclusive, matching the UtcTimestamp contract."""
+    return transactions.filter(
+        (F.col("type") == transaction_type)
+        & F.col(ts_col).between(
+            start_epoch_s * 1_000_000, end_epoch_s * 1_000_000
+        )
+    )
+
+
+def add_transaction(
+    spark: SparkSession, lake_path: str, txn: dict
+) -> str:
+    """Q3/S13 single-row insert (apiClient.go:246-302): append one row,
+    return the engine-assigned transaction id.
+
+    The reference's server assigns the id; here it is a UUID stamped
+    on the row. Single-row appends are an anti-pattern at scale —
+    batch through ingest() — but the API surface exists for parity.
+    """
+    txn_id = str(uuid.uuid4())
+    row = {field.name: txn.get(field.name) for field in TRANSACTION_SCHEMA.fields}
+    df = (
+        spark.createDataFrame([tuple(row.values())], TRANSACTION_SCHEMA)
+        .withColumn("transaction_id", F.lit(txn_id))
+    )
+    df.write.mode("append").partitionBy("data_source").parquet(lake_path)
+    return txn_id
+
+
+def do_echo(spark: SparkSession, value: str) -> str:
+    """Q4 echo (apiClient.go:131-185)."""
+    return spark.sql("SELECT :v AS value", args={"v": value}).collect()[0][
+        "value"
+    ]

@@ -46,6 +46,31 @@ class IngestResult:
     records_uploaded: int = 0
     failures: dict[str, str] = field(default_factory=dict)
 
+    def to_frame(self, spark: SparkSession):
+        """Stats as a one-row DataFrame with the failures as a
+        MAP<STRING,STRING> column (reference Stats.Failures,
+        datalake/stats.go:13) — appendable to an audit table."""
+        from pyspark.sql import functions as F
+
+        row = spark.createDataFrame(
+            [
+                (
+                    self.total_files,
+                    self.processed_files,
+                    self.failed_files,
+                    self.skipped_entries,
+                    self.records_uploaded,
+                    list(self.failures.items()),
+                )
+            ],
+            "total_files BIGINT, processed_files BIGINT, failed_files BIGINT,"
+            " skipped_entries BIGINT, records_uploaded BIGINT,"
+            " failures ARRAY<STRUCT<file: STRING, reason: STRING>>",
+        )
+        return row.withColumn(
+            "failures", F.map_from_entries(F.col("failures"))
+        )
+
 
 def ingest(spark: SparkSession, config: EngineConfig) -> IngestResult:
     """Run the full ingest pipeline once (batch mode).

@@ -96,9 +96,18 @@ def sniff_header(path: str) -> tuple[tuple[str, ...], str] | None:
 
 
 def group_by_header(paths: list[str]) -> list[HeaderGroup]:
+    # Header sniffs are one-line reads; parallelize across files so a
+    # directory of thousands of exports lists in I/O time, not serial
+    # open() time. (At true lake scale this step becomes a small Spark
+    # job over path rows; the data plane below is unchanged.)
+    from concurrent.futures import ThreadPoolExecutor
+
     groups: dict[tuple[str, ...], list[tuple[str, str]]] = {}
-    for path in paths:
-        sniffed = sniff_header(path)
+    if not paths:
+        return []
+    with ThreadPoolExecutor(max_workers=min(32, len(paths))) as pool:
+        sniffed_all = list(pool.map(sniff_header, paths))
+    for path, sniffed in zip(paths, sniffed_all):
         if sniffed is None:  # empty file ⇒ zero rows, no error
             continue
         cols, raw_line = sniffed

@@ -1,0 +1,99 @@
+"""apiClient-surface functions (SURVEY.md §2.4) + stats frame."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_add_transaction_and_lookup(spark, tmp_path):
+    from babylon_data_loader_spark.api import (
+        add_transaction,
+        get_transaction_by_id,
+    )
+
+    lake = str(tmp_path / "lake")
+    txn = {
+        "details": "DEBIT",
+        "posting_date": "01/05/2024",
+        "description": "api insert",
+        "amount": -12.5,
+        "category": "api",
+        "type": "egress",
+        "balance": 100.0,
+        "check_or_slip_num": "",
+        "data_source": "chase",
+        "account_id": "1234",
+    }
+    txn_id = add_transaction(spark, lake, txn)
+    assert len(txn_id) == 36  # uuid
+    stored = spark.read.parquet(lake)
+    hit = get_transaction_by_id(stored, txn_id, "egress").collect()
+    assert len(hit) == 1
+    assert hit[0]["amount"] == -12.5
+    miss = get_transaction_by_id(stored, txn_id, "ingress").collect()
+    assert miss == []
+
+
+def test_get_transaction_history(spark):
+    from babylon_data_loader_spark.api import get_transaction_history
+    from babylon_data_loader_spark.schemas import events_with_time, load_table
+
+    ev = events_with_time(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).withColumnRenamed("event_type", "type")
+    out = get_transaction_history(
+        ev, "purchase", 1704844800, 1705708800
+    )
+    rows = out.collect()
+    assert rows
+    assert all(r["type"] == "purchase" for r in rows)
+    assert all(
+        1704844800_000000 <= r["ts_us"] <= 1705708800_000000 for r in rows
+    )
+
+
+def test_do_echo(spark):
+    from babylon_data_loader_spark.api import do_echo
+
+    assert do_echo(spark, "hello") == "hello"
+
+
+def test_stats_frame(spark):
+    from babylon_data_loader_spark.ingest.pipeline import IngestResult
+
+    r = IngestResult(
+        total_files=3,
+        processed_files=1,
+        failed_files=2,
+        records_uploaded=10,
+        failures={"a.txt": "not a csv file", "b.csv": "no valid transactions"},
+    )
+    row = r.to_frame(spark).collect()[0]
+    assert row["total_files"] == 3
+    assert row["failures"]["a.txt"] == "not a csv file"
+    assert len(row["failures"]) == 2
+
+    empty = IngestResult().to_frame(spark).collect()[0]
+    assert empty["failures"] == {}
+
+
+def test_lake_partition_pruning(spark, tmp_path):
+    """Reading one data_source must prune to that partition — the
+    physical analog of the reference's per-source collections."""
+    from babylon_data_loader_spark.sources.parquet_lake import (
+        read_transactions,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("a", 1.0, "chase"), ("b", 2.0, "synthetic")],
+        ["details", "amount", "data_source"],
+    )
+    df.write.partitionBy("data_source").parquet(lake)
+    pruned = read_transactions(spark, lake, data_source="chase")
+    assert [r["details"] for r in pruned.collect()] == ["a"]
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_line and "data_source" in part_line[0]

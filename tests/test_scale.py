@@ -1,0 +1,47 @@
+"""Scale-shape checks: many-file ingest stays a constant number of
+Spark jobs, and the scan parallelizes across files."""
+
+from __future__ import annotations
+
+import os
+
+
+def test_many_files_one_scan_per_header_group(spark, tmp_path):
+    from babylon_data_loader_spark.config import EngineConfig
+    from babylon_data_loader_spark.ingest import ingest
+    from babylon_data_loader_spark.sources.csv_source import group_by_header
+
+    header_a = "Details,Posting Date,Description,Category,Amount,Type,Balance,Check or Slip #"
+    header_b = "Amount,Description,Posting Date,Details,Category,Type,Balance,Check or Slip #"
+    in_dir = tmp_path / "many"
+    in_dir.mkdir()
+    n_files = 120
+    for i in range(n_files):
+        header = header_a if i % 3 else header_b
+        row = (
+            f'D{i},01/0{1 + i % 9}/2024,"doc {i}",c,-{i}.25,T,1.0,'
+            if i % 3
+            else f'-{i}.25,"doc {i}",01/0{1 + i % 9}/2024,D{i},c,T,1.0,'
+        )
+        (in_dir / f"chase{1000 + i}.csv").write_text(f"{header}\n{row}\n")
+
+    groups = group_by_header(
+        [str(in_dir / f) for f in sorted(os.listdir(in_dir))]
+    )
+    # 120 files collapse into exactly 2 distributed scans
+    assert len(groups) == 2
+    assert sum(len(g.paths) for g in groups) == n_files
+
+    cfg = EngineConfig(
+        unprocessed_dir=str(in_dir),
+        processed_dir=str(tmp_path / "done"),
+        lake_dir=str(tmp_path / "lake"),
+    )
+    result = ingest(spark, cfg)
+    assert result.processed_files == n_files
+    assert result.records_uploaded == n_files
+    lake = spark.read.parquet(cfg.transactions_path)
+    assert lake.count() == n_files
+    # every file's account id landed
+    accounts = {r["account_id"] for r in lake.select("account_id").collect()}
+    assert len(accounts) == n_files
