@@ -1,0 +1,67 @@
+"""Custom stateful streaming operator via applyInPandasWithState:
+per-user running aggregates that survive across micro-batches.
+
+This is the escape hatch for stateful semantics the built-in windowed
+aggregations can't express (per-key running counters with custom
+update logic, timeouts, session carry-over). State is per user_id;
+Arrow batches in, Arrow batches out; no driver involvement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+
+
+def _update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running (count, sum) with explicit state.
+
+    Works on a grouped stream: each micro-batch emits the updated
+    totals for users seen in that batch. On a static frame, use a
+    plain groupBy — this operator exists for the streaming case.
+    """
+    # "append" output: each micro-batch EMITS the updated snapshot rows
+    # for the users it touched (state still accumulates across
+    # batches); this composes with append-only sinks like parquet.
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
