@@ -44,4 +44,5 @@ def load_all() -> None:
         extra,
         text,
         vectors,
+        wave3,
     )

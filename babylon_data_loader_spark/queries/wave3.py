@@ -1,0 +1,219 @@
+"""Third-wave declared queries: statistical aggregates via exact
+moments, scalar subqueries, array/string/date scalar functions,
+median. Rounds out the scalar-function and subquery categories."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+# Statistical aggregates from exact decimal moments ----------------------------
+# Plain stddev/variance are float-reduction-order dependent; computing
+# from DECIMAL-exact Σx and Σx² makes them deterministic and
+# oracle-matchable: var = (Σx² − (Σx)²/n) / (n−1), all in double from
+# exact inputs.
+
+
+@query(
+    "q_variance_moments",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS sx2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round(sx / n, 6) AS mean_value,
+           round((sx2 - sx * sx / n) / (n - 1), 6) AS var_value
+    FROM m
+    """,
+)
+def q_variance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/variance per event type from exact moments (deterministic
+    where stddev()'s float reduction is not)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sx2"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_value"),
+        F.round(
+            (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1),
+            6,
+        ).alias("var_value"),
+    )
+
+
+# Scalar subquery ---------------------------------------------------------------
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)
+      FROM orders) * 1.5
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders 50% above the average price — scalar subquery in a
+    predicate (the average computes once and broadcasts)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_w3")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _orders_w3
+        WHERE o_totalprice > (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)
+          FROM _orders_w3) * 1.5
+        """
+    )
+
+
+# Array scalar functions -----------------------------------------------------------
+
+
+@query(
+    "q_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
+           round(list_sum(list_transform(embedding[1:4],
+                 x -> CAST(x AS DOUBLE))), 6) AS head_sum
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions: size, element_at (1-based / negative),
+    slice + fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 4)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "first_val"
+        ),
+        F.round(F.element_at("embedding", -1).cast("double"), 6).alias(
+            "last_val"
+        ),
+        F.round(
+            F.aggregate(
+                head, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("head_sum"),
+    )
+
+
+# String scalar functions ------------------------------------------------------------
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg_upper,
+           substring(c_name, 10, 8) AS name_digits,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           replace(c_name, 'Customer#', 'C-') AS short_name,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR))
+             AS seg_nation,
+           CAST(length(c_name) AS INT) AS name_len
+    FROM customer
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: upper/substring/lpad/replace/concat_ws/
+    length (P13/P15 family generalized)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 10, 8).alias("name_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias(
+            "padded_key"
+        ),
+        F.replace(
+            F.col("c_name"), F.lit("Customer#"), F.lit("C-")
+        ).alias("short_name"),
+        F.concat_ws(
+            "|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")
+        ).alias("seg_nation"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+# Date/time scalar functions ------------------------------------------------------------
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: date_trunc / year / quarter rollup (P16
+    family + partition-key derivation for time-partitioned lakes)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# Median -----------------------------------------------------------------------------------
+
+
+@query(
+    "q_median",
+    oracle="""
+    SELECT event_type,
+           round(median(CAST(value AS DOUBLE)), 6) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (both engines interpolate the midpoint
+    for even counts on DOUBLE input; the interpolation (a+b)/2 is a
+    single deterministic float op)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median(F.col("value").cast("double")), 6).alias(
+            "median_value"
+        )
+    )
