@@ -85,6 +85,94 @@ def knn_bruteforce(
     )
 
 
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold).
+
+    exact=False (default, the scale path): banded sign-LSH
+    (OR-of-ANDs) — `n_bands` independent buckets of `n_planes` sign
+    bits each; vectors sharing ANY band bucket become candidates, and
+    exact cosine verifies. Per-bucket joins, never all-pairs. A pair at
+    angle θ is a candidate with probability 1 − (1 − p^r)^b where
+    p = 1 − θ/π, r = n_planes, b = n_bands: ~99% at cosine 0.95 with
+    the defaults, vanishing for unrelated vectors.
+
+    exact=True: all-pairs self-join — O(N²), for oracle checks and
+    small N only.
+    """
+    if exact:
+        left = emb.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        right = emb.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = _banded_candidates(
+            emb, id_col, vec_col, n_bands=n_bands, n_planes=n_planes
+        )
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 9)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _banded_candidates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bands: int,
+    n_planes: int,
+) -> DataFrame:
+    """Distinct candidate pairs sharing any of `n_bands` sign buckets
+    (each from `n_planes` independent hyperplanes)."""
+    dim = len(emb.select(vec_col).first()[0])
+    band_cols = []
+    for band in range(n_bands):
+        planes = [
+            _hyperplane(band * n_planes + p, dim) for p in range(n_planes)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(band).alias("band_idx"),
+                sign_bucket(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    bucketed = emb.select(
+        id_col, vec_col, F.explode(F.array(*band_cols)).alias("b")
+    ).select(
+        id_col, vec_col, "b.band_idx", "b.bucket"
+    ).localCheckpoint(eager=False)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        "band_idx",
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        "band_idx",
+        "bucket",
+    )
+    return (
+        a.join(b, on=["band_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def knn_lsh(
     emb: DataFrame,
     query_vec_id: int,

@@ -94,6 +94,32 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embedding_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT_SQL.replace('q.embedding', 'b.embedding')}
+                 / ({_norm_sql('a')} * {_norm_sql('b')}), 9) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_DOT_SQL.replace('q.embedding', 'b.embedding')}
+                / ({_norm_sql('a')} * {_norm_sql('b')}), 9) >= 0.45
+    """,
+)
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45 — the
+    testdata plants no true dups, so the tail of the random cosine
+    distribution stands in). Declared with the EXACT all-pairs form so
+    the oracle can verify every pair; the production path is the
+    LSH-bucketed variant (operators/similarity.py::embedding_dup_pairs
+    with exact=False), which joins per bucket instead of all-pairs."""
+    from babylon_data_loader_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.45, exact=True)
+
+
 @query("q_knn_lsh")  # rows-only: LSH bucketing is not SQL-expressible
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors of vec_id 0 via random-hyperplane
