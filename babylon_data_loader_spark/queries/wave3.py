@@ -59,6 +59,61 @@ def q_variance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_correlation_moments",
+    oracle="""
+    WITH j AS (
+      SELECT value AS x,
+             CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
+      FROM events
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS cov_xy,
+           round((sxy - sx * sy / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+             AS corr_xy
+    FROM m
+    """,
+)
+def q_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance/correlation between event value and its JSON `k`
+    prop, from exact decimal moments — deterministic where corr()'s
+    float reduction is not."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.select(
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("double").alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    m = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        n.cast("bigint").alias("n"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("cov_xy"),
+        F.round(
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_xy"),
+    )
+
+
 # Scalar subquery ---------------------------------------------------------------
 
 
