@@ -43,6 +43,7 @@ def load_all() -> None:
         core,
         extra,
         text,
+        tpch_more,
         vectors,
         wave3,
     )

@@ -1,0 +1,313 @@
+"""Additional TPC-H-shaped analytics adapted to the testdata schema
+(no shipmode/commitdate/mfgr columns — Q12/Q16 are adapted versions
+exercising the same operator shapes). All decimal-exact, all
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+_REV = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))"
+
+
+def _rev_col() -> F.Column:
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,6)"
+    )
+
+
+# Q6 — forecasting revenue change (pure filter + agg, no join) -----------------
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + single aggregate: every predicate reaches the
+    parquet scan; zero shuffle (single-group agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(25,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# Q10 — returned-item revenue by customer ---------------------------------------
+
+
+@query(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(CAST(SUM({_REV}) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue: 4-way join with
+    broadcast nation, deterministic top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# Q12-adapted — shipping-delay classes per priority ------------------------------
+
+
+@query(
+    "q_ship_delay",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                         > 90 THEN 1 ELSE 0 END) AS BIGINT) AS late_items,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                         <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS ontime_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic + conditional aggregation over a join (the Q12
+    shape; l_shipmode doesn't exist in this schema, delay classes play
+    its role)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(delay > 90, 1).otherwise(0))
+            .cast("bigint")
+            .alias("late_items"),
+            F.sum(F.when(delay <= 90, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ontime_items"),
+        )
+    )
+
+
+# Q14 — promotion revenue share ----------------------------------------------------
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT round(
+             100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                                   THEN {_REV} ELSE CAST(0 AS DECIMAL(25,6))
+                              END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio of conditional to total revenue (broadcast part join;
+    both sums decimal-exact, one double division)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), _rev_col()
+    ).otherwise(F.lit(0).cast("decimal(25,6)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo).cast("double")
+                / F.sum(_rev_col()).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# Q16-adapted — supplier diversity per part class -----------------------------------
+
+
+@query(
+    "q_part_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 500)
+    GROUP BY p.p_brand, p.p_type
+    """,
+)
+def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count over a join with a NOT-EXISTS exclusion (the Q16
+    shape: anti-join against a blacklist subquery)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#13"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_suppliers = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 500
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(bad_suppliers), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# Q18 — large-volume orders -----------------------------------------------------------
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(20,2))) > 150
+    )
+    SELECT c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-filter (HAVING over sum) feeding a join — the aggregate
+    runs FIRST, so only qualifying orderkeys join (semi-join pushup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# Q19 — disjunctive predicate revenue ---------------------------------------------------
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT round(CAST(SUM({_REV}) AS DOUBLE), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-column predicates across a join (tests
+    predicate handling the optimizer can't split into one pushdown)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -26,6 +26,9 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_tpch_q18",
     "q_dedup_key",
     "q_sessionize",
     "q_asof_join",
