@@ -1,0 +1,91 @@
+"""CLI entry point — the reference's command surface (main.go:59-94):
+
+    python -m babylon_data_loader_spark ingest
+    python -m babylon_data_loader_spark generate-synthetic-data \
+        [--rows N] [--dir OUT] [--persist-to-lake]
+
+`ingest` reads config from the environment (UNPROCESSED_DIR /
+PROCESSED_DIR / LAKE_DIR / MOVE_PROCESSED_FILES — reference
+config/loadConfig.go) and prints the run stats as JSON
+(reference stats.Log, datalake/stats.go:35-44).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_ingest(args: argparse.Namespace) -> int:
+    from babylon_data_loader_spark.config import load_config
+    from babylon_data_loader_spark.ingest import ingest
+    from babylon_data_loader_spark.session import build_session
+
+    spark = build_session(app_name="babylon-ingest")
+    try:
+        result = ingest(spark, load_config())
+    finally:
+        spark.stop()
+    print(
+        json.dumps(
+            {
+                "total_files": result.total_files,
+                "processed_files": result.processed_files,
+                "failed_files": result.failed_files,
+                "skipped_entries": result.skipped_entries,
+                "records_uploaded": result.records_uploaded,
+                "failures": result.failures,
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_generate(args: argparse.Namespace) -> int:
+    from babylon_data_loader_spark.config import load_config
+    from babylon_data_loader_spark.session import build_session
+    from babylon_data_loader_spark.synthetic import (
+        append_to_lake,
+        generate_synthetic,
+        write_synthetic_csv,
+    )
+
+    spark = build_session(app_name="babylon-generate")
+    try:
+        df = generate_synthetic(spark, rows=args.rows, seed=args.seed)
+        if args.persist_to_lake:
+            append_to_lake(spark, df, load_config().transactions_path)
+            target = load_config().transactions_path
+        else:
+            write_synthetic_csv(df.coalesce(1), args.dir)
+            target = args.dir
+    finally:
+        spark.stop()
+    print(json.dumps({"rows": args.rows, "target": target}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="babylon_data_loader_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("ingest", help="ingest CSVs from UNPROCESSED_DIR")
+
+    gen = sub.add_parser(
+        "generate-synthetic-data", help="generate synthetic transactions"
+    )
+    # Defaults mirror the reference (--rows 100, loadConfig.go:24-25).
+    gen.add_argument("--rows", type=int, default=100)
+    gen.add_argument("--dir", default="./synthetic-data")
+    gen.add_argument("--seed", type=int, default=None)
+    gen.add_argument("--persist-to-lake", action="store_true")
+
+    args = parser.parse_args(argv)
+    if args.command == "ingest":
+        return _cmd_ingest(args)
+    return _cmd_generate(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

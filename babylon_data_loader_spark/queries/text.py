@@ -100,6 +100,35 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS n_pieces,
+           CAST(len(list_filter(
+                regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+                p -> length(p) > 4)) AS BIGINT) AS n_long_pieces
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word tokenization via regex classes (letter runs,
+    digit runs, single punctuation) — the pre-tokenizer pass of a BPE
+    pipeline, counted per document."""
+    docs = _docs(spark, sf_dir)
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.size(F.filter(pieces, lambda p: F.length(p) > 4))
+        .cast("bigint")
+        .alias("n_long_pieces"),
+    )
+
+
 # Language ID (n-gram/stopword heuristic) --------------------------------------
 
 
@@ -132,6 +161,37 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             hits.cast("double") / nt.cast("double") >= 0.05, "en"
         ).otherwise("other").alias("pred_lang"),
+    )
+
+
+@query(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN CAST(len(list_filter({_TOKENS_SQL},
+                       t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                       / CAST(len({_TOKENS_SQL}) AS DOUBLE) >= 0.05
+                  THEN 'en' ELSE 'other' END AS pred_lang
+      FROM documents
+    )
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY lang, pred_lang
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang-ID heuristic against the labeled
+    lang column — the evaluation loop a corpus pipeline runs after any
+    classifier pass."""
+    docs = _docs(spark, sf_dir)
+    tok = tokens(F.col("text"))
+    hits = stopword_hits(tok).cast("double")
+    nt = F.size(tok).cast("double")
+    pred = F.when(hits / nt >= 0.05, "en").otherwise("other")
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
