@@ -335,7 +335,11 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     them."""
     from babylon_data_loader_spark.operators.dedup import minhash_signatures
 
-    sig = minhash_signatures(_docs(spark, sf_dir), n_bands=_N_BANDS)
+    # Lazy checkpoint: the signature table feeds both sides of the
+    # band self-join — evaluate the md5 pipeline once, not twice.
+    sig = minhash_signatures(
+        _docs(spark, sf_dir), n_bands=_N_BANDS
+    ).localCheckpoint(eager=False)
     bands = sig.select(
         "doc_id",
         F.explode(

@@ -1,0 +1,65 @@
+"""CLI surface (python -m babylon_data_loader_spark) — the reference's
+command interface, driven as a subprocess."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _run(args: list[str], env_extra: dict | None = None, timeout: int = 300):
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    env["SPARK_GRAFT_CPUS"] = "4"
+    return subprocess.run(
+        [sys.executable, "-m", "babylon_data_loader_spark", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+def test_cli_generate_then_ingest(tmp_path):
+    gen_dir = tmp_path / "gen"
+    out = _run(
+        [
+            "generate-synthetic-data",
+            "--rows",
+            "10",
+            "--seed",
+            "3",
+            "--dir",
+            str(gen_dir),
+        ]
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats == {"rows": 10, "target": str(gen_dir)}
+
+    # stage the generated CSV under a synthetic-pattern name and ingest
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    part = next(p for p in os.listdir(gen_dir) if p.endswith(".csv"))
+    os.rename(gen_dir / part, in_dir / "synthetic_cli.csv")
+    out = _run(
+        ["ingest"],
+        env_extra={
+            "UNPROCESSED_DIR": str(in_dir),
+            "LAKE_DIR": str(tmp_path / "lake"),
+        },
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["processed_files"] == 1
+    assert stats["records_uploaded"] == 10
+    assert stats["failures"] == {}
+
+
+def test_cli_rejects_unknown_command():
+    out = _run(["frobnicate"])
+    assert out.returncode != 0
+    assert "invalid choice" in out.stderr
