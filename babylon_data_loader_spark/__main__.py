@@ -25,6 +25,9 @@ def _cmd_ingest(args: argparse.Namespace) -> int:
     spark = build_session(app_name="babylon-ingest")
     try:
         result = ingest(spark, load_config())
+    except FileNotFoundError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
     finally:
         spark.stop()
     print(
