@@ -29,6 +29,7 @@ from babylon_data_loader_spark.ingest.normalize import (
 )
 from babylon_data_loader_spark.operators.merge import merge_upsert
 from babylon_data_loader_spark.sources.csv_source import (
+    decoded_basename,
     list_csv_files,
     read_csv_dir,
 )
@@ -102,7 +103,9 @@ def ingest(spark: SparkSession, config: EngineConfig) -> IngestResult:
     # One row per FILE: raw rows, valid rows, extractor verdict.
     file_stats = (
         normalized.groupBy(
-            F.element_at(F.split("_input_file", "/"), -1).alias("file")
+            # Decoded so the key matches os.path.basename(p) even for
+            # names input_file_name() percent-encodes (e.g. spaces).
+            decoded_basename("_input_file").alias("file")
         )
         .agg(
             F.count(F.lit(1)).alias("raw_rows"),

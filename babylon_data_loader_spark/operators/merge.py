@@ -116,6 +116,10 @@ def merge_upsert(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", writer_conf
             )
+        else:
+            # Leaving 'dynamic' set session-wide would change the
+            # semantics of the caller's later plain overwrites.
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         if staging is not None:
             import shutil
 

@@ -282,8 +282,13 @@ def q_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the engine's defined last-write-wins tiebreak: newest ts,
     then highest event_id."""
     ev = _events(spark, sf_dir)
+    # Order by MICROsecond-truncated ts (`ts div 1000`), not raw nanos:
+    # DuckDB's timestamp is micro-precision, so ordering by nanos here
+    # would pick a different survivor whenever two rows tie at micros
+    # but differ at nanos (round-1 ADVICE). event_id breaks the tie in
+    # both engines ⇒ identical total order.
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.expr("ts div 1000").desc(), F.col("event_id").desc()
     )
     return (
         ev.withColumn("_rn", F.row_number().over(w))

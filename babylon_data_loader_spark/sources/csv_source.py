@@ -53,6 +53,21 @@ FROM_CSV_OPTIONS = {"escape": '"', "mode": "PERMISSIVE"}
 _QUOTED_SECTION = '"(?:[^"]|"")*"'
 
 
+def decoded_basename(file_col: str) -> F.Column:
+    """Decoded basename of an `input_file_name()` value.
+
+    `input_file_name()` returns a percent-encoded URI, so a name like
+    ``chase 5678 export.csv`` arrives as ``chase%205678%20export.csv``
+    and must be decoded before it can match `os.path.basename` keys.
+    `url_decode` is *form*-decoding (a bare ``+`` becomes a space), but
+    URI encoding never emits a bare ``+`` for a space — a literal ``+``
+    in the encoded string IS a literal ``+`` in the filename — so we
+    escape it first to make the round trip exact.
+    """
+    encoded = F.element_at(F.split(file_col, "/"), -1)
+    return F.url_decode(F.regexp_replace(encoded, r"\+", "%2B"))
+
+
 @dataclass(frozen=True)
 class HeaderGroup:
     """Files sharing one lower-cased header signature."""
@@ -162,11 +177,20 @@ def read_header_group(spark: SparkSession, group: HeaderGroup) -> DataFrame:
         ["_file_base", "_header_line"],
     )
     lines = (
-        lines.withColumn(
-            "_file_base", F.element_at(F.split("_input_file", "/"), -1)
-        )
+        lines.withColumn("_file_base", decoded_basename("_input_file"))
         .join(F.broadcast(hdr), on="_file_base", how="left")
-        .filter(F.col("value") != F.col("_header_line"))
+        # A file with no sniffed header would NULL-compare every row
+        # away silently; fail loudly instead. assert_true returns NULL
+        # on success, so the conjunct is a no-op on the happy path.
+        .filter(
+            F.assert_true(
+                F.col("_header_line").isNotNull(),
+                F.concat(
+                    F.lit("header join missed file: "), F.col("_file_base")
+                ),
+            ).isNull()
+            & (F.col("value") != F.col("_header_line"))
+        )
         .filter(F.trim(F.col("value")) != "")  # Go csv skips blank lines
     )
     # CSV-aware arity: mask quoted sections, count separators.
@@ -191,7 +215,7 @@ def with_source_info(df: DataFrame, file_col: str = "_input_file") -> DataFrame:
     ``chase(\\d{4})`` ⇒ ('chase', captured); contains 'synthetic' ⇒
     ('synthetic', '0000'); otherwise NULLs (caller rejects the file).
     """
-    base = F.element_at(F.split(F.col(file_col), "/"), -1)
+    base = decoded_basename(file_col)
     lower = F.lower(base)
     chase_acct = F.regexp_extract(lower, r"chase(\d{4})", 1)
     is_chase = chase_acct != F.lit("")

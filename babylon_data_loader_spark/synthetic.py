@@ -58,11 +58,20 @@ def generate_synthetic(
     )
 
 
-def write_synthetic_csv(df: DataFrame, directory: str) -> None:
+def write_synthetic_csv(
+    df: DataFrame,
+    directory: str,
+    file_name: str = "test-synthetic-data.csv",
+) -> None:
     """CSV sink with the reference's exact header and 2-dp number
-    formatting (synthetic/data.go:127-151). Output file names carry
-    'synthetic' via the directory convention; callers place files as
-    `*synthetic*.csv` for the extractor."""
+    formatting (synthetic/data.go:127-151), written as ONE file named
+    `file_name` — the reference writes ``test-synthetic-data.csv``
+    (synthetic/data.go), whose 'synthetic' substring is what the
+    filename extractor keys on, so generated output is directly
+    ingestible without renaming Spark part files (round-1 ADVICE)."""
+    import os
+    import shutil
+
     out = df.select(
         F.col("details").alias("Details"),
         F.col("posting_date").alias("Posting Date"),
@@ -73,7 +82,19 @@ def write_synthetic_csv(df: DataFrame, directory: str) -> None:
         F.format_string("%.2f", F.col("balance")).alias("Balance"),
         F.col("check_or_slip_num").alias("Check or Slip #"),
     )
-    out.write.mode("overwrite").option("header", True).csv(directory)
+    staging = os.path.join(directory, "__csv_staging")
+    out.coalesce(1).write.mode("overwrite").option("header", True).csv(
+        staging
+    )
+    part = next(
+        f
+        for f in os.listdir(staging)
+        if f.startswith("part-") and f.endswith(".csv")
+    )
+    os.replace(
+        os.path.join(staging, part), os.path.join(directory, file_name)
+    )
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def append_to_lake(

@@ -1,7 +1,10 @@
 """Run every declared query against its DuckDB oracle at an arbitrary
 scale factor (default sf0.01 — what the real driver uses).
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [name_filter ...]
+
+Extra args restrict the run to queries whose name contains any of the
+given substrings.
 """
 
 from __future__ import annotations
@@ -18,9 +21,14 @@ from tests.oracle_harness import compare_query  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
     spark = build_session(app_name="oracle-check")
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
+    if filters:
+        qmap = {
+            n: q for n, q in qmap.items() if any(f in n for f in filters)
+        }
     failures = 0
     for name in sorted(qmap):
         t0 = time.time()

@@ -190,6 +190,31 @@ def test_unknown_columns_dropped_missing_defaulted(spark, tmp_path):
     assert "wild extra column" not in r
 
 
+def test_filename_with_spaces_ingests(spark, tmp_path):
+    # input_file_name() percent-encodes the URI ('chase5678 export.csv'
+    # → 'chase5678%20export.csv'); the header-removal join and per-file
+    # stats must match on the DECODED basename or every row is silently
+    # dropped (round-1 ADVICE, high).
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    write_csv(str(data_dir), "chase5678 export.csv", [HEADER, ROW1, ROW2])
+    rows = run_pipeline(spark, str(data_dir)).collect()
+    assert len(rows) == 2
+    assert {r["data_source"] for r in rows} == {"chase"}
+    assert {r["account_id"] for r in rows} == {"5678"}
+
+    cfg = EngineConfig(
+        unprocessed_dir=str(data_dir),
+        processed_dir=str(tmp_path / "done"),
+        move_processed_files=False,
+        lake_dir=str(tmp_path / "lake"),
+    )
+    result = ingest(spark, cfg)
+    assert result.records_uploaded == 2
+    assert result.processed_files == 1
+    assert result.failed_files == 0
+
+
 def test_full_ingest_idempotent(spark, tmp_path):
     # S7 idempotence: ingest twice ⇒ identical table state.
     data_dir = tmp_path / "in"

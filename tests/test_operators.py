@@ -104,9 +104,14 @@ def test_synthetic_csv_roundtrip(spark, tmp_path):
     in_dir = tmp_path / "in"
     in_dir.mkdir()
     df = generate_synthetic(spark, rows=50, seed=11)
-    write_synthetic_csv(df.coalesce(1), str(gen_dir))
-    part = [f for f in os.listdir(gen_dir) if f.endswith(".csv")][0]
-    os.rename(gen_dir / part, in_dir / "synthetic_batch1.csv")
+    write_synthetic_csv(df, str(gen_dir))
+    # The sink writes the reference's exact file name, which the
+    # filename extractor accepts as-is — no part-file rename needed.
+    assert os.listdir(gen_dir) == ["test-synthetic-data.csv"]
+    os.rename(
+        gen_dir / "test-synthetic-data.csv",
+        in_dir / "test-synthetic-data.csv",
+    )
 
     cfg = EngineConfig(
         unprocessed_dir=str(in_dir),
