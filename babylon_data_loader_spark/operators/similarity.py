@@ -93,6 +93,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold).
@@ -118,7 +119,12 @@ def embedding_dup_pairs(
         pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = _banded_candidates(
-            emb, id_col, vec_col, n_bands=n_bands, n_planes=n_planes
+            emb,
+            id_col,
+            vec_col,
+            n_bands=n_bands,
+            n_planes=n_planes,
+            max_bucket_size=max_bucket_size,
         )
     sim = F.round(cosine(F.col("va"), F.col("vb")), 9)
     return (
@@ -133,9 +139,20 @@ def _banded_candidates(
     vec_col: str,
     n_bands: int,
     n_planes: int,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Distinct candidate pairs sharing any of `n_bands` sign buckets
-    (each from `n_planes` independent hyperplanes)."""
+    (each from `n_planes` independent hyperplanes).
+
+    Scale shape: buckets larger than `max_bucket_size` are dropped
+    before the self-join (a degenerate bucket — many near-identical
+    embeddings, exactly what a dup-heavy corpus produces — would go
+    quadratic; its members are better handled by exact/content-hash
+    dedup). The self-join and the pair-level dropDuplicates carry ONLY
+    ids — embedding vectors are re-attached to the deduped narrow pair
+    stream afterwards, so the wide payload never rides through the
+    candidate shuffle.
+    """
     dim = len(emb.select(vec_col).first()[0])
     band_cols = []
     for band in range(n_bands):
@@ -148,29 +165,38 @@ def _banded_candidates(
                 sign_bucket(F.col(vec_col), planes).alias("bucket"),
             )
         )
-    bucketed = emb.select(
-        id_col, vec_col, F.explode(F.array(*band_cols)).alias("b")
-    ).select(
-        id_col, vec_col, "b.band_idx", "b.bucket"
-    ).localCheckpoint(eager=False)
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        "band_idx",
-        "bucket",
+    # Ids + bucket only: the bucketed frame feeds a self-join, so keep
+    # it narrow and persist it (cluster-safe, unlike localCheckpoint)
+    # so the hyperplane projections evaluate once, not once per side.
+    bucketed = (
+        emb.select(id_col, F.explode(F.array(*band_cols)).alias("b"))
+        .select(id_col, "b.band_idx", "b.bucket")
     )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        "band_idx",
-        "bucket",
-    )
-    return (
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bucketed = (
+            bucketed.withColumn(
+                "_n",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band_idx", "bucket")
+                ),
+            )
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    bucketed = bucketed.persist()
+    a = bucketed.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
+    pairs = (
         a.join(b, on=["band_idx", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "va", "id_b", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return pairs.join(va, on="id_a").join(vb, on="id_b")
 
 
 def knn_lsh(

@@ -308,9 +308,14 @@ def _jaccard_band_sql(seed: int) -> str:
         f"SELECT doc_id, {i} AS bi, b{i} AS bv FROM sig" for i in range(4)
     )
     + f"""
+    ), sized AS (
+      -- quadratic-blowup guard, mirrored from the Spark operator:
+      -- buckets larger than 1000 members are dropped pre-join
+      SELECT doc_id, bi, bv FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY bi, bv) <= 1000
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM sized a JOIN sized b
         ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
     ), sh AS (
       SELECT doc_id, unnest({_JACCARD_SHINGLES}) AS s FROM documents
@@ -343,11 +348,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # The signature and candidate tables both feed self-joins; lazy
-    # local checkpoints make each evaluate once instead of per side
-    # (on a cluster this would be a persisted intermediate table).
-    sig = minhash_signatures(docs).localCheckpoint(eager=False)
-    pairs = lsh_candidate_pairs(sig, max_bucket_size=None).localCheckpoint(
-        eager=False
-    )
+    # The signature and candidate tables both feed self-joins; persist
+    # (cluster-safe, survives executor loss via recompute, unlike
+    # localCheckpoint) makes each evaluate once instead of per side.
+    sig = minhash_signatures(docs).persist()
+    pairs = lsh_candidate_pairs(sig, max_bucket_size=1000).persist()
     return jaccard_verify(docs, pairs, threshold=0.5)

@@ -320,9 +320,13 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_N_BANDS)
     )
     + """
+    ), sized AS (
+      -- quadratic-blowup guard, mirrored from the Spark operator
+      SELECT doc_id, band_idx, band_val FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_val) <= 1000
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM sized a JOIN sized b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
     """,
@@ -331,44 +335,19 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs sharing ANY band value become candidate
     near-duplicate pairs. The join key is (band_idx, band_val) — at
     100 TB the shuffle is per-bucket, never all-pairs; skewed buckets
-    (boilerplate docs) are the known hazard and AQE skew-join splits
-    them."""
-    from babylon_data_loader_spark.operators.dedup import minhash_signatures
-
-    # Lazy checkpoint: the signature table feeds both sides of the
-    # band self-join — evaluate the md5 pipeline once, not twice.
-    sig = minhash_signatures(
-        _docs(spark, sf_dir), n_bands=_N_BANDS
-    ).localCheckpoint(eager=False)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.col(f"b{i}").alias("band_val"),
-                    )
-                    for i in range(_N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_val")
-    left = bands.alias("a")
-    right = bands.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+    (boilerplate docs) are capped by the operator's max_bucket_size
+    guard (mirrored in the oracle's QUALIFY) and AQE skew-join splits
+    what remains."""
+    from babylon_data_loader_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
     )
+
+    # Persist: the signature table feeds both sides of the band
+    # self-join — evaluate the md5 pipeline once, not twice
+    # (cluster-safe, unlike a local checkpoint).
+    sig = minhash_signatures(_docs(spark, sf_dir), n_bands=_N_BANDS).persist()
+    return lsh_candidate_pairs(sig, n_bands=_N_BANDS, max_bucket_size=1000)
 
 
 # SimHash --------------------------------------------------------------------------

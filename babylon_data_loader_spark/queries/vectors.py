@@ -97,6 +97,49 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embedding_dup_pairs",
     oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT_SQL.replace('q.embedding', 'b.embedding')}
+                 / ({_norm_sql('a')} * {_norm_sql('b')}), 9) AS sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE round({_DOT_SQL.replace('q.embedding', 'b.embedding')}
+                / ({_norm_sql('a')} * {_norm_sql('b')}), 9) >= 0.999
+    """,
+)
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the SCALE path: banded sign-LSH
+    (per-bucket joins, hot-bucket guard, no all-pairs anywhere — the
+    plan contains no CartesianProduct, asserted in tests/test_plans.py).
+
+    The testdata plants no true duplicates, so the query plants its
+    own: every 5th vector is duplicated under vec_id+1000000. A planted
+    pair has cosine exactly 1.0 ⇒ identical sign bits in every band ⇒
+    LSH recall is provably 100% at threshold 0.999, which is what lets
+    the exact all-pairs oracle verify an approximate algorithm
+    exactly. (`q_embedding_dup_pairs_exact` keeps the all-pairs form
+    as the small-N verification baseline.)"""
+    from babylon_data_loader_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    corpus = emb.unionByName(copies)
+    return embedding_dup_pairs(corpus, threshold=0.999, exact=False)
+
+
+@query(
+    "q_embedding_dup_pairs_exact",
+    oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_DOT_SQL.replace('q.embedding', 'b.embedding')}
                  / ({_norm_sql('a')} * {_norm_sql('b')}), 9) AS sim
@@ -105,13 +148,11 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / ({_norm_sql('a')} * {_norm_sql('b')}), 9) >= 0.45
     """,
 )
-def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.45 — the
-    testdata plants no true dups, so the tail of the random cosine
-    distribution stands in). Declared with the EXACT all-pairs form so
-    the oracle can verify every pair; the production path is the
-    LSH-bucketed variant (operators/similarity.py::embedding_dup_pairs
-    with exact=False), which joins per bucket instead of all-pairs."""
+def q_embedding_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs embedding near-dup (threshold 0.45 — the tail
+    of the random cosine distribution stands in for dups). O(N²) by
+    construction: the verification baseline for small N, NOT the scale
+    path — that is `q_embedding_dup_pairs` (banded sign-LSH)."""
     from babylon_data_loader_spark.operators.similarity import (
         embedding_dup_pairs,
     )

@@ -88,6 +88,52 @@ def test_merge_anti_join_broadcasts_batch_keys(spark, tmp_path):
     assert len(re.findall(r"\(\d+\) Exchange", plan2)) == 1
 
 
+def test_embedding_dup_pairs_banded_no_cartesian(spark, sf_dir):
+    """The DECLARED embedding near-dup query must run the banded LSH
+    path: per-bucket hash joins only — an all-pairs product anywhere in
+    the plan is a 100 TB scale-killer."""
+    from babylon_data_loader_spark.queries.vectors import (
+        q_embedding_dup_pairs,
+    )
+
+    plan = plan_of(q_embedding_dup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_banded_candidates_hot_bucket_guard(spark):
+    """A degenerate bucket (many identical embeddings) must be dropped
+    by max_bucket_size, bounding the candidate-pair count; without the
+    guard 60 identical vectors would emit C(60,2)=1770 pairs."""
+    from babylon_data_loader_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    basis = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+        [-1.0, 0.0, 0.0, 0.0],
+    ]
+    rows = [(i, [1.0, 2.0, -0.5, 3.0]) for i in range(60)] + [
+        (100 + i, v) for i, v in enumerate(basis)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    guarded = embedding_dup_pairs(
+        emb, threshold=0.99, exact=False, max_bucket_size=10
+    )
+    # every bucket holding the 60 clones exceeds the cap ⇒ no clone
+    # pairs survive; the 5 distinct vectors produce no ≥0.99 pairs.
+    assert guarded.count() == 0
+    unguarded = embedding_dup_pairs(
+        emb, threshold=0.99, exact=False, max_bucket_size=None
+    )
+    assert unguarded.count() == 1770
+
+
 def test_knn_cosine_no_shuffle_before_topk(spark, sf_dir):
     from babylon_data_loader_spark.queries.vectors import q_knn_cosine
 
