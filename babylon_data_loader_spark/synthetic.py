@@ -101,7 +101,12 @@ def append_to_lake(
     spark: SparkSession, df: DataFrame, lake_path: str
 ) -> None:
     """Plain append sink (reference PersistSyntheticData,
-    synthetic/data.go:66-91): no merge — straight InsertMany analog."""
-    df.withColumn("data_source", F.lit("synthetic")).write.mode(
-        "append"
-    ).partitionBy("data_source").parquet(lake_path)
+    synthetic/data.go:66-91): no merge — straight InsertMany analog,
+    committed atomically through the transactional lake."""
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    TransactionalLake(lake_path).append(
+        spark, df.withColumn("data_source", F.lit("synthetic"))
+    )

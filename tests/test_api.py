@@ -26,7 +26,11 @@ def test_add_transaction_and_lookup(spark, tmp_path):
     }
     txn_id = add_transaction(spark, lake, txn)
     assert len(txn_id) == 36  # uuid
-    stored = spark.read.parquet(lake)
+    from babylon_data_loader_spark.sources.parquet_lake import (
+        read_transactions,
+    )
+
+    stored = read_transactions(spark, lake)
     hit = get_transaction_by_id(stored, txn_id, "egress").collect()
     assert len(hit) == 1
     assert hit[0]["amount"] == -12.5

@@ -24,6 +24,7 @@ from babylon_data_loader_spark.ingest.normalize import (
     validate_transactions,
 )
 from babylon_data_loader_spark.sources.csv_source import read_csv_dir
+from babylon_data_loader_spark.sources.parquet_lake import read_transactions
 
 HEADER = "Details,Posting Date,Description,Category,Amount,Type,Balance,Check or Slip #"
 ROW1 = 'DEBIT,01/01/2024,"WHOLEFDS HAR 102 230 B OAKLAND CA    211023  01/31",Shopping,-75.77,DEBIT_CARD,11190.76,'
@@ -234,13 +235,13 @@ def test_full_ingest_idempotent(spark, tmp_path):
     assert r1.failed_files == 1  # the .txt
     state1 = sorted(
         tuple(r)
-        for r in spark.read.parquet(cfg.transactions_path).collect()
+        for r in read_transactions(spark, cfg.transactions_path).collect()
     )
     r2 = ingest(spark, cfg)
     assert r2.records_uploaded == 2
     state2 = sorted(
         tuple(r)
-        for r in spark.read.parquet(cfg.transactions_path).collect()
+        for r in read_transactions(spark, cfg.transactions_path).collect()
     )
     assert state1 == state2
     # sync_log accumulated two runs.
@@ -262,6 +263,6 @@ def test_merge_same_key_collapses(spark, tmp_path):
         lake_dir=str(lake_dir),
     )
     ingest(spark, cfg)
-    rows = spark.read.parquet(cfg.transactions_path).collect()
+    rows = read_transactions(spark, cfg.transactions_path).collect()
     assert len(rows) == 1
     assert rows[0]["amount"] == -10.00  # desc ordering: -10 > -20

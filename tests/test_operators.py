@@ -120,7 +120,11 @@ def test_synthetic_csv_roundtrip(spark, tmp_path):
     )
     result = ingest(spark, cfg)
     assert result.records_uploaded == 50
-    lake = spark.read.parquet(cfg.transactions_path)
+    from babylon_data_loader_spark.sources.parquet_lake import (
+        read_transactions,
+    )
+
+    lake = read_transactions(spark, cfg.transactions_path)
     assert lake.count() == 50  # descriptions are unique → no merges
     assert lake.filter(F.col("data_source") == "synthetic").count() == 50
     # 2-dp CSV formatting survives the round trip
@@ -149,7 +153,11 @@ def test_streaming_ingest_available_now(spark, tmp_path):
         available_now=True,
     )
     q.awaitTermination(120)
-    stored = spark.read.parquet(lake)
+    from babylon_data_loader_spark.sources.parquet_lake import (
+        read_transactions,
+    )
+
+    stored = read_transactions(spark, lake)
     assert stored.count() == 2
     assert set(stored.select("data_source").distinct().toPandas()["data_source"]) == {"chase"}
 
@@ -162,7 +170,7 @@ def test_streaming_ingest_available_now(spark, tmp_path):
         available_now=True,
     )
     q2.awaitTermination(120)
-    assert spark.read.parquet(lake).count() == 2
+    assert read_transactions(spark, lake).count() == 2
 
 
 def test_streaming_windows_batch_parity(spark):

@@ -40,7 +40,11 @@ def test_many_files_one_scan_per_header_group(spark, tmp_path):
     result = ingest(spark, cfg)
     assert result.processed_files == n_files
     assert result.records_uploaded == n_files
-    lake = spark.read.parquet(cfg.transactions_path)
+    from babylon_data_loader_spark.sources.parquet_lake import (
+        read_transactions,
+    )
+
+    lake = read_transactions(spark, cfg.transactions_path)
     assert lake.count() == n_files
     # every file's account id landed
     accounts = {r["account_id"] for r in lake.select("account_id").collect()}
