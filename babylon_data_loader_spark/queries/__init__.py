@@ -44,6 +44,7 @@ def load_all() -> None:
         extra,
         text,
         tpch_more,
+        tpch_sub,
         vectors,
         wave3,
     )

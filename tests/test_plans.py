@@ -134,6 +134,31 @@ def test_banded_candidates_hot_bucket_guard(spark):
     assert unguarded.count() == 1770
 
 
+def test_subquery_shapes_decorrelate(spark, sf_dir):
+    """EXISTS/NOT EXISTS/correlated-scalar queries must decorrelate to
+    semi/anti/aggregate joins — never a per-row subquery or cartesian
+    product."""
+    from babylon_data_loader_spark.queries.tpch_sub import (
+        q_tpch_q4,
+        q_tpch_q17,
+        q_tpch_q21,
+        q_tpch_q22,
+    )
+
+    p4 = plan_of(q_tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in p4
+    assert "CartesianProduct" not in p4
+    p17 = plan_of(q_tpch_q17(spark, sf_dir))
+    assert "CartesianProduct" not in p17
+    assert "HashAggregate" in p17  # per-part avg as an aggregate join
+    p21 = plan_of(q_tpch_q21(spark, sf_dir))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "CartesianProduct" not in p21
+    p22 = plan_of(q_tpch_q22(spark, sf_dir))
+    assert "LeftAnti" in p22
+    assert "CartesianProduct" not in p22
+
+
 def test_knn_cosine_no_shuffle_before_topk(spark, sf_dir):
     from babylon_data_loader_spark.queries.vectors import q_knn_cosine
 
