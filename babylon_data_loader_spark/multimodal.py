@@ -1,20 +1,20 @@
-"""Multimodal column plumbing: image/audio/video as opaque BINARY
+"""Multimodal column support: image/audio/video as opaque BINARY
 columns with typed metadata, processed through Arrow-batched
 `mapInPandas` stages.
 
-The Spark-side architecture here is real and tested — schema contract,
-batch iteration shape, partition sizing notes — while the actual media
-decoding is STUBBED (this container has no image/audio libs): decoders
-raise NotImplementedError unless `fake=True`, which substitutes a
-deterministic fake "decode" so the distributed plumbing can be
-exercised end-to-end.
+Decoding is REAL for the formats the container can handle from first
+principles (functions/media_codecs.py: BMP/PPM/PNG images, PCM16 WAV
+audio — byte-level codecs over stdlib + numpy); Pillow extends image
+coverage when importable. Unsupported payloads raise so features are
+never silently garbage. `fake=True` keeps the deterministic fake
+decode for plumbing tests that exercise the batch shape without
+caring about pixels.
 
 At 100 TB: binary payloads dominate row size — keep them in their own
-table keyed by content hash, set
-`spark.sql.files.maxPartitionBytes` low enough that a task's batch of
-payloads fits executor memory, and NEVER collect payload columns. The
-metadata table (hash, width, height, duration, …) is the join surface
-for analytics.
+table keyed by content hash, set `spark.sql.files.maxPartitionBytes`
+low enough that a task's batch of payloads fits executor memory, and
+NEVER collect payload columns. The metadata/features table (hash,
+width, height, duration, …) is the join surface for analytics.
 """
 
 from __future__ import annotations
@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -49,24 +50,55 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sha256", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
     ]
 )
 
 
-def _decode_image_dims(payload: bytes, fake: bool) -> tuple[int, int]:
-    """Stub decode step. Real deployments plug Pillow/libvips here."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library not present in "
-            "this container; pass fake=True for deterministic fakes"
+def _image_features(payload: bytes, fake: bool) -> tuple:
+    """(width, height, mean_r, mean_g, mean_b) for one payload."""
+    if fake:
+        # Deterministic fake: dims/means derived from payload bytes —
+        # exercises the distributed plumbing without real pixels.
+        h = sum(payload[:16]) if payload else 0
+        return (
+            64 + h % 512,
+            64 + (h * 7) % 512,
+            float(h % 256),
+            float((h * 3) % 256),
+            float((h * 5) % 256),
         )
-    # Deterministic fake: dims derived from payload bytes.
-    h = sum(payload[:16]) if payload else 0
-    return (64 + h % 512, 64 + (h * 7) % 512)
+    from babylon_data_loader_spark.functions.media_codecs import decode_image
+
+    px = decode_image(payload)  # HxWx3 uint8; raises on unsupported
+    means = px.astype("float64").mean(axis=(0, 1))
+    return (
+        int(px.shape[1]),
+        int(px.shape[0]),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+    )
 
 
 def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
-    """BINARY column → feature rows via Arrow-batched mapInPandas.
+    """BINARY column → image feature rows via Arrow-batched mapInPandas.
 
     The UDF sees pandas batches (whole Arrow record batches, not rows);
     payload bytes never round-trip through the driver.
@@ -79,7 +111,7 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                width, height = _decode_image_dims(data, fake)
+                width, height, mr, mg, mb = _image_features(data, fake)
                 rows.append(
                     (
                         media_id,
@@ -87,6 +119,9 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                         len(data),
                         width,
                         height,
+                        mr,
+                        mg,
+                        mb,
                     )
                 )
             yield pd.DataFrame(
@@ -95,6 +130,45 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     src = media.filter(F.col("kind") == "image").select("media_id", "payload")
     return src.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """BINARY column → audio feature rows (real PCM16 WAV decode)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        from babylon_data_loader_spark.functions.media_codecs import (
+            decode_wav,
+        )
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                samples, sr = decode_wav(data)
+                n, ch = samples.shape
+                x = samples.astype("float64")
+                rows.append(
+                    (
+                        media_id,
+                        hashlib.sha256(data).hexdigest(),
+                        len(data),
+                        sr,
+                        ch,
+                        n,
+                        n / sr,
+                        math.sqrt(float((x * x).mean())) if n else 0.0,
+                        int(abs(samples).max()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    src = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return src.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
 def dedup_media_by_content(media: DataFrame) -> DataFrame:
@@ -108,3 +182,70 @@ def dedup_media_by_content(media: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+# -- deterministic synthetic media (generation is distributed too) -----------
+
+
+def synthetic_image_table(
+    spark, n: int = 200, dup_every: int | None = None
+) -> DataFrame:
+    """`n` solid-color BMP payloads with analytically-known features:
+    content id j → width 8+(j%32), height 8+((7j)%32), color
+    ((37j)%256, (59j)%256, (83j)%256). Generated inside mapInPandas —
+    payload bytes are born on executors, never on the driver.
+
+    `dup_every=k` derives the CONTENT from j = i - i%k while media_id
+    stays i, planting exact duplicate payloads in runs of k — the
+    fixture for content-hash dedup with an analytic oracle."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from babylon_data_loader_spark.functions.media_codecs import (
+            encode_bmp,
+        )
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = i - i % dup_every if dup_every else i
+                w, h = 8 + j % 32, 8 + (7 * j) % 32
+                color = [(37 * j) % 256, (59 * j) % 256, (83 * j) % 256]
+                px = np.tile(
+                    np.array(color, dtype=np.uint8), (h, w, 1)
+                )
+                rows.append((i, "image", encode_bmp(px), "image/bmp"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def synthetic_audio_table(spark, n: int = 200) -> DataFrame:
+    """`n` constant-amplitude PCM16 WAV payloads with analytically-known
+    features: id i → 1000+10i samples at 8000/16000 Hz (by parity),
+    every sample = 100+i."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from babylon_data_loader_spark.functions.media_codecs import (
+            encode_wav,
+        )
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_samples = 1000 + 10 * i
+                sr = 8000 if i % 2 == 0 else 16000
+                samples = np.full(n_samples, 100 + i, dtype=np.int16)
+                rows.append((i, "audio", encode_wav(samples, sr), "audio/wav"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)

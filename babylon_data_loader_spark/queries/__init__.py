@@ -42,6 +42,7 @@ def load_all() -> None:
         analytics,
         core,
         extra,
+        media,
         text,
         tpch_more,
         tpch_sub,

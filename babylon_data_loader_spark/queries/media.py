@@ -1,0 +1,116 @@
+"""Multimodal declared queries — REAL byte-level decode, fully
+oracle-checked.
+
+The trick that makes an image decoder verifiable by a SQL engine with
+no image support: the payloads are generated distributed (mapInPandas)
+with analytically-known content — solid-color BMPs and constant PCM16
+WAVs whose dimensions, byte sizes, channel means, RMS and peak are
+closed-form functions of the row id. Spark then round-trips the
+actual bytes through the real codecs (functions/media_codecs.py), and
+the DuckDB oracle recomputes every feature arithmetically from
+`range(n)`. Any decode bug — wrong stride, padding, sign, row order —
+breaks the exact match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.queries import query
+
+_N = 200
+
+
+@query(
+    "q_media_image_features",
+    oracle=f"""
+    SELECT i AS media_id,
+           CAST(54 + (8 + (7*i)%32) * (((3*(8 + i%32) + 3)//4)*4)
+                AS BIGINT) AS n_bytes,
+           CAST(8 + i%32 AS INTEGER) AS width,
+           CAST(8 + (7*i)%32 AS INTEGER) AS height,
+           CAST((37*i)%256 AS DOUBLE) AS mean_r,
+           CAST((59*i)%256 AS DOUBLE) AS mean_g,
+           CAST((83*i)%256 AS DOUBLE) AS mean_b
+    FROM range(0, {_N}) t(i)
+    """,
+)
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pipeline: generate BMP payloads on executors → REAL BMP
+    decode (byte-level, media_codecs.py) → per-image features, all
+    inside Arrow-batched mapInPandas. The oracle predicts n_bytes from
+    the BMP row-padding formula (54 + h*ceil4(3w)) and the channel
+    means from the planted solid color — exact match required."""
+    from babylon_data_loader_spark.multimodal import (
+        extract_image_features,
+        synthetic_image_table,
+    )
+
+    media = synthetic_image_table(spark, _N)
+    return extract_image_features(media, fake=False).select(
+        "media_id", "n_bytes", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@query(
+    "q_media_audio_features",
+    oracle=f"""
+    SELECT i AS media_id,
+           CAST(44 + 2*(1000 + 10*i) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN i%2=0 THEN 8000 ELSE 16000 END
+                AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(1000 + 10*i AS BIGINT) AS n_samples,
+           CAST(1000 + 10*i AS DOUBLE)
+             / (CASE WHEN i%2=0 THEN 8000 ELSE 16000 END) AS duration_s,
+           CAST(100 + i AS DOUBLE) AS rms,
+           CAST(100 + i AS INTEGER) AS peak
+    FROM range(0, {_N}) t(i)
+    """,
+)
+def q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline: generate PCM16 WAV payloads → REAL RIFF/WAVE
+    decode → duration / RMS / peak. Constant-amplitude signals make
+    RMS exactly the amplitude (sqrt of an exactly-representable
+    square), so even the floating-point features compare exactly."""
+    from babylon_data_loader_spark.multimodal import (
+        extract_audio_features,
+        synthetic_audio_table,
+    )
+
+    media = synthetic_audio_table(spark, _N)
+    return extract_audio_features(media).select(
+        "media_id",
+        "n_bytes",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "duration_s",
+        "rms",
+        "peak",
+    )
+
+
+@query(
+    "q_media_dedup",
+    oracle=f"""
+    SELECT CAST(5*g AS BIGINT) AS keeper_id,
+           CAST(5 AS BIGINT) AS n_copies
+    FROM range(0, {_N // 5}) t(g)
+    """,
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup over binary payloads: sha2 runs JVM-side on
+    the BINARY column (no Python in the hot path), one shuffle on the
+    hash. The fixture plants exact-duplicate payloads in runs of 5, so
+    the keeper/copy-count distribution is known in closed form."""
+    from babylon_data_loader_spark.multimodal import (
+        dedup_media_by_content,
+        synthetic_image_table,
+    )
+
+    media = synthetic_image_table(spark, _N, dup_every=5)
+    return dedup_media_by_content(media).select(
+        F.col("keeper_id"), F.col("n_copies")
+    )

@@ -70,9 +70,53 @@ def test_multimodal_image_features(spark):
     by_keeper = {r["keeper_id"]: r["n_copies"] for r in dedup}
     assert by_keeper[1] == 2  # rows 1+2 share content
 
-    # real decode path must refuse loudly without a library
-    with pytest.raises(Exception, match="NotImplementedError|image decoding"):
+    # real decode path must refuse loudly on undecodable payloads
+    with pytest.raises(Exception, match="unsupported image format"):
         extract_image_features(media, fake=False).collect()
+
+
+def test_multimodal_real_decode_roundtrip(spark):
+    """Real byte-level decode: BMP/PNG/WAV payloads built by the
+    codecs round-trip through the distributed feature extractors."""
+    import numpy as np
+
+    from babylon_data_loader_spark.functions.media_codecs import (
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+    from babylon_data_loader_spark.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (10, 17, 3), dtype=np.uint8)
+    wav = (np.sin(np.arange(2000) / 5) * 8000).astype(np.int16)
+    rows = [
+        (1, "image", encode_bmp(img), "image/bmp"),
+        (2, "image", encode_png(img), "image/png"),
+        (3, "audio", encode_wav(wav, 16000), "audio/wav"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in extract_image_features(media, fake=False).collect()
+    }
+    assert set(feats) == {1, 2}
+    for mid in (1, 2):  # same pixels through two different codecs
+        assert (feats[mid]["width"], feats[mid]["height"]) == (17, 10)
+        assert feats[mid]["mean_r"] == pytest.approx(
+            float(img[:, :, 0].mean())
+        )
+    audio = extract_audio_features(media).collect()
+    assert len(audio) == 1
+    a = audio[0]
+    assert a["sample_rate"] == 16000
+    assert a["n_samples"] == 2000
+    assert a["duration_s"] == pytest.approx(0.125)
+    assert a["peak"] == int(np.abs(wav).max())
 
 
 def test_synthetic_generator_profile(spark):
