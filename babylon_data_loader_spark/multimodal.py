@@ -221,7 +221,18 @@ def synthetic_image_table(
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
             )
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(n, numPartitions=_gen_partitions(spark, n)).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def _gen_partitions(spark, n: int) -> int:
+    """Partition count for synthetic generation: enough for parallelism
+    at real n, but bounded below default parallelism for tiny fixtures
+    — every partition costs a Python-worker cold start (numpy import)
+    on first use, which dwarfs the work for a few hundred rows."""
+    default = spark.sparkContext.defaultParallelism
+    return max(1, min(default, n // 32 or 1))
 
 
 def synthetic_audio_table(spark, n: int = 200) -> DataFrame:
@@ -248,4 +259,6 @@ def synthetic_audio_table(spark, n: int = 200) -> DataFrame:
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
             )
 
-    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+    return spark.range(n, numPartitions=_gen_partitions(spark, n)).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )

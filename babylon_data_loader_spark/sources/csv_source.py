@@ -110,18 +110,40 @@ def sniff_header(path: str) -> tuple[tuple[str, ...], str] | None:
     return tuple(col.lower() for col in header), line
 
 
-def group_by_header(paths: list[str]) -> list[HeaderGroup]:
-    # Header sniffs are one-line reads; parallelize across files so a
-    # directory of thousands of exports lists in I/O time, not serial
-    # open() time. (At true lake scale this step becomes a small Spark
-    # job over path rows; the data plane below is unchanged.)
-    from concurrent.futures import ThreadPoolExecutor
+DISTRIBUTED_SNIFF_THRESHOLD = 4096
 
+
+def group_by_header(
+    paths: list[str],
+    spark: SparkSession | None = None,
+    distributed_threshold: int = DISTRIBUTED_SNIFF_THRESHOLD,
+) -> list[HeaderGroup]:
+    """Group files by lower-cased header signature.
+
+    Header sniffs are one-line reads. Up to `distributed_threshold`
+    files they run as driver-side threaded I/O (latency-bound, no job
+    overhead); past it — 10⁵-file lake directories — they become a
+    small Spark job over path ROWS (`parallelize(paths).map(sniff)`),
+    so the listing scales with the cluster instead of serializing
+    through one driver's file handles. The data plane below is
+    unchanged either way. This is one of the rare justified RDD uses:
+    per-file imperative I/O with no relational structure.
+    """
     groups: dict[tuple[str, ...], list[tuple[str, str]]] = {}
     if not paths:
         return []
-    with ThreadPoolExecutor(max_workers=min(32, len(paths))) as pool:
-        sniffed_all = list(pool.map(sniff_header, paths))
+    if spark is not None and len(paths) >= distributed_threshold:
+        n_slices = max(32, min(len(paths) // 256, 1024))
+        sniffed_all = (
+            spark.sparkContext.parallelize(paths, n_slices)
+            .map(sniff_header)
+            .collect()  # O(files) driver footprint: one header per file
+        )
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(paths))) as pool:
+            sniffed_all = list(pool.map(sniff_header, paths))
     for path, sniffed in zip(paths, sniffed_all):
         if sniffed is None:  # empty file ⇒ zero rows, no error
             continue
@@ -242,7 +264,7 @@ def read_csv_dir(spark: SparkSession, directory: str) -> DataFrame:
     pipeline can count them as rejected (ErrUnableToExtractInfo parity).
     """
     csv_files, _ = list_csv_files(directory)
-    groups = group_by_header(csv_files)
+    groups = group_by_header(csv_files, spark=spark)
     if not groups:
         schema = StructType(
             [

@@ -39,7 +39,30 @@ HEADLINE = [
     "q_knn_cosine",
     "q_text_stats",
     "q_flagship_pipeline",
+    # round 2 additions: banded embedding LSH (the declared scale
+    # path), correlated-subquery decorrelation, real media decode.
+    "q_embedding_dup_pairs",
+    "q_tpch_q17",
+    "q_media_image_features",
 ]
+
+
+def _git_commit() -> str:
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:
+        return "unknown"
 
 
 def main() -> None:
@@ -67,17 +90,30 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "commit": _git_commit(),
+        "n_headline": len(HEADLINE),
+    }
+    print(json.dumps(result))
+    # Round-over-round trail: per-query times keyed by commit, so a
+    # regression diff is one jq away even as the headline set grows.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_HISTORY.jsonl",
+            ),
+            "a",
+            encoding="utf-8",
+        ) as fh:
+            fh.write(json.dumps({"ts": time.time(), **result}) + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

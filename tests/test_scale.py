@@ -49,3 +49,35 @@ def test_many_files_one_scan_per_header_group(spark, tmp_path):
     # every file's account id landed
     accounts = {r["account_id"] for r in lake.select("account_id").collect()}
     assert len(accounts) == n_files
+
+
+def test_distributed_header_sniff_many_files(spark, tmp_path):
+    """Past the threshold, header sniffing runs as a Spark job over
+    path rows instead of serializing through driver file handles —
+    10⁴ files must group correctly in bounded time."""
+    import time
+
+    from babylon_data_loader_spark.sources.csv_source import group_by_header
+
+    header_a = "Details,Posting Date,Amount"
+    header_b = "Amount,Details,Posting Date"
+    in_dir = tmp_path / "lots"
+    in_dir.mkdir()
+    n_files = 10_000
+    for i in range(n_files):
+        (in_dir / f"chase{i:05d}.csv").write_text(
+            f"{header_a if i % 2 else header_b}\nD,01/01/2024,-1.0\n"
+        )
+    paths = [str(in_dir / f) for f in sorted(os.listdir(in_dir))]
+    t0 = time.time()
+    groups = group_by_header(paths, spark=spark)  # over threshold → job
+    elapsed = time.time() - t0
+    assert len(groups) == 2
+    assert sum(len(g.paths) for g in groups) == n_files
+    # aligned path↔header association survives the distributed map
+    by_cols = {g.columns: g for g in groups}
+    a = by_cols[tuple(c.lower() for c in header_a.split(","))]
+    assert all(
+        int(os.path.basename(p)[5:10]) % 2 == 1 for p in a.paths
+    )
+    assert elapsed < 120, f"distributed sniff too slow: {elapsed:.1f}s"
