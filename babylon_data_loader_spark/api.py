@@ -72,3 +72,64 @@ def do_echo(spark: SparkSession, value: str) -> str:
     return spark.sql("SELECT :v AS value", args={"v": value}).collect()[0][
         "value"
     ]
+
+
+# -- apiClient error contract (apiClient.go:22-57) ---------------------------
+
+
+class BabylonAPIError(Exception):
+    """Server-reported domain error (errHTTPBabylonAPI,
+    apiClient.go:28,56-57): the response carried a DebugMessage whose
+    text becomes the error."""
+
+
+class UnexpectedStatusCodeError(Exception):
+    """Non-OK status outside the handled set (errHTTPUnexpectedStatusCode,
+    apiClient.go:24,40-42)."""
+
+    def __init__(self, status_code: int) -> None:
+        super().__init__(f"unexpected http status code, {status_code}")
+        self.status_code = status_code
+
+
+class BodyUnmarshallError(Exception):
+    """Malformed response body (errHTTPBodyUnmarshall, apiClient.go:26)."""
+
+
+def classify_response(endpoint: str, status_code: int, body: dict) -> dict:
+    """Reproduce the reference client's status→error mapping exactly.
+
+    Per apiClient.go:
+    - ``echo`` special-cases 400 and 500 ONLY (apiClient.go:161-165):
+      those surface the server's DebugMessage as BabylonAPIError; any
+      other non-200 (404 included!) is UnexpectedStatusCodeError.
+    - ``get_transaction`` / ``get_history`` treat EVERY status ≥ 400 as
+      a DebugMessage-bearing BabylonAPIError (apiClient.go:223-242,
+      338-357); 200 is success; 1xx/3xx are unexpected.
+    - ``add_transaction`` succeeds on 201 Created, not 200
+      (apiClient.go:282-301).
+
+    `body` is the parsed response payload; on success it is returned
+    unchanged, on a DebugMessage path its 'message' field feeds the
+    error (a missing/None body on an error path is a
+    BodyUnmarshallError, mirroring the failed json.Unmarshal).
+    """
+    success = {"echo": 200, "get_transaction": 200, "get_history": 200,
+               "add_transaction": 201}
+    if endpoint not in success:
+        raise ValueError(f"unknown endpoint: {endpoint}")
+    if status_code == success[endpoint]:
+        return body
+    if endpoint == "echo":
+        domain = status_code in (400, 500)
+    else:
+        domain = status_code >= 400
+    if domain:
+        if not isinstance(body, dict) or "message" not in body:
+            raise BodyUnmarshallError(
+                "errror unmarshalling HTTP response body"  # sic, .go:26
+            )
+        raise BabylonAPIError(
+            f"error returned from babylon api, {body['message']}"
+        )
+    raise UnexpectedStatusCodeError(status_code)

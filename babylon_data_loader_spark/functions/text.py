@@ -61,7 +61,6 @@ def minhash_band(sh: Column, seed: int) -> Column:
 
 def stopword_hits(tok: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
     """Count of tokens that are stopwords (not distinct)."""
-    arr = ", ".join(f"'{w}'" for w in stopwords)
     return F.size(F.filter(tok, lambda t: t.isin(*stopwords)))
 
 
