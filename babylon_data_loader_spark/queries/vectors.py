@@ -161,6 +161,36 @@ def q_embedding_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(emb, threshold=0.45, exact=True)
 
 
+@query("q_knn_ivf")  # rows-only: k-means float averaging is not
+# reproducible in SQL (order-dependent float sums); recall is tested
+# against q_knn_cosine in tests/test_similarity.py
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id 0 via an IVF index
+    (operators/ivf.py): deterministic k-means fit, cluster_id stamped
+    on the table (partition-prunable at write time), exact cosine
+    re-rank within the nprobe nearest lists."""
+    from babylon_data_loader_spark.operators.ivf import (
+        ivf_index,
+        ivf_search,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=16, n_iters=2)
+    indexed = ivf_index(emb, centroids)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return ivf_search(
+        indexed.filter(F.col("vec_id") != 0),
+        centroids,
+        qvec,
+        k=10,
+        nprobe=4,
+    )
+
+
 @query("q_knn_lsh")  # rows-only: LSH bucketing is not SQL-expressible
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors of vec_id 0 via random-hyperplane

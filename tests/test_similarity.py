@@ -59,3 +59,40 @@ def test_lsh_no_false_pairs_on_random(spark, planted):
     out = embedding_dup_pairs(planted, 0.9999, n_planes=8, n_bands=4).collect()
     for r in out:
         assert r["sim"] >= 0.9999
+
+
+def test_ivf_recall_and_determinism(spark):
+    """IVF search must (a) be deterministic across fits and (b) recover
+    a solid share of the true top-10; full-probe IVF (nprobe=k) must
+    equal brute force exactly — the index never changes similarity,
+    only candidate pruning."""
+    from babylon_data_loader_spark.operators.ivf import (
+        ivf_index,
+        ivf_search,
+        kmeans_fit,
+    )
+    from babylon_data_loader_spark.operators.similarity import knn_bruteforce
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    c1 = kmeans_fit(emb, k=8, n_iters=2)
+    c2 = kmeans_fit(emb, k=8, n_iters=2)
+    assert c1 == c2  # deterministic init + fixed iterations
+
+    indexed = ivf_index(emb, c1).cache()
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [
+        r["vec_id"] for r in knn_bruteforce(emb, query_vec_id=0, k=10).collect()
+    ]
+
+    probed = ivf_search(
+        indexed.filter("vec_id <> 0"), c1, qvec, k=10, nprobe=3
+    ).collect()
+    assert len(probed) == 10
+    recall = len(set(exact) & {r["vec_id"] for r in probed}) / 10
+    assert recall >= 0.3, f"recall {recall}"
+
+    full = ivf_search(
+        indexed.filter("vec_id <> 0"), c1, qvec, k=10, nprobe=8
+    ).collect()
+    assert [r["vec_id"] for r in full] == exact  # nprobe=K ⇒ exhaustive
