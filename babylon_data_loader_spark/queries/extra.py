@@ -354,3 +354,123 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(docs).persist()
     pairs = lsh_candidate_pairs(sig, max_bucket_size=1000).persist()
     return jaccard_verify(docs, pairs, threshold=0.5)
+
+
+# Flagship corpus curation: the full training-data pipeline ------------------------
+
+_CURATION_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_CURATION_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _curation_stop_sql() -> str:
+    from babylon_data_loader_spark.functions.text import STOPWORDS_EN
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+@query(
+    "q_corpus_curation",
+    oracle="""
+    WITH dedup AS (
+      SELECT * FROM documents
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(""" + _CURATION_NORM + """) ORDER BY doc_id) = 1
+    ), sig AS (
+      SELECT doc_id, """
+    + ", ".join(f"{_jaccard_band_sql(i)} AS b{i}" for i in range(4))
+    + """
+      FROM dedup
+    ), bands AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS bv FROM sig" for i in range(4)
+    )
+    + f"""
+    ), sized AS (
+      SELECT doc_id, bi, bv FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY bi, bv) <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sized a JOIN sized b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ), sh AS (
+      SELECT doc_id, unnest({_JACCARD_SHINGLES}) AS s FROM dedup
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ), losers AS (
+      SELECT DISTINCT i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) >= 0.5
+    ), kept AS (
+      SELECT * FROM dedup
+      WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+    ), scored AS (
+      SELECT source,
+             CAST(len(""" + _CURATION_TOKENS + """) AS BIGINT) AS n_tok,
+             0.5 * least(CAST(len(""" + _CURATION_TOKENS + """) AS DOUBLE)
+                         / 100.0, 1.0)
+             + 0.5 * (CAST(len(list_filter(""" + _CURATION_TOKENS + """,
+                           t -> t IN (""" + _curation_stop_sql() + """)))
+                           AS DOUBLE)
+                      / CAST(len(""" + _CURATION_TOKENS + """) AS DOUBLE))
+               AS q
+      FROM kept
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(q AS DECIMAL(25,12))) AS DOUBLE), 6)
+             AS sum_quality
+    FROM scored
+    WHERE n_tok >= 5 AND q >= 0.3
+    GROUP BY source
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-training-corpus pipeline, end to end: exact
+    dedup (md5 fingerprint, min-id keeper) → near-dup removal
+    (MinHash LSH candidates under the hot-bucket cap, exact n-gram
+    Jaccard ≥ 0.5 verification, drop the higher id) → quality gate
+    (length saturation + stopword density ≥ 0.3, ≥ 5 tokens) →
+    per-source corpus stats. Every stage is the declared operator the
+    standalone queries verify; this query verifies their COMPOSITION
+    against one SQL oracle. Quality sums route through DECIMAL so the
+    aggregate is order-independent."""
+    from babylon_data_loader_spark.functions.text import (
+        stopword_hits,
+        tokens,
+    )
+    from babylon_data_loader_spark.operators.dedup import (
+        dedup_exact,
+        dedup_near,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_near(dedup_exact(docs), threshold=0.5)
+    tok = tokens(F.col("text"))
+    nt = F.size(tok)
+    q = 0.5 * F.least(
+        nt.cast("double") / 100.0, F.lit(1.0)
+    ) + 0.5 * (stopword_hits(tok).cast("double") / nt.cast("double"))
+    scored = kept.select(
+        "source", nt.cast("long").alias("n_tok"), q.alias("q")
+    )
+    return (
+        scored.filter((F.col("n_tok") >= 5) & (F.col("q") >= 0.3))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(25,12)")).cast("double"), 6
+            ).alias("sum_quality"),
+        )
+    )
