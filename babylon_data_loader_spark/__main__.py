@@ -69,11 +69,49 @@ def _cmd_generate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_compact(args: argparse.Namespace) -> int:
+    from babylon_data_loader_spark.config import load_config
+    from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
+    from babylon_data_loader_spark.session import build_session
+
+    path = args.path or load_config().transactions_path
+    spark = build_session(app_name="babylon-compact")
+    try:
+        lake = TransactionalLake(path)
+        before = lake.current_manifest()
+        lake.compact(spark)
+        after = lake.current_manifest()
+    finally:
+        spark.stop()
+    print(
+        json.dumps(
+            {
+                "path": path,
+                "version": after["version"],
+                "partitions": len(after["partitions"]),
+                "dirs_before": len(
+                    {d for ds in before["partitions"].values() for d in ds}
+                ),
+                "dirs_after": len(
+                    {d for ds in after["partitions"].values() for d in ds}
+                ),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="babylon_data_loader_spark")
     sub = parser.add_subparsers(dest="command", required=True)
 
     sub.add_parser("ingest", help="ingest CSVs from UNPROCESSED_DIR")
+
+    compact = sub.add_parser(
+        "compact-lake",
+        help="fold append-accumulated lake dirs to one per partition",
+    )
+    compact.add_argument("--path", default=None)
 
     gen = sub.add_parser(
         "generate-synthetic-data", help="generate synthetic transactions"
@@ -87,6 +125,8 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if args.command == "ingest":
         return _cmd_ingest(args)
+    if args.command == "compact-lake":
+        return _cmd_compact(args)
     return _cmd_generate(args)
 
 

@@ -63,3 +63,26 @@ def test_cli_rejects_unknown_command():
     out = _run(["frobnicate"])
     assert out.returncode != 0
     assert "invalid choice" in out.stderr
+
+
+def test_cli_compact_lake(spark, tmp_path):
+    """compact-lake folds append-accumulated version dirs to one per
+    partition, through the same atomic commit protocol."""
+    from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
+
+    path = str(tmp_path / "lake")
+    lake = TransactionalLake(path)
+    df = spark.createDataFrame(
+        [(1, "a", "chase"), (2, "b", "chase")],
+        "k BIGINT, v STRING, data_source STRING",
+    )
+    lake.append(spark, df)
+    lake.append(spark, df)
+    assert len(lake.current_manifest()["partitions"]["data_source=chase"]) == 2
+
+    out = _run(["compact-lake", "--path", path])
+    assert out.returncode == 0, out.stderr[-500:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["dirs_before"] == 2
+    assert stats["dirs_after"] == 1
+    assert lake.read(spark).count() == 4
