@@ -10,7 +10,7 @@ MinHash signatures themselves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.text import (
@@ -391,3 +391,108 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(vote > 0, F.lit(1 << (j - 1))).otherwise(F.lit(0))
         bit_sum = term if bit_sum is None else (bit_sum + term)
     return tok.groupBy("doc_id").agg(bit_sum.cast("bigint").alias("simhash"))
+
+
+# TF-IDF ----------------------------------------------------------------------------
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_LOWER_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+    SELECT doc_id, term, tf, df,
+           round(tf * ln(n.n / df), 9) AS tfidf
+    FROM tf JOIN df USING (term), n
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Ranking uses the INTEGER
+    surrogate order (tf desc, df asc, term) — fully deterministic
+    across engines — while the tfidf double (rounded to 9) rides along
+    as a value column; ordering by the float itself would gamble the
+    top-k boundary on libm ln() ulp agreement. Corpus size reaches the
+    plan as a scalar subquery; df is vocabulary-sized and shuffles on
+    term with map-side combine."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = docs.count()  # O(1) scalar; the count is scan-metadata cheap
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, on="term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 9
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+# n-gram frequency ------------------------------------------------------------------
+
+
+@query(
+    "q_bigram_freq",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKENS_LOWER_SQL} AS tok FROM documents)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_transform(
+               generate_series(1, len(tok) - 1),
+               j -> tok[j] || ' ' || tok[j+1])) AS bigram
+      FROM t WHERE len(tok) >= 2
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams (deterministic tiebreak on the
+    bigram). Bigram construction is an array transform over the token
+    column — narrow, codegen'd — and the count is one shuffle with
+    map-side combine; top-k is TakeOrdered, not a global sort."""
+    docs = _docs(spark, sf_dir)
+    tok = tokens(F.lower(F.col("text")))
+    return (
+        docs.select(tok.alias("_tok"))
+        .filter(F.size("_tok") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tok") - 1),
+                    lambda j: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_tok"), j),
+                        F.element_at(F.col("_tok"), j + 1),
+                    ),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
