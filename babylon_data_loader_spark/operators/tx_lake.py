@@ -223,7 +223,12 @@ class TransactionalLake:
                     on=key,
                     how="left_anti",
                 )
-                merged = batch.unionByName(survivors)
+                # Schema evolution: a batch may add columns (or lack
+                # ones older data has) — union by name, NULL-filling
+                # either side, like Delta's mergeSchema.
+                merged = batch.unionByName(
+                    survivors, allowMissingColumns=True
+                )
             else:
                 merged = batch
             rel, new_subdirs = self._write_version_dir(merged)

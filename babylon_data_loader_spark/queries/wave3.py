@@ -272,3 +272,45 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_value"
         )
     )
+
+
+# Sketches (HLL distinct, t-digest quantiles) ---------------------------------------
+
+
+@query("q_sketch_distinct")  # rows-only: HLL register layout is
+# engine-specific; tests/test_sketches.py bounds the error vs exact
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HyperLogLog++
+    (approx_count_distinct, rsd 2%). At 100 TB this is THE distinct
+    operator: fixed-size registers merge map-side, no shuffle of raw
+    ids — exact count-distinct expands rows by group and shuffles every
+    id. Error bound is verified against the exact count in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "approx_users"
+            )
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("q_sketch_quantiles")  # rows-only: quantile sketch is
+# approximate and engine-specific; error bounded in tests
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of event value per type
+    (percentile_approx, accuracy 10k). Mergeable sketch: map-side
+    partials, O(accuracy) state per group — the scale path where exact
+    percentiles would sort every group."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+                "quantiles"
+            )
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,45 @@
+"""Sketch operators: approximate answers must sit within their
+advertised error of the exact answers (which the oracle-checked exact
+queries already pin)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.schemas import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_distinct_within_rsd(spark):
+    from babylon_data_loader_spark.queries.wave3 import q_sketch_distinct
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_sketch_distinct(spark, SF).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        rel = abs(approx[et] - n) / n
+        assert rel < 0.05, f"{et}: approx {approx[et]} vs exact {n}"
+
+
+def test_quantile_sketch_brackets_exact(spark):
+    from babylon_data_loader_spark.queries.wave3 import q_sketch_quantiles
+
+    rows = {r["event_type"]: r["quantiles"] for r in q_sketch_quantiles(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    for et, (p50, p95, p99) in rows.items():
+        assert p50 <= p95 <= p99  # monotone
+        vals = ev.filter(F.col("event_type") == et).select("value")
+        n = vals.count()
+        # exact rank of the approx p50 must be near the true median
+        rank = vals.filter(F.col("value") <= p50).count()
+        assert abs(rank / n - 0.5) < 0.02, f"{et}: p50 rank {rank/n}"

@@ -131,3 +131,22 @@ def test_reader_snapshot_isolation(spark, tmp_path):
     lake.merge(spark, frame(spark, [(1, "b", "chase")]), KEY)
     assert [r["v"] for r in old_reader.collect()] == ["a"]
     assert [r["v"] for r in lake.read(spark).collect()] == ["b"]
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """A later batch may carry new columns; older rows read as NULL
+    for them (mergeSchema semantics), and untouched partitions keep
+    working."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "a", "chase"), (2, "b", "syn")]), KEY)
+    evolved = spark.createDataFrame(
+        [(3, "c", "chase", "new-val")],
+        "k BIGINT, v STRING, data_source STRING, extra STRING",
+    )
+    lake.merge(spark, evolved, KEY)
+    rows = {r["k"]: r.asDict() for r in lake.read(spark).collect()}
+    assert rows[3]["extra"] == "new-val"
+    assert rows[1]["extra"] is None  # old chase row, evolved partition
+    assert rows[2]["extra"] is None  # untouched syn partition (filled
+    # by the reader's allowMissingColumns union)
+    assert set(rows) == {1, 2, 3}
