@@ -232,3 +232,38 @@ def test_streaming_windows_batch_parity(spark):
     assert total == ev.count()
     sc = session_counts(ev)
     assert sc.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch of a file-source stream
+    joins the broadcast dimension; unknown keys survive with NULLs."""
+    from babylon_data_loader_spark.streaming.enrich import enrich_events
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    events = spark.createDataFrame(
+        [(1, 10, "click"), (2, 20, "view"), (3, 99, "click")],
+        "event_id BIGINT, user_id BIGINT, event_type STRING",
+    )
+    events.write.parquet(str(src_dir / "batch0"))
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id BIGINT, tier STRING"
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("recursiveFileLookup", True)
+        .parquet(str(src_dir))
+    )
+    q = (
+        enrich_events(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enriched_sink").collect()
+    }
+    assert rows == {1: "gold", 2: "silver", 3: None}
