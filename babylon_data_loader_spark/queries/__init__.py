@@ -42,6 +42,7 @@ def load_all() -> None:
         analytics,
         core,
         extra,
+        intervals,
         media,
         text,
         tpch_more,

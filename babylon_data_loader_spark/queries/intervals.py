@@ -1,0 +1,97 @@
+"""Interval / range joins — point-in-interval semantics.
+
+Two physical regimes, both declared:
+- equi + range (`q_interval_join`): the interval table shares an equi
+  key with the probe side, so the range predicate rides a plain hash
+  join — shuffle on the key, range filter applied post-match. This is
+  the scale-safe shape: always hunt for an equi key before accepting a
+  pure range join.
+- pure range vs a SMALL interval table (`q_range_band_join`): no equi
+  key exists, so the plan is a BroadcastNestedLoopJoin — correct ONLY
+  because the band table is tiny and broadcast; at 100 TB a
+  range-only join against a LARGE interval table must instead be
+  bucketed (floor ts to interval-width buckets, equi-join on bucket,
+  then range-filter), which turns it back into regime one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+
+@query(
+    "q_interval_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS start_us,
+             MIN(epoch_us(ts)) + 1800000000 AS end_us
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_in_window
+    FROM events e JOIN iv ON e.user_id = iv.user_id
+    WHERE epoch_us(e.ts) BETWEEN iv.start_us AND iv.end_us
+    GROUP BY e.user_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events falling in each user's first-30-minutes window: the
+    range predicate shares the user_id equi key, so this is one hash
+    join + post-filter — no nested-loop anywhere (the range join trap
+    avoided)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    iv = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("start_us"),
+        (F.min("ts_us") + F.lit(1_800_000_000)).alias("end_us"),
+    )
+    return (
+        ev.join(iv, on="user_id")
+        .filter(F.col("ts_us").between(F.col("start_us"), F.col("end_us")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+    )
+
+
+@query(
+    "q_range_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 100.0), ('mid', 100.0, 500.0),
+             ('high', 500.0, 1e18)
+    )
+    SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE), 2)
+             AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-band classification as a range join against a 3-row
+    broadcast band table — the one place a BroadcastNestedLoopJoin is
+    the RIGHT plan (build side is O(1)); the aggregate still combines
+    map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 500.0), ("high", 500.0, 1e18)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"),
+                2,
+            ).alias("total_value"),
+        )
+    )
