@@ -474,3 +474,91 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_quality"),
         )
     )
+
+
+# Dedup clusters: connected components over verified near-dup pairs ---------------
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sig AS (
+      SELECT doc_id, """
+    + ", ".join(f"{_jaccard_band_sql(i)} AS b{i}" for i in range(4))
+    + """
+      FROM documents
+    ), bands AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS bv FROM sig" for i in range(4)
+    )
+    + f"""
+    ), sized AS (
+      SELECT doc_id, bi, bv FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY bi, bv) <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sized a JOIN sized b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ), sh AS (
+      SELECT doc_id, unnest({_JACCARD_SHINGLES}) AS s FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.b AS node, w.label FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: verified Jaccard pairs become
+    edges and iterative min-label propagation
+    (operators/graph.py::connected_components) assigns every document
+    the min doc_id of its component — so chained duplicates (A≈B≈C
+    with A≉C) still collapse to one keeper. The oracle recomputes the
+    same transitive closure with a RECURSIVE CTE: an exact cross-engine
+    check of an iterative distributed algorithm."""
+    from babylon_data_loader_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from babylon_data_loader_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).persist()
+    pairs = lsh_candidate_pairs(sig, max_bucket_size=1000).persist()
+    dup = jaccard_verify(docs, pairs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(
+        docs.select("doc_id"),
+        dup,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
