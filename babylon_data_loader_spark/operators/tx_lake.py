@@ -115,8 +115,35 @@ class TransactionalLake:
 
     # -- read ---------------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        manifest = self.current_manifest()
+    def manifest_at(self, version: int) -> dict:
+        """The manifest of a PAST committed version — time travel.
+
+        Version dirs are immutable and manifests are never deleted, so
+        every committed version stays readable (like Delta's
+        VERSION AS OF). Versions above the current pointer are
+        rejected: a claim file may exist for an in-flight or crashed
+        writer whose data was never activated.
+        """
+        current = self.current_manifest()
+        if version == current["version"]:
+            return current
+        if version < 1 or version > current["version"]:
+            raise ValueError(
+                f"version {version} not committed "
+                f"(current: {current['version']})"
+            )
+        with open(
+            os.path.join(self._manifest_dir, f"v{version}.json"),
+            encoding="utf-8",
+        ) as fh:
+            return json.load(fh)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        manifest = (
+            self.current_manifest()
+            if version is None
+            else self.manifest_at(version)
+        )
         by_dir: dict[str, list[str]] = {}
         for subdir, dirs in manifest["partitions"].items():
             for d in dirs:

@@ -150,3 +150,21 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert rows[2]["extra"] is None  # untouched syn partition (filled
     # by the reader's allowMissingColumns union)
     assert set(rows) == {1, 2, 3}
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """Every committed version stays readable (immutable dirs +
+    retained manifests); uncommitted claims are not readable."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "v1", "chase")]), KEY)
+    lake.merge(spark, frame(spark, [(1, "v2", "chase")]), KEY)
+    lake.merge(spark, frame(spark, [(2, "x", "syn")]), KEY)
+
+    assert [r["v"] for r in lake.read(spark, version=1).collect()] == ["v1"]
+    assert [r["v"] for r in lake.read(spark, version=2).collect()] == ["v2"]
+    assert len(lake.read(spark, version=3).collect()) == 2
+    assert len(lake.read(spark).collect()) == 2
+    with pytest.raises(ValueError, match="not committed"):
+        lake.read(spark, version=4)
+    with pytest.raises(ValueError, match="not committed"):
+        lake.read(spark, version=0)
