@@ -176,9 +176,44 @@ def dedup_near(
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard
     verify → drop the higher id of each surviving pair (greedy,
-    deterministic)."""
+    deterministic). For CHAINED duplicates (A≈B≈C where A≉C directly)
+    prefer :func:`dedup_clustered`, which keeps exactly one doc per
+    connected component."""
     sig = minhash_signatures(docs, text_col, id_col)
     pairs = lsh_candidate_pairs(sig, id_col)
     dup = jaccard_verify(docs, pairs, text_col, id_col, threshold)
     losers = dup.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def dedup_clustered(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup removal with CLUSTER semantics: verified pairs become
+    edges, connected components assign every doc its component's min
+    id, and exactly the component representative survives. Handles
+    duplicate chains correctly where greedy pair-dropping keeps
+    either too many docs (A≈B, B≈C, A≉C: greedy keeps A and may keep
+    C) or — with unluckier id orderings — drops transitively-linked
+    originals."""
+    from babylon_data_loader_spark.operators.graph import (
+        connected_components,
+    )
+
+    sig = minhash_signatures(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(sig, id_col)
+    dup = jaccard_verify(docs, pairs, text_col, id_col, threshold)
+    labels = connected_components(
+        docs.select(id_col),
+        dup.select("doc_a", "doc_b"),
+        id_col=id_col,
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    keepers = labels.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(keepers, on=id_col, how="left_semi")

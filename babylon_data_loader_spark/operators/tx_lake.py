@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from urllib.parse import unquote
@@ -310,6 +311,48 @@ class TransactionalLake:
                 "partitions": {s: [rel] for s in new_subdirs},
             }
         )
+
+    def vacuum(self, keep_versions: int = 3) -> dict:
+        """Delete version directories unreferenced by the most recent
+        `keep_versions` manifests (and the manifests older than that).
+
+        The storage-hygiene counterpart of time travel: each merge
+        supersedes dirs that only history references. Retention is the
+        safety valve — a reader holding a snapshot older than the
+        window, or time-traveling past it, breaks (exactly Delta's
+        VACUUM contract); size `keep_versions` above the longest
+        running reader. The legacy root dir ``"."`` is never deleted.
+        """
+        import shutil
+
+        current = self.current_manifest()
+        keep_from = max(1, current["version"] - keep_versions + 1)
+        live: set[str] = set()
+        for v in range(keep_from, current["version"] + 1):
+            for dirs in self.manifest_at(v)["partitions"].values():
+                live.update(dirs)
+        removed = []
+        if os.path.isdir(self._versions_dir):
+            for entry in sorted(os.listdir(self._versions_dir)):
+                rel = os.path.join("_versions", entry)
+                if rel not in live:
+                    shutil.rmtree(
+                        os.path.join(self.lake_path, rel),
+                        ignore_errors=True,
+                    )
+                    removed.append(rel)
+        removed_manifests = []
+        if os.path.isdir(self._manifest_dir):
+            for entry in sorted(os.listdir(self._manifest_dir)):
+                m = re.fullmatch(r"v(\d+)\.json", entry)
+                if m and int(m.group(1)) < keep_from:
+                    os.remove(os.path.join(self._manifest_dir, entry))
+                    removed_manifests.append(entry)
+        return {
+            "kept_from_version": keep_from,
+            "removed_dirs": removed,
+            "removed_manifests": removed_manifests,
+        }
 
     def _read_subdirs(
         self, spark: SparkSession, subdir_map: dict[str, list[str]]

@@ -168,3 +168,52 @@ def test_time_travel_reads(spark, tmp_path):
         lake.read(spark, version=4)
     with pytest.raises(ValueError, match="not committed"):
         lake.read(spark, version=0)
+
+
+def test_vacuum_respects_retention(spark, tmp_path):
+    """Vacuum removes only dirs outside the retention window; reads in
+    the window (incl. time travel) keep working."""
+    import os as _os
+
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    for i in range(4):
+        lake.merge(spark, frame(spark, [(1, f"v{i+1}", "chase")]), KEY)
+    n_dirs_before = len(_os.listdir(lake._versions_dir))
+    assert n_dirs_before == 4
+
+    report = lake.vacuum(keep_versions=2)
+    assert report["kept_from_version"] == 3
+    assert len(report["removed_dirs"]) == 2
+    assert len(_os.listdir(lake._versions_dir)) == 2
+    # current + in-window time travel still read
+    assert [r["v"] for r in lake.read(spark).collect()] == ["v4"]
+    assert [r["v"] for r in lake.read(spark, version=3).collect()] == ["v3"]
+    # outside the window the manifest is gone
+    with pytest.raises(FileNotFoundError):
+        lake.read(spark, version=1)
+
+
+def test_dedup_clustered_handles_chains(spark):
+    """A≈B and B≈C (A≉C): cluster dedup keeps exactly one of the
+    chain; greedy pair semantics are also pinned for contrast."""
+    from babylon_data_loader_spark.operators.dedup import (
+        dedup_clustered,
+        dedup_near,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    a = base + "alpha beta gamma delta epsilon"
+    b = base + "alpha beta gamma delta zeta"      # ~ a and ~ c
+    c = base + "alpha beta eta theta zeta"        # ~ b, farther from a
+    unrelated = "completely different content with nothing shared here at all"
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, unrelated)], "doc_id BIGINT, text STRING"
+    )
+    clustered = sorted(
+        r["doc_id"] for r in dedup_clustered(docs, threshold=0.5).collect()
+    )
+    assert clustered == [0, 3]  # one survivor per component
+    greedy = sorted(
+        r["doc_id"] for r in dedup_near(docs, threshold=0.5).collect()
+    )
+    assert 0 in greedy and 3 in greedy
