@@ -95,3 +95,38 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@query(
+    "q_attribution_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND p.purchase_us >= c.click_us
+     AND p.purchase_us <= c.click_us + 1800000000
+    """,
+)
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution: every (click, purchase) pair of the same user with
+    the purchase inside the click's 30-minute window — the BATCH twin
+    of the watermarked stream-stream join (streaming/joins.py::
+    attribute_purchases); identical join condition, so the oracle here
+    verifies the streaming operator's semantics. Times compared in
+    integer microseconds for cross-engine exactness."""
+    from babylon_data_loader_spark.schemas import events_with_time
+    from babylon_data_loader_spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    ev = events_with_time(load_table(spark, sf_dir, "events"))
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = attribute_purchases(clicks, purchases, within="30 minutes")
+    return out.select("user_id", "click_id", "purchase_id")

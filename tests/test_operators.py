@@ -267,3 +267,44 @@ def test_stream_static_enrichment(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enriched_sink").collect()
     }
     assert rows == {1: "gold", 2: "silver", 3: None}
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Watermarked stream-stream join: purchases attach to the click
+    they follow within 30 minutes; outside the range, no match."""
+    from datetime import datetime
+
+    from babylon_data_loader_spark.streaming.joins import attribute_purchases
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    schema = "event_id BIGINT, user_id BIGINT, ts_ts TIMESTAMP"
+    clicks = spark.createDataFrame(
+        [(100, 1, ts(10, 0)), (101, 2, ts(11, 0))], schema
+    )
+    purchases = spark.createDataFrame(
+        [(200, 1, ts(10, 10)),  # within 30 min of click 100 → match
+         (201, 2, ts(13, 0))],  # 2 h after click 101 → no match
+        schema,
+    )
+    c_dir, p_dir = tmp_path / "clicks", tmp_path / "purch"
+    clicks.write.parquet(str(c_dir))
+    purchases.write.parquet(str(p_dir))
+
+    c_stream = spark.readStream.schema(clicks.schema).parquet(str(c_dir))
+    p_stream = spark.readStream.schema(clicks.schema).parquet(str(p_dir))
+    q = (
+        attribute_purchases(c_stream, p_stream)
+        .writeStream.format("memory")
+        .queryName("attrib_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM attrib_sink").collect()
+    assert [(r["click_id"], r["purchase_id"]) for r in rows] == [(100, 200)]
+
+    # batch twin: identical semantics on static frames
+    static = attribute_purchases(clicks, purchases).collect()
+    assert [(r["click_id"], r["purchase_id"]) for r in static] == [(100, 200)]
