@@ -115,6 +115,35 @@ def ivf_index(
     return _assign(emb, vec_col, centroids)
 
 
+def write_ivf_index(
+    indexed: DataFrame, path: str, centroids: list[list[float]]
+) -> None:
+    """Persist the index partitioned BY cluster_id — a probe then hits
+    only its lists' directories (partition pruning at the source,
+    asserted in tests/test_similarity.py). Centroids ride along as
+    JSON metadata (K×d floats — index metadata, not data)."""
+    import json
+    import os
+
+    indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    with open(
+        os.path.join(path, "_centroids.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(centroids, fh)
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """(indexed DataFrame, centroids) from a stored IVF index."""
+    import json
+    import os
+
+    with open(
+        os.path.join(path, "_centroids.json"), encoding="utf-8"
+    ) as fh:
+        centroids = json.load(fh)
+    return spark.read.parquet(path), centroids
+
+
 def ivf_search(
     indexed: DataFrame,
     centroids: list[list[float]],

@@ -96,3 +96,34 @@ def test_ivf_recall_and_determinism(spark):
         indexed.filter("vec_id <> 0"), c1, qvec, k=10, nprobe=8
     ).collect()
     assert [r["vec_id"] for r in full] == exact  # nprobe=K ⇒ exhaustive
+
+
+def test_ivf_stored_index_prunes_partitions(spark, tmp_path):
+    """A probe against the STORED index must prune at the source:
+    the scan's partition filters carry cluster_id, so only the probed
+    lists' directories are read."""
+    from babylon_data_loader_spark.operators.ivf import (
+        ivf_index,
+        ivf_search,
+        kmeans_fit,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids = kmeans_fit(emb, k=8, n_iters=1)
+    write_ivf_index(ivf_index(emb, centroids), str(tmp_path / "ivf"), centroids)
+
+    stored, loaded_centroids = read_ivf_index(spark, str(tmp_path / "ivf"))
+    assert loaded_centroids == centroids
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = ivf_search(
+        stored.filter("vec_id <> 0"), loaded_centroids, qvec, k=5, nprobe=2
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cluster_id" in pf[0]  # probe prunes directories
+    assert len(out.collect()) == 5
