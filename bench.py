@@ -40,10 +40,12 @@ HEADLINE = [
     "q_text_stats",
     "q_flagship_pipeline",
     # round 2 additions: banded embedding LSH (the declared scale
-    # path), correlated-subquery decorrelation, real media decode.
+    # path), correlated-subquery decorrelation, real media decode,
+    # and the composed corpus-curation pipeline.
     "q_embedding_dup_pairs",
     "q_tpch_q17",
     "q_media_image_features",
+    "q_corpus_curation",
 ]
 
 

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the pure-function surfaces:
+media codecs and the CSV-aware arity masker. No Spark session — these
+run in milliseconds and explore the input space far beyond the
+hand-written fixtures."""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from babylon_data_loader_spark.functions import media_codecs as mc
+from babylon_data_loader_spark.sources.csv_source import _QUOTED_SECTION
+
+dims = st.tuples(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+)
+
+
+@st.composite
+def images(draw):
+    h, w = draw(dims)
+    data = draw(
+        st.binary(min_size=h * w * 3, max_size=h * w * 3).map(
+            lambda b: np.frombuffer(b, np.uint8).reshape(h, w, 3)
+        )
+    )
+    return data
+
+
+@settings(max_examples=50, deadline=None)
+@given(images())
+def test_bmp_roundtrip(px):
+    assert np.array_equal(mc.decode_bmp(mc.encode_bmp(px)), px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(images())
+def test_ppm_roundtrip(px):
+    assert np.array_equal(mc.decode_ppm(mc.encode_ppm(px)), px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(images())
+def test_png_roundtrip(px):
+    assert np.array_equal(mc.decode_png(mc.encode_png(px)), px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(images())
+def test_image_dims_consistent(px):
+    h, w = px.shape[:2]
+    for enc in (mc.encode_bmp, mc.encode_ppm, mc.encode_png):
+        assert mc.image_dims(enc(px)) == (w, h)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5000),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(),
+)
+def test_wav_roundtrip(n, ch, sr, seed):
+    rng = np.random.default_rng(abs(seed) % 2**32)
+    samples = rng.integers(-32768, 32767, (n, ch), dtype=np.int16)
+    decoded, out_sr = mc.decode_wav(mc.encode_wav(samples, sr))
+    assert out_sr == sr
+    assert np.array_equal(decoded, samples)
+
+
+# CSV arity masking: the regex must count separators exactly like a
+# real CSV tokenizer for any quoted content (Go csv semantics: quotes
+# escape by doubling).
+field = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\r\n"
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(field, min_size=1, max_size=8))
+def test_arity_mask_matches_csv_tokenizer(fields):
+    buf = io.StringIO()
+    _csv.writer(
+        buf, quoting=_csv.QUOTE_ALL, doublequote=True, lineterminator=""
+    ).writerow(fields)
+    line = buf.getvalue()
+    masked = re.sub(_QUOTED_SECTION, "Q", line)
+    arity = len(masked.split(","))
+    assert arity == len(fields), (line, masked)
