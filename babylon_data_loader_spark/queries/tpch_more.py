@@ -311,3 +311,150 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# Q7 — volume shipping between two nations -----------------------------------
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           round(CAST(SUM({_REV}) AS DOUBLE), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name IN ('NATION_0', 'NATION_1')
+      AND cn.n_name IN ('NATION_0', 'NATION_1')
+      AND sn.n_name <> cn.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue between two nations by
+    ship year. Supplier/customer/nation dims broadcast; the only big
+    shuffle is orders⋈lineitem; the nation-pair predicate prunes both
+    dimension branches before the fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pair = F.col("n_name").isin("NATION_0", "NATION_1")
+    sn = n.filter(pair).select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = n.filter(pair).select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        li.join(F.broadcast(s.join(F.broadcast(sn), on="s_nationkey")
+                             .select("s_suppkey", "supp_nation")),
+                on=[li.l_suppkey == F.col("s_suppkey")])
+        .join(o.select("o_orderkey", "o_custkey"),
+              on=[li.l_orderkey == F.col("o_orderkey")])
+        .join(F.broadcast(c.join(F.broadcast(cn), on="c_nationkey")
+                           .select("c_custkey", "cust_nation")),
+              on=[F.col("o_custkey") == F.col("c_custkey")])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+    )
+
+
+# Q8 — national market share ---------------------------------------------------
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             {_REV} AS volume,
+             sr.r_name AS supp_region
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN region sr ON sr.r_regionkey = sn.n_regionkey
+      WHERE cr.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_region = 'ASIA' THEN volume
+                          ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 9) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: ASIA suppliers' share of ECONOMY-part revenue
+    sold to AMERICA customers, by order year — an 8-way star with
+    every dimension broadcast and a conditional decimal aggregate
+    (share = exact decimal sums divided once in double)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+
+    cust_side = (
+        c.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.filter(F.col("r_name") == "AMERICA")),
+                    on=[n.n_regionkey == r.r_regionkey],
+                ).select("n_nationkey")
+            ),
+            on=[c.c_nationkey == F.col("n_nationkey")],
+        ).select("c_custkey")
+    )
+    supp_side = (
+        s.join(
+            F.broadcast(
+                n.join(F.broadcast(r), on=[n.n_regionkey == r.r_regionkey])
+                .select("n_nationkey", F.col("r_name").alias("supp_region"))
+            ),
+            on=[s.s_nationkey == F.col("n_nationkey")],
+        ).select("s_suppkey", "supp_region")
+    )
+    econ_parts = p.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    vol = _rev_col()
+    base = (
+        li.join(F.broadcast(econ_parts), on=[li.l_partkey == F.col("p_partkey")])
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              on=[li.l_orderkey == F.col("o_orderkey")])
+        .join(F.broadcast(cust_side), on=[F.col("o_custkey") == F.col("c_custkey")])
+        .join(F.broadcast(supp_side), on=[li.l_suppkey == F.col("s_suppkey")])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_region",
+        )
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_region") == "ASIA", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double"),
+            9,
+        ).alias("mkt_share")
+    )
