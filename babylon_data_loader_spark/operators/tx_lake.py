@@ -312,6 +312,108 @@ class TransactionalLake:
             }
         )
 
+    def diff(
+        self,
+        spark: SparkSession,
+        v_from: int,
+        v_to: int,
+        key: list[str],
+    ) -> DataFrame:
+        """Row-level changes between two committed versions — the
+        change-data-feed a downstream incremental consumer needs:
+        `change_type` ∈ {insert, delete}; an update appears as a
+        delete+insert pair under the same key. Computed as anti-joins
+        restricted to the PARTITIONS whose directory lists changed
+        between the manifests, so an incremental merge diffs only what
+        it touched, not the table."""
+        m_from, m_to = self.manifest_at(v_from), self.manifest_at(v_to)
+        changed = [
+            s
+            for s in set(m_from["partitions"]) | set(m_to["partitions"])
+            if m_from["partitions"].get(s) != m_to["partitions"].get(s)
+        ]
+        if not changed:
+            schema = self.read(spark, version=v_to).schema
+            empty = spark.createDataFrame([], schema)
+            return empty.withColumn("change_type", F.lit("insert")).filter(
+                F.lit(False)
+            )
+        old = self._read_subdirs(
+            spark,
+            {s: m_from["partitions"][s] for s in changed
+             if s in m_from["partitions"]},
+        ) if any(s in m_from["partitions"] for s in changed) else None
+        new = self._read_subdirs(
+            spark,
+            {s: m_to["partitions"][s] for s in changed
+             if s in m_to["partitions"]},
+        ) if any(s in m_to["partitions"] for s in changed) else None
+        parts = []
+        if new is not None:
+            inserts = (
+                new
+                if old is None
+                else new.join(old, on=list(new.columns), how="left_anti")
+            )
+            parts.append(inserts.withColumn("change_type", F.lit("insert")))
+        if old is not None:
+            deletes = (
+                old
+                if new is None
+                else old.join(new, on=list(old.columns), how="left_anti")
+            )
+            parts.append(deletes.withColumn("change_type", F.lit("delete")))
+        out = parts[0]
+        for frame in parts[1:]:
+            out = out.unionByName(frame, allowMissingColumns=True)
+        return out
+
+    def fsck(self) -> dict:
+        """Integrity report: every dir the current manifest references
+        must exist; dirs and claims nothing references are listed for
+        vacuum. Returns {ok, missing_dirs, orphan_dirs,
+        dangling_claims}."""
+        current = self.current_manifest()
+        referenced: set[str] = set()
+        for v in range(1, current["version"] + 1):
+            try:
+                m = self.manifest_at(v)
+            except FileNotFoundError:  # vacuumed history
+                continue
+            for dirs in m["partitions"].values():
+                referenced.update(dirs)
+        live = {
+            d
+            for dirs in current["partitions"].values()
+            for d in dirs
+        }
+        missing = [
+            d
+            for d in sorted(live)
+            if d != "."
+            and not os.path.isdir(os.path.join(self.lake_path, d))
+        ]
+        on_disk = set()
+        if os.path.isdir(self._versions_dir):
+            on_disk = {
+                os.path.join("_versions", e)
+                for e in os.listdir(self._versions_dir)
+            }
+        orphans = sorted(on_disk - referenced)
+        dangling = []
+        if os.path.isdir(self._manifest_dir):
+            for entry in sorted(os.listdir(self._manifest_dir)):
+                m = re.fullmatch(r"v(\d+)\.json", entry)
+                if m and int(m.group(1)) > current["version"]:
+                    dangling.append(entry)
+        return {
+            "ok": not missing,
+            "version": current["version"],
+            "missing_dirs": missing,
+            "orphan_dirs": orphans,
+            "dangling_claims": dangling,
+        }
+
     def vacuum(self, keep_versions: int = 3) -> dict:
         """Delete version directories unreferenced by the most recent
         `keep_versions` manifests (and the manifests older than that).

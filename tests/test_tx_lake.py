@@ -217,3 +217,49 @@ def test_dedup_clustered_handles_chains(spark):
         r["doc_id"] for r in dedup_near(docs, threshold=0.5).collect()
     )
     assert 0 in greedy and 3 in greedy
+
+
+def test_diff_between_versions(spark, tmp_path):
+    """Version diff: an upsert shows as delete+insert of the changed
+    key, a pure insert as insert only; untouched partitions never
+    appear."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "a", "chase"), (9, "z", "syn")]), KEY)
+    lake.merge(spark, frame(spark, [(1, "a2", "chase"), (2, "b", "chase")]), KEY)
+
+    d = lake.diff(spark, 1, 2, KEY).collect()
+    changes = sorted((r["change_type"], r["k"], r["v"]) for r in d)
+    assert changes == [
+        ("delete", 1, "a"),       # old value of upserted key
+        ("insert", 1, "a2"),      # new value
+        ("insert", 2, "b"),       # pure insert
+    ]  # (9, 'z') untouched → absent
+
+    # no-op diff
+    assert lake.diff(spark, 2, 2, KEY).collect() == []
+
+
+def test_fsck_reports_integrity(spark, tmp_path):
+    import os as _os
+    import shutil as _shutil
+
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
+    lake.merge(spark, frame(spark, [(2, "b", "chase")]), KEY)
+    report = lake.fsck()
+    assert report["ok"] and report["version"] == 2
+    assert report["orphan_dirs"] == [] and report["dangling_claims"] == []
+
+    # a dangling claim (crashed writer) is reported, not fatal
+    with open(
+        _os.path.join(str(tmp_path / "lake"), "_manifest", "v3.json"), "w"
+    ) as fh:
+        fh.write("{}")
+    assert lake.fsck()["dangling_claims"] == ["v3.json"]
+    _os.remove(_os.path.join(str(tmp_path / "lake"), "_manifest", "v3.json"))
+
+    # deleting a live dir breaks integrity
+    live = lake.current_manifest()["partitions"]["data_source=chase"][0]
+    _shutil.rmtree(_os.path.join(str(tmp_path / "lake"), live))
+    report = lake.fsck()
+    assert not report["ok"] and report["missing_dirs"] == [live]
