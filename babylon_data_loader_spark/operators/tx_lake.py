@@ -179,7 +179,15 @@ class TransactionalLake:
         the source of truth)."""
         rel = os.path.join("_versions", f"v{uuid.uuid4().hex[:12]}")
         full = os.path.join(self.lake_path, rel)
-        df.write.mode("error").partitionBy(self.partition_col).parquet(full)
+        # zstd over the default snappy: a standing lake is
+        # storage/scan-bound, and zstd's ~30% smaller files repay the
+        # slightly higher encode cost on every later read.
+        (
+            df.write.mode("error")
+            .option("compression", "zstd")
+            .partitionBy(self.partition_col)
+            .parquet(full)
+        )
         subdirs = [
             e
             for e in sorted(os.listdir(full))

@@ -159,6 +159,19 @@ def test_subquery_shapes_decorrelate(spark, sf_dir):
     assert "CartesianProduct" not in p22
 
 
+def test_tpch_q7_q8_broadcast_dimensions(spark, sf_dir):
+    from babylon_data_loader_spark.queries.tpch_more import (
+        q_tpch_q7,
+        q_tpch_q8,
+    )
+
+    for fn, min_bhj in ((q_tpch_q7, 2), (q_tpch_q8, 3)):
+        plan = plan_of(fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= min_bhj
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_knn_cosine_no_shuffle_before_topk(spark, sf_dir):
     from babylon_data_loader_spark.queries.vectors import q_knn_cosine
 
