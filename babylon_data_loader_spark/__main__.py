@@ -101,6 +101,26 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_fsck(args: argparse.Namespace) -> int:
+    from babylon_data_loader_spark.config import load_config
+    from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
+
+    path = args.path or load_config().transactions_path
+    report = TransactionalLake(path).fsck()  # no Spark session needed
+    print(json.dumps({"path": path, **report}))
+    return 0 if report["ok"] else 1
+
+
+def _cmd_vacuum(args: argparse.Namespace) -> int:
+    from babylon_data_loader_spark.config import load_config
+    from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
+
+    path = args.path or load_config().transactions_path
+    report = TransactionalLake(path).vacuum(keep_versions=args.keep_versions)
+    print(json.dumps({"path": path, **report}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="babylon_data_loader_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -112,6 +132,17 @@ def main(argv: list[str] | None = None) -> int:
         help="fold append-accumulated lake dirs to one per partition",
     )
     compact.add_argument("--path", default=None)
+
+    fsck = sub.add_parser(
+        "fsck-lake", help="lake integrity report (exit 1 if broken)"
+    )
+    fsck.add_argument("--path", default=None)
+
+    vacuum = sub.add_parser(
+        "vacuum-lake", help="delete version dirs outside retention"
+    )
+    vacuum.add_argument("--path", default=None)
+    vacuum.add_argument("--keep-versions", type=int, default=3)
 
     gen = sub.add_parser(
         "generate-synthetic-data", help="generate synthetic transactions"
@@ -127,6 +158,10 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_ingest(args)
     if args.command == "compact-lake":
         return _cmd_compact(args)
+    if args.command == "fsck-lake":
+        return _cmd_fsck(args)
+    if args.command == "vacuum-lake":
+        return _cmd_vacuum(args)
     return _cmd_generate(args)
 
 

@@ -86,3 +86,34 @@ def test_cli_compact_lake(spark, tmp_path):
     assert stats["dirs_before"] == 2
     assert stats["dirs_after"] == 1
     assert lake.read(spark).count() == 4
+
+
+def test_cli_fsck_and_vacuum(spark, tmp_path):
+    """fsck-lake reports integrity (exit 1 when broken); vacuum-lake
+    prunes history — both straight from the CLI."""
+    from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
+
+    path = str(tmp_path / "lake")
+    lake = TransactionalLake(path)
+    df = spark.createDataFrame(
+        [(1, "a", "chase")], "k BIGINT, v STRING, data_source STRING"
+    )
+    for _ in range(3):
+        lake.merge(spark, df, ["k"])
+
+    out = _run(["fsck-lake", "--path", path])
+    assert out.returncode == 0
+    assert json.loads(out.stdout.strip().splitlines()[-1])["ok"] is True
+
+    out = _run(["vacuum-lake", "--path", path, "--keep-versions", "1"])
+    assert out.returncode == 0
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(rep["removed_dirs"]) == 2
+
+    # break integrity → exit 1
+    import shutil as _shutil
+
+    live = lake.current_manifest()["partitions"]["data_source=chase"][0]
+    _shutil.rmtree(os.path.join(path, live))
+    out = _run(["fsck-lake", "--path", path])
+    assert out.returncode == 1
