@@ -130,3 +130,49 @@ def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase")
     out = attribute_purchases(clicks, purchases, within="30 minutes")
     return out.select("user_id", "click_id", "purchase_id")
+
+
+@query(
+    "q_windowed_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win
+      FROM events
+    )
+    SELECT user_id, event_type, win, event_id, ts_us
+    FROM w
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type, win
+      ORDER BY ts_us ASC, event_id ASC) = 1
+    """,
+)
+def q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) within each 1-hour window — the
+    batch twin of streaming dropDuplicatesWithinWatermark: the window
+    bound is what lets streaming state expire, and the same bound here
+    keeps the dedup key space finite per partition. One shuffle on the
+    composite key; micro-truncated times for cross-engine order."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    ts_us = F.expr("ts div 1000")
+    # INTEGER div for the window id in BOTH the partition key and the
+    # output — float division truncated at a window boundary could
+    # disagree with `div` by one in the last ulp.
+    win = F.expr("(ts div 1000) div 3600000000")
+    w = Window.partitionBy("user_id", "event_type", win).orderBy(
+        ts_us.asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("win", win)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "win",
+            "event_id",
+            ts_us.alias("ts_us"),
+        )
+    )

@@ -101,6 +101,30 @@ def main() -> None:
         "commit": _git_commit(),
         "n_headline": len(HEADLINE),
     }
+    # Round-over-round comparison against the last recorded run at the
+    # same sf: per-query regressions beyond 1.5x are named explicitly
+    # so a slowdown is a diff in the output, not archaeology.
+    history_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+    )
+    try:
+        prev = None
+        with open(history_path, encoding="utf-8") as fh:
+            for line in fh:
+                rec = json.loads(line)
+                if rec.get("sf") == float(sf):
+                    prev = rec
+        if prev:
+            result["prev_commit"] = prev.get("commit")
+            result["regressions"] = {
+                q: {"prev": prev["queries"][q], "now": t}
+                for q, t in timings.items()
+                if q in prev.get("queries", {})
+                and prev["queries"][q] > 0.2
+                and t > prev["queries"][q] * 1.5
+            }
+    except OSError:
+        pass
     print(json.dumps(result))
     # Round-over-round trail: per-query times keyed by commit, so a
     # regression diff is one jq away even as the headline set grows.
