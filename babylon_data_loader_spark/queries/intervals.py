@@ -176,3 +176,51 @@ def q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_us.alias("ts_us"),
         )
     )
+
+
+@query(
+    "q_window_breadth",
+    oracle="""
+    SELECT user_id, event_id,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 9) AS pr,
+           round(CAST(avg(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 9)
+             AS rolling_avg,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining window-function families in one deterministic
+    shape: ntile, percent_rank, a bounded ROWS frame (rolling 4-row
+    average — the frame order pins the float summation order in both
+    engines), first_value, and last_value over the full-partition
+    frame (the default running frame would make last_value = current
+    row). One shuffle on user_id serves every function."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    w_roll = w.rowsBetween(-3, Window.currentRow)
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.avg("value").over(w_roll).cast("double"), 9).alias(
+            "rolling_avg"
+        ),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w_full).alias("last_event"),
+    )
