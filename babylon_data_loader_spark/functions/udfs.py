@@ -43,3 +43,40 @@ class NGrams:
         tokens = text.split()
         for i in range(len(tokens) - n + 1):
             yield i, " ".join(tokens[i : i + n])
+
+
+def robust_zscore(df, key_col: str = "user_id", value_col: str = "value"):
+    """Per-group robust z-score ((x − median) / MAD) via grouped-map
+    `applyInPandas` — the UDF flavor where each GROUP arrives as one
+    pandas frame. Median/MAD are order STATISTICS, not accumulations,
+    so the result is bit-exact across engines (no float-sum order
+    dependence) and the declared query carries a full DuckDB oracle —
+    rare for a pandas-UDF path.
+
+    Scale note: a group must fit in one worker's memory; keys here are
+    users (thousands of rows each). For giant groups, pre-aggregate
+    the two statistics with exact percentile instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    schema = f"{key_col} bigint, event_id bigint, z double"
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].to_numpy(dtype="float64")
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        z = (v - med) / mad if mad > 0 else np.zeros_like(v)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "event_id": pdf["event_id"],
+                "z": np.round(z, 9),
+            }
+        )
+
+    return df.select(key_col, "event_id", value_col).groupBy(
+        key_col
+    ).applyInPandas(normalize, schema)

@@ -314,3 +314,28 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_robust_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, median(value) AS med, mad(value) AS mad
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id,
+           round(CASE WHEN s.mad > 0 THEN (e.value - s.med) / s.mad
+                      ELSE 0.0 END, 9) AS z
+    FROM events e JOIN stats s USING (user_id)
+    """,
+)
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust z-score via grouped-map applyInPandas
+    (functions/udfs.py::robust_zscore). Median and MAD are order
+    statistics — selections, not sums — so the pandas path and the
+    DuckDB oracle agree bit-for-bit: a FULLY oracle-checked pandas
+    UDF."""
+    from babylon_data_loader_spark.functions.udfs import robust_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return robust_zscore(ev, key_col="user_id", value_col="value")
