@@ -69,14 +69,19 @@ def robust_zscore(df, key_col: str = "user_id", value_col: str = "value"):
         med = float(np.median(v))
         mad = float(np.median(np.abs(v - med)))
         z = (v - med) / mad if mad > 0 else np.zeros_like(v)
+        # NO np.round here: numpy rounds half-EVEN while Spark/DuckDB
+        # round() are half-away — an exactly-representable half at the
+        # 9th decimal flips the last digit between engines (hit at
+        # sf0.1). Rounding happens JVM-side below.
         return pd.DataFrame(
             {
                 key_col: pdf[key_col],
                 "event_id": pdf["event_id"],
-                "z": np.round(z, 9),
+                "z": z,
             }
         )
 
-    return df.select(key_col, "event_id", value_col).groupBy(
+    out = df.select(key_col, "event_id", value_col).groupBy(
         key_col
     ).applyInPandas(normalize, schema)
+    return out.withColumn("z", F.round("z", 9))
