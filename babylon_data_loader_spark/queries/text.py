@@ -17,10 +17,7 @@ from babylon_data_loader_spark.functions.text import (
     STOPWORDS_EN,
     fingerprint,
     hex_char_parity,
-    minhash_band,
     n_tokens,
-    normalize_text,
-    shingles,
     stopword_hits,
     tokens,
 )

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 
 def test_add_transaction_and_lookup(spark, tmp_path):

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
-
 from babylon_data_loader_spark.config import EngineConfig
 from babylon_data_loader_spark.ingest import ingest
 from babylon_data_loader_spark.ingest.normalize import (

@@ -65,8 +65,7 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     """State must carry across micro-batches: two files arriving in two
     availableNow drains accumulate per-user totals."""
     import json
-    import time
-
+    
     from babylon_data_loader_spark.streaming.stateful import (
         RUNNING_TOTALS_SCHEMA,
         running_user_totals,

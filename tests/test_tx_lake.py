@@ -7,7 +7,6 @@ from __future__ import annotations
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.operators.tx_lake import (
     ConcurrentWriteError,
