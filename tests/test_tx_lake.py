@@ -262,3 +262,35 @@ def test_fsck_reports_integrity(spark, tmp_path):
     _shutil.rmtree(_os.path.join(str(tmp_path / "lake"), live))
     report = lake.fsck()
     assert not report["ok"] and report["missing_dirs"] == [live]
+
+
+def test_truly_concurrent_merges(spark, tmp_path):
+    """Two threads merge at the same time: the claim protocol must
+    serialize them — whatever the interleaving, both updates land and
+    the version advances exactly twice."""
+    import threading
+
+    path = str(tmp_path / "lake")
+    base = TransactionalLake(path)
+    base.merge(spark, frame(spark, [(0, "seed", "chase")]), KEY)
+
+    errors = []
+
+    def writer(k, v):
+        try:
+            TransactionalLake(path).merge(
+                spark, frame(spark, [(k, v, "chase")]), KEY, max_retries=8
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(1, "from-t1"))
+    t2 = threading.Thread(target=writer, args=(2, "from-t2"))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+    assert not errors, errors
+    assert state(spark, base) == [
+        (0, "seed", "chase"),
+        (1, "from-t1", "chase"),
+        (2, "from-t2", "chase"),
+    ]
+    assert base.current_manifest()["version"] == 3
