@@ -294,3 +294,44 @@ def test_truly_concurrent_merges(spark, tmp_path):
         (2, "from-t2", "chase"),
     ]
     assert base.current_manifest()["version"] == 3
+
+
+def test_change_feed_maintains_downstream_aggregate(spark, tmp_path):
+    """CDC usage: a downstream per-partition count maintained purely
+    from diff(v, v+1) deltas equals a full recompute — the incremental
+    pattern that avoids rescanning the lake after every merge."""
+    from pyspark.sql import functions as F
+
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "a", "chase"), (2, "b", "syn")]), KEY)
+
+    def counts_of(df):
+        return {
+            r["data_source"]: r["n"]
+            for r in df.groupBy("data_source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    state_counts = counts_of(lake.read(spark, version=1))
+
+    lake.merge(
+        spark,
+        frame(spark, [(1, "a2", "chase"), (3, "c", "chase"), (4, "d", "syn")]),
+        KEY,
+    )
+    deltas = (
+        lake.diff(spark, 1, 2, KEY)
+        .groupBy("data_source")
+        .agg(
+            F.sum(
+                F.when(F.col("change_type") == "insert", 1).otherwise(-1)
+            ).alias("delta")
+        )
+        .collect()
+    )
+    for r in deltas:
+        state_counts[r["data_source"]] = (
+            state_counts.get(r["data_source"], 0) + r["delta"]
+        )
+    assert state_counts == counts_of(lake.read(spark))
