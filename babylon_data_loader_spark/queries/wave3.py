@@ -339,3 +339,34 @@ def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return robust_zscore(ev, key_col="user_id", value_col="value")
+
+
+@query(
+    "q_udtf_ngrams",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id, CAST(j - 1 AS INT) AS pos, t[j] || ' ' || t[j+1] AS gram
+    FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(j)
+    WHERE len(t) >= 2
+    """,
+)
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF through SQL LATERAL: one document row in, one row
+    per bigram out (functions/udfs.py::NGrams). The UDTF's output is
+    deterministic string manipulation, so even this Python
+    table-function path carries a full DuckDB oracle."""
+    from babylon_data_loader_spark.functions.udfs import NGrams
+
+    spark.udtf.register("ngrams", NGrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_v"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.gram
+        FROM documents_v d, LATERAL ngrams(d.text, 2) t
+        """
+    )

@@ -345,3 +345,56 @@ def test_export_corpus_sharding(spark, tmp_path):
                   max_records_per_file=200)
     m3 = export_manifest(spark, out3, fmt="jsonl").collect()
     assert sum(r["n_rows"] for r in m3) == docs.count()
+
+
+def test_streaming_with_rocksdb_state_store(spark, tmp_path):
+    """The watermarked streaming aggregation runs on the RocksDB state
+    store (the 100 TB keyspace path) and produces the same counts."""
+    from babylon_data_loader_spark.streaming import enable_rocksdb_state
+    from babylon_data_loader_spark.streaming.windows import tumbling_counts
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    enable_rocksdb_state(spark)
+    try:
+        src_dir = tmp_path / "ev"
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        from babylon_data_loader_spark.schemas import events_with_time
+
+        events_with_time(ev).select(
+            "ts_ts", "event_type", "value"
+        ).write.parquet(str(src_dir))
+        stream = spark.readStream.schema(
+            "ts_ts TIMESTAMP, event_type STRING, value DOUBLE"
+        ).parquet(str(src_dir))
+        q = (
+            tumbling_counts(stream)
+            .writeStream.format("memory")
+            .queryName("rocks_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # append mode emits only watermark-closed windows; the final
+        # (unclosed) window stays in RocksDB state — totals must
+        # account for exactly the rows in emitted windows.
+        emitted = spark.sql(
+            "SELECT sum(n) FROM rocks_sink"
+        ).collect()[0][0]
+        assert emitted and emitted > 0
+        # and the state store actually was RocksDB for this query
+        assert "RocksDB" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
