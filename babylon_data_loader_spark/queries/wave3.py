@@ -370,3 +370,42 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_v d, LATERAL ngrams(d.text, 2) t
         """
     )
+
+
+@query(
+    "q_hash_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < 'cc' THEN 'train'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                       < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tagged GROUP BY source, split
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5-prefix threshold
+    (~80/10/10): the same document lands in the same split on every
+    run, every partitioning, and every engine — which `sampleBy`
+    cannot promise (its row-level RNG depends on partition layout).
+    This is how training pipelines get STABLE splits; the salt string
+    versions the split so a corpus can be re-split deliberately."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    split = (
+        F.when(prefix < "cc", "train")
+        .when(prefix < "e6", "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
