@@ -111,3 +111,35 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3]  # each id exactly once across both batches
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
+    """The modern dedup API: duplicates are dropped when they arrive
+    within the watermark delay of the first occurrence, WITHOUT the
+    event-time column being part of the key — late re-sends of the
+    same event_id collapse even though their timestamps differ."""
+    from datetime import datetime
+
+    src = tmp_path / "dupsrc"
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0)),
+        (1, datetime(2024, 1, 1, 10, 5)),   # same id, later ts → dropped
+        (2, datetime(2024, 1, 1, 10, 1)),
+    ]
+    spark.createDataFrame(rows, "event_id BIGINT, ts TIMESTAMP").write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("event_id BIGINT, ts TIMESTAMP").parquet(
+        str(src)
+    )
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName("ddww_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_id FROM ddww_sink").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2]
