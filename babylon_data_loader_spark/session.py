@@ -71,8 +71,10 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # Arrow for any pandas-UDF path and fast toPandas.
+        # Arrow for any pandas-UDF path and fast toPandas; UDTFs too
+        # (default UDTF execution is row-at-a-time pickling).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # Small broadcast threshold bump: dimension tables (region,
         # nation, supplier) should always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")

@@ -1,0 +1,67 @@
+"""Registry-wide physical-plan audit: explain EVERY declared query and
+flag scale anti-patterns — cartesian products, row-at-a-time Python
+UDFs (BatchEvalPython), and nested-loop joins outside the documented
+O(1)-build-side set. Exit 1 on any finding.
+
+    python scripts/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from babylon_data_loader_spark.session import build_session  # noqa: E402
+
+# BroadcastNestedLoopJoin is acceptable ONLY with an O(1) build side.
+BNLJ_ALLOWED = {
+    "q_knn_cosine",      # single-row query vector
+    "q_knn_batch",       # 5-row query set
+    "q_range_band_join", # 3-row band table
+    "q_scalar_subquery", # one-row scalar broadcast
+    "q_tpch_q17",        # decorrelated scalar aggregate (tiny side)
+    "q_tpch_q22",        # uncorrelated scalar aggregate (one row)
+    "q_embedding_dup_pairs_exact",  # the documented O(N^2) small-N
+    # verification baseline for the banded LSH scale path
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    findings = []
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            findings.append(f"{name}: failed to plan: {exc}")
+            continue
+        if "CartesianProduct" in plan and name != "q_embedding_dup_pairs_exact":
+            findings.append(f"{name}: CartesianProduct")
+        # Arrow-batched Python nodes (ArrowEvalPython*, mapInPandas,
+        # FlatMapGroupsInPandas) are the sanctioned escape hatch; the
+        # ROW-oriented pickling node is the anti-pattern.
+        if "BatchEvalPython" in plan.replace("ArrowEvalPython", ""):
+            findings.append(f"{name}: row-at-a-time Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            findings.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        print(f"ok {name}")
+    spark.stop()
+    if findings:
+        print("\nFINDINGS:")
+        for f in findings:
+            print(" -", f)
+        return 1
+    print(f"\nAUDIT CLEAN: {len(entrymod.queries())} query plans, "
+          "no cartesians, no row-wise Python, no unexpected nested loops")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
