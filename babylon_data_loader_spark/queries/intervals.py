@@ -224,3 +224,133 @@ def q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_event"),
         F.last("event_id").over(w_full).alias("last_event"),
     )
+
+
+@query(
+    "q_asof_tolerance",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT c.user_id, c.event_id, c.ts_us, p.p_id, p.p_us,
+             row_number() OVER (
+               PARTITION BY c.user_id, c.event_id
+               ORDER BY p.p_us DESC, p.p_id DESC) AS rn
+      FROM c JOIN p ON p.user_id = c.user_id
+                   AND p.p_us <= c.ts_us
+                   AND p.p_us >= c.ts_us - 3600000000
+    )
+    SELECT user_id, event_id, p_id AS last_purchase_id,
+           ts_us - p_us AS staleness_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE: each click matched to the user's
+    most recent purchase, but only if it happened within the last
+    hour — stale state beyond the tolerance yields no row (the kdb/
+    QuestDB `ASOF ... TOLERANCE` semantics). The tolerance bound is
+    what makes this state-boundable in a streaming setting; here it
+    also bounds the join fan-in. Deterministic tiebreak on purchase
+    id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts div 1000")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", ts_us.alias("ts_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        ts_us.alias("p_us"),
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_us") <= F.col("ts_us"))
+        & (F.col("p_us") >= F.col("ts_us") - F.lit(3_600_000_000)),
+    )
+    w = Window.partitionBy("user_id", "event_id").orderBy(
+        F.col("p_us").desc(), F.col("p_id").desc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("p_id").alias("last_purchase_id"),
+            (F.col("ts_us") - F.col("p_us")).alias("staleness_us"),
+        )
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             least(CAST(value * 100 AS BIGINT) // 1000, 9) AS bucket
+      FROM events
+    )
+    SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (10 buckets of width 10 over
+    [0,100), top bucket clamped). Bucket ids use INTEGER-exact
+    arithmetic — value has 2 decimals, so value*100 is an exact
+    double; cast truncates and integer-div buckets — rather than
+    float floor-division, which can disagree across engines at exact
+    boundaries. One shuffle, map-side combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.expr("CAST(value * 100 AS BIGINT) div 1000"), F.lit(9).cast("bigint")
+    )
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event_type, n
+    FROM counts
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user mode (most frequent event type, ties →
+    lexicographically first). Built-in mode() returns an ARBITRARY
+    value on ties in both engines — count + row_number makes the
+    answer reproducible, which any hash-checked pipeline needs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("mode_event_type"), "n"
+        )
+    )
