@@ -562,3 +562,110 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "q_near_dup_rate",
+    oracle="""
+    WITH RECURSIVE sig AS (
+      SELECT doc_id, """
+    + ", ".join(f"{_jaccard_band_sql(i)} AS b{i}" for i in range(4))
+    + """
+      FROM documents
+    ), bands AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS bv FROM sig" for i in range(4)
+    )
+    + f"""
+    ), sized AS (
+      SELECT doc_id, bi, bv FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY bi, bv) <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sized a JOIN sized b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ), sh AS (
+      SELECT doc_id, unnest({_JACCARD_SHINGLES}) AS s FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), walk AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.b AS node, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ), clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM walk GROUP BY node
+    ), csize AS (
+      SELECT cluster_id, COUNT(*) AS members FROM clusters
+      GROUP BY cluster_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cs.members > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup,
+           round(CAST(SUM(CASE WHEN cs.members > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 9) AS dup_rate
+    FROM documents d
+    JOIN clusters c ON c.doc_id = d.doc_id
+    JOIN csize cs ON cs.cluster_id = c.cluster_id
+    GROUP BY d.source
+    """,
+)
+def q_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health metric: the fraction of each source's documents
+    that sit in a near-dup cluster of size > 1 — the dedup-rate
+    dashboard number a training-data pipeline watches per crawl/source.
+    Built on the same components machinery as q_dedup_clusters; the
+    oracle recomputes the full closure with a RECURSIVE CTE."""
+    from babylon_data_loader_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from babylon_data_loader_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs).persist()
+    pairs = lsh_candidate_pairs(sig, max_bucket_size=1000).persist()
+    dup = jaccard_verify(docs, pairs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    clusters = connected_components(
+        docs.select("doc_id"), dup,
+        id_col="doc_id", src_col="doc_a", dst_col="doc_b",
+    ).withColumnRenamed("id", "doc_id")
+    csize = clusters.groupBy("component").agg(
+        F.count(F.lit(1)).alias("members")
+    )
+    joined = (
+        docs.select("doc_id", "source")
+        .join(clusters, on="doc_id")
+        .join(csize, on="component")
+    )
+    is_dup = (F.col("members") > 1).cast("long")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_dup).alias("n_near_dup"),
+        F.round(
+            F.sum(is_dup).cast("double") / F.count(F.lit(1)), 9
+        ).alias("dup_rate"),
+    )

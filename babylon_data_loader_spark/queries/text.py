@@ -493,3 +493,72 @@ def q_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+# ML-prep: label encoding + feature hashing -----------------------------------------
+
+
+@query(
+    "q_label_encode",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    )
+    SELECT source, n,
+           CAST(row_number() OVER (ORDER BY n DESC, source ASC) - 1
+                AS BIGINT) AS label_id
+    FROM counts
+    """,
+)
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label encoding (StringIndexer semantics): ordinal
+    ids by descending frequency, ties broken lexicographically — so
+    the same vocabulary always gets the same ids, a requirement for
+    reusing a trained model across re-runs. The vocabulary is
+    aggregate-sized; the single-partition window over it is O(labels),
+    not O(rows)."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("source").asc())
+    return counts.select(
+        "source",
+        "n",
+        (F.row_number().over(w) - 1).cast("bigint").alias("label_id"),
+    )
+
+
+@query(
+    "q_feature_hash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_LOWER_SQL}) AS term FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(term), 1, 4)) AS INTEGER) % 64
+                AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM tok GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens mapped to a fixed 64-bucket feature
+    space via md5 (the one hash family identical across engines —
+    murmur/xxhash are not), weights = term counts. Output is the
+    sparse feature representation a downstream trainer consumes; no
+    vocabulary state, no OOV problem, shuffle keyed by (doc, bucket)
+    with map-side combine."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10)
+        .cast("int")
+        % 64
+    ).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

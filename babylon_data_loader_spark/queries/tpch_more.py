@@ -458,3 +458,55 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mkt_share")
     )
+
+
+# Q15 — top supplier(s) by quarterly revenue -----------------------------------
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(CAST(SUM({_REV}) AS DOUBLE), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top-revenue supplier of a quarter — an
+    aggregate (revenue view) filtered by a scalar subquery over ITSELF
+    (max of the same aggregate). Catalyst evaluates the revenue CTE
+    once per consumer; the decimal-exact revenue makes the equality
+    predicate safe (float revenue would make `= MAX(...)` fragile)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate")
+             >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate")
+               < F.lit("1999-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(_rev_col()).cast("double"), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, on=[s.s_suppkey == revenue.supplier_no])
+        .join(
+            F.broadcast(max_rev),
+            on=[F.col("total_revenue") == F.col("m")],
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
