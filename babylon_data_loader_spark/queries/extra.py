@@ -669,3 +669,39 @@ def q_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_dup).cast("double") / F.count(F.lit(1)), 9
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus),
+                            (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not the rollup/cube lattices) plus the
+    GROUPING() discriminator — the bit that tells a real NULL group
+    key from an aggregated-away dimension, which coalesce alone cannot.
+    One Expand + one aggregate; Spark SQL over a temp view since the
+    DataFrame API has no direct grouping-sets form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '(all)') AS status,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus),
+                                (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
