@@ -705,3 +705,41 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus, o_orderpriority))
         """
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id % 10 AS user_bucket,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS view
+      FROM events GROUP BY 1
+    )
+    SELECT user_bucket, event_type, n
+    FROM wide
+    UNPIVOT (n FOR event_type IN (click, purchase, view))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-bucket counts fold back into long
+    (bucket, event_type, n) rows — the inverse reshape of q_pivot,
+    narrow and shuffle-free on top of the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.unpivot(
+        ids=["user_bucket"],
+        values=["click", "purchase", "view"],
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
