@@ -335,3 +335,23 @@ def test_change_feed_maintains_downstream_aggregate(spark, tmp_path):
             state_counts.get(r["data_source"], 0) + r["delta"]
         )
     assert state_counts == counts_of(lake.read(spark))
+
+
+def test_partition_values_with_special_characters(spark, tmp_path):
+    """Spark percent-escapes partition path names; the manifest's
+    value↔subdir matching must survive spaces, %, =, unicode — a
+    mismatch would silently skip the anti-join for that partition and
+    duplicate keys on re-merge."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    specials = ["a b", "c%d", "e=f", "naïve", "x:y"]
+    rows = [(i, "v1", s) for i, s in enumerate(specials)]
+    lake.merge(spark, frame(spark, rows), KEY)
+    # re-merge same keys with new values: MUST collapse, not duplicate
+    rows2 = [(i, "v2", s) for i, s in enumerate(specials)]
+    lake.merge(spark, frame(spark, rows2), KEY)
+    got = sorted(
+        (r["k"], r["v"], r["data_source"])
+        for r in lake.read(spark).collect()
+    )
+    assert got == [(i, "v2", s) for i, s in enumerate(specials)]
+    assert lake.current_manifest()["version"] == 2
