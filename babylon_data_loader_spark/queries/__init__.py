@@ -36,6 +36,56 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Verification priority: the driver's correctness harness samples a prefix
+# of this registry each round, so queries that have not yet received a
+# driver-side correctness row are listed first (rotated per round); the
+# relative registration order is kept for everything else.
+PRIORITY: list[str] = [
+    "q_mode_per_group",
+    "q_media_image_features",
+    "q_media_audio_features",
+    "q_media_dedup",
+    "q_media_video_features",
+    "q_tfidf_top_terms",
+    "q_bigram_freq",
+    "q_label_encode",
+    "q_feature_hash",
+    "q_tpch_q10",
+    "q_ship_delay",
+    "q_tpch_q14",
+    "q_part_supplier_diversity",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q15",
+    "q_tpch_q4",
+    "q_tpch_q13",
+    "q_tpch_q17",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_knn_cosine",
+    "q_embedding_stats",
+    "q_embedding_dup_pairs",
+    "q_embedding_dup_pairs_exact",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_variance_moments",
+    "q_correlation_moments",
+    "q_scalar_subquery",
+    "q_array_ops",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_median",
+    "q_sketch_distinct",
+    "q_sketch_quantiles",
+    "q_robust_zscore",
+    "q_udtf_ngrams",
+    "q_hash_split",
+    "q_stream_replay",
+]
+
+
 def load_all() -> None:
     """Import every query module (they self-register)."""
     from babylon_data_loader_spark.queries import (  # noqa: F401
@@ -44,9 +94,18 @@ def load_all() -> None:
         extra,
         intervals,
         media,
+        streaming_replay,
         text,
         tpch_more,
         tpch_sub,
         vectors,
         wave3,
     )
+
+    # Stable reorder: PRIORITY names first (in PRIORITY order), then the
+    # rest in registration order.
+    for reg in (QUERIES, ORACLES):
+        ordered = {n: reg[n] for n in PRIORITY if n in reg}
+        ordered.update((n, f) for n, f in reg.items() if n not in ordered)
+        reg.clear()
+        reg.update(ordered)
