@@ -116,7 +116,10 @@ def _cmd_vacuum(args: argparse.Namespace) -> int:
     from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
 
     path = args.path or load_config().transactions_path
-    report = TransactionalLake(path).vacuum(keep_versions=args.keep_versions)
+    lake = TransactionalLake(path)
+    if args.grace_seconds is not None:
+        lake.stale_claim_s = args.grace_seconds
+    report = lake.vacuum(keep_versions=args.keep_versions)
     print(json.dumps({"path": path, **report}))
     return 0
 
@@ -143,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     vacuum.add_argument("--path", default=None)
     vacuum.add_argument("--keep-versions", type=int, default=3)
+    vacuum.add_argument(
+        "--grace-seconds",
+        type=float,
+        default=None,
+        help="spare unreferenced dirs younger than this "
+        "(default: the lake's stale_claim_s) — protects in-flight writers",
+    )
 
     gen = sub.add_parser(
         "generate-synthetic-data", help="generate synthetic transactions"

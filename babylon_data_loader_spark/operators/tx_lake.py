@@ -46,39 +46,48 @@ from __future__ import annotations
 import json
 import os
 import re
-import time
 import uuid
+from functools import reduce
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.operators.commit_backend import (
+    PosixCommitBackend,
+)
+
+# Spark's placeholder subdir value for a NULL partition key; a batch
+# carrying None in the partition column lands here on disk.
+HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer prepared."""
 
 
-def _atomic_write(path: str, payload: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(payload)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)  # atomic on POSIX
-
-
 class TransactionalLake:
-    """Versioned partitioned parquet table with MERGE/append/read."""
+    """Versioned partitioned parquet table with MERGE/append/read.
+
+    The three storage primitives the commit protocol rests on (atomic
+    pointer publish, exclusive claim create, single-winner claim
+    removal) live behind ``backend`` — PosixCommitBackend by default
+    (correct on local disk and HDFS); see commit_backend.py for the
+    object-store (conditional-PUT) mapping used when the lake root is
+    S3/GCS, where POSIX rename and O_EXCL do not exist.
+    """
 
     def __init__(
         self,
         lake_path: str,
         partition_col: str = "data_source",
         stale_claim_s: float = 300.0,
+        backend=None,
     ) -> None:
         self.lake_path = lake_path
         self.partition_col = partition_col
         self.stale_claim_s = stale_claim_s
+        self.backend = backend if backend is not None else PosixCommitBackend()
         self._versions_dir = os.path.join(lake_path, "_versions")
         self._manifest_dir = os.path.join(lake_path, "_manifest")
         self._current_path = os.path.join(lake_path, "_CURRENT")
@@ -86,7 +95,7 @@ class TransactionalLake:
     # -- state inspection ---------------------------------------------------
 
     def is_versioned(self) -> bool:
-        return os.path.exists(self._current_path)
+        return self.backend.exists(self._current_path)
 
     def _has_legacy_data(self) -> bool:
         return os.path.isdir(self.lake_path) and any(
@@ -101,12 +110,10 @@ class TransactionalLake:
         """The active manifest; migrates a legacy plain lake in place
         (its root becomes data dir ``"."`` — no data movement)."""
         if self.is_versioned():
-            with open(self._current_path, encoding="utf-8") as fh:
-                name = fh.read().strip()
-            with open(
-                os.path.join(self._manifest_dir, name), encoding="utf-8"
-            ) as fh:
-                return json.load(fh)
+            name = self.backend.read(self._current_path).strip()
+            return json.loads(
+                self.backend.read(os.path.join(self._manifest_dir, name))
+            )
         partitions: dict[str, list[str]] = {}
         if self._has_legacy_data():
             for entry in sorted(os.listdir(self.lake_path)):
@@ -196,30 +203,35 @@ class TransactionalLake:
         return rel, subdirs
 
     def _claim_and_commit(self, manifest: dict) -> None:
-        """Claim version N with O_EXCL, then atomically repoint
-        _CURRENT. Raises ConcurrentWriteError if the claim is taken."""
+        """Claim version N via the backend's exclusive create, then
+        atomically publish _CURRENT. Raises ConcurrentWriteError if
+        the claim is held by a live writer (or this writer loses a
+        stale-claim takeover race)."""
         os.makedirs(self._manifest_dir, exist_ok=True)
         name = f"v{manifest['version']}.json"
         claim = os.path.join(self._manifest_dir, name)
         payload = json.dumps(manifest, indent=1, sort_keys=True)
-        try:
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not self.backend.create_exclusive(claim, payload):
             # Claim held. If its writer died before the pointer swap,
             # take it over once it is stale; else it is a live loss.
-            age = time.time() - os.path.getmtime(claim)
+            # remove_exclusive is single-winner and FENCED on the
+            # observed generation (inode / ETag), so two takeover
+            # attempts cannot both succeed, and a loser cannot delete
+            # a claim the winner already re-created under the same
+            # name — the remove-by-name TOCTOU of the old protocol.
+            obs = self.backend.observe(claim)
             current_v = self.current_manifest()["version"]
-            if current_v < manifest["version"] and age > self.stale_claim_s:
-                os.remove(claim)
+            if (
+                obs is not None
+                and current_v < manifest["version"]
+                and obs[0] > self.stale_claim_s
+                and self.backend.remove_exclusive(claim, token=obs[1])
+            ):
                 return self._claim_and_commit(manifest)
             raise ConcurrentWriteError(
                 f"version {manifest['version']} already claimed"
             ) from None
-        with os.fdopen(fd, "w", encoding="utf-8") as fh:
-            fh.write(payload)
-            fh.flush()
-            os.fsync(fh.fileno())
-        _atomic_write(self._current_path, name)
+        self.backend.publish(self._current_path, name)
 
     def _subdir_value(self, subdir: str) -> str:
         """Raw partition value of a ``col=value`` subdir name (Spark
@@ -238,8 +250,12 @@ class TransactionalLake:
         data write, then an atomic commit; retries on writer races."""
         for attempt in range(max_retries + 1):
             manifest = self.current_manifest()
+            # NULL partition values land on disk under Spark's
+            # __HIVE_DEFAULT_PARTITION__ subdir; match that, not the
+            # Python repr 'None' (which matches nothing and would let
+            # same-key null-partition rows survive the anti-join).
             touched_values = {
-                str(r[0])
+                HIVE_NULL_PARTITION if r[0] is None else str(r[0])
                 for r in batch.select(self.partition_col)
                 .distinct()
                 .collect()
@@ -253,11 +269,23 @@ class TransactionalLake:
                 stored = self._read_subdirs(spark, stored_subdirs)
                 # Anti-join out stored rows whose key appears in the
                 # batch; one batch of keys is small relative to the
-                # table ⇒ broadcast it.
-                survivors = stored.join(
-                    F.broadcast(batch.select(*key).distinct()),
-                    on=key,
-                    how="left_anti",
+                # table ⇒ broadcast it. eqNullSafe: a NULL in a key
+                # column (e.g. check_or_slip_num) must match a stored
+                # NULL, like Mongo's upsert filter does, or the old
+                # row survives alongside its replacement.
+                stored_a = stored.alias("__s")
+                batch_keys = F.broadcast(
+                    batch.select(*key).distinct().alias("__b")
+                )
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"__s.`{k}`").eqNullSafe(F.col(f"__b.`{k}`"))
+                        for k in key
+                    ],
+                )
+                survivors = stored_a.join(
+                    batch_keys, on=cond, how="left_anti"
                 )
                 # Schema evolution: a batch may add columns (or lack
                 # ones older data has) — union by name, NULL-filling
@@ -289,22 +317,41 @@ class TransactionalLake:
                 if attempt == max_retries:
                     raise
 
-    def append(self, spark: SparkSession, batch: DataFrame) -> None:
+    def append(self, spark: SparkSession, batch: DataFrame, max_retries: int = 3) -> None:
         """Plain append (no key collapse): a new version dir extends
-        the touched partitions' dir lists."""
-        manifest = self.current_manifest()
+        the touched partitions' dir lists.
+
+        Unlike merge, the data dir's CONTENT does not depend on the
+        current state, so a lost claim race only needs the manifest
+        recomputed against the advanced state and a re-claim — no
+        data rewrite. Concurrent single-row adds (api.add_transaction)
+        therefore all land, like plain-parquet append mode did. On
+        final failure the orphan dir is removed, not leaked."""
         rel, new_subdirs = self._write_version_dir(batch)
-        new_manifest = {
-            "version": manifest["version"] + 1,
-            "partitions": {
-                **manifest["partitions"],
-                **{
-                    s: manifest["partitions"].get(s, []) + [rel]
-                    for s in new_subdirs
+        for attempt in range(max_retries + 1):
+            manifest = self.current_manifest()
+            new_manifest = {
+                "version": manifest["version"] + 1,
+                "partitions": {
+                    **manifest["partitions"],
+                    **{
+                        s: manifest["partitions"].get(s, []) + [rel]
+                        for s in new_subdirs
+                    },
                 },
-            },
-        }
-        self._claim_and_commit(new_manifest)
+            }
+            try:
+                self._claim_and_commit(new_manifest)
+                return
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(self.lake_path, rel),
+                        ignore_errors=True,
+                    )
+                    raise
 
     def compact(self, spark: SparkSession) -> None:
         """Fold every partition back to a single version dir (appends
@@ -356,20 +403,34 @@ class TransactionalLake:
             {s: m_to["partitions"][s] for s in changed
              if s in m_to["partitions"]},
         ) if any(s in m_to["partitions"] for s in changed) else None
+        def _anti(left: DataFrame, right: DataFrame) -> DataFrame:
+            # Whole-row anti-join with NULL-SAFE equality: a row
+            # carrying a NULL (e.g. check_or_slip_num) must match its
+            # unchanged self across versions, or every such row in a
+            # touched partition shows up as a spurious delete+insert.
+            # Compare only the columns both versions share, so schema
+            # evolution between v_from and v_to diffs the common
+            # fields instead of raising; a column added (or dropped)
+            # between the versions makes every carried-over row a
+            # legitimate update pair anyway only if its shared fields
+            # changed.
+            shared = [c for c in left.columns if c in set(right.columns)]
+            la, ra = left.alias("__l"), right.alias("__r")
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__l.`{c}`").eqNullSafe(F.col(f"__r.`{c}`"))
+                    for c in shared
+                ],
+            )
+            return la.join(ra, on=cond, how="left_anti")
+
         parts = []
         if new is not None:
-            inserts = (
-                new
-                if old is None
-                else new.join(old, on=list(new.columns), how="left_anti")
-            )
+            inserts = new if old is None else _anti(new, old)
             parts.append(inserts.withColumn("change_type", F.lit("insert")))
         if old is not None:
-            deletes = (
-                old
-                if new is None
-                else old.join(new, on=list(old.columns), how="left_anti")
-            )
+            deletes = old if new is None else _anti(old, new)
             parts.append(deletes.withColumn("change_type", F.lit("delete")))
         out = parts[0]
         for frame in parts[1:]:
@@ -432,8 +493,18 @@ class TransactionalLake:
         window, or time-traveling past it, breaks (exactly Delta's
         VACUUM contract); size `keep_versions` above the longest
         running reader. The legacy root dir ``"."`` is never deleted.
+
+        Unreferenced dirs YOUNGER than ``stale_claim_s`` are spared:
+        a writer stages its version dir BEFORE claiming/committing, so
+        a freshly written dir with no manifest yet is usually an
+        in-flight commit, not garbage — deleting it would let the
+        writer commit a manifest pointing at nothing (Delta's
+        retention-by-file-age serves the same purpose). After
+        ``stale_claim_s`` the writer has either committed (dir now
+        referenced) or lost its claim window.
         """
         import shutil
+        import time as _time
 
         current = self.current_manifest()
         keep_from = max(1, current["version"] - keep_versions + 1)
@@ -443,14 +514,20 @@ class TransactionalLake:
                 live.update(dirs)
         removed = []
         if os.path.isdir(self._versions_dir):
+            now = _time.time()
             for entry in sorted(os.listdir(self._versions_dir)):
                 rel = os.path.join("_versions", entry)
-                if rel not in live:
-                    shutil.rmtree(
-                        os.path.join(self.lake_path, rel),
-                        ignore_errors=True,
-                    )
-                    removed.append(rel)
+                full = os.path.join(self.lake_path, rel)
+                if rel in live:
+                    continue
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age <= self.stale_claim_s:
+                    continue  # possible in-flight writer; spare it
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(rel)
         removed_manifests = []
         if os.path.isdir(self._manifest_dir):
             for entry in sorted(os.listdir(self._manifest_dir)):

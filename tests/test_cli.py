@@ -105,7 +105,10 @@ def test_cli_fsck_and_vacuum(spark, tmp_path):
     assert out.returncode == 0
     assert json.loads(out.stdout.strip().splitlines()[-1])["ok"] is True
 
-    out = _run(["vacuum-lake", "--path", path, "--keep-versions", "1"])
+    out = _run(
+        ["vacuum-lake", "--path", path, "--keep-versions", "1",
+         "--grace-seconds", "0"]
+    )
     assert out.returncode == 0
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert len(rep["removed_dirs"]) == 2

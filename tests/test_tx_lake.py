@@ -5,6 +5,7 @@ cannot give (round-1 VERDICT, missing #1)."""
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 
@@ -45,12 +46,10 @@ def test_crash_before_pointer_swap_leaves_old_state(spark, tmp_path, monkeypatch
     lake.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
     before = state(spark, lake)
 
-    import babylon_data_loader_spark.operators.tx_lake as mod
-
     def boom(path, payload):
         raise RuntimeError("simulated crash before pointer swap")
 
-    monkeypatch.setattr(mod, "_atomic_write", boom)
+    monkeypatch.setattr(lake.backend, "publish", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         lake.merge(spark, frame(spark, [(1, "X", "chase")]), KEY)
     monkeypatch.undo()
@@ -180,6 +179,8 @@ def test_vacuum_respects_retention(spark, tmp_path):
     n_dirs_before = len(_os.listdir(lake._versions_dir))
     assert n_dirs_before == 4
 
+    # age-grace (separately tested) would spare these seconds-old dirs
+    lake.stale_claim_s = 0.0
     report = lake.vacuum(keep_versions=2)
     assert report["kept_from_version"] == 3
     assert len(report["removed_dirs"]) == 2
@@ -355,3 +356,170 @@ def test_partition_values_with_special_characters(spark, tmp_path):
     )
     assert got == [(i, "v2", s) for i, s in enumerate(specials)]
     assert lake.current_manifest()["version"] == 2
+
+
+def test_diff_null_safe_and_schema_evolution(spark, tmp_path):
+    """Rows carrying NULLs must match their unchanged selves across
+    versions (no spurious delete+insert), and a diff across a schema
+    change compares the shared columns instead of raising."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(
+        spark,
+        frame(spark, [(1, None, "chase"), (2, "b", "chase")]),
+        KEY,
+    )
+    # v2 touches the partition but only changes k=2
+    lake.merge(spark, frame(spark, [(2, "b2", "chase")]), KEY)
+    d = lake.diff(spark, 1, 2, KEY).collect()
+    changes = sorted(
+        (r["change_type"], r["k"], r["v"]) for r in d
+    )
+    # (1, NULL) unchanged → absent; only the real update appears
+    assert changes == [("delete", 2, "b"), ("insert", 2, "b2")]
+
+    # v3 adds a column (schema evolution); diff v2→v3 must not raise
+    wide = spark.createDataFrame(
+        [(3, "c", "extra", "chase")],
+        "k BIGINT, v STRING, note STRING, data_source STRING",
+    )
+    lake.merge(spark, wide, KEY)
+    d2 = lake.diff(spark, 2, 3, KEY).collect()
+    assert ("insert", 3) in {(r["change_type"], r["k"]) for r in d2}
+    # unchanged-on-shared-columns rows are not spurious pairs
+    assert (1, None) not in {
+        (r["k"], r["v"]) for r in d2 if r["change_type"] == "delete"
+    }
+
+
+def test_merge_null_key_column_upserts(spark, tmp_path):
+    """A NULL in a merge-key column (check_or_slip_num analogue) must
+    match a stored NULL — Mongo upsert semantics — not duplicate."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    two_key = ["k", "v"]
+    df1 = spark.createDataFrame(
+        [(1, None, 1.0, "chase")],
+        "k BIGINT, v STRING, amt DOUBLE, data_source STRING",
+    )
+    lake.merge(spark, df1, two_key)
+    df2 = spark.createDataFrame(
+        [(1, None, 2.0, "chase")],
+        "k BIGINT, v STRING, amt DOUBLE, data_source STRING",
+    )
+    lake.merge(spark, df2, two_key)
+    rows = lake.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["amt"] == 2.0
+
+
+def test_merge_null_partition_value(spark, tmp_path):
+    """NULL partition value maps to __HIVE_DEFAULT_PARTITION__ on
+    disk; a second merge touching it must replace, not duplicate."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "a", None), (2, "b", "chase")]), KEY)
+    lake.merge(spark, frame(spark, [(1, "a2", None)]), KEY)
+    assert state(spark, lake) == [(1, "a2", None), (2, "b", "chase")]
+
+
+def test_append_retries_on_claim_race(spark, tmp_path):
+    """append's lost claim race only needs a manifest recompute and
+    re-claim (the data dir content is state-independent); the add
+    must land, and a terminal failure must not leak the orphan dir."""
+    import os as _os
+
+    path = str(tmp_path / "lake")
+    a = TransactionalLake(path)
+    a.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
+
+    # Simulate a racing writer taking every version A tries, twice,
+    # by wrapping create_exclusive to fail the first two attempts
+    # while ANOTHER lake advances the table in between.
+    b = TransactionalLake(path)
+    real_create = a.backend.create_exclusive
+    fails = {"n": 2}
+
+    def flaky(key, payload):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            b.append(spark, frame(spark, [(9, "race", "chase")]))
+            return False
+        return real_create(key, payload)
+
+    a.backend.create_exclusive = flaky
+    a.append(spark, frame(spark, [(2, "mine", "chase")]))
+    vals = {r[1] for r in state(spark, a)}
+    assert "mine" in vals and "race" in vals
+
+    # Terminal failure: every attempt loses → raises AND cleans orphan
+    a.backend.create_exclusive = lambda key, payload: False
+    dirs_before = set(_os.listdir(a._versions_dir))
+    with pytest.raises(ConcurrentWriteError):
+        a.append(spark, frame(spark, [(3, "doomed", "chase")]), max_retries=1)
+    assert set(_os.listdir(a._versions_dir)) == dirs_before
+    a.backend.create_exclusive = real_create
+
+
+def test_vacuum_spares_young_inflight_dirs(spark, tmp_path):
+    """An unreferenced version dir younger than stale_claim_s is an
+    in-flight writer's staged data, not garbage — vacuum must skip it
+    (and remove it once past the grace window)."""
+    import os as _os
+
+    lake = TransactionalLake(str(tmp_path / "lake"), stale_claim_s=3600.0)
+    lake.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
+    # Stage a dir the way a writer does pre-claim: write, no commit.
+    rel, _ = lake._write_version_dir(frame(spark, [(2, "inflight", "chase")]))
+    staged = _os.path.join(lake.lake_path, rel)
+
+    rep = lake.vacuum(keep_versions=1)
+    assert rep["removed_dirs"] == []
+    assert _os.path.isdir(staged)
+
+    # Past the grace window the same dir is garbage.
+    lake.stale_claim_s = 0.0
+    old = time.time() - 10
+    _os.utime(staged, (old, old))
+    rep2 = lake.vacuum(keep_versions=1)
+    assert rel in rep2["removed_dirs"]
+    assert not _os.path.isdir(staged)
+
+
+def test_stale_claim_takeover_single_winner(spark, tmp_path):
+    """Two writers that both observe the same stale claim: exactly one
+    takes it over; the other gets ConcurrentWriteError instead of
+    deleting the winner's re-created claim."""
+    path = str(tmp_path / "lake")
+    a = TransactionalLake(path, stale_claim_s=0.0)
+    a.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
+
+    # Plant a stale claim for the next version (dead writer).
+    nxt = a.current_manifest()["version"] + 1
+    claim = os.path.join(path, "_manifest", f"v{nxt}.json")
+    with open(claim, "w", encoding="utf-8") as fh:
+        fh.write("{}")
+    old = time.time() - 100
+    os.utime(claim, (old, old))
+
+    # Writer B observes the stale claim, but A takes it over and
+    # commits (re-creating the claim as its manifest) BEFORE B's
+    # fenced removal runs. B's token names the stale generation, so
+    # the removal must lose, B must raise, and A's manifest survives.
+    b = TransactionalLake(path, stale_claim_s=0.0)
+    real_remove = b.backend.remove_exclusive
+
+    def lose_race(key, token=None):
+        a._claim_and_commit(
+            {
+                "version": nxt,
+                "partitions": a.current_manifest()["partitions"],
+            }
+        )
+        return real_remove(key, token=token)
+
+    b.backend.remove_exclusive = lose_race
+    with pytest.raises(ConcurrentWriteError):
+        b._claim_and_commit(
+            {"version": nxt, "partitions": b.current_manifest()["partitions"]}
+        )
+    b.backend.remove_exclusive = real_remove
+    # A's committed manifest survived B's failed takeover.
+    assert a.current_manifest()["version"] == nxt
+    assert os.path.exists(claim)
