@@ -194,11 +194,27 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_knn_lsh")  # rows-only: LSH bucketing is not SQL-expressible
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors of vec_id 0 via random-hyperplane
-    LSH (operators/similarity.py): candidates share the query's sign
-    bucket, exact cosine re-ranks candidates. Declared without an
-    oracle (driver records rows-only); tests/test_similarity.py checks
-    recall against q_knn_cosine."""
+    LSH over an AT-REST index (operators/similarity.py): the table is
+    written once partitioned by sign bucket; the probe is a
+    partition-pruned read of the Hamming-ball buckets, then exact
+    cosine re-ranks — the search never scans the full table
+    (plan-asserted in tests/test_similarity.py). The index is cached
+    per dataset dir (testdata is immutable); recall vs q_knn_cosine
+    is tested. Declared without an oracle (driver records rows-only).
+    """
+    import hashlib as _hl
+    import os as _os
+
     from babylon_data_loader_spark.operators.similarity import knn_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_lsh(emb, query_vec_id=0, k=10, n_planes=8)
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    index_path = _os.path.join(
+        wh,
+        f"_lsh_index_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_p8",
+    )
+    return knn_lsh(
+        emb, query_vec_id=0, k=10, n_planes=8, index_path=index_path
+    )

@@ -127,3 +127,60 @@ def test_ivf_stored_index_prunes_partitions(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "cluster_id" in pf[0]  # probe prunes directories
     assert len(out.collect()) == 5
+
+
+def test_lsh_stored_index_prunes_and_recalls(spark, tmp_path):
+    """knn_lsh must search an AT-REST bucketed index: the probe scan's
+    partition filters carry `bucket` (directory pruning, strictly
+    fewer files than the table), and multi-probe recall against brute
+    force stays useful. Full-Hamming probing must equal brute force —
+    like IVF, the index prunes candidates, never changes similarity."""
+    from babylon_data_loader_spark.operators.similarity import (
+        knn_bruteforce,
+        lsh_search,
+        read_lsh_index,
+        write_lsh_index,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    path = str(tmp_path / "lsh")
+    write_lsh_index(emb, path, n_planes=6)
+    stored, meta = read_lsh_index(spark, path)
+    assert meta["n_planes"] == 6
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = lsh_search(
+        stored.filter("vec_id <> 0"), meta, qvec, k=10, probe_hamming=2
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "bucket" in pf[0]  # probe prunes directories
+
+    exact = [
+        r["vec_id"] for r in knn_bruteforce(emb, query_vec_id=0, k=10).collect()
+    ]
+    got = {r["vec_id"] for r in out.collect()}
+    assert len(set(exact) & got) / 10 >= 0.3
+
+    # probing the whole Hamming ball ⇒ every bucket ⇒ exact answer
+    full = lsh_search(
+        stored.filter("vec_id <> 0"), meta, qvec, k=10, probe_hamming=6
+    ).collect()
+    assert [r["vec_id"] for r in full] == exact
+
+
+def test_q_knn_lsh_uses_stored_index(spark):
+    """The declared query must go through the at-rest index (probe =
+    partition-pruned read, not a full-table bucket computation)."""
+    from babylon_data_loader_spark.queries.vectors import q_knn_lsh
+
+    out = q_knn_lsh(spark, "/root/testdata/sf0.001")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "bucket" in pf[0]
+    assert len(out.collect()) == 10
