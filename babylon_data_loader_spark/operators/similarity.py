@@ -23,6 +23,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from babylon_data_loader_spark.functions.cache import persist_tracked
 from babylon_data_loader_spark.functions.vectors import cosine
 
 
@@ -94,6 +95,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     exact: bool = False,
     max_bucket_size: int | None = 1000,
+    max_exact_rows: int = 50_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold).
@@ -107,9 +109,19 @@ def embedding_dup_pairs(
     the defaults, vanishing for unrelated vectors.
 
     exact=True: all-pairs self-join — O(N²), for oracle checks and
-    small N only.
+    small N only. Guarded: raises if the input exceeds
+    `max_exact_rows`, so the verification baseline cannot be pointed
+    at a real corpus (50k rows is already a 2.5-billion-pair join).
     """
     if exact:
+        n = emb.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"exact=True is the O(N²) verification baseline: input has "
+                f"{n} rows > max_exact_rows={max_exact_rows}. Use the "
+                f"banded LSH path (exact=False) for real corpora, or "
+                f"raise max_exact_rows explicitly."
+            )
         left = emb.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
         )
@@ -185,7 +197,7 @@ def _banded_candidates(
             .filter(F.col("_n") <= max_bucket_size)
             .drop("_n")
         )
-    bucketed = bucketed.persist()
+    bucketed = persist_tracked(bucketed)
     a = bucketed.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
     pairs = (

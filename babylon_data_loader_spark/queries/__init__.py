@@ -25,13 +25,31 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a declared query and (optionally) its DuckDB oracle."""
+    """Register a declared query and (optionally) its DuckDB oracle.
+
+    Each invocation first releases the PREVIOUS query's tracked
+    persists (functions/cache.py): operators persist narrow frames
+    that feed self-joins, and those caches must outlive their function
+    but not the whole session — in a sequential 102-query harness run
+    this bounds live cached partitions to one query's working set.
+    """
 
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark, sf_dir):
+            from babylon_data_loader_spark.functions.cache import (
+                release_tracked,
+            )
+
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

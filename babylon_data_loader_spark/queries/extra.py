@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from babylon_data_loader_spark.functions.cache import persist_tracked
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.schemas import load_table
 
@@ -351,8 +352,8 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The signature and candidate tables both feed self-joins; persist
     # (cluster-safe, survives executor loss via recompute, unlike
     # localCheckpoint) makes each evaluate once instead of per side.
-    sig = minhash_signatures(docs).persist()
-    pairs = lsh_candidate_pairs(sig, max_bucket_size=1000).persist()
+    sig = persist_tracked(minhash_signatures(docs))
+    pairs = persist_tracked(lsh_candidate_pairs(sig, max_bucket_size=1000))
     return jaccard_verify(docs, pairs, threshold=0.5)
 
 
@@ -547,8 +548,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).persist()
-    pairs = lsh_candidate_pairs(sig, max_bucket_size=1000).persist()
+    sig = persist_tracked(minhash_signatures(docs))
+    pairs = persist_tracked(lsh_candidate_pairs(sig, max_bucket_size=1000))
     dup = jaccard_verify(docs, pairs, threshold=0.5).select(
         "doc_a", "doc_b"
     )
@@ -644,8 +645,8 @@ def q_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs).persist()
-    pairs = lsh_candidate_pairs(sig, max_bucket_size=1000).persist()
+    sig = persist_tracked(minhash_signatures(docs))
+    pairs = persist_tracked(lsh_candidate_pairs(sig, max_bucket_size=1000))
     dup = jaccard_verify(docs, pairs, threshold=0.5).select(
         "doc_a", "doc_b"
     )

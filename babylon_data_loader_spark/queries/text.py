@@ -21,6 +21,7 @@ from babylon_data_loader_spark.functions.text import (
     stopword_hits,
     tokens,
 )
+from babylon_data_loader_spark.functions.cache import persist_tracked
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.schemas import load_table
 
@@ -343,7 +344,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist: the signature table feeds both sides of the band
     # self-join — evaluate the md5 pipeline once, not twice
     # (cluster-safe, unlike a local checkpoint).
-    sig = minhash_signatures(_docs(spark, sf_dir), n_bands=_N_BANDS).persist()
+    sig = persist_tracked(minhash_signatures(_docs(spark, sf_dir), n_bands=_N_BANDS))
     return lsh_candidate_pairs(sig, n_bands=_N_BANDS, max_bucket_size=1000)
 
 

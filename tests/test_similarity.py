@@ -184,3 +184,16 @@ def test_q_knn_lsh_uses_stored_index(spark):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "bucket" in pf[0]
     assert len(out.collect()) == 10
+
+
+def test_exact_all_pairs_guarded_by_row_cap(spark, planted):
+    """The O(N²) baseline must refuse a corpus-sized input."""
+    from babylon_data_loader_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        embedding_dup_pairs(planted, 0.98, exact=True, max_exact_rows=100)
+    # and still works under the cap
+    out = embedding_dup_pairs(planted, 0.98, exact=True, max_exact_rows=1000)
+    assert out.count() == 20
