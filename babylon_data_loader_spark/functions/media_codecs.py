@@ -313,3 +313,85 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if audio_fmt != 1 or bits != 16:
         raise ValueError("only PCM16 WAV supported")
     return np.frombuffer(payload, "<i2").reshape(-1, ch), sample_rate
+
+
+# -- Y4M (YUV4MPEG2) video ---------------------------------------------------
+
+
+def encode_y4m(
+    frames: np.ndarray, fps_num: int, fps_den: int = 1
+) -> bytes:
+    """(n_frames, H, W, 3) uint8 YUV (C444 planar order per frame) →
+    YUV4MPEG2 bytes. The simplest real video container: a text header
+    then `FRAME\\n` + raw planes per frame — no entropy coding, which
+    is exactly why it is decodable from first principles here."""
+    n, h, w, _ = frames.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C444\n"
+    out = [header.encode("ascii")]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        # planar: all Y, then all U, then all V
+        for c in range(3):
+            out.append(frames[f, :, :, c].astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def y4m_info(data: bytes) -> dict:
+    """Container-level metadata without decoding pixel data:
+    {width, height, fps_num, fps_den, n_frames, duration_s}.
+    Frame count comes from the fixed frame stride (C444: 3·W·H), so
+    this is O(1) arithmetic over the payload length plus one header
+    parse — the cheap metadata pass a 100 TB video table wants."""
+    nl = data.index(b"\n")
+    head = data[:nl].decode("ascii", errors="strict")
+    parts = head.split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    num, den = 25, 1
+    colorspace = "C420"
+    for p in parts[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("F"):
+            num, den = (int(x) for x in p[1:].split(":"))
+        elif p.startswith("C"):
+            colorspace = p
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if not colorspace.startswith("C444"):
+        raise ValueError("only C444 Y4M supported")
+    frame_bytes = 3 * w * h
+    body = len(data) - nl - 1
+    stride = len(b"FRAME\n") + frame_bytes
+    if body % stride:
+        raise ValueError("truncated Y4M frame data")
+    n_frames = body // stride
+    return {
+        "width": w,
+        "height": h,
+        "fps_num": num,
+        "fps_den": den,
+        "n_frames": n_frames,
+        "duration_s": n_frames * den / num,
+    }
+
+
+def decode_y4m_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """Random-access decode of ONE frame → (H, W, 3) uint8 YUV.
+    Frame-sampling primitive: feature extraction reads k sampled
+    frames without materializing the whole clip."""
+    info = y4m_info(data)
+    w, h, n = info["width"], info["height"], info["n_frames"]
+    if not 0 <= frame_idx < n:
+        raise IndexError(f"frame {frame_idx} out of range 0..{n-1}")
+    nl = data.index(b"\n")
+    frame_bytes = 3 * w * h
+    stride = len(b"FRAME\n") + frame_bytes
+    start = nl + 1 + frame_idx * stride
+    if data[start : start + 6] != b"FRAME\n":
+        raise ValueError("bad FRAME marker")
+    raw = np.frombuffer(data, np.uint8, count=frame_bytes, offset=start + 6)
+    return raw.reshape(3, h, w).transpose(1, 2, 0)

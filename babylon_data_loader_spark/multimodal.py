@@ -262,3 +262,111 @@ def synthetic_audio_table(spark, n: int = 200) -> DataFrame:
     return spark.range(n, numPartitions=_gen_partitions(spark, n)).mapInPandas(
         gen, MEDIA_SCHEMA
     )
+
+
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sha256", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("fps", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("mean_y", DoubleType()),
+    ]
+)
+
+
+def extract_video_features(
+    media: DataFrame, sample_frames: int = 3
+) -> DataFrame:
+    """BINARY column → video feature rows (real Y4M container parse).
+
+    Container metadata (dims / frame count / duration) is O(1) header
+    arithmetic per payload — no pixel decode; `mean_y` comes from
+    FRAME-SAMPLING: up to `sample_frames` frames (first / evenly
+    spaced / last) are random-access decoded, never the whole clip.
+    That is the shape a 100 TB video table needs: metadata pass cheap,
+    pixel pass bounded per row regardless of clip length.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        from babylon_data_loader_spark.functions.media_codecs import (
+            decode_y4m_frame,
+            y4m_info,
+        )
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                info = y4m_info(data)
+                n = info["n_frames"]
+                k = min(sample_frames, n)
+                idxs = sorted(
+                    {int(round(j * (n - 1) / max(k - 1, 1))) for j in range(k)}
+                )
+                ys = [
+                    decode_y4m_frame(data, i)[:, :, 0].astype("float64")
+                    for i in idxs
+                ]
+                mean_y = float(np.mean([y.mean() for y in ys])) if ys else 0.0
+                rows.append(
+                    (
+                        media_id,
+                        hashlib.sha256(data).hexdigest(),
+                        len(data),
+                        info["width"],
+                        info["height"],
+                        n,
+                        info["fps_num"],
+                        info["duration_s"],
+                        mean_y,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FEATURES_SCHEMA.fields]
+            )
+
+    src = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return src.mapInPandas(batches, VIDEO_FEATURES_SCHEMA)
+
+
+def synthetic_video_table(spark, n: int = 200) -> DataFrame:
+    """`n` constant-plane Y4M clips with analytically-known features:
+    id i → width 8+(i%16), height 8+((3i)%16), 5+(i%7) frames at
+    24/30 fps (by parity), planes Y=(29i)%256 U=(43i)%256 V=(71i)%256.
+    Constant planes make mean_y exact under any frame sampling."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from babylon_data_loader_spark.functions.media_codecs import (
+            encode_y4m,
+        )
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 8 + i % 16, 8 + (3 * i) % 16
+                nf = 5 + i % 7
+                fps = 24 if i % 2 == 0 else 30
+                yuv = np.empty((nf, h, w, 3), dtype=np.uint8)
+                yuv[..., 0] = (29 * i) % 256
+                yuv[..., 1] = (43 * i) % 256
+                yuv[..., 2] = (71 * i) % 256
+                rows.append((i, "video", encode_y4m(yuv, fps), "video/x-y4m"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    return spark.range(n, numPartitions=_gen_partitions(spark, n)).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )

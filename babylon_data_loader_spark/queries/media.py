@@ -114,3 +114,48 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_media_by_content(media).select(
         F.col("keeper_id"), F.col("n_copies")
     )
+
+
+@query(
+    "q_media_video_features",
+    oracle=f"""
+    SELECT i AS media_id,
+           CAST(length('YUV4MPEG2 W' || (8 + i%16) || ' H' || (8 + (3*i)%16)
+                       || ' F' || (CASE WHEN i%2=0 THEN 24 ELSE 30 END)
+                       || ':1 Ip A1:1 C444') + 1
+                + (5 + i%7) * (6 + 3*(8 + i%16)*(8 + (3*i)%16))
+                AS BIGINT) AS n_bytes,
+           CAST(8 + i%16 AS INTEGER) AS width,
+           CAST(8 + (3*i)%16 AS INTEGER) AS height,
+           CAST(5 + i%7 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN i%2=0 THEN 24 ELSE 30 END AS INTEGER) AS fps,
+           CAST(5 + i%7 AS DOUBLE)
+             / (CASE WHEN i%2=0 THEN 24 ELSE 30 END) AS duration_s,
+           CAST((29*i)%256 AS DOUBLE) AS mean_y
+    FROM range(0, {_N}) t(i)
+    """,
+)
+def q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline completing the multimodal triad: generate Y4M
+    clips on executors → container-level metadata parse (O(1) header
+    arithmetic, no pixel decode) → frame-SAMPLED mean luma (random-
+    access decode of ≤3 frames per clip, never the whole payload).
+    The oracle reproduces the container math — header string length,
+    frame stride, duration ratio — in SQL; constant planes make the
+    sampled mean exact."""
+    from babylon_data_loader_spark.multimodal import (
+        extract_video_features,
+        synthetic_video_table,
+    )
+
+    media = synthetic_video_table(spark, _N)
+    return extract_video_features(media).select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        "fps",
+        "duration_s",
+        "mean_y",
+    )

@@ -96,3 +96,38 @@ def test_arity_mask_matches_csv_tokenizer(fields):
     masked = re.sub(_QUOTED_SECTION, "Q", line)
     arity = len(masked.split(","))
     assert arity == len(fields), (line, masked)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 5),
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from([(24, 1), (30, 1), (30000, 1001)]),
+    st.integers(0, 2**31 - 1),
+)
+def test_y4m_roundtrip_and_frame_access(n, w, h, fps, seed):
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    data = mc.encode_y4m(frames, fps[0], fps[1])
+    info = mc.y4m_info(data)
+    assert (info["width"], info["height"], info["n_frames"]) == (w, h, n)
+    assert (info["fps_num"], info["fps_den"]) == fps
+    assert info["duration_s"] == n * fps[1] / fps[0]
+    for i in (0, n - 1):
+        assert np.array_equal(mc.decode_y4m_frame(data, i), frames[i])
+
+
+def test_y4m_rejects_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mc.y4m_info(b"RIFF....WAVE")
+    frames = np.zeros((1, 2, 2, 3), dtype=np.uint8)
+    data = mc.encode_y4m(frames, 24)
+    with _pytest.raises(ValueError):
+        mc.y4m_info(data[:-1])  # truncated frame data
+    import pytest as _pytest2
+
+    with _pytest2.raises(IndexError):
+        mc.decode_y4m_frame(data, 5)
