@@ -70,11 +70,17 @@ def decoded_basename(file_col: str) -> F.Column:
 
 @dataclass(frozen=True)
 class HeaderGroup:
-    """Files sharing one lower-cased header signature."""
+    """Files sharing one lower-cased header signature.
+
+    `header_lines` (raw first lines, aligned with paths) is populated
+    by the driver-side sniff of small directories; the distributed
+    sniff leaves it None — past ~10⁶ files those strings do not belong
+    in driver memory, and `read_header_group` re-derives them with a
+    distributed one-line read instead."""
 
     columns: tuple[str, ...]  # lower-cased, in file order
     paths: tuple[str, ...]
-    header_lines: tuple[str, ...]  # raw first lines, aligned with paths
+    header_lines: tuple[str, ...] | None = None
 
 
 def list_csv_files(directory: str) -> tuple[list[str], list[str]]:
@@ -122,28 +128,55 @@ def group_by_header(
 
     Header sniffs are one-line reads. Up to `distributed_threshold`
     files they run as driver-side threaded I/O (latency-bound, no job
-    overhead); past it — 10⁵-file lake directories — they become a
-    small Spark job over path ROWS (`parallelize(paths).map(sniff)`),
-    so the listing scales with the cluster instead of serializing
-    through one driver's file handles. The data plane below is
-    unchanged either way. This is one of the rare justified RDD uses:
-    per-file imperative I/O with no relational structure.
+    overhead); past it — 10⁵⁻⁶-file lake directories — they become a
+    small Spark job whose partitions AGGREGATE locally: each executor
+    partition sniffs its paths and returns {signature: [path indices]}
+    — K signatures and integer indices per partition — so the collect
+    carries no per-file header strings back to the driver (the paths
+    themselves are the caller's list; the added driver footprint is an
+    int per file plus K·partitions small tuples). The data plane below
+    is unchanged either way. This is one of the rare justified RDD
+    uses: per-file imperative I/O with no relational structure.
     """
-    groups: dict[tuple[str, ...], list[tuple[str, str]]] = {}
     if not paths:
         return []
     if spark is not None and len(paths) >= distributed_threshold:
         n_slices = max(32, min(len(paths) // 256, 1024))
-        sniffed_all = (
-            spark.sparkContext.parallelize(paths, n_slices)
-            .map(sniff_header)
-            .collect()  # O(files) driver footprint: one header per file
-        )
-    else:
-        from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(32, len(paths))) as pool:
-            sniffed_all = list(pool.map(sniff_header, paths))
+        def sniff_partition(it):
+            local: dict[tuple[str, ...] | None, list[int]] = {}
+            for idx, path in it:
+                sniffed = sniff_header(path)
+                cols = None if sniffed is None else sniffed[0]
+                local.setdefault(cols, []).append(idx)
+            yield local
+
+        by_sig: dict[tuple[str, ...], list[int]] = {}
+        for part in (
+            spark.sparkContext.parallelize(
+                list(enumerate(paths)), n_slices
+            )
+            .mapPartitions(sniff_partition)
+            .collect()
+        ):
+            for cols, idxs in part.items():
+                if cols is None:  # empty file ⇒ zero rows, no error
+                    continue
+                by_sig.setdefault(cols, []).extend(idxs)
+        return [
+            HeaderGroup(
+                columns=cols,
+                paths=tuple(paths[i] for i in sorted(idxs)),
+                header_lines=None,  # re-derived distributed at read time
+            )
+            for cols, idxs in by_sig.items()
+        ]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, len(paths))) as pool:
+        sniffed_all = list(pool.map(sniff_header, paths))
+    groups: dict[tuple[str, ...], list[tuple[str, str]]] = {}
     for path, sniffed in zip(paths, sniffed_all):
         if sniffed is None:  # empty file ⇒ zero rows, no error
             continue
@@ -191,13 +224,28 @@ def read_header_group(spark: SparkSession, group: HeaderGroup) -> DataFrame:
     # Per-file header removal: each file's raw first line is known from
     # the sniff. (A data line byte-identical to the header line would
     # also be dropped — the reference would mis-ingest such a line too.)
-    hdr = spark.createDataFrame(
-        [
-            (os.path.basename(p), line)
-            for p, line in zip(group.paths, group.header_lines)
-        ],
-        ["_file_base", "_header_line"],
-    )
+    if group.header_lines is not None:
+        hdr = spark.createDataFrame(
+            [
+                (os.path.basename(p), line)
+                for p, line in zip(group.paths, group.header_lines)
+            ],
+            ["_file_base", "_header_line"],
+        )
+    else:
+        # Distributed-sniffed group: the raw lines never visited the
+        # driver. Re-derive (basename, first line) as a Spark job —
+        # one-line reads on executors feeding the broadcast build side
+        # directly, still no O(files) strings in driver memory.
+        n_slices = max(32, min(len(group.paths) // 256, 1024))
+        hdr = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                list(group.paths), n_slices
+            ).map(
+                lambda p: (os.path.basename(p), sniff_header(p)[1])
+            ),
+            "struct<_file_base: string, _header_line: string>",
+        )
     lines = (
         lines.withColumn("_file_base", decoded_basename("_input_file"))
         .join(F.broadcast(hdr), on="_file_base", how="left")

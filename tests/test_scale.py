@@ -81,3 +81,35 @@ def test_distributed_header_sniff_many_files(spark, tmp_path):
         int(os.path.basename(p)[5:10]) % 2 == 1 for p in a.paths
     )
     assert elapsed < 120, f"distributed sniff too slow: {elapsed:.1f}s"
+
+
+def test_distributed_sniff_keeps_header_strings_off_driver(spark, tmp_path):
+    """The distributed grouping returns signatures + path assignments
+    only (header_lines=None — per-file raw lines stay on executors),
+    and read_header_group re-derives the header build side with a
+    distributed one-line read: end-to-end rows must still parse, and
+    each file's header line must still be dropped."""
+    import os as _os
+
+    from babylon_data_loader_spark.sources.csv_source import (
+        group_by_header,
+        read_header_group,
+    )
+
+    in_dir = tmp_path / "dist"
+    in_dir.mkdir()
+    for i in range(40):
+        # case-varied headers: same signature, different raw lines
+        hdr = "Details,Amount" if i % 2 else "DETAILS,AMOUNT"
+        (in_dir / f"chase{i:04d}.csv").write_text(
+            f"{hdr}\nD{i},-{i}.0\n"
+        )
+    paths = [str(in_dir / f) for f in sorted(_os.listdir(in_dir))]
+    groups = group_by_header(paths, spark=spark, distributed_threshold=10)
+    assert len(groups) == 1
+    assert groups[0].header_lines is None  # no raw lines at the driver
+
+    df = read_header_group(spark, groups[0])
+    rows = df.collect()
+    assert len(rows) == 40  # one data row per file, headers dropped
+    assert {r["details"] for r in rows} == {f"D{i}" for i in range(40)}
