@@ -14,7 +14,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.text import (
@@ -95,12 +95,22 @@ def lsh_candidate_pairs(
     ).select(id_col, "band.band_idx", "band.band_val")
     sized = bands
     if max_bucket_size is not None:
-        sized = bands.withColumn(
-            "_n",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("band_idx", "band_val")
-            ),
-        ).filter(F.col("_n") <= max_bucket_size).drop("_n")
+        # Oversized buckets are found with a partial-aggregating
+        # groupBy (map-side combine shuffles (band, val, count)
+        # partials, not full rows) and removed with an anti-join
+        # against that SMALL list — at cap 1000, ≤ N·bands/1000
+        # buckets can be oversized, so AQE turns the anti-join into a
+        # broadcast. This beats a COUNT window, which shuffles every
+        # band row just to annotate it.
+        oversized = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band_idx", "band_val")
+        )
+        sized = bands.join(
+            oversized, on=["band_idx", "band_val"], how="left_anti"
+        )
     a = sized.alias("a")
     b = sized.alias("b")
     return (

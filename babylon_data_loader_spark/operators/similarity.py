@@ -185,17 +185,19 @@ def _banded_candidates(
         .select(id_col, "b.band_idx", "b.bucket")
     )
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        bucketed = (
-            bucketed.withColumn(
-                "_n",
-                F.count(F.lit(1)).over(
-                    Window.partitionBy("band_idx", "bucket")
-                ),
-            )
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
+        # Partial-aggregating groupBy + anti-join against the (small)
+        # oversized-bucket list instead of a COUNT window: the window
+        # shuffles every band row; this shuffles only per-partition
+        # (band, bucket, count) partials, and AQE broadcasts the
+        # anti-join build side (≤ N·bands/cap buckets can exceed cap).
+        oversized = (
+            bucketed.groupBy("band_idx", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band_idx", "bucket")
+        )
+        bucketed = bucketed.join(
+            oversized, on=["band_idx", "bucket"], how="left_anti"
         )
     bucketed = persist_tracked(bucketed)
     a = bucketed.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
