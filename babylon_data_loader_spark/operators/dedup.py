@@ -14,7 +14,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.text import (
@@ -95,21 +95,23 @@ def lsh_candidate_pairs(
     ).select(id_col, "band.band_idx", "band.band_val")
     sized = bands
     if max_bucket_size is not None:
-        # Oversized buckets are found with a partial-aggregating
-        # groupBy (map-side combine shuffles (band, val, count)
-        # partials, not full rows) and removed with an anti-join
-        # against that SMALL list — at cap 1000, ≤ N·bands/1000
-        # buckets can be oversized, so AQE turns the anti-join into a
-        # broadcast. This beats a COUNT window, which shuffles every
-        # band row just to annotate it.
-        oversized = (
-            bands.groupBy("band_idx", "band_val")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .select("band_idx", "band_val")
-        )
-        sized = bands.join(
-            oversized, on=["band_idx", "band_val"], how="left_anti"
+        # COUNT window, deliberately: its one exchange hash-partitions
+        # the band rows by exactly the self-join's key, and Spark
+        # REUSES that exchange for both join sides — one full-data
+        # shuffle total. The tempting groupBy + broadcast-anti-join
+        # alternative shuffles less for the count but leaves the band
+        # rows unpartitioned, so the self-join then shuffles them
+        # TWICE (measured slower at sf0.1 and strictly more shuffle
+        # bytes at scale).
+        sized = (
+            bands.withColumn(
+                "_n",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band_idx", "band_val")
+                ),
+            )
+            .filter(F.col("_n") <= max_bucket_size)
+            .drop("_n")
         )
     a = sized.alias("a")
     b = sized.alias("b")

@@ -513,8 +513,8 @@ class TransactionalLake:
             for dirs in self.manifest_at(v)["partitions"].values():
                 live.update(dirs)
         removed = []
+        now = _time.time()
         if os.path.isdir(self._versions_dir):
-            now = _time.time()
             for entry in sorted(os.listdir(self._versions_dir)):
                 rel = os.path.join("_versions", entry)
                 full = os.path.join(self.lake_path, rel)
@@ -535,6 +535,17 @@ class TransactionalLake:
                 if m and int(m.group(1)) < keep_from:
                     os.remove(os.path.join(self._manifest_dir, entry))
                     removed_manifests.append(entry)
+                    continue
+                # A takeover that crashed between its rename and unlink
+                # leaves a .stale.<uuid> tombstone; sweep old ones.
+                if ".stale." in entry:
+                    full = os.path.join(self._manifest_dir, entry)
+                    try:
+                        if now - os.path.getmtime(full) > self.stale_claim_s:
+                            os.remove(full)
+                            removed_manifests.append(entry)
+                    except OSError:
+                        pass
         return {
             "kept_from_version": keep_from,
             "removed_dirs": removed,

@@ -46,6 +46,11 @@ HEADLINE = [
     "q_tpch_q17",
     "q_media_image_features",
     "q_corpus_curation",
+    # round 3 additions: at-rest LSH index probe (rep 1 pays the
+    # index write, rep 2 is the amortized partition-pruned probe)
+    # and the frame-sampled video lane.
+    "q_knn_lsh",
+    "q_media_video_features",
 ]
 
 

@@ -523,3 +523,21 @@ def test_stale_claim_takeover_single_winner(spark, tmp_path):
     # A's committed manifest survived B's failed takeover.
     assert a.current_manifest()["version"] == nxt
     assert os.path.exists(claim)
+
+
+def test_vacuum_sweeps_old_takeover_tombstones(spark, tmp_path):
+    """A .stale.<uuid> tombstone left by a crashed takeover is swept
+    by vacuum once past the grace window; young ones are spared."""
+    lake = TransactionalLake(str(tmp_path / "lake"), stale_claim_s=50.0)
+    lake.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
+    tomb = os.path.join(lake._manifest_dir, "v9.json.stale.deadbeef")
+    with open(tomb, "w", encoding="utf-8") as fh:
+        fh.write("{}")
+    rep = lake.vacuum(keep_versions=5)
+    assert "v9.json.stale.deadbeef" not in rep["removed_manifests"]
+    assert os.path.exists(tomb)  # young: spared
+    old = time.time() - 100
+    os.utime(tomb, (old, old))
+    rep2 = lake.vacuum(keep_versions=5)
+    assert "v9.json.stale.deadbeef" in rep2["removed_manifests"]
+    assert not os.path.exists(tomb)
