@@ -101,6 +101,10 @@ PRIORITY: list[str] = [
     "q_udtf_ngrams",
     "q_hash_split",
     "q_stream_replay",
+    "q_pack_sequences",
+    "q_pii_scrub",
+    "q_stratified_sample",
+    "q_contamination",
 ]
 
 
@@ -109,6 +113,7 @@ def load_all() -> None:
     from babylon_data_loader_spark.queries import (  # noqa: F401
         analytics,
         core,
+        curation,
         extra,
         intervals,
         media,
