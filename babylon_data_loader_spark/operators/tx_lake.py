@@ -83,11 +83,21 @@ class TransactionalLake:
         partition_col: str = "data_source",
         stale_claim_s: float = 300.0,
         backend=None,
+        stats_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files: int | None = None,
     ) -> None:
         self.lake_path = lake_path
         self.partition_col = partition_col
         self.stale_claim_s = stale_claim_s
         self.backend = backend if backend is not None else PosixCommitBackend()
+        # Data skipping (operators/lake_stats.py): stats_cols get
+        # per-file min/max harvested into a _stats sidecar at write
+        # time; cluster_by range-partitions each version write so
+        # files carry disjoint key ranges and read_pruned() can skip.
+        self.stats_cols = list(stats_cols) if stats_cols else []
+        self.cluster_by = list(cluster_by) if cluster_by else []
+        self.cluster_files = cluster_files
         self._versions_dir = os.path.join(lake_path, "_versions")
         self._manifest_dir = os.path.join(lake_path, "_manifest")
         self._current_path = os.path.join(lake_path, "_CURRENT")
@@ -177,6 +187,74 @@ class TransactionalLake:
             out = out.unionByName(frame, allowMissingColumns=True)
         return out
 
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        predicates: list[tuple[str, object | None, object | None]],
+        version: int | None = None,
+    ) -> DataFrame:
+        """``read().filter(lo <= col <= hi for each predicate)`` that
+        opens only files whose sidecar [min, max] can overlap the
+        requested ranges (operators/lake_stats.py). Dirs written
+        before stats existed are read whole — skipping is an
+        optimization, never a correctness dependency. The residual
+        filter still applies row-level, so results equal the naive
+        read-then-filter."""
+        from babylon_data_loader_spark.operators.lake_stats import (
+            prune_files,
+        )
+
+        manifest = (
+            self.current_manifest()
+            if version is None
+            else self.manifest_at(version)
+        )
+        by_dir: dict[str, list[str]] = {}
+        for subdir, dirs in manifest["partitions"].items():
+            for d in dirs:
+                by_dir.setdefault(d, []).append(subdir)
+        if not by_dir:
+            raise FileNotFoundError(
+                f"empty or missing lake at {self.lake_path}"
+            )
+        frames = []
+        for d, subdirs in sorted(by_dir.items()):
+            base = (
+                self.lake_path
+                if d == "."
+                else os.path.join(self.lake_path, d)
+            )
+            kept = (
+                None
+                if d == "."
+                else prune_files(spark, base, sorted(subdirs), predicates)
+            )
+            if kept is None:
+                paths = [os.path.join(base, s) for s in sorted(subdirs)]
+            else:
+                paths = [
+                    os.path.join(base, s, f)
+                    for s in sorted(kept)
+                    for f in kept[s]
+                ]
+            if paths:
+                frames.append(
+                    spark.read.option("basePath", base).parquet(*paths)
+                )
+        cond = F.lit(True)
+        for col, lo, hi in predicates:
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+        if not frames:
+            # Every file pruned: an empty frame with the live schema.
+            return self.read(spark, version=version).filter(F.lit(False))
+        out = frames[0]
+        for frame in frames[1:]:
+            out = out.unionByName(frame, allowMissingColumns=True)
+        return out.filter(cond)
+
     # -- write --------------------------------------------------------------
 
     def _write_version_dir(self, df: DataFrame) -> tuple[str, list[str]]:
@@ -186,6 +264,21 @@ class TransactionalLake:
         the source of truth)."""
         rel = os.path.join("_versions", f"v{uuid.uuid4().hex[:12]}")
         full = os.path.join(self.lake_path, rel)
+        if self.cluster_by:
+            # Disjoint cluster-key ranges per task ⇒ disjoint ranges
+            # per FILE within each hive subdir — what makes the
+            # min/max sidecar actually skip (single-dimension Z-ORDER).
+            # An advisory repartitionByRange lets AQE size the shuffle
+            # to the data; cluster_files pins the count where the
+            # caller knows better (tests, known-small batches).
+            args = (
+                [self.cluster_files, *self.cluster_by]
+                if self.cluster_files
+                else list(self.cluster_by)
+            )
+            df = df.repartitionByRange(*args).sortWithinPartitions(
+                *self.cluster_by
+            )
         # zstd over the default snappy: a standing lake is
         # storage/scan-bound, and zstd's ~30% smaller files repay the
         # slightly higher encode cost on every later read.
@@ -200,6 +293,17 @@ class TransactionalLake:
             for e in sorted(os.listdir(full))
             if e.startswith(f"{self.partition_col}=")
         ]
+        if self.stats_cols:
+            from babylon_data_loader_spark.operators.lake_stats import (
+                write_stats_sidecar,
+            )
+
+            write_stats_sidecar(
+                df.sparkSession,
+                full,
+                f"{self.partition_col}=",
+                self.stats_cols,
+            )
         return rel, subdirs
 
     def _claim_and_commit(self, manifest: dict) -> None:
