@@ -105,6 +105,10 @@ PRIORITY: list[str] = [
     "q_pii_scrub",
     "q_stratified_sample",
     "q_contamination",
+    "q_lake_skipping",
+    "q_repetition_filter",
+    "q_domain_mix",
+    "q_embedding_quantize",
 ]
 
 
@@ -114,6 +118,7 @@ def load_all() -> None:
         analytics,
         core,
         curation,
+        curation2,
         extra,
         intervals,
         media,

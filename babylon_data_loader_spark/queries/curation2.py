@@ -1,0 +1,303 @@
+"""Training-corpus curation operators, wave 3.
+
+- REPETITION filter (Gopher-style): per-document duplicate-token and
+  top-bigram-fraction metrics — the classic "repetitive junk" gate
+  (Rae et al. 2021 §A1.1). Emitted as integer numerators/denominators
+  and an integer-comparison keep flag, so the oracle match is exact
+  (no float ratios cross the engine boundary).
+- DOMAIN MIXTURE (temperature-scaled): per-source quotas proportional
+  to n^0.5 (integer sqrt weights — exact in both engines), filled in
+  deterministic md5 order. The "don't let the biggest crawl dominate
+  the mix" resample every pretraining data recipe has.
+- INT8 QUANTIZATION of embeddings: symmetric per-vector scale
+  (max|x|/127), summarized with integer-exact statistics (sum, dot,
+  saturation count). The storage/serving compression step for a
+  100 TB embedding corpus — 4× smaller than float32.
+- LAKE DATA SKIPPING, driver-visible: routes the driver's correctness
+  check through TransactionalLake.read_pruned (operators/
+  lake_stats.py) — a range-clustered lake write, then a range read
+  that must open fewer files than the table has; the aggregate is
+  oracle-checked against a plain filter over the source table. The
+  in-query file-count assertion makes "skipping actually engaged"
+  part of the correctness gate, not just a unit test.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.functions.text import shingles, tokens
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+_TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@query(
+    "q_repetition_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      FROM tok
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                      j -> concat_ws(' ', toks[j], toks[j+1]))) AS bg
+      FROM tok WHERE len(toks) >= 2
+    ), cnt AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM cnt GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tok, b.n_distinct,
+           COALESCE(a.top_bigram_n, 0) AS top_bigram_n,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           CAST(CASE WHEN 5 * COALESCE(a.top_bigram_n, 0)
+                          <= COALESCE(a.n_bigrams, 0)
+                      AND 10 * b.n_distinct >= 3 * b.n_tok
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: drop a document when its most
+    frequent bigram exceeds 20% of all bigrams or fewer than 30% of
+    its tokens are distinct. Both thresholds are evaluated as integer
+    cross-multiplications (5·top ≤ total, 10·distinct ≥ 3·tokens) so
+    no float ratio has to match across engines. One shuffle on doc_id
+    for the bigram count; the distinct-token side is scan-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    base = tok.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+    )
+    bi = (
+        tok.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(shingles(F.col("toks"), 2)).alias("bg"))
+    )
+    agg = (
+        bi.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("bigint").alias("top_bigram_n"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    out = base.join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+    )
+    return out.withColumn(
+        "keep_flag",
+        (
+            (5 * F.col("top_bigram_n") <= F.col("n_bigrams"))
+            & (10 * F.col("n_distinct") >= 3 * F.col("n_tok"))
+        )
+        .cast("bigint"),
+    )
+
+
+_MIX_TARGET = 400
+
+
+@query(
+    "q_domain_mix",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+      FROM cnt
+    ), t AS (
+      SELECT source, wt, CAST(SUM(wt) OVER () AS BIGINT) AS wsum FROM w
+    ), q AS (
+      SELECT source,
+             CAST(floor({_MIX_TARGET}.0 * wt / wsum) AS BIGINT) AS quota
+      FROM t
+    )
+    SELECT d.source, q.quota, d.doc_id
+    FROM documents d JOIN q ON d.source = q.source
+    QUALIFY row_number() OVER (
+      PARTITION BY d.source
+      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+    ) <= q.quota
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (alpha = 0.5): each source's
+    quota of a {target}-doc training mix is proportional to
+    floor(sqrt(count)) — integer weights, so the per-source quota is
+    bit-identical across engines (the sqrt of a BIGINT is exactly
+    rounded IEEE, its floor is exact, and the weight sum is integer).
+    Quota filling uses the same md5 permutation as stratified
+    sampling: reproducible, no RNG. Quotas are a 20-row broadcast; the
+    only real shuffle is the per-source window rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = cnt.select(
+        "source",
+        F.floor(F.sqrt(F.col("n").cast("double"))).cast("bigint").alias("wt"),
+    )
+    t = w.withColumn(
+        "wsum", F.sum("wt").over(Window.partitionBy()).cast("bigint")
+    )
+    quotas = t.select(
+        "source",
+        F.floor(F.lit(float(_MIX_TARGET)) * F.col("wt") / F.col("wsum"))
+        .cast("bigint")
+        .alias("quota"),
+    )
+    rank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(quotas), on="source")
+        .withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") <= F.col("quota"))
+        .select("source", "quota", "doc_id")
+    )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding AS emb,
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE) / 127.0 AS scale
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             list_transform(emb,
+               x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS dot_qq,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|x|/127,
+    q_i = round(x_i/scale). Summarized with integer-exact statistics
+    (sum, self-dot, saturation count) — float32 inputs widen to
+    double exactly in both engines and `round` is half-away in both,
+    so the int8 codes are identical. Scan-local (no shuffle); the
+    quantized column is what a 100 TB embedding store would persist
+    at 4× compression. The scale and the code list are materialized
+    as their own projections so the three aggregates don't recompute
+    the transform per reference."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.array_max(F.transform("embedding", F.abs)).cast("double")
+            / F.lit(127.0)
+        ).alias("scale"),
+    )
+    coded = scaled.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / F.col("scale")).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return coded.select(
+        "vec_id",
+        F.aggregate("qv", zero, lambda acc, x: acc + x).alias("sum_q"),
+        F.aggregate("qv", zero, lambda acc, x: acc + x * x).alias("dot_qq"),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127))
+        .cast("bigint")
+        .alias("n_sat"),
+    )
+
+
+@query(
+    "q_lake_skipping",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_lake_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping end to end: orders are merged into a
+    transactional lake range-clustered by o_totalprice (8 files per
+    hive partition), then a 10%-wide price band is read through
+    read_pruned. The query RAISES unless the pruned read opened
+    strictly fewer files than the table holds — file skipping is part
+    of the correctness contract here, and the aggregate must still
+    equal a plain filter over the source table (the oracle). This is
+    the lake-side analogue of the reference's indexed range lookup
+    (apiClient/apiClient.go:188-243): a range probe must not scan the
+    table."""
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_lake_skip_{uuid.uuid4().hex[:12]}")
+    try:
+        lake = TransactionalLake(
+            work,
+            partition_col="o_orderpriority",
+            stats_cols=["o_totalprice"],
+            cluster_by=["o_totalprice"],
+            cluster_files=8,
+        )
+        lake.merge(spark, orders, key=["o_orderkey"])
+        pruned = lake.read_pruned(
+            spark, [("o_totalprice", 100000.0, 150000.0)]
+        )
+        total_files = len(lake.read(spark).inputFiles())
+        touched = len(pruned.inputFiles())
+        if touched >= total_files:
+            raise AssertionError(
+                f"data skipping did not engage: opened {touched} of "
+                f"{total_files} files for a 10% range"
+            )
+        out = pruned.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        # Final state is a handful of grouped rows; collect them so the
+        # staging lake can be removed before returning.
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)
