@@ -61,22 +61,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in
     doc_id order and each is assigned to the {budget}-token pack where
     its first token lands (pack_id = tokens-before div budget — the
-    deterministic form of greedy packing). The global window is the
-    semantics, not an accident: packing IS an ordered scan; at scale
-    it runs per-shard (range-partition by doc_id, offset by per-shard
-    token totals computed in a first pass)."""
+    deterministic form of greedy packing). Runs as the SHARDED
+    two-pass prefix sum (operators/packing.py): per-shard windows plus
+    an O(shards) broadcast offset table — no Exchange SinglePartition
+    anywhere, while the oracle remains DuckDB's single global ordered
+    window (results are bit-identical by associativity)."""
+    from babylon_data_loader_spark.operators.packing import packed_ids
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    packed = tok.withColumn(
-        "pack_id",
-        F.floor(
-            (F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET
-        ).cast("bigint"),
+    packed = packed_ids(
+        tok, "doc_id", "n_tok", _PACK_BUDGET, shards=32
     )
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

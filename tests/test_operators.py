@@ -398,3 +398,41 @@ def test_streaming_with_rocksdb_state_store(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_packed_ids_matches_global_window(spark):
+    """Sharded two-pass packing must be bit-identical to the single
+    global running-sum window it decomposes (associativity), for any
+    shard count — including shards ≫ rows and sparse/offset ids."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from babylon_data_loader_spark.operators.packing import packed_ids
+
+    rows = [(i * 7 + 3, (i * 37) % 90 + 1) for i in range(400)]
+    tok = spark.createDataFrame(rows, "doc_id BIGINT, n_tok BIGINT")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expected = {
+        r["doc_id"]: r["pid"]
+        for r in tok.withColumn(
+            "pid",
+            F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 64).cast(
+                "bigint"
+            ),
+        ).collect()
+    }
+    for shards in (1, 5, 32, 1000):
+        got = {
+            r["doc_id"]: r["pack_id"]
+            for r in packed_ids(tok, "doc_id", "n_tok", 64, shards).collect()
+        }
+        assert got == expected, f"shards={shards}"
+
+
+def test_packed_ids_empty_input(spark):
+    from babylon_data_loader_spark.operators.packing import packed_ids
+
+    tok = spark.createDataFrame([], "doc_id BIGINT, n_tok BIGINT")
+    assert packed_ids(tok, "doc_id", "n_tok", 64).count() == 0

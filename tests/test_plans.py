@@ -182,3 +182,16 @@ def test_knn_cosine_no_shuffle_before_topk(spark, sf_dir):
     assert "hashpartitioning" not in plan.lower().replace(
         "broadcasthashjoin", ""
     )
+
+
+def test_pack_sequences_has_no_single_partition_stage(spark, sf_dir):
+    """Packing must run as sharded windows + broadcast offsets — a
+    global-window Exchange SinglePartition would funnel the corpus
+    through one task at scale."""
+    from babylon_data_loader_spark.queries.curation import (
+        q_pack_sequences,
+    )
+
+    plan = plan_of(q_pack_sequences.__wrapped__(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "BroadcastExchange" in plan  # the O(shards) offset table
