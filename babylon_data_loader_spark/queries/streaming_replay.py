@@ -6,7 +6,7 @@ pytest-only; this declared query routes the driver's correctness
 check through an actual `readStream` file source:
 
     events table, split into ranged parquet chunks
-      → readStream (maxFilesPerTrigger=1 ⇒ several micro-batches)
+      → readStream (maxFilesPerTrigger ⇒ several micro-batches)
       → foreachBatch MERGE into a transactional lake
       → Trigger.AvailableNow drain
       → REPLAYED with a fresh checkpoint (every file delivered again)
@@ -72,13 +72,13 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("value").isNotNull()
         & F.col("ts").isNotNull()
     )
-    clean.repartition(4).write.mode("overwrite").parquet(src_dir)
+    clean.repartition(3).write.mode("overwrite").parquet(src_dir)
     schema = spark.read.parquet(src_dir).schema
 
-    def run_pass(checkpoint: str) -> None:
+    def run_pass(checkpoint: str, files_per_trigger: int) -> None:
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", str(files_per_trigger))
             .parquet(src_dir)
         )
 
@@ -100,8 +100,12 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
-        run_pass("ckpt_a")
-        run_pass("ckpt_b")  # fresh checkpoint: full redundant replay
+        # Pass A: one file per micro-batch (incremental arrival).
+        # Pass B: fresh checkpoint ⇒ every file delivered AGAIN, in
+        # differently-shaped batches (2 files/trigger) — idempotence
+        # must hold regardless of batch boundaries.
+        run_pass("ckpt_a", files_per_trigger=1)
+        run_pass("ckpt_b", files_per_trigger=2)
 
         final = (
             TransactionalLake(lake_dir, partition_col="event_type")
