@@ -109,6 +109,7 @@ PRIORITY: list[str] = [
     "q_repetition_filter",
     "q_domain_mix",
     "q_embedding_quantize",
+    "q_incremental_agg",
 ]
 
 
@@ -121,6 +122,7 @@ def load_all() -> None:
         curation2,
         extra,
         intervals,
+        lake_cdc,
         media,
         streaming_replay,
         text,

@@ -1,0 +1,128 @@
+"""Driver-visible change-data-feed surface: incremental view
+maintenance from the transactional lake's diff().
+
+The 100 TB story: a downstream aggregate over a continuously-merged
+table must NOT be recomputed from scratch per version — the change
+feed (insert/delete row pairs, computed only over the partitions the
+merge touched) is enough to roll the aggregate forward:
+
+    agg(v2) = agg(v1) + Σ inserts − Σ deletes        (per group)
+
+This query builds a two-version lake (base load, then an update batch
+that doubles every fifth event's value), maintains the per-type
+COUNT/SUM incrementally from diff(v1, v2), ASSERTS the incremental
+state equals a full recompute of v2, and returns it. The oracle is
+the closed-form final state over the source table — so the driver's
+row checks the whole chain: merge semantics, CDF correctness, and
+the incremental-maintenance algebra. Mirrors the reference's
+sync-log consumers reading per-batch deltas rather than re-scanning
+(datalake/datalake.go sync accounting).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN event_id % 5 = 0 THEN 2 * value
+                          ELSE value END AS DECIMAL(20,2)))
+            AS DOUBLE) AS total
+FROM events
+WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+  AND value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("q_incremental_agg", oracle=_ORACLE)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll a grouped COUNT/SUM forward from v1 to v2 using only the
+    change feed (delete/insert pairs over touched partitions), then
+    assert it equals the full v2 recompute before returning it.
+    Decimal-routed sums keep the v1-aggregate + delta addition exact.
+    """
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(
+        F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("event_id", "event_type", "value")
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_lake_cdc_{uuid.uuid4().hex[:12]}")
+    dec = lambda c: c.cast("decimal(20,2)")  # noqa: E731
+    try:
+        lake = TransactionalLake(work, partition_col="event_type")
+        lake.merge(spark, base, key=["event_id"])  # v1
+        updates = base.filter(F.col("event_id") % 5 == 0).withColumn(
+            "value", F.col("value") * 2
+        )
+        lake.merge(spark, updates, key=["event_id"])  # v2
+
+        agg1 = (
+            lake.read(spark, version=1)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n1"),
+                F.sum(dec(F.col("value"))).alias("s1"),
+            )
+        )
+        cdf = lake.diff(spark, 1, 2, key=["event_id"])
+        signed = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = cdf.groupBy("event_type").agg(
+            F.sum(signed).alias("dn"),
+            F.sum(signed * dec(F.col("value"))).alias("ds"),
+        )
+        incr = (
+            agg1.join(delta, on="event_type", how="full")
+            .select(
+                "event_type",
+                (
+                    F.coalesce("n1", F.lit(0)) + F.coalesce("dn", F.lit(0))
+                ).cast("bigint").alias("n"),
+                (
+                    F.coalesce(F.col("s1"), dec(F.lit(0)))
+                    + F.coalesce(F.col("ds"), dec(F.lit(0)))
+                ).cast("double").alias("total"),
+            )
+        )
+        incr_rows = sorted(map(tuple, incr.collect()))
+        full_rows = sorted(
+            map(
+                tuple,
+                lake.read(spark, version=2)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum(dec(F.col("value"))).cast("double").alias("total"),
+                )
+                .collect(),
+            )
+        )
+        if incr_rows != full_rows:
+            raise AssertionError(
+                "incremental maintenance diverged from full recompute: "
+                f"{incr_rows[:3]} vs {full_rows[:3]}"
+            )
+        schema = incr.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(incr_rows, schema=schema)
