@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.queries import query
-from babylon_data_loader_spark.schemas import load_table
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
@@ -310,7 +310,7 @@ def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines order by integer microseconds + event_id (identical total
     order)."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")
+    ts_us = event_ts_us(ev)
     w = (
         Window.partitionBy("user_id")
         .orderBy(ts_us, F.col("event_id"))
@@ -362,7 +362,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id serves both window passes and the final
     aggregate — Catalyst reuses the partitioning."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")
+    ts_us = event_ts_us(ev)
     order = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     prev = F.lag(ts_us).over(order)
     is_new = F.when(
@@ -423,7 +423,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
-    ts_us = F.expr("ts div 1000")
+    ts_us = event_ts_us(ev)
     tagged = ev.select(
         "user_id",
         ts_us.alias("ts_us"),

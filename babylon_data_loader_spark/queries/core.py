@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.queries import query
-from babylon_data_loader_spark.schemas import load_table
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
 # Shared snippets -----------------------------------------------------------
 
@@ -282,13 +282,11 @@ def q_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the engine's defined last-write-wins tiebreak: newest ts,
     then highest event_id."""
     ev = _events(spark, sf_dir)
-    # Order by MICROsecond-truncated ts (`ts div 1000`), not raw nanos:
-    # DuckDB's timestamp is micro-precision, so ordering by nanos here
-    # would pick a different survivor whenever two rows tie at micros
-    # but differ at nanos (round-1 ADVICE). event_id breaks the tie in
-    # both engines ⇒ identical total order.
+    # Order by MICROsecond ts (event_ts_us), matching DuckDB's
+    # micro-precision timestamps, so both engines pick the same
+    # survivor; event_id breaks ties ⇒ identical total order.
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.expr("ts div 1000").desc(), F.col("event_id").desc()
+        event_ts_us(ev).desc(), F.col("event_id").desc()
     )
     return (
         ev.withColumn("_rn", F.row_number().over(w))
@@ -297,7 +295,7 @@ def q_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             "event_id",
-            F.expr("ts div 1000").alias("ts_us"),
+            event_ts_us(ev).alias("ts_us"),
             "value",
         )
     )
@@ -339,12 +337,12 @@ def q_sync_log_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SyncLog row shape (reference storage/mongo_repository.go:62-72):
     collection name, batch count, last-write time (deterministic max
     instead of wall clock so the oracle can hash it)."""
+    ev = _events(spark, sf_dir)
     return (
-        _events(spark, sf_dir)
-        .groupBy("event_type")
+        ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("records_uploaded"),
-            F.max(F.expr("ts div 1000")).alias("last_sync_us"),
+            F.max(event_ts_us(ev)).alias("last_sync_us"),
         )
         .select(
             F.concat(F.lit("transactions_"), F.col("event_type")).alias(
@@ -395,14 +393,14 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetTransactionByID (reference apiClient/apiClient.go:188-243):
     equi-filter pushed to the scan."""
+    ev = _events(spark, sf_dir)
     return (
-        _events(spark, sf_dir)
-        .filter(F.col("event_id") == 987)
+        ev.filter(F.col("event_id") == 987)
         .select(
             "event_id",
             "user_id",
             "event_type",
-            F.expr("ts div 1000").alias("ts_us"),
+            event_ts_us(ev).alias("ts_us"),
             "value",
             "props",
         )
@@ -425,7 +423,7 @@ def q_range_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetTransactionHistory (reference apiClient.go:305-358): type +
     [start,end] epoch range; at lake scale this prunes ts partitions."""
     ev = _events(spark, sf_dir)
-    ts_us = F.expr("ts div 1000")
+    ts_us = event_ts_us(ev)
     return ev.filter(
         (F.col("event_type") == "purchase")
         & ts_us.between(_T0_US, _T1_US)
@@ -511,7 +509,7 @@ def q_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
-    ts_us = F.expr("ts div 1000")
+    ts_us = event_ts_us(ev)
     valid = ev.filter(
         F.col("ts").isNotNull()
         & F.col("value").isNotNull()

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.cache import persist_tracked
 from babylon_data_loader_spark.queries import query
-from babylon_data_loader_spark.schemas import load_table
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
 # Q4 — echo / identity smoke --------------------------------------------------
 
@@ -124,7 +124,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-event deltas per user (lag/lead frames)."""
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")
+    ts_us = event_ts_us(ev)
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     return ev.select(
         "event_id",

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.queries import query
-from babylon_data_loader_spark.schemas import load_table
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
 
 @query(
@@ -42,9 +42,8 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     range predicate shares the user_id equi key, so this is one hash
     join + post-filter — no nested-loop anywhere (the range join trap
     avoided)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000").alias("ts_us")
-    )
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select("user_id", event_ts_us(raw).alias("ts_us"))
     iv = ev.groupBy("user_id").agg(
         F.min("ts_us").alias("start_us"),
         (F.min("ts_us") + F.lit(1_800_000_000)).alias("end_us"),
@@ -153,14 +152,15 @@ def q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound is what lets streaming state expire, and the same bound here
     keeps the dedup key space finite per partition. One shuffle on the
     composite key; micro-truncated times for cross-engine order."""
-    ev = load_table(spark, sf_dir, "events")
+    raw = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
-    ts_us = F.expr("ts div 1000")
     # INTEGER div for the window id in BOTH the partition key and the
     # output — float division truncated at a window boundary could
     # disagree with `div` by one in the last ulp.
-    win = F.expr("(ts div 1000) div 3600000000")
+    ev = raw.withColumn("ts_us", event_ts_us(raw))
+    ts_us = F.col("ts_us")
+    win = F.expr("ts_us div 3600000000")
     w = Window.partitionBy("user_id", "event_type", win).orderBy(
         ts_us.asc(), F.col("event_id").asc()
     )
@@ -207,7 +207,7 @@ def q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")
+    ts_us = event_ts_us(ev)
     w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
     w_roll = w.rowsBetween(-3, Window.currentRow)
     w_full = w.rowsBetween(
@@ -260,7 +260,7 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts div 1000")
+    ts_us = event_ts_us(ev)
     c = ev.filter(F.col("event_type") == "click").select(
         "user_id", "event_id", ts_us.alias("ts_us")
     )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import event_ts_us
 
 _ORACLE = """
 SELECT event_type,
@@ -65,7 +66,8 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake_dir = os.path.join(work, "lake")
 
     # Stage the source as several files so AvailableNow produces
-    # several micro-batches (ts stays BIGINT nanos end to end).
+    # several micro-batches (ts keeps its source encoding end to end;
+    # the final aggregate converts via event_ts_us).
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     clean = events.filter(
         F.col("event_type").isNotNull()
@@ -107,18 +109,17 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_pass("ckpt_a", files_per_trigger=1)
         run_pass("ckpt_b", files_per_trigger=2)
 
-        final = (
-            TransactionalLake(lake_dir, partition_col="event_type")
-            .read(spark)
-            .groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast("decimal(20,2)"))
-                .cast("double")
-                .alias("total_value"),
-                F.min(F.expr("ts div 1000")).alias("first_us"),
-                F.max(F.expr("ts div 1000")).alias("last_us"),
-            )
+        state = TransactionalLake(lake_dir, partition_col="event_type").read(
+            spark
+        )
+        ts_us = event_ts_us(state)
+        final = state.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.min(ts_us).alias("first_us"),
+            F.max(ts_us).alias("last_us"),
         )
         rows = final.collect()  # final-state rows (one per event_type)
         out_schema = final.schema

@@ -9,7 +9,7 @@ testdata tables (/root/testdata/sf*/ — see TESTDATA.md).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -96,9 +96,11 @@ TESTDATA_TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table.
 
-    Requires `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    configure_session) because `events.ts` is TIMESTAMP(NANOS); it
-    arrives as BIGINT nanoseconds-since-epoch.
+    `configure_session` pins the confs the reads depend on: session
+    timezone UTC (so timestamp→epoch conversions match DuckDB's naive
+    `epoch_us`) and `nanosAsLong` (older testdata generations stored
+    `events.ts` as TIMESTAMP(NANOS), which Spark can only read as
+    BIGINT nanos; current generations store micros → TIMESTAMP_NTZ).
     """
     from babylon_data_loader_spark.session import configure_session
 
@@ -106,13 +108,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def events_with_time(df: DataFrame) -> DataFrame:
-    """Add derived microsecond/timestamp views of the nanos BIGINT `ts`.
+def event_ts_us(df: DataFrame) -> Column:
+    """Epoch-microseconds BIGINT view of `events.ts`, whatever its
+    physical encoding.
 
-    `ts_us` uses integer division (exact); `ts_ts` is a TIMESTAMP for
-    windowing. Keep comparisons in integer microseconds when a DuckDB
-    oracle is involved (DuckDB truncates parquet nanos to micros).
+    The driver regenerates testdata between rounds and has shipped two
+    encodings of `ts`: parquet TIMESTAMP(NANOS) (arrives as BIGINT
+    nanos under `nanosAsLong`) and TIMESTAMP(MICROS) (arrives as
+    TIMESTAMP_NTZ). Both engines' oracles compare in integer
+    microseconds (`epoch_us(ts)` in DuckDB), so every query goes
+    through this one conversion point. With the session timezone
+    pinned to UTC, `unix_micros(cast(ts as timestamp))` on a naive
+    timestamp equals DuckDB's `epoch_us` exactly.
     """
-    return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":  # legacy nanos encoding
+        return F.expr("ts div 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
+def events_with_time(df: DataFrame) -> DataFrame:
+    """Add derived microsecond (`ts_us`) and TIMESTAMP (`ts_ts`) views
+    of `ts`; comparisons stay in integer microseconds when a DuckDB
+    oracle is involved (micro precision on both sides)."""
+    us = event_ts_us(df)
+    return df.withColumn("ts_us", us).withColumn(
+        "ts_ts", F.timestamp_micros(us)
     )

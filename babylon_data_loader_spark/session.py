@@ -19,10 +19,15 @@ from pyspark.sql import SparkSession
 # Runtime-settable SQL confs required for correct semantics regardless of
 # who built the session.
 _RUNTIME_CONFS: dict[str, str] = {
-    # The driver-generated testdata stores `events.ts` as parquet
+    # Older testdata generations stored `events.ts` as parquet
     # TIMESTAMP(NANOS), which Spark 4 cannot map to a timestamp type;
     # this reads it as BIGINT nanoseconds (exact, no precision loss).
+    # Current generations store micros (TIMESTAMP_NTZ) — harmless then.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Pin the session timezone so timestamp→epoch conversions
+    # (schemas.event_ts_us) match DuckDB's naive epoch_us exactly,
+    # regardless of the host timezone the driver session runs in.
+    "spark.sql.session.timeZone": "UTC",
     # Strict date parsing parity with the reference's time.Parse
     # (reference datalake/datalake.go:224): no legacy lenient fallback.
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
