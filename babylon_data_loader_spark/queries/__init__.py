@@ -8,9 +8,10 @@ non-SQL-expressible operators, which get a weaker rows-only check).
 Exact-match discipline (SURVEY.md §7 hard-part 4):
 - every computed column aliased identically in Spark and SQL
 - cross-row float sums go through DECIMAL (exact) then cast to DOUBLE
-- event timestamps compared in integer MICROseconds (`ts div 1000` vs
-  DuckDB `epoch_us`): the parquet stores nanos, Spark reads exact nanos
-  as BIGINT, DuckDB truncates to micros
+- event timestamps compared in integer MICROseconds
+  (`schemas.event_ts_us` vs DuckDB `epoch_us`): the helper absorbs
+  both testdata encodings of `ts` (BIGINT nanos / TIMESTAMP_NTZ
+  micros) into the same epoch-micros BIGINT
 - deterministic tiebreaks on every window/top-k
 """
 
@@ -110,6 +111,9 @@ PRIORITY: list[str] = [
     "q_domain_mix",
     "q_embedding_quantize",
     "q_incremental_agg",
+    # round 3 additions — not yet driver-checked
+    "q_stream_window",
+    "q_jsonl_roundtrip",
 ]
 
 
@@ -122,9 +126,11 @@ def load_all() -> None:
         curation2,
         extra,
         intervals,
+        json_source,
         lake_cdc,
         media,
         streaming_replay,
+        streaming_window,
         text,
         tpch_more,
         tpch_sub,

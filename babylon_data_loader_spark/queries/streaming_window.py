@@ -1,0 +1,170 @@
+"""Driver-visible watermarked windowed aggregation: the streaming
+windows operator (streaming/windows.py::tumbling_counts) run through a
+real `readStream` file source with an exact-match batch oracle.
+
+Shape:
+
+    events table → staged as several parquet chunks
+      → readStream (maxFilesPerTrigger ⇒ several micro-batches)
+      → withWatermark(90 min) → tumbling 1-hour window aggregate
+      → writeStream outputMode('append') to a parquet sink
+      → Trigger.AvailableNow drain
+
+In append mode a window is emitted exactly once, when the watermark
+passes its end — so the sink's final contents are the deterministic
+set of windows whose end ≤ final watermark = max(event time) − 90 min
+(Spark tracks event time in milliseconds, hence the ms flooring in
+the oracle). Windows inside the final watermark horizon are withheld
+state and never reach the sink; the oracle applies the same cutoff.
+The 90-minute delay is chosen to land mid-window (window bounds are
+whole hours), so `<` vs `≤` at the eviction boundary cannot matter.
+
+This is the streaming-shaped seam of the reference (the
+unprocessed-dir sweep, datalake/client.go:45 + archival
+datalake/datalake.go:274-295) upgraded to event-time semantics the
+reference lacks (SURVEY.md §2.7 streaming row).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import event_ts_us
+
+# Hourly tumbling windows over clean events, restricted to windows
+# fully below the final watermark (ms-floored max event time − 90 min).
+_ORACLE = """
+WITH clean AS (
+  SELECT epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+), wm AS (
+  SELECT (MAX(ts_us) // 1000) - 5400000 AS wm_ms FROM clean
+)
+SELECT (c.ts_us // 3600000000) * 3600000000 AS window_start_us,
+       (c.ts_us // 3600000000) * 3600000000 + 3600000000 AS window_end_us,
+       c.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c.value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+FROM clean c, wm
+WHERE (((c.ts_us // 3600000000) * 3600000000 + 3600000000) // 1000)
+      <= wm.wm_ms
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q_stream_window", oracle=_ORACLE)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts/sums over a replayed events
+    stream; append-mode emission makes the sink contents equal the
+    batch aggregate below the final watermark."""
+    from babylon_data_loader_spark.streaming.windows import tumbling_counts
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_stream_window_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(work, "src")
+    sink_dir = os.path.join(work, "sink")
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clean = events.filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    # Stage with a REAL TIMESTAMP event-time column (micro precision,
+    # UTC) so the watermark/window operators see a native timestamp
+    # regardless of the source encoding of `ts`.
+    staged = clean.select(
+        F.timestamp_micros(event_ts_us(clean)).alias("ts_ts"),
+        "event_type",
+        "value",
+    )
+    # Deliver files in EVENT-TIME ORDER (time-range buckets, mtimes
+    # forced increasing — the file source replays by modification
+    # time). Random file assignment would put most rows BEHIND the
+    # watermark of earlier batches, and append mode drops late rows —
+    # the result would depend on which file each row landed in.
+    # Time-ordered arrival is also the realistic shape: log shippers
+    # deliver roughly in order, and the watermark exists to absorb
+    # jitter, not a full-range shuffle of history. The split points
+    # need not be exact terciles for correctness (any time-ordered
+    # split yields the same final state), so approximate percentiles
+    # on a single pass beat a global sort.
+    q33, q66 = staged.select(
+        F.percentile_approx("ts_ts", [1.0 / 3, 2.0 / 3], 10_000).alias("q")
+    ).collect()[0]["q"]
+    bucket = (
+        F.when(F.col("ts_ts") <= F.lit(q33), 1)
+        .when(F.col("ts_ts") <= F.lit(q66), 2)
+        .otherwise(3)
+    )
+    stage_dir = os.path.join(work, "staged")
+    staged.withColumn("_b", bucket).repartition(1).write.partitionBy(
+        "_b"
+    ).parquet(stage_dir)
+    os.makedirs(src_dir, exist_ok=True)
+    base_mtime = 1_000_000_000  # fixed, strictly increasing per file
+    for i in (1, 2, 3):
+        tdir = os.path.join(stage_dir, f"_b={i}")
+        part = next(
+            p for p in sorted(os.listdir(tdir)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(os.path.join(tdir, part), dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    windowed = tumbling_counts(
+        stream,
+        window_duration="1 hour",
+        watermark="90 minutes",
+        ts_col="ts_ts",
+    )
+
+    # State partition count is fixed by shuffle.partitions at the
+    # stream's FIRST batch; 32 state-store instances × 4 micro-batches
+    # of a 10k-row harness run is pure per-partition overhead (each
+    # store opens/commits per batch). A handful of partitions is right
+    # at harness scale; a real deployment sizes this to key
+    # cardinality before first start (it cannot change after).
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        (
+            windowed.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+        emitted = spark.read.parquet(sink_dir)
+        final = emitted.select(
+            F.unix_micros(F.col("window_start")).alias("window_start_us"),
+            F.unix_micros(F.col("window_end")).alias("window_end_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        rows = final.collect()  # emitted windows only (final state)
+        out_schema = final.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
