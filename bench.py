@@ -72,6 +72,85 @@ def _git_commit() -> str:
         return "unknown"
 
 
+# Scan-bound subset for the optimized-layout supplement.
+OPTIMIZED_SUBSET = [
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_tpch_q17",
+    "q_dedup_key",
+    "q_flagship_pipeline",
+]
+
+_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _optimized_supplement(spark, qmap, sf_dir: str, reps: int) -> dict:
+    import shutil
+    import tempfile
+
+    from babylon_data_loader_spark.operators.layout import optimize_layout
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    opt_dir = tempfile.mkdtemp(
+        prefix="_bench_opt_",
+        dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "spark-warehouse"),
+    )
+    try:
+        t0 = time.time()
+        for t in _TABLES:
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            size = os.path.getsize(src)
+            # files sized so the hot tables parallelize across cores;
+            # tiny dims stay single-file (no small-file explosion).
+            n_files = max(1, min(cpus, size // (512 * 1024)))
+            optimize_layout(
+                spark,
+                src,
+                os.path.join(opt_dir, f"{t}.parquet"),
+                n_files=int(n_files),
+            )
+        stage_s = round(time.time() - t0, 3)
+
+        timings: dict[str, float] = {}
+        for name in OPTIMIZED_SUBSET:
+            fn = qmap[name]
+            best = None
+            for _ in range(max(1, reps)):
+                t0 = time.time()
+                fn(spark, opt_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        return {
+            "note": (
+                "same queries, engine-rewritten physical layout "
+                "(multi-row-group files); one-time rewrite cost in "
+                "stage_sec"
+            ),
+            "stage_sec": stage_s,
+            "queries": timings,
+            "total_sec": round(sum(timings.values()), 3),
+        }
+    finally:
+        shutil.rmtree(opt_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -106,6 +185,20 @@ def main() -> None:
         "commit": _git_commit(),
         "n_headline": len(HEADLINE),
     }
+
+    # Supplementary (clearly labeled, NOT part of the headline value):
+    # the same scan-bound queries against an engine-OPTIMIZED physical
+    # layout (operators/layout.py — right-sized files so row groups
+    # match cores). The driver's current testdata ships each table as
+    # ONE row group, which serializes every scan (a one-task read);
+    # this section shows what the engine's layout pass recovers, with
+    # the one-time rewrite cost reported alongside.
+    try:
+        result["optimized_layout"] = _optimized_supplement(
+            spark, qmap, sf_dir, reps
+        )
+    except Exception as exc:  # supplement must never break the headline
+        result["optimized_layout_error"] = str(exc)[:200]
     # Round-over-round comparison against the last recorded run at the
     # same sf: per-query regressions beyond 1.5x are named explicitly
     # so a slowdown is a diff in the output, not archaeology.
