@@ -114,6 +114,7 @@ PRIORITY: list[str] = [
     # round 3 additions — not yet driver-checked
     "q_stream_window",
     "q_jsonl_roundtrip",
+    "q_knn_pq",
 ]
 
 

@@ -218,3 +218,35 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(
         emb, query_vec_id=0, k=10, n_planes=8, index_path=index_path
     )
+
+
+@query("q_knn_pq")  # rows-only: k-means codebooks are not
+# SQL-expressible; recall vs q_knn_cosine is tested in
+# tests/test_similarity.py
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id 0 via product
+    quantization (operators/pq.py): per-subspace codebooks trained
+    deterministically, vectors stored as m-byte codes (32× smaller
+    than fp32 — at 100 TB the scan reads codes, not floats), ADC
+    lookup-table distance, exact cosine re-rank of the top candidate
+    pool only."""
+    from babylon_data_loader_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=8, ksub=16, n_iters=2)
+    codes = pq_encode(emb, books).select("vec_id", "label", "pq_code")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return pq_search(
+        codes.filter(F.col("vec_id") != 0),
+        books,
+        qvec,
+        k=10,
+        rerank=emb.filter(F.col("vec_id") != 0),
+    )

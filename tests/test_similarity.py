@@ -197,3 +197,49 @@ def test_exact_all_pairs_guarded_by_row_cap(spark, planted):
     # and still works under the cap
     out = embedding_dup_pairs(planted, 0.98, exact=True, max_exact_rows=1000)
     assert out.count() == 20
+
+
+def test_pq_recall_determinism_and_compression(spark):
+    """PQ must (a) train deterministic codebooks, (b) compress to m
+    small codes per vector, and (c) with exact re-rank recover most of
+    the true top-10 — ADC is an estimate, but the candidate pool at
+    4x k plus exact re-rank should rarely lose true neighbors."""
+    from babylon_data_loader_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_search,
+    )
+    from babylon_data_loader_spark.operators.similarity import knn_bruteforce
+    from babylon_data_loader_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    b1 = pq_fit(emb, m=8, ksub=16, n_iters=2)
+    b2 = pq_fit(emb, m=8, ksub=16, n_iters=2)
+    assert b1 == b2  # deterministic training
+
+    codes = pq_encode(emb, b1).select("vec_id", "label", "pq_code").cache()
+    row = codes.first()
+    assert len(row["pq_code"]) == 8
+    mx = codes.select(F.array_max("pq_code").alias("m")).agg(
+        F.max("m")
+    ).collect()[0][0]
+    assert 0 <= mx < 16  # codes stay within ksub
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [
+        r["vec_id"]
+        for r in knn_bruteforce(emb, query_vec_id=0, k=10).collect()
+    ]
+    got = pq_search(
+        codes.filter("vec_id <> 0"),
+        b1,
+        qvec,
+        k=10,
+        rerank=emb.filter("vec_id <> 0"),
+    ).collect()
+    assert len(got) == 10
+    recall = len(set(exact) & {r["vec_id"] for r in got}) / 10
+    assert recall >= 0.5, f"recall {recall}"
+    emb.unpersist()
+    codes.unpersist()
