@@ -115,6 +115,7 @@ PRIORITY: list[str] = [
     "q_stream_window",
     "q_jsonl_roundtrip",
     "q_knn_pq",
+    "q_layout_skipping",
 ]
 
 

@@ -301,3 +301,93 @@ def q_lake_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
+
+
+@query(
+    "q_layout_skipping",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-parquet file skipping via physical layout
+    (operators/layout.py): lineitem is rewritten range-sorted by
+    l_shipdate, so parquet footer min/max become disjoint per file and
+    the reader's stats pushdown skips whole files/row groups for a
+    3-month probe. Unlike q_lake_skipping (whose sidecar-stats pruning
+    is observable in the file list), plain-parquet skipping happens
+    inside the scan — so the query asserts the layout PROPERTY that
+    enables it: strictly fewer than all footers overlap the probe
+    range. The aggregate must still equal a plain filter over the
+    source table (the oracle)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from babylon_data_loader_spark.operators.layout import optimize_layout
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_layout_skip_{uuid.uuid4().hex[:12]}")
+    try:
+        opt = optimize_layout(
+            spark,
+            os.path.join(sf_dir, "lineitem.parquet"),
+            work,
+            n_files=8,
+            sort_by=["l_shipdate"],
+        )
+        lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+        hi = F.lit("1997-04-01 00:00:00").cast("timestamp_ntz")
+        probe = opt.filter(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        )
+        lo_py = datetime.datetime(1997, 1, 1)
+        hi_py = datetime.datetime(1997, 4, 1)
+        parts = [
+            os.path.join(work, f)
+            for f in os.listdir(work)
+            if f.endswith(".parquet")
+        ]
+        overlapping = 0
+        for p in parts:
+            md = pq.ParquetFile(p).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+            )
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax >= lo_py and fmin < hi_py:
+                overlapping += 1
+        if not parts or overlapping >= len(parts):
+            raise AssertionError(
+                f"layout does not enable skipping: {overlapping} of "
+                f"{len(parts)} file footers overlap a 3-month range"
+            )
+        out = probe.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)
