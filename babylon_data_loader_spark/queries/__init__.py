@@ -116,6 +116,7 @@ PRIORITY: list[str] = [
     "q_jsonl_roundtrip",
     "q_knn_pq",
     "q_layout_skipping",
+    "q_heavy_hitters",
 ]
 
 

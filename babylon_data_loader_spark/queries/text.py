@@ -563,3 +563,33 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKENS_LOWER_SQL}) AS token FROM documents
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_n FROM tok)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok, tot
+    GROUP BY token, total_n
+    HAVING COUNT(*) > CAST(FLOOR(0.005 * total_n) AS BIGINT)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens in > 0.5% of all token occurrences, computed EXACTLY but
+    without a full-vocabulary shuffle: per-partition Misra–Gries
+    summaries prune to O(partitions/φ) candidates, then one broadcast
+    semi-join recounts exactly (operators/heavy_hitters.py). The
+    oracle is the plain HAVING aggregate — the sketch only prunes,
+    the boundary is exact."""
+    from babylon_data_loader_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    return heavy_hitters(tok, "token", phi=0.005)
