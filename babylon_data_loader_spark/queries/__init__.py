@@ -117,6 +117,7 @@ PRIORITY: list[str] = [
     "q_knn_pq",
     "q_layout_skipping",
     "q_heavy_hitters",
+    "q_stream_session",
 ]
 
 

@@ -59,6 +59,45 @@ GROUP BY 1, 2, 3
 """
 
 
+def _stage_time_ordered(
+    staged: DataFrame, work: str, src_dir: str, ts_col: str = "ts_ts"
+) -> None:
+    """Write `staged` as 3 parquet files in EVENT-TIME ORDER with
+    forced-increasing mtimes — the file source replays by modification
+    time. Random file assignment would put most rows BEHIND the
+    watermark of earlier batches, and append mode drops late rows —
+    the result would depend on which file each row landed in.
+    Time-ordered arrival is also the realistic shape: log shippers
+    deliver roughly in order, and the watermark exists to absorb
+    jitter, not a full-range shuffle of history. The split points need
+    not be exact terciles for correctness (any time-ordered split
+    yields the same final state), so approximate percentiles on a
+    single pass beat a global sort."""
+    q33, q66 = staged.select(
+        F.percentile_approx(ts_col, [1.0 / 3, 2.0 / 3], 10_000).alias("q")
+    ).collect()[0]["q"]
+    bucket = (
+        F.when(F.col(ts_col) <= F.lit(q33), 1)
+        .when(F.col(ts_col) <= F.lit(q66), 2)
+        .otherwise(3)
+    )
+    stage_dir = os.path.join(work, "staged")
+    staged.withColumn("_b", bucket).repartition(1).write.partitionBy(
+        "_b"
+    ).parquet(stage_dir)
+    os.makedirs(src_dir, exist_ok=True)
+    base_mtime = 1_000_000_000  # fixed, strictly increasing per file
+    for i in (1, 2, 3):
+        tdir = os.path.join(stage_dir, f"_b={i}")
+        part = next(
+            p for p in sorted(os.listdir(tdir)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, f"{i:03d}.parquet")
+        shutil.move(os.path.join(tdir, part), dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+    shutil.rmtree(stage_dir, ignore_errors=True)
+
+
 @query("q_stream_window", oracle=_ORACLE)
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts/sums over a replayed events
@@ -87,40 +126,7 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    # Deliver files in EVENT-TIME ORDER (time-range buckets, mtimes
-    # forced increasing — the file source replays by modification
-    # time). Random file assignment would put most rows BEHIND the
-    # watermark of earlier batches, and append mode drops late rows —
-    # the result would depend on which file each row landed in.
-    # Time-ordered arrival is also the realistic shape: log shippers
-    # deliver roughly in order, and the watermark exists to absorb
-    # jitter, not a full-range shuffle of history. The split points
-    # need not be exact terciles for correctness (any time-ordered
-    # split yields the same final state), so approximate percentiles
-    # on a single pass beat a global sort.
-    q33, q66 = staged.select(
-        F.percentile_approx("ts_ts", [1.0 / 3, 2.0 / 3], 10_000).alias("q")
-    ).collect()[0]["q"]
-    bucket = (
-        F.when(F.col("ts_ts") <= F.lit(q33), 1)
-        .when(F.col("ts_ts") <= F.lit(q66), 2)
-        .otherwise(3)
-    )
-    stage_dir = os.path.join(work, "staged")
-    staged.withColumn("_b", bucket).repartition(1).write.partitionBy(
-        "_b"
-    ).parquet(stage_dir)
-    os.makedirs(src_dir, exist_ok=True)
-    base_mtime = 1_000_000_000  # fixed, strictly increasing per file
-    for i in (1, 2, 3):
-        tdir = os.path.join(stage_dir, f"_b={i}")
-        part = next(
-            p for p in sorted(os.listdir(tdir)) if p.endswith(".parquet")
-        )
-        dst = os.path.join(src_dir, f"{i:03d}.parquet")
-        shutil.move(os.path.join(tdir, part), dst)
-        os.utime(dst, (base_mtime + i, base_mtime + i))
-    shutil.rmtree(stage_dir, ignore_errors=True)
+    _stage_time_ordered(staged, work, src_dir)
     schema = spark.read.parquet(src_dir).schema
 
     stream = (
@@ -163,6 +169,106 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
         rows = final.collect()  # emitted windows only (final state)
+        out_schema = final.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
+# Gap-based session windows under the same delivery contract as
+# q_stream_window. Session semantics are session_window's half-open
+# merge rule (split when the inter-event gap is >= 30 min; the batch
+# q_sessionize splits on > — equal-at-the-boundary gaps are
+# measure-zero in micro-precision data but the oracle matches the
+# streaming rule exactly). A session's event-time end is
+# last_event + gap; append mode emits it once the watermark passes
+# that end, so the final sink = sessions with end <= ms-floored
+# watermark, in micros.
+_SESSION_ORACLE = """
+WITH clean AS (
+  SELECT user_id, epoch_us(ts) AS ts_us
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), wm AS (
+  SELECT ((MAX(ts_us) // 1000) - 5400000) * 1000 AS wm_us FROM clean
+), g AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM clean
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), s AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + 1800000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s, wm
+GROUP BY user_id, sid, wm_us
+HAVING MAX(ts_us) + 1800000000 <= wm_us
+"""
+
+
+@query("q_stream_session", oracle=_SESSION_ORACLE)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session windows (30-min gap) over the replayed
+    events stream (streaming/windows.py::session_counts); append-mode
+    emission against the same time-ordered file delivery as
+    q_stream_window."""
+    from babylon_data_loader_spark.streaming.windows import session_counts
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_stream_session_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(work, "src")
+    sink_dir = os.path.join(work, "sink")
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clean = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    staged = clean.select(
+        F.timestamp_micros(event_ts_us(clean)).alias("ts_ts"), "user_id"
+    )
+    _stage_time_ordered(staged, work, src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sessions = session_counts(
+        stream, gap="30 minutes", watermark="90 minutes", ts_col="ts_ts"
+    )
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        emitted = spark.read.parquet(sink_dir)
+        final = emitted.select(
+            "user_id",
+            F.unix_micros(F.col("session_start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_end")).alias("session_end_us"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        rows = final.collect()  # emitted sessions only (final state)
         out_schema = final.schema
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
