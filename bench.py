@@ -99,6 +99,57 @@ _TABLES = [
 ]
 
 
+def _ingest_supplement(spark, n_rows: int = 200_000, n_files: int = 8) -> dict:
+    import shutil
+    import tempfile
+
+    from babylon_data_loader_spark.config import EngineConfig
+    from babylon_data_loader_spark.ingest.pipeline import ingest
+    from babylon_data_loader_spark.synthetic import (
+        generate_synthetic,
+        write_synthetic_csv,
+    )
+
+    root = tempfile.mkdtemp(
+        prefix="_bench_ingest_",
+        dir=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+        ),
+    )
+    unproc = os.path.join(root, "unprocessed")
+    lake = os.path.join(root, "lake")
+    os.makedirs(unproc)
+    try:
+        per_file = n_rows // n_files
+        for i in range(n_files):
+            write_synthetic_csv(
+                generate_synthetic(spark, rows=per_file, seed=i),
+                unproc,
+                file_name=f"synthetic_{i:02d}.csv",
+            )
+        cfg = EngineConfig(
+            unprocessed_dir=unproc,
+            processed_dir=os.path.join(root, "processed"),
+            lake_dir=lake,
+            move_processed_files=False,
+        )
+        t0 = time.time()
+        res = ingest(spark, cfg)
+        dt = time.time() - t0
+        return {
+            "note": (
+                "CSV → validate → key-dedup MERGE into tx lake + audit "
+                "log (the reference's flagship pipeline shape)"
+            ),
+            "rows": res.records_uploaded,
+            "files": n_files,
+            "sec": round(dt, 3),
+            "rows_per_sec": int(res.records_uploaded / dt) if dt > 0 else 0,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _optimized_supplement(spark, qmap, sf_dir: str, reps: int) -> dict:
     import shutil
     import tempfile
@@ -185,6 +236,18 @@ def main() -> None:
         "commit": _git_commit(),
         "n_headline": len(HEADLINE),
     }
+
+    # Supplementary: end-to-end ingest throughput (CSV → validated →
+    # key-deduped MERGE into the transactional lake + audit log) — the
+    # reference's flagship pipeline is exactly this shape
+    # (CSV → validate → bulk-upsert into Mongo, SURVEY.md §3.1), so
+    # rows/sec here is the direct single-node-throughput comparison
+    # the baseline asks for. The reference publishes no numbers
+    # (BASELINE.md); this records ours per round.
+    try:
+        result["ingest"] = _ingest_supplement(spark)
+    except Exception as exc:
+        result["ingest_error"] = str(exc)[:200]
 
     # Supplementary (clearly labeled, NOT part of the headline value):
     # the same scan-bound queries against an engine-OPTIMIZED physical
