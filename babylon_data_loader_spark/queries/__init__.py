@@ -118,6 +118,7 @@ PRIORITY: list[str] = [
     "q_layout_skipping",
     "q_heavy_hitters",
     "q_stream_session",
+    "q_semantic_dedup",
 ]
 
 

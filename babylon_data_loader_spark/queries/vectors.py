@@ -250,3 +250,68 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         rerank=emb.filter(F.col("vec_id") != 0),
     )
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 5 = 0
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE round({_DOT_SQL.replace('q.embedding', 'b.embedding')}
+                  / ({_norm_sql('a')} * {_norm_sql('b')}), 9) >= 0.999
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ), walk AS (
+      SELECT vec_id AS node, vec_id AS label FROM corpus
+      UNION
+      SELECT e.b AS node, w.label FROM walk w JOIN edges e ON e.a = w.node
+    )
+    SELECT node AS vec_id,
+           CAST(MIN(label) AS BIGINT) AS cluster_id,
+           MIN(label) = node AS kept
+    FROM walk GROUP BY node
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) dedup end to end — the SemDeDup
+    recipe as a composition of declared operators: banded sign-LSH
+    candidate pairs (no all-pairs, hot-bucket-guarded) → connected
+    components (min-label propagation) → keep one representative per
+    cluster (the min vec_id). Planted duplicates (every 5th vector
+    re-inserted under vec_id+1000000) make LSH recall provably 100%
+    at threshold 0.999, so the exact all-pairs + RECURSIVE-CTE oracle
+    checks the whole approximate pipeline exactly."""
+    from babylon_data_loader_spark.operators.graph import (
+        connected_components,
+    )
+    from babylon_data_loader_spark.operators.similarity import (
+        embedding_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    corpus = emb.unionByName(copies)
+    pairs = embedding_dup_pairs(corpus, threshold=0.999, exact=False)
+    comp = connected_components(
+        corpus.select(F.col("vec_id").alias("id")),
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+    )
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+        (F.col("component") == F.col("id")).alias("kept"),
+    )
