@@ -166,23 +166,49 @@ def _banded_candidates(
     candidate shuffle.
     """
     dim = len(emb.select(vec_col).first()[0])
-    band_cols = []
-    for band in range(n_bands):
-        planes = [
-            _hyperplane(band * n_planes + p, dim) for p in range(n_planes)
-        ]
-        band_cols.append(
-            F.struct(
-                F.lit(band).alias("band_idx"),
-                sign_bucket(F.col(vec_col), planes).alias("bucket"),
-            )
-        )
+    # All n_bands·n_planes sign bits in ONE Arrow-vectorized kernel
+    # (projection matrix product + bit packing) instead of
+    # n_bands·n_planes interpreted fold expressions per row. Bucket
+    # VALUES need no cross-engine float parity — they only generate
+    # candidates (identical vectors project identically whatever the
+    # summation order, so planted-dup recall is unaffected); the
+    # verifying cosine below stays a JVM left fold to match the
+    # oracle's evaluation order digit for digit.
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.asarray(
+        [
+            _hyperplane(band * n_planes + p, dim)
+            for band in range(n_bands)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )  # (n_bands·n_planes) × dim
+    weights = (1 << np.arange(n_planes, dtype=np.int64)).reshape(1, 1, -1)
+    nb, npl = n_bands, n_planes
+
+    @pandas_udf("array<long>")
+    def _band_buckets(vecs):
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)  # n × dim
+        bits = (x @ H.T > 0).reshape(len(x), nb, npl)
+        packed = (bits * weights).sum(axis=2)  # n × n_bands int64
+        return pd.Series(list(packed))
+
     # Ids + bucket only: the bucketed frame feeds a self-join, so keep
     # it narrow and persist it (cluster-safe, unlike localCheckpoint)
-    # so the hyperplane projections evaluate once, not once per side.
+    # so the bucket computation evaluates once, not once per side.
     bucketed = (
-        emb.select(id_col, F.explode(F.array(*band_cols)).alias("b"))
-        .select(id_col, "b.band_idx", "b.bucket")
+        emb.select(
+            id_col,
+            F.posexplode(_band_buckets(F.col(vec_col))).alias(
+                "band_idx", "bucket"
+            ),
+        )
     )
     if max_bucket_size is not None:
         # Partial-aggregating groupBy + anti-join against the (small)
