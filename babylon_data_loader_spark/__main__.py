@@ -111,6 +111,38 @@ def _cmd_fsck(args: argparse.Namespace) -> int:
     return 0 if report["ok"] else 1
 
 
+def _cmd_optimize(args: argparse.Namespace) -> int:
+    from babylon_data_loader_spark.operators.layout import optimize_layout
+    from babylon_data_loader_spark.session import build_session
+
+    spark = build_session(app_name="babylon-optimize")
+    try:
+        out = optimize_layout(
+            spark,
+            args.src,
+            args.dst,
+            target_file_bytes=args.target_file_mb << 20,
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+            n_files=args.n_files,
+        )
+        n_rows = out.count()
+        n_files = len(out.inputFiles())
+    finally:
+        spark.stop()
+    print(
+        json.dumps(
+            {
+                "src": args.src,
+                "dst": args.dst,
+                "rows": n_rows,
+                "files": n_files,
+                "sorted_by": args.sort_by or None,
+            }
+        )
+    )
+    return 0
+
+
 def _cmd_vacuum(args: argparse.Namespace) -> int:
     from babylon_data_loader_spark.config import load_config
     from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
@@ -154,6 +186,19 @@ def main(argv: list[str] | None = None) -> int:
         "(default: the lake's stale_claim_s) — protects in-flight writers",
     )
 
+    opt = sub.add_parser(
+        "optimize-layout",
+        help="rewrite a parquet table into right-sized, optionally "
+        "range-sorted files (scan parallelism + file skipping)",
+    )
+    opt.add_argument("src")
+    opt.add_argument("dst")
+    opt.add_argument("--target-file-mb", type=int, default=128)
+    opt.add_argument("--n-files", type=int, default=None)
+    opt.add_argument(
+        "--sort-by", default=None, help="comma-separated sort columns"
+    )
+
     gen = sub.add_parser(
         "generate-synthetic-data", help="generate synthetic transactions"
     )
@@ -172,6 +217,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_fsck(args)
     if args.command == "vacuum-lake":
         return _cmd_vacuum(args)
+    if args.command == "optimize-layout":
+        return _cmd_optimize(args)
     return _cmd_generate(args)
 
 

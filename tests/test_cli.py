@@ -120,3 +120,20 @@ def test_cli_fsck_and_vacuum(spark, tmp_path):
     _shutil.rmtree(os.path.join(path, live))
     out = _run(["fsck-lake", "--path", path])
     assert out.returncode == 1
+
+
+def test_cli_optimize_layout(spark, tmp_path):
+    src = os.path.join(tmp_path, "src")
+    dst = os.path.join(tmp_path, "dst")
+    spark.range(30_000).selectExpr(
+        "id", "id % 100 AS k"
+    ).coalesce(1).write.parquet(src)
+
+    out = _run(
+        ["optimize-layout", src, dst, "--n-files", "4", "--sort-by", "k"]
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == 30_000
+    assert rep["files"] == 4
+    assert rep["sorted_by"] == "k"
