@@ -119,6 +119,7 @@ PRIORITY: list[str] = [
     "q_heavy_hitters",
     "q_stream_session",
     "q_semantic_dedup",
+    "q_time_travel",
 ]
 
 

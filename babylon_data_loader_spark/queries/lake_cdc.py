@@ -126,3 +126,80 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(incr_rows, schema=schema)
+
+
+# Time travel: both versions of a twice-merged lake read AS OF their
+# version numbers, side by side. The oracle derives both states in
+# closed form from the source table, so the row checks snapshot
+# isolation end to end: v1 must still read exactly the pre-update
+# state after v2 commits (immutable version dirs + per-version
+# manifests, operators/tx_lake.py).
+_TT_ORACLE = """
+WITH clean AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+)
+SELECT 1 AS version, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total
+FROM clean GROUP BY event_type
+UNION ALL
+SELECT 2 AS version, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN event_id % 5 = 0 THEN 2 * value
+                          ELSE value END AS DECIMAL(20,2)))
+            AS DOUBLE) AS total
+FROM clean GROUP BY event_type
+"""
+
+
+@query("q_time_travel", oracle=_TT_ORACLE)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate the SAME lake at version 1 and version 2 after an
+    overlapping merge — the v1 numbers must be byte-identical to the
+    pre-update state (snapshot isolation), the v2 numbers reflect the
+    update batch."""
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(
+        F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("event_id", "event_type", "value")
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_lake_tt_{uuid.uuid4().hex[:12]}")
+    dec = lambda c: c.cast("decimal(20,2)")  # noqa: E731
+    try:
+        lake = TransactionalLake(work, partition_col="event_type")
+        lake.merge(spark, base, key=["event_id"])  # v1
+        updates = base.filter(F.col("event_id") % 5 == 0).withColumn(
+            "value", F.col("value") * 2
+        )
+        lake.merge(spark, updates, key=["event_id"])  # v2
+
+        frames = []
+        for v in (1, 2):
+            frames.append(
+                lake.read(spark, version=v)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum(dec(F.col("value"))).cast("double").alias("total"),
+                )
+                .select(
+                    F.lit(v).alias("version"), "event_type", "n", "total"
+                )
+            )
+        out = frames[0].unionByName(frames[1])
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)
