@@ -47,10 +47,15 @@ HEADLINE = [
     "q_media_image_features",
     "q_corpus_curation",
     # round 3 additions: at-rest LSH index probe (rep 1 pays the
-    # index write, rep 2 is the amortized partition-pruned probe)
-    # and the frame-sampled video lane.
+    # index write, rep 2 is the amortized partition-pruned probe),
+    # the frame-sampled video lane, PQ-code ANN, exact heavy hitters
+    # via Misra-Gries pruning, and the full semantic-dedup
+    # composition (LSH pairs -> components -> representatives).
     "q_knn_lsh",
     "q_media_video_features",
+    "q_knn_pq",
+    "q_heavy_hitters",
+    "q_semantic_dedup",
 ]
 
 
