@@ -23,7 +23,8 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _tree_bytes(path: str) -> int:
@@ -35,12 +36,62 @@ def _tree_bytes(path: str) -> int:
     return total
 
 
+def zorder_column(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_col: int = 10,
+) -> Column:
+    """Morton (Z-order) key over `cols`: each column is linearly
+    bucketed into 2^bits_per_col cells between its min and max (one
+    tiny agg — metadata, not data), and the cell indices' bits are
+    interleaved JVM-side. Sorting by this key clusters rows so that
+    per-file min/max footers are selective on EVERY participating
+    column, not just a leading one — the reason Delta's
+    OPTIMIZE ... ZORDER exists. Linear (not quantile) bucketing keeps
+    the key a pure projection; heavy skew in a column degrades its
+    share of the selectivity but never correctness (skipping is an
+    optimization on top of an always-applied row filter)."""
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    cells = (1 << bits_per_col) - 1
+    bucket_exprs = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        span = (mx - mn) or 1.0
+        b = F.least(
+            F.lit(cells),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span)
+                    * F.lit(cells + 1)
+                ).cast("long"),
+            ),
+        )
+        bucket_exprs.append(b)
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for j, b in enumerate(bucket_exprs):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                    bit * k + j,
+                )
+            )
+    return z
+
+
 def optimize_layout(
     spark: SparkSession,
     src_path: str,
     dst_path: str,
     target_file_bytes: int = 128 << 20,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     n_files: int | None = None,
     row_group_bytes: int | None = None,
 ) -> DataFrame:
@@ -50,6 +101,9 @@ def optimize_layout(
     - `sort_by`: range-partition + sort within files on these columns;
       footer min/max become disjoint ranges ⇒ file-level skipping for
       predicates on the leading column.
+    - `zorder_by`: multi-column clustering via a Morton key
+      (`zorder_column`) — footers become selective on every listed
+      column at once (mutually exclusive with `sort_by`).
     - `n_files`: override the size-based file count (e.g. match core
       count for a hot table far smaller than target_file_bytes).
     - `row_group_bytes`: parquet block size inside each file (defaults
@@ -59,12 +113,22 @@ def optimize_layout(
 
     Returns the reader of the optimized copy.
     """
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
     if n_files is None:
         n_files = max(
             1, math.ceil(_tree_bytes(src_path) / target_file_bytes)
         )
     df = spark.read.parquet(src_path)
-    if sort_by:
+    if zorder_by:
+        z = zorder_column(df, zorder_by)
+        df = (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif sort_by:
         df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
             *sort_by
         )

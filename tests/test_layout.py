@@ -59,3 +59,49 @@ def test_sorted_rewrite_gives_disjoint_file_ranges(spark, tmp_path):
     # the boundary value itself)
     for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
         assert lo_b >= hi_a
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    from babylon_data_loader_spark.operators.layout import optimize_layout
+
+    src = os.path.join(tmp_path, "src")
+    zdst = os.path.join(tmp_path, "zdst")
+    sdst = os.path.join(tmp_path, "sdst")
+    # two independent uniform dims, deterministic from id
+    spark.range(40_000).selectExpr(
+        "CAST(hash(id) % 10000 AS DOUBLE) AS x",
+        "CAST(hash(id + 7777) % 10000 AS DOUBLE) AS y",
+        "id",
+    ).coalesce(1).write.parquet(src)
+
+    zopt = optimize_layout(spark, src, zdst, n_files=8, zorder_by=["x", "y"])
+    sopt = optimize_layout(spark, src, sdst, n_files=8, sort_by=["x"])
+    assert zopt.count() == 40_000
+
+    def overlapping(path, col, lo, hi):
+        n = 0
+        for p in _parts(path):
+            md = pq.ParquetFile(p).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mn = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if mx >= lo and mn <= hi:
+                n += 1
+        return n
+
+    # a narrow band probe on EACH dimension must skip z-ordered files
+    assert overlapping(zdst, "x", -10000.0, -7600.0) < 8
+    assert overlapping(zdst, "y", -10000.0, -7600.0) < 8
+    # single-column sort prunes its own column but NOT the other
+    assert overlapping(sdst, "x", -10000.0, -7600.0) < 8
+    assert overlapping(sdst, "y", -10000.0, -7600.0) == 8
