@@ -123,6 +123,7 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
             args.dst,
             target_file_bytes=args.target_file_mb << 20,
             sort_by=args.sort_by.split(",") if args.sort_by else None,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             n_files=args.n_files,
         )
         n_rows = out.count()
@@ -137,6 +138,7 @@ def _cmd_optimize(args: argparse.Namespace) -> int:
                 "rows": n_rows,
                 "files": n_files,
                 "sorted_by": args.sort_by or None,
+                "zordered_by": args.zorder_by or None,
             }
         )
     )
@@ -197,6 +199,11 @@ def main(argv: list[str] | None = None) -> int:
     opt.add_argument("--n-files", type=int, default=None)
     opt.add_argument(
         "--sort-by", default=None, help="comma-separated sort columns"
+    )
+    opt.add_argument(
+        "--zorder-by",
+        default=None,
+        help="comma-separated Z-order (Morton) clustering columns",
     )
 
     gen = sub.add_parser(

@@ -87,7 +87,6 @@ PRIORITY: list[str] = [
     "q_tpch_q21",
     "q_tpch_q22",
     "q_knn_cosine",
-    "q_embedding_stats",
     "q_embedding_dup_pairs",
     "q_variance_moments",
     "q_correlation_moments",
@@ -113,7 +112,9 @@ PRIORITY: list[str] = [
     "q_stream_session",
     "q_semantic_dedup",
     "q_time_travel",
+    "q_stream_stateful",
     "q_knn_ivf",
+    "q_embedding_stats",
     "q_knn_lsh",
     "q_knn_pq",
     "q_sketch_distinct",

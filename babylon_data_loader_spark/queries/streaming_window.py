@@ -274,3 +274,88 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+# Custom stateful operator (applyInPandasWithState) made
+# driver-visible. Emissions are per-batch snapshots; n_events is
+# strictly monotone per user, so "the row with max n_events per user"
+# is the final state regardless of how files batch — no ordering or
+# watermark contract needed. Values ride as integer cents
+# (decimal-cast then scaled), so state arithmetic is exact and
+# batch-shape-independent; the oracle is the plain per-user aggregate.
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM events
+WHERE user_id IS NOT NULL AND value IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("q_stream_stateful", oracle=_STATEFUL_ORACLE)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals through the custom state store
+    (streaming/stateful.py::running_user_cents), replayed over several
+    micro-batches; the sink's last emission per user must equal the
+    batch aggregate exactly."""
+    from pyspark.sql import Window
+
+    from babylon_data_loader_spark.streaming.stateful import (
+        running_user_cents,
+    )
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_stream_stateful_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(work, "src")
+    sink_dir = os.path.join(work, "sink")
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    staged = events.filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        (F.col("value").cast("decimal(20,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    staged.repartition(3).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    totals = running_user_cents(stream)
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        (
+            totals.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        emitted = spark.read.parquet(sink_dir)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("n_events").desc()
+        )
+        final = (
+            emitted.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "n_events", "total_cents")
+        )
+        rows = final.collect()  # one row per user (final state)
+        out_schema = final.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)

@@ -65,3 +65,48 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RUNNING_CENTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_cents", LongType()),
+    ]
+)
+
+
+def _update_cents(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        total += int(pdf["cents"].sum())
+    state.update((n, int(total)))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_cents": [int(total)]}
+    )
+
+
+def running_user_cents(events: DataFrame) -> DataFrame:
+    """Exact-arithmetic variant of running_user_totals: per-user
+    running (count, integer-cents sum). int64 state makes every
+    emission independent of batch shape and summation order — the
+    property a cross-engine oracle needs (float accumulation order
+    varies with batching; integers don't care). Input must carry a
+    BIGINT `cents` column."""
+    return (
+        events.select("user_id", "cents")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_cents,
+            outputStructType=RUNNING_CENTS_SCHEMA,
+            stateStructType="n BIGINT, total BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
