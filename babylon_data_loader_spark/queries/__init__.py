@@ -113,6 +113,7 @@ PRIORITY: list[str] = [
     "q_semantic_dedup",
     "q_time_travel",
     "q_stream_stateful",
+    "q_orc_roundtrip",
     "q_knn_ivf",
     "q_embedding_stats",
     "q_knn_lsh",

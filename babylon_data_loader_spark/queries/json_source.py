@@ -89,3 +89,48 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType = DOC_SCHEMA
+) -> DataFrame:
+    """Distributed ORC scan with an explicit schema — same
+    no-inference-at-scale posture as the JSONL lane; ORC carries its
+    own types so the schema acts as a projection/assertion."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, shards: int | None = None) -> None:
+    """Sharded ORC writer (columnar alternative when a downstream
+    consumer is Hive/ORC-native)."""
+    out = df.repartition(shards) if shards else df
+    out.write.mode("overwrite").orc(path)
+
+
+@query("q_orc_roundtrip", oracle=_ORACLE)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → engine ORC writer → schema'd ORC scan → aggregate;
+    the oracle aggregates the original parquet (same contract as
+    q_jsonl_roundtrip), so the match proves the columnar roundtrip is
+    lossless."""
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_orc_{uuid.uuid4().hex[:12]}")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    try:
+        write_orc(docs, work, shards=4)
+        back = read_orc(spark, work)
+        final = back.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.countDistinct(F.md5(F.col("text").cast("binary")))
+            .cast("bigint")
+            .alias("distinct_texts"),
+        )
+        rows = final.collect()  # grouped summary rows (small)
+        out_schema = final.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
