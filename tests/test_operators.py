@@ -436,3 +436,24 @@ def test_packed_ids_empty_input(spark):
 
     tok = spark.createDataFrame([], "doc_id BIGINT, n_tok BIGINT")
     assert packed_ids(tok, "doc_id", "n_tok", 64).count() == 0
+
+
+def test_event_ts_us_equivalent_across_encodings(spark):
+    """The dtype-aware epoch-micros helper must yield identical values
+    whether `ts` arrives as legacy BIGINT nanos or TIMESTAMP_NTZ
+    micros (the driver has shipped both across rounds)."""
+    from pyspark.sql import functions as F
+
+    from babylon_data_loader_spark.schemas import event_ts_us
+
+    us = [1704844800_000000, 1704844800_123456, 1735689599_999999]
+    nanos_df = spark.createDataFrame(
+        [(u * 1000,) for u in us], "ts BIGINT"
+    )
+    ntz_df = spark.createDataFrame([(u,) for u in us], "u BIGINT").select(
+        F.timestamp_micros(F.col("u")).cast("timestamp_ntz").alias("ts")
+    )
+    got_nanos = [r[0] for r in nanos_df.select(event_ts_us(nanos_df)).collect()]
+    got_ntz = [r[0] for r in ntz_df.select(event_ts_us(ntz_df)).collect()]
+    assert got_nanos == us
+    assert got_ntz == us
