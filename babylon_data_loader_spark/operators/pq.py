@@ -223,3 +223,135 @@ def pq_search(
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    k_coarse: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-PQ: coarse k-means partitions the space (IVF), PQ encodes
+    each vector's RESIDUAL from its coarse centroid — the composed
+    FAISS-standard at-rest ANN layout. A search prunes to nprobe
+    coarse lists (partition pruning when written partitioned by
+    cluster_id) and scans only m-byte residual codes inside them:
+    both the I/O axis (PQ compression) and the candidate axis (IVF
+    pruning) cut at once.
+
+    Returns (codes DataFrame with cluster_id + pq_code, coarse
+    centroids, residual codebooks). Deterministic end to end.
+    """
+    from babylon_data_loader_spark.operators.ivf import ivf_index, kmeans_fit
+
+    centroids = kmeans_fit(
+        emb, k=k_coarse, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_index(emb, centroids, vec_col=vec_col)
+
+    cen = np.asarray(centroids, dtype=np.float64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _residual(vecs, cids):
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        r = x - cen[cids.to_numpy().astype(np.int64)]
+        return pd.Series(list(r))
+
+    with_res = assigned.withColumn(
+        "_res", _residual(F.col(vec_col), F.col("cluster_id"))
+    )
+    books = pq_fit(
+        with_res.select(id_col, F.col("_res").alias(vec_col)),
+        m=m,
+        ksub=ksub,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    codes = pq_encode(
+        with_res.select(
+            id_col,
+            "cluster_id",
+            *(["label"] if "label" in with_res.columns else []),
+            F.col("_res").alias(vec_col),
+        ),
+        books,
+        vec_col=vec_col,
+    ).drop(vec_col)
+    return codes, centroids, books
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Top-k via per-cluster ADC over residual codes within the
+    nprobe nearest coarse lists. Each probed cluster gets its own
+    lookup table (the query's residual differs per cluster); the
+    cluster filter is a pushable IN / partition-pruning predicate,
+    and per-cluster frames union before one TakeOrdered."""
+    cen = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)  # m × ksub × dsub
+    m, ksub, dsub = cb.shape
+    order = np.argsort(((cen - q) ** 2).sum(axis=1), kind="stable")
+    probes = [int(c) for c in order[:nprobe]]
+
+    frames = []
+    for c in probes:
+        qres = (q - cen[c]).reshape(m, 1, dsub)
+        lut = ((cb - qres) ** 2).sum(axis=2)  # m × ksub
+        lut_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in lut[i]]) for i in range(m)]
+        )
+        code = F.col(code_col)
+        adc = F.round(
+            sum(
+                F.element_at(F.element_at(lut_lit, i + 1), code[i] + 1)
+                for i in range(m)
+            ),
+            9,
+        ).alias("adc_dist2")
+        keep = [col for col in (id_col, "label") if col in codes.columns]
+        frames.append(
+            codes.filter(F.col("cluster_id") == c).select(*keep, adc)
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    pool = k * rerank_factor if rerank is not None else k
+    ranked = out.orderBy(
+        F.col("adc_dist2").asc(), F.col(id_col).asc()
+    ).limit(pool)
+    if rerank is None:
+        return ranked
+
+    from babylon_data_loader_spark.functions.vectors import cosine as _cos
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(_cos(F.col(vec_col), qcol), 9).alias("sim")
+    cand = F.broadcast(ranked.select(id_col))
+    return (
+        rerank.join(cand, on=id_col)
+        .select(*[c for c in (id_col, "label") if c in rerank.columns], sim)
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -124,6 +124,7 @@ PRIORITY: list[str] = [
     "q_string_funcs",
     "q_date_funcs",
     "q_array_ops",
+    "q_knn_ivfpq",
 ]
 
 

@@ -339,3 +339,37 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("bigint").alias("cluster_id"),
         (F.col("component") == F.col("id")).alias("kept"),
     )
+
+
+@query("q_knn_ivfpq")  # rows-only: k-means + residual codebooks are
+# not SQL-expressible; recall vs brute force tested in
+# tests/test_similarity.py
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id 0 via IVF-PQ
+    (operators/pq.py::ivfpq_build/ivfpq_search): coarse k-means lists
+    prune candidates (the partition axis), PQ residual codes shrink
+    the scanned bytes 32x (the I/O axis), per-cluster ADC ranks, and
+    exact cosine re-ranks the candidate pool — the composed
+    at-rest ANN layout for 100 TB embedding tables."""
+    from babylon_data_loader_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, centroids, books = ivfpq_build(
+        emb, k_coarse=16, m=8, ksub=16, n_iters=2
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return ivfpq_search(
+        codes.filter(F.col("vec_id") != 0),
+        centroids,
+        books,
+        qvec,
+        k=10,
+        nprobe=6,
+        rerank=emb.filter(F.col("vec_id") != 0),
+    )

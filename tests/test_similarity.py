@@ -243,3 +243,39 @@ def test_pq_recall_determinism_and_compression(spark):
     assert recall >= 0.5, f"recall {recall}"
     emb.unpersist()
     codes.unpersist()
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """IVF-PQ composes coarse pruning with residual codes; with exact
+    re-rank and a healthy nprobe it must recover most of the true
+    top-10, and the build must be deterministic."""
+    from babylon_data_loader_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_search,
+    )
+    from babylon_data_loader_spark.operators.similarity import knn_bruteforce
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    codes1, cen1, books1 = ivfpq_build(emb, k_coarse=8, m=8, ksub=16)
+    _codes2, cen2, books2 = ivfpq_build(emb, k_coarse=8, m=8, ksub=16)
+    assert cen1 == cen2 and books1 == books2
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [
+        r["vec_id"]
+        for r in knn_bruteforce(emb, query_vec_id=0, k=10).collect()
+    ]
+    got = ivfpq_search(
+        codes1.filter("vec_id <> 0"),
+        cen1,
+        books1,
+        qvec,
+        k=10,
+        nprobe=4,
+        rerank=emb.filter("vec_id <> 0"),
+    ).collect()
+    assert len(got) == 10
+    recall = len(set(exact) & {r["vec_id"] for r in got}) / 10
+    assert recall >= 0.4, f"recall {recall}"
+    emb.unpersist()
