@@ -70,8 +70,8 @@ PRIORITY: list[str] = [
     "q_media_video_features",
     "q_tfidf_top_terms",
     "q_bigram_freq",
-    "q_label_encode",
-    "q_feature_hash",
+    "q_chunk_documents",
+    "q_unigram_nll",
     "q_tpch_q10",
     "q_ship_delay",
     "q_tpch_q14",
@@ -114,6 +114,8 @@ PRIORITY: list[str] = [
     "q_time_travel",
     "q_stream_stateful",
     "q_orc_roundtrip",
+    "q_label_encode",
+    "q_feature_hash",
     "q_knn_ivf",
     "q_embedding_stats",
     "q_knn_lsh",

@@ -593,3 +593,127 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
     return heavy_hitters(tok, "token", phi=0.005)
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+    ), idx AS (
+      SELECT doc_id, ts,
+             unnest(generate_series(
+               0, CAST(GREATEST(len(ts) - 17, 0) // 48 AS BIGINT)
+             )) AS chunk_idx
+      FROM tok
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             list_slice(ts, chunk_idx * 48 + 1,
+                        LEAST(chunk_idx * 48 + 64, len(ts))) AS chunk
+      FROM idx
+      WHERE chunk_idx * 48 < len(ts)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           chunk[1] AS first_token,
+           md5(list_aggregate(chunk, 'string_agg', ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the standard LLM prep step
+    of splitting long documents into 64-token windows with stride 48
+    (16-token overlap). Pure JVM array ops: slice windows out of the
+    tokenized array via a posexploded index range; no shuffle beyond
+    the final exchange-free projection. The md5 of each chunk's
+    re-joined text pins content equality (not just lengths) across
+    engines."""
+    docs = _docs(spark, sf_dir)
+    ts = tokens(F.col("text"))
+    n = F.size(ts)
+    # number of windows: ceil(max(len - overlap, 1) / stride), via the
+    # same floor arithmetic as the oracle (windows start at i*48 while
+    # i*48 < len)
+    n_windows = (F.greatest(n - 17, F.lit(0)) / 48).cast("bigint") + 1
+    tok = docs.select("doc_id", ts.alias("ts"), n_windows.alias("nw"))
+    idx = tok.select(
+        "doc_id",
+        "ts",
+        F.posexplode(F.expr("array_repeat(1, CAST(nw AS INT))")).alias(
+            "chunk_idx", "_one"
+        ),
+    ).filter(F.col("chunk_idx") * 48 < F.size("ts"))
+    chunk = F.slice(
+        F.col("ts"),
+        F.col("chunk_idx") * 48 + 1,
+        F.least(
+            F.lit(64),
+            F.size("ts") - F.col("chunk_idx") * 48,
+        ),
+    )
+    return idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.element_at(chunk, 1).alias("first_token"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "q_unigram_nll",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_LOWER_SQL}) AS term FROM documents
+    ), vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+    ), consts AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM tok) AS n,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM vocab) AS v
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(round(
+                   -ln((CAST(vo.cnt AS DOUBLE) + 1.0) / (c.n + c.v)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_nll
+    FROM tok t JOIN vocab vo USING (term), consts c
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean unigram
+    negative log-likelihood under the corpus's own add-one-smoothed
+    unigram model — the cheap statistical filter LLM pipelines run
+    before anything model-based (low-NLL ⇒ repetitive boilerplate,
+    high-NLL ⇒ noise/rare-token soup). Two aggregations (vocab counts,
+    per-doc mean) + one join on term; per-token log terms are rounded
+    then summed as DECIMAL so the cross-partition addition order
+    cannot perturb the hash-checked result."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = float(tok.count())
+    v_total = float(vocab.count())
+    term_nll = F.round(
+        -F.log(
+            (F.col("cnt").cast("double") + F.lit(1.0))
+            / F.lit(n_total + v_total)
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        tok.join(vocab, on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(term_nll).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
