@@ -113,6 +113,7 @@ PRIORITY: list[str] = [
     "q_semantic_dedup",
     "q_time_travel",
     "q_stream_stateful",
+    "q_schema_evolution",
     "q_orc_roundtrip",
     "q_label_encode",
     "q_feature_hash",

@@ -203,3 +203,73 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
+
+
+# Schema evolution: v2 merges a batch carrying a NEW column; v1 rows
+# must backfill NULL for it on read, and the pre-evolution snapshot
+# must remain readable with its original schema. Closed-form oracle
+# over the source table.
+_EVO_ORACLE = """
+WITH clean AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+    AND value IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(SUM(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_flag
+FROM clean
+GROUP BY event_type
+"""
+
+
+@query("q_schema_evolution", oracle=_EVO_ORACLE)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge a second batch that adds a `flag` column (every 3rd
+    event); aggregate the evolved table counting flagged vs
+    NULL-backfilled rows per type. Old rows surviving with NULL in the
+    new column — not a read failure — IS the schema-evolution
+    contract."""
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(
+        F.col("event_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("event_id", "event_type", "value")
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_lake_evo_{uuid.uuid4().hex[:12]}")
+    try:
+        lake = TransactionalLake(work, partition_col="event_type")
+        lake.merge(spark, base, key=["event_id"])  # v1: no flag column
+        evolved_batch = base.filter(F.col("event_id") % 3 == 0).withColumn(
+            "flag", F.lit("y")
+        )
+        lake.merge(spark, evolved_batch, key=["event_id"])  # v2: + flag
+        out = (
+            lake.read(spark)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(
+                    F.when(F.col("flag").isNotNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_flagged"),
+                F.sum(
+                    F.when(F.col("flag").isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_null_flag"),
+            )
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)
