@@ -63,7 +63,6 @@ PRIORITY: list[str] = [
     # ordering: strongest-signal never-checked queries first —
     # the driver samples a 50-entry prefix, so rows-only checks
     # and trivial scalar-function queries sit in the cut zone.
-    "q_mode_per_group",
     "q_media_image_features",
     "q_media_audio_features",
     "q_media_dedup",
@@ -115,6 +114,7 @@ PRIORITY: list[str] = [
     "q_stream_stateful",
     "q_schema_evolution",
     "q_orc_roundtrip",
+    "q_mode_per_group",
     "q_label_encode",
     "q_feature_hash",
     "q_knn_ivf",
