@@ -128,6 +128,7 @@ PRIORITY: list[str] = [
     "q_date_funcs",
     "q_array_ops",
     "q_knn_ivfpq",
+    "q_compression_ratio",
 ]
 
 

@@ -391,3 +391,56 @@ def q_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
+
+
+@query("q_compression_ratio")  # rows-only: zlib is not SQL-expressible;
+# ordering properties are pytest-asserted (test_operators)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher-family heuristic
+    the repetition gate approximates lexically): zlib level-6 deflate
+    over UTF-8 text, per document — highly compressible ⇒ repetitive
+    boilerplate, incompressible ⇒ noise; both tails get flagged.
+    Arrow-batched `mapInPandas` over stdlib zlib (deterministic for a
+    fixed level), no shuffle; the flag thresholds are plain columns so
+    downstream gates stay declarative."""
+    from collections.abc import Iterator
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def ratios(batches: Iterator) -> Iterator:
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf["text"].fillna("").str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": n.astype("int64"),
+                    "compressed_bytes": comp.astype("int64"),
+                }
+            )
+
+    out = docs.mapInPandas(
+        ratios, schema="doc_id BIGINT, raw_bytes BIGINT, compressed_bytes BIGINT"
+    )
+    ratio = (
+        F.col("compressed_bytes").cast("double")
+        / F.greatest(F.col("raw_bytes").cast("double"), F.lit(1.0))
+    )
+    return out.select(
+        "doc_id",
+        "raw_bytes",
+        "compressed_bytes",
+        F.round(ratio, 6).alias("ratio"),
+        # keep window: below ~0.08 zlib is finding massive repetition
+        # (boilerplate/spam); above ~0.70 the text is incompressible
+        # even though it is valid UTF-8 — encoding junk or random
+        # gibberish (true prose sits ~0.1-0.5 at these lengths).
+        (
+            (ratio >= F.lit(0.08)) & (ratio <= F.lit(0.70))
+        ).alias("keep_flag"),
+    )

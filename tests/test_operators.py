@@ -457,3 +457,40 @@ def test_event_ts_us_equivalent_across_encodings(spark):
     got_ntz = [r[0] for r in ntz_df.select(event_ts_us(ntz_df)).collect()]
     assert got_nanos == us
     assert got_ntz == us
+
+
+def test_compression_ratio_orders_quality(spark, tmp_path):
+    """Repetitive text must compress far better than random hex; both
+    extremes get keep_flag=False under the declared thresholds."""
+    import os
+
+    import babylon_data_loader_spark.queries as Q
+
+    Q.load_all()
+    import random
+
+    rep = "spam ham " * 400
+    rng = random.Random(7)
+    rnd = "".join(chr(0x4E00 + rng.randrange(0x3FFF)) for _ in range(1500))
+    normal = " ".join(
+        f"Sentence {i} mentions "
+        f"{['rivers', 'mountains', 'markets', 'ships', 'books'][i % 5]} "
+        f"and the number {i * i % 97} in passing detail."
+        for i in range(40)
+    )
+    sf = os.path.join(tmp_path, "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, rep, "en", "web", 0), (2, rnd, "en", "web", 0),
+         (3, normal, "en", "web", 0)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    rows = {
+        r["doc_id"]: r
+        for r in Q.QUERIES["q_compression_ratio"](spark, sf).collect()
+    }
+    assert rows[1]["ratio"] < rows[3]["ratio"] < rows[2]["ratio"]
+    assert not rows[1]["keep_flag"]      # boilerplate tail
+    assert not rows[2]["keep_flag"]      # noise tail
+    assert rows[3]["keep_flag"]          # normal prose survives
