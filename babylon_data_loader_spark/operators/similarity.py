@@ -355,9 +355,25 @@ def knn_lsh(
 
     spark = emb.sparkSession
     if index_path is None:
+        import shutil
+        import time
+
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")
+        # Self-cleaning staging: a throwaway index stays on disk while
+        # its lazy result plan is alive, so it cannot be removed here;
+        # instead each new staging sweeps siblings older than an hour
+        # (no live plan outlives that in any harness run).
+        now = time.time()
+        for entry in os.listdir(wh) if os.path.isdir(wh) else []:
+            if entry.startswith("_lsh_staging_"):
+                full = os.path.join(wh, entry)
+                try:
+                    if now - os.path.getmtime(full) > 3600:
+                        shutil.rmtree(full, ignore_errors=True)
+                except OSError:
+                    pass
         index_path = os.path.join(
             wh, f"_lsh_staging_{uuid.uuid4().hex[:12]}"
         )
