@@ -68,7 +68,7 @@ PRIORITY: list[str] = [
     "q_media_dedup",
     "q_media_video_features",
     "q_tfidf_top_terms",
-    "q_bigram_freq",
+    "q_bucketed_join",
     "q_chunk_documents",
     "q_unigram_nll",
     "q_tpch_q10",
@@ -115,6 +115,7 @@ PRIORITY: list[str] = [
     "q_schema_evolution",
     "q_orc_roundtrip",
     "q_mode_per_group",
+    "q_bigram_freq",
     "q_label_encode",
     "q_feature_hash",
     "q_knn_ivf",

@@ -450,3 +450,68 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_id",
         )
     )
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join: orders and lineitem written
+    bucketed by order key (sources/bucketed.py), then joined with NO
+    Exchange on either join side — the query RAISES if the join plan
+    contains one, making bucketing's core promise part of the
+    correctness gate. At 100 TB this is the difference between
+    shuffling the fact table per join and a per-bucket streaming
+    merge."""
+    import uuid as _uuid
+
+    from babylon_data_loader_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    tag = _uuid.uuid4().hex[:10]
+    t_orders, t_lineitem = f"bj_orders_{tag}", f"bj_lineitem_{tag}"
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    # Disable auto-broadcast for the assertion: at harness scale the
+    # orders side fits a broadcast (whose BroadcastExchange is not a
+    # shuffle), but the bucketing contract being verified is the
+    # 100 TB shape — SMJ over aligned buckets with no Exchange at all.
+    saved_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, t_orders, "o_orderkey", n_buckets=8)
+        write_bucketed(lineitem, t_lineitem, "o_orderkey", n_buckets=8)
+        joined = bucketed_join(spark, t_orders, t_lineitem, on="o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed join planned an Exchange — bucket "
+                "metadata was not used"
+            )
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", saved_thresh
+        )
+        for t in (t_orders, t_lineitem):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return spark.createDataFrame(rows, schema=schema)
