@@ -86,6 +86,7 @@ class TransactionalLake:
         stats_cols: list[str] | None = None,
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         self.lake_path = lake_path
         self.partition_col = partition_col
@@ -95,9 +96,13 @@ class TransactionalLake:
         # per-file min/max harvested into a _stats sidecar at write
         # time; cluster_by range-partitions each version write so
         # files carry disjoint key ranges and read_pruned() can skip.
+        # bloom_cols (operators/lake_bloom.py) additionally get
+        # per-file Bloom bitsets so POINT lookups on unclustered keys
+        # skip files too (read_lookup).
         self.stats_cols = list(stats_cols) if stats_cols else []
         self.cluster_by = list(cluster_by) if cluster_by else []
         self.cluster_files = cluster_files
+        self.bloom_cols = list(bloom_cols) if bloom_cols else []
         self._versions_dir = os.path.join(lake_path, "_versions")
         self._manifest_dir = os.path.join(lake_path, "_manifest")
         self._current_path = os.path.join(lake_path, "_CURRENT")
@@ -255,6 +260,67 @@ class TransactionalLake:
             out = out.unionByName(frame, allowMissingColumns=True)
         return out.filter(cond)
 
+    def read_lookup(
+        self,
+        spark: SparkSession,
+        col: str,
+        value: object,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point lookup ``col == value`` that opens only files whose
+        Bloom filter (operators/lake_bloom.py, built when the lake has
+        ``bloom_cols``) may contain the value. Versions written
+        without bloom sidecars are read whole — skipping is an
+        optimization, never a correctness dependency; the residual
+        equality filter always applies."""
+        from babylon_data_loader_spark.operators.lake_bloom import (
+            bloom_keep_files,
+        )
+
+        manifest = (
+            self.current_manifest()
+            if version is None
+            else self.manifest_at(version)
+        )
+        by_dir: dict[str, list[str]] = {}
+        for subdir, dirs in manifest["partitions"].items():
+            for d in dirs:
+                by_dir.setdefault(d, []).append(subdir)
+        if not by_dir:
+            raise FileNotFoundError(
+                f"empty or missing lake at {self.lake_path}"
+            )
+        frames = []
+        for d, subdirs in sorted(by_dir.items()):
+            base = (
+                self.lake_path
+                if d == "."
+                else os.path.join(self.lake_path, d)
+            )
+            kept = (
+                None
+                if d == "."
+                else bloom_keep_files(spark, base, sorted(subdirs), col, value)
+            )
+            if kept is None:
+                paths = [os.path.join(base, s) for s in sorted(subdirs)]
+            else:
+                paths = [
+                    os.path.join(base, s, f)
+                    for s in sorted(kept)
+                    for f in kept[s]
+                ]
+            if paths:
+                frames.append(
+                    spark.read.option("basePath", base).parquet(*paths)
+                )
+        if not frames:
+            return self.read(spark, version=version).filter(F.lit(False))
+        out = frames[0]
+        for frame in frames[1:]:
+            out = out.unionByName(frame, allowMissingColumns=True)
+        return out.filter(F.col(col) == F.lit(value))
+
     # -- write --------------------------------------------------------------
 
     def _write_version_dir(self, df: DataFrame) -> tuple[str, list[str]]:
@@ -303,6 +369,17 @@ class TransactionalLake:
                 full,
                 f"{self.partition_col}=",
                 self.stats_cols,
+            )
+        if self.bloom_cols:
+            from babylon_data_loader_spark.operators.lake_bloom import (
+                write_bloom_sidecar,
+            )
+
+            write_bloom_sidecar(
+                df.sparkSession,
+                full,
+                f"{self.partition_col}=",
+                self.bloom_cols,
             )
         return rel, subdirs
 

@@ -93,7 +93,7 @@ PRIORITY: list[str] = [
     "q_median",
     "q_robust_zscore",
     "q_udtf_ngrams",
-    "q_hash_split",
+    "q_lake_point_lookup",
     "q_stream_replay",
     "q_pack_sequences",
     "q_pii_scrub",
@@ -116,6 +116,7 @@ PRIORITY: list[str] = [
     "q_orc_roundtrip",
     "q_mode_per_group",
     "q_bigram_freq",
+    "q_hash_split",
     "q_label_encode",
     "q_feature_hash",
     "q_knn_ivf",

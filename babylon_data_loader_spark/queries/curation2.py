@@ -444,3 +444,80 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio >= F.lit(0.08)) & (ratio <= F.lit(0.70))
         ).alias("keep_flag"),
     )
+
+
+@query(
+    "q_lake_point_lookup",
+    oracle="""
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+    FROM events WHERE event_id = 4242
+    """,
+)
+def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed point lookup on an UNCLUSTERED key: events are merged
+    into a lake whose files are range-clustered by ts (so event_id
+    min/max overlap everywhere — range stats cannot help), with Bloom
+    sidecars on event_id (operators/lake_bloom.py). The lookup RAISES
+    unless the bloom pruned files — the reference's GetTransactionByID
+    (apiClient/apiClient.go:188-243) reads by key without scanning,
+    and this query makes that economics part of the correctness
+    gate."""
+    from babylon_data_loader_spark.operators.lake_bloom import (
+        bloom_keep_files,
+    )
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+    from babylon_data_loader_spark.schemas import event_ts_us
+
+    events = load_table(spark, sf_dir, "events")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_lake_lookup_{uuid.uuid4().hex[:12]}")
+    try:
+        lake = TransactionalLake(
+            work,
+            partition_col="event_type",
+            bloom_cols=["event_id"],
+            cluster_by=["ts"],
+            cluster_files=4,
+        )
+        lake.merge(spark, events, key=["event_id"])
+
+        man = lake.current_manifest()
+        dirs = {d for ds in man["partitions"].values() for d in ds}
+        total = kept_n = 0
+        for d in sorted(dirs):
+            base = os.path.join(work, d)
+            subdirs = sorted(
+                s for s, ds in man["partitions"].items() if d in ds
+            )
+            kept = bloom_keep_files(spark, base, subdirs, "event_id", 4242)
+            assert kept is not None
+            kept_n += sum(len(v) for v in kept.values())
+            total += sum(
+                1
+                for s in subdirs
+                for f in os.listdir(os.path.join(base, s))
+                if f.endswith(".parquet")
+            )
+        if kept_n >= total:
+            raise AssertionError(
+                f"bloom skipping did not engage: opened {kept_n} of "
+                f"{total} files for a point lookup"
+            )
+
+        hit = lake.read_lookup(spark, "event_id", 4242)
+        out = hit.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            event_ts_us(hit).alias("ts_us"),
+            "value",
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)
