@@ -60,77 +60,67 @@ def query(name: str, oracle: str | None = None):
 # driver-side correctness row are listed first (rotated per round); the
 # relative registration order is kept for everything else.
 PRIORITY: list[str] = [
-    # ordering: strongest-signal never-checked queries first —
-    # the driver samples a 50-entry prefix, so rows-only checks
-    # and trivial scalar-function queries sit in the cut zone.
-    "q_media_image_features",
-    "q_media_audio_features",
-    "q_media_dedup",
-    "q_media_video_features",
-    "q_tfidf_top_terms",
-    "q_bucketed_join",
-    "q_chunk_documents",
-    "q_unigram_nll",
-    "q_tpch_q10",
-    "q_ship_delay",
-    "q_tpch_q14",
-    "q_part_supplier_diversity",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q15",
-    "q_tpch_q4",
-    "q_tpch_q13",
-    "q_tpch_q17",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_knn_cosine",
-    "q_embedding_dup_pairs",
-    "q_variance_moments",
-    "q_correlation_moments",
-    "q_scalar_subquery",
-    "q_median",
-    "q_robust_zscore",
-    "q_udtf_ngrams",
-    "q_lake_point_lookup",
-    "q_stream_replay",
-    "q_pack_sequences",
-    "q_pii_scrub",
-    "q_stratified_sample",
-    "q_contamination",
-    "q_lake_skipping",
-    "q_repetition_filter",
-    "q_domain_mix",
-    "q_embedding_quantize",
-    "q_incremental_agg",
-    "q_stream_window",
-    "q_jsonl_roundtrip",
-    "q_layout_skipping",
-    "q_heavy_hitters",
-    "q_stream_session",
-    "q_semantic_dedup",
-    "q_time_travel",
-    "q_stream_stateful",
-    "q_schema_evolution",
+    # Round 4: the 18 queries with no driver CORRECTNESS row in any of
+    # r1-r3 come first (union of CORRECTNESS_r0*.json keys vs the full
+    # registry) — this makes the registry 130/130 driver-verified.
+    "q_knn_lsh",
+    "q_knn_ivf",
+    "q_knn_pq",
+    "q_knn_ivfpq",
+    "q_embedding_dup_pairs_exact",
+    "q_embedding_stats",
+    "q_sketch_distinct",
+    "q_sketch_quantiles",
     "q_orc_roundtrip",
     "q_mode_per_group",
     "q_bigram_freq",
     "q_hash_split",
     "q_label_encode",
     "q_feature_hash",
-    "q_knn_ivf",
-    "q_embedding_stats",
-    "q_knn_lsh",
-    "q_knn_pq",
-    "q_sketch_distinct",
-    "q_sketch_quantiles",
-    "q_embedding_dup_pairs_exact",
     "q_string_funcs",
     "q_date_funcs",
     "q_array_ops",
-    "q_knn_ivfpq",
     "q_compression_ratio",
+    # Round-4 additions (new queries, never checked by definition) are
+    # registered below and slotted here, inside the ~50-entry window.
+    "q_delta_export",
+    "q_asof_join",
+    "q_range_join",
+    "q_rollup_cube",
+    "q_sessionize_batch",
+    "q_minhash_shared_sigs",
+    "q_knn_recall_guard",
+    "q_topk_per_group",
+    "q_approx_join_sketch",
+    "q_grouping_sets",
+    "q_percentile_groups",
+    "q_dedup_survivorship",
+    # Strongest already-verified queries fill the rest of the window so
+    # a driver re-run on fresh testdata still re-checks real signal.
+    "q_semantic_dedup",
+    "q_near_dup_pairs",
+    "q_corpus_curation",
+    "q_minhash_bands",
+    "q_embedding_dup_pairs",
+    "q_media_image_features",
+    "q_media_video_features",
+    "q_tfidf_top_terms",
+    "q_unigram_nll",
+    "q_chunk_documents",
+    "q_heavy_hitters",
+    "q_lake_skipping",
+    "q_lake_point_lookup",
+    "q_time_travel",
+    "q_incremental_agg",
+    "q_schema_evolution",
+    "q_layout_skipping",
+    "q_stream_stateful",
+    "q_stream_session",
+    "q_stream_window",
+    "q_stream_replay",
+    "q_knn_cosine",
+    "q_pack_sequences",
+    "q_tpch_q1",
 ]
 
 
