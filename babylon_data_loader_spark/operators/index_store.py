@@ -1,0 +1,147 @@
+"""At-rest index stores keyed by dataset CONTENT fingerprint.
+
+The ANN indexes (LSH buckets, PQ codes) and the MinHash signature
+table are train-once/search-many structures: at 100 TB they are built
+at ingest time and every query is a probe. Locally they live under the
+session warehouse dir, one directory per (kind, dataset fingerprint,
+params).
+
+Keying by fingerprint — not by input *path* — is what makes the cache
+safe: the harness regenerates the testdata parquet in place between
+rounds, so a path-keyed store would silently serve codes/buckets built
+from the previous round's vectors (stale vec_ids, codebooks trained on
+old data). The fingerprint folds in each source file's basename, size
+and mtime-ns, so regenerated data gets a new store directory and the
+old one is swept.
+
+Reference parity: the reference keeps its lookup structures inside the
+storage engine where writes invalidate them transparently
+(/root/reference/storage/mongo.go — indexes live with the collection);
+an external engine like Spark has to carry the invalidation key itself,
+which is exactly what the fingerprint is.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def files_fingerprint(paths: Iterable[str]) -> str:
+    """12-hex-char digest over sorted (basename, size, mtime_ns).
+
+    Size+mtime is the standard cheap content proxy (what rsync and
+    make use); it never requires reading data bytes, so it is O(files)
+    stat calls even at 100 TB."""
+    h = hashlib.md5()
+    for p in sorted(paths):
+        local = p.removeprefix("file://").removeprefix("file:")
+        try:
+            st = os.stat(local)
+            h.update(
+                f"{os.path.basename(local)}:{st.st_size}:"
+                f"{st.st_mtime_ns}\n".encode()
+            )
+        except OSError:
+            # Non-local (hdfs/s3) or vanished file: fold the name only;
+            # remote stores should pass an explicit index path instead.
+            h.update(f"{os.path.basename(local)}\n".encode())
+    return h.hexdigest()[:12]
+
+
+def df_fingerprint(df: DataFrame) -> str | None:
+    """Content fingerprint of a DataFrame's source files, or None when
+    the frame has no file lineage (in-memory / shuffled input).
+
+    `df.inputFiles()` runs on the plan WITH cached data substituted, so
+    a sibling `.cache()` of the same scan makes it return [] — the
+    fallback walks the ANALYZED plan's leaves (pre-substitution) for
+    file-source relations, which keeps fingerprinting stable whether or
+    not the table happens to be cached this session."""
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        files = []
+    if not files:
+        try:
+            analyzed = df._jdf.queryExecution().analyzed()
+            leaves = analyzed.collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if not leaf.getClass().getName().endswith(
+                    "LogicalRelation"
+                ):
+                    continue
+                rel = leaf.relation()
+                if rel.getClass().getName().endswith("HadoopFsRelation"):
+                    files.extend(rel.location().inputFiles())
+        except Exception:
+            return None
+    if not files:
+        return None
+    return files_fingerprint(files)
+
+
+def warehouse_dir(spark: SparkSession) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return wh.removeprefix("file://").removeprefix("file:")
+
+
+def store_path(
+    spark: SparkSession, kind: str, fingerprint: str, params: str
+) -> str:
+    """`<warehouse>/_<kind>_<fingerprint>_<params>` — fingerprint in
+    the NAME so a data change can never alias onto a stale store."""
+    return os.path.join(
+        warehouse_dir(spark), f"_{kind}_{fingerprint}_{params}"
+    )
+
+
+def sweep_stale(
+    spark: SparkSession, kind: str, params: str, keep: str
+) -> int:
+    """Remove sibling stores of the same (kind, params) whose
+    fingerprint differs from the live one — they index data that no
+    longer exists. Returns how many were removed."""
+    wh = warehouse_dir(spark)
+    if not os.path.isdir(wh):
+        return 0
+    n = 0
+    suffix = f"_{params}"
+    keep_base = os.path.basename(keep)
+    for entry in os.listdir(wh):
+        if (
+            entry.startswith(f"_{kind}_")
+            and entry.endswith(suffix)
+            and entry != keep_base
+        ):
+            shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
+            n += 1
+    return n
+
+
+def get_or_build_parquet(
+    source: DataFrame,
+    kind: str,
+    params: str,
+    build: Callable[[], DataFrame],
+    marker: str = "_SUCCESS",
+) -> DataFrame:
+    """Read the store for `source` if present, else build+write+read.
+
+    Falls back to returning `build()` directly (no store) when the
+    source has no file lineage to fingerprint — correctness never
+    depends on the store, only the amortized cost does."""
+    spark = source.sparkSession
+    fp = df_fingerprint(source)
+    if fp is None:
+        return build()
+    path = store_path(spark, kind, fp, params)
+    sweep_stale(spark, kind, params, keep=path)
+    if not os.path.exists(os.path.join(path, marker)):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -255,6 +255,7 @@ def write_lsh_index(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fingerprint: str | None = None,
 ) -> None:
     """Persist the sign-bucket index partitioned BY bucket — the
     write-time half of LSH's economics. Each vector's bucket is
@@ -279,7 +280,10 @@ def write_lsh_index(
     with open(
         os.path.join(path, "_lsh_meta.json"), "w", encoding="utf-8"
     ) as fh:
-        json.dump({"n_planes": n_planes, "dim": dim}, fh)
+        json.dump(
+            {"n_planes": n_planes, "dim": dim, "fingerprint": fingerprint},
+            fh,
+        )
 
 
 def read_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
@@ -336,50 +340,93 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_path: str | None = None,
+    build_throwaway_index: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-probe sign-LSH over an
     AT-REST bucketed index.
 
-    The index (table partitioned by sign bucket) is built once via
-    :func:`write_lsh_index` — pass `index_path` to reuse a stored one
-    across queries (the amortized shape; the caller owns cache
-    invalidation when the underlying data changes). With no
-    `index_path`, a fresh staging dir under the session's warehouse
-    dir is written this call — paying the one-time write cost rather
-    than risking a stale index. The search itself reads ONLY the
-    probed buckets' partitions (pushed-down partition filter) plus one
-    O(1) point lookup for the query row — never a full scan.
+    The index (table partitioned by sign bucket) is built ONCE via
+    :func:`write_lsh_index` and reused across calls. With no
+    `index_path`, the store is keyed by the input's CONTENT
+    fingerprint (file sizes + mtimes — operators/index_store.py) under
+    the session warehouse dir: the first call per dataset version pays
+    the build, every later call is pure probe cost, and regenerated
+    data can never alias onto a stale index (new fingerprint → new
+    dir, old dirs swept). Inputs with no file lineage cannot be
+    fingerprinted; building a throwaway index for those is a full
+    table write per call, so it must be opted into with
+    `build_throwaway_index=True` — the default refuses rather than
+    silently rewriting a corpus. An explicit `index_path` is
+    validated against the input fingerprint (and `n_planes`) and
+    rebuilt on mismatch. The search itself reads ONLY the probed
+    buckets' partitions (pushed-down partition filter) plus one O(1)
+    point lookup for the query row — never a full scan.
     """
+    import json
     import os
     import uuid
 
-    spark = emb.sparkSession
-    if index_path is None:
-        import shutil
-        import time
+    from babylon_data_loader_spark.operators.index_store import (
+        df_fingerprint,
+        store_path,
+        sweep_stale,
+        warehouse_dir,
+    )
 
-        wh = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        # Self-cleaning staging: a throwaway index stays on disk while
-        # its lazy result plan is alive, so it cannot be removed here;
-        # instead each new staging sweeps siblings older than an hour
-        # (no live plan outlives that in any harness run).
-        now = time.time()
-        for entry in os.listdir(wh) if os.path.isdir(wh) else []:
-            if entry.startswith("_lsh_staging_"):
-                full = os.path.join(wh, entry)
-                try:
-                    if now - os.path.getmtime(full) > 3600:
-                        shutil.rmtree(full, ignore_errors=True)
-                except OSError:
-                    pass
-        index_path = os.path.join(
-            wh, f"_lsh_staging_{uuid.uuid4().hex[:12]}"
+    spark = emb.sparkSession
+    fp = df_fingerprint(emb)
+    params = f"p{n_planes}"
+    if index_path is None:
+        if fp is not None:
+            index_path = store_path(spark, "lsh_index", fp, params)
+            sweep_stale(spark, "lsh_index", params, keep=index_path)
+        elif build_throwaway_index:
+            import shutil
+            import time
+
+            wh = warehouse_dir(spark)
+            # Self-cleaning staging: a throwaway index stays on disk
+            # while its lazy result plan is alive, so it cannot be
+            # removed here; instead each new staging sweeps siblings
+            # older than an hour (no live plan outlives that in any
+            # harness run).
+            now = time.time()
+            for entry in os.listdir(wh) if os.path.isdir(wh) else []:
+                if entry.startswith("_lsh_staging_"):
+                    full = os.path.join(wh, entry)
+                    try:
+                        if now - os.path.getmtime(full) > 3600:
+                            shutil.rmtree(full, ignore_errors=True)
+                    except OSError:
+                        pass
+            index_path = os.path.join(
+                wh, f"_lsh_staging_{uuid.uuid4().hex[:12]}"
+            )
+        else:
+            raise ValueError(
+                "knn_lsh: input has no file lineage to fingerprint, so a "
+                "persistent index cannot be keyed to it. Pass index_path= "
+                "(caller-owned store) or build_throwaway_index=True to "
+                "accept a full staging write for this call."
+            )
+    meta_file = os.path.join(index_path, "_lsh_meta.json")
+    stale = False
+    if os.path.exists(meta_file):
+        with open(meta_file, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        stale = meta.get("n_planes") != n_planes or (
+            fp is not None
+            and meta.get("fingerprint") is not None
+            and meta["fingerprint"] != fp
         )
-    if not os.path.exists(os.path.join(index_path, "_lsh_meta.json")):
+    if stale or not os.path.exists(meta_file):
         write_lsh_index(
-            emb, index_path, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+            emb,
+            index_path,
+            n_planes=n_planes,
+            id_col=id_col,
+            vec_col=vec_col,
+            fingerprint=fp,
         )
     indexed, meta = read_lsh_index(spark, index_path)
     qvec = [

@@ -34,6 +34,34 @@ def _norm_sql(tbl: str) -> str:
     )
 
 
+def _assert_recall(
+    emb: DataFrame, result: DataFrame, k: int, bound: float, method: str
+) -> DataFrame:
+    """In-query approximation-quality gate for the rows-only ANN
+    queries: compare the approximate top-k against brute-force cosine
+    on the SAME input and raise if recall@k falls below the bound the
+    unit tests establish (tests/test_similarity.py). The driver's
+    rows-only check then fails loudly on a recall regression instead
+    of recording a green row for garbage neighbors — the
+    `q_lake_skipping` assert-inside-the-query pattern. Costs one extra
+    scan (the brute-force baseline is a TakeOrdered, no shuffle)."""
+    from babylon_data_loader_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+
+    exact = {
+        r["vec_id"]
+        for r in knn_bruteforce(emb, query_vec_id=0, k=k).collect()
+    }
+    got = {r["vec_id"] for r in result.select("vec_id").collect()}
+    recall = len(exact & got) / k
+    if recall < bound:
+        raise AssertionError(
+            f"{method}: recall@{k} {recall:.2f} < required {bound}"
+        )
+    return result
+
+
 @query(
     "q_knn_cosine",
     oracle=f"""
@@ -182,13 +210,14 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    return ivf_search(
+    out = ivf_search(
         indexed.filter(F.col("vec_id") != 0),
         centroids,
         qvec,
         k=10,
         nprobe=4,
     )
+    return _assert_recall(emb, out, k=10, bound=0.3, method="ivf")
 
 
 @query("q_knn_lsh")  # rows-only: LSH bucketing is not SQL-expressible
@@ -198,26 +227,18 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     written once partitioned by sign bucket; the probe is a
     partition-pruned read of the Hamming-ball buckets, then exact
     cosine re-ranks — the search never scans the full table
-    (plan-asserted in tests/test_similarity.py). The index is cached
-    per dataset dir (testdata is immutable); recall vs q_knn_cosine
-    is tested. Declared without an oracle (driver records rows-only).
+    (plan-asserted in tests/test_similarity.py). The index store is
+    keyed by the table's CONTENT fingerprint (operators/index_store.py)
+    so the first call per dataset version builds it and every later
+    call is pure probe cost — and regenerated testdata can never serve
+    a stale index. Declared without an oracle (driver records
+    rows-only), but recall@10 vs brute force is ASSERTED in-query.
     """
-    import hashlib as _hl
-    import os as _os
-
     from babylon_data_loader_spark.operators.similarity import knn_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    index_path = _os.path.join(
-        wh,
-        f"_lsh_index_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_p8",
-    )
-    return knn_lsh(
-        emb, query_vec_id=0, k=10, n_planes=8, index_path=index_path
-    )
+    out = knn_lsh(emb, query_vec_id=0, k=10, n_planes=8)
+    return _assert_recall(emb, out, k=10, bound=0.3, method="lsh")
 
 
 @query("q_knn_pq")  # rows-only: k-means codebooks are not
@@ -230,9 +251,13 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     than fp32 — at 100 TB the scan reads codes, not floats), ADC
     lookup-table distance, exact cosine re-rank of the top candidate
     pool only."""
-    import hashlib as _hl
     import os as _os
 
+    from babylon_data_loader_spark.operators.index_store import (
+        df_fingerprint,
+        store_path,
+        sweep_stale,
+    )
     from babylon_data_loader_spark.operators.pq import (
         pq_encode,
         pq_fit,
@@ -243,37 +268,41 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Train-once/search-many: the codes table is the at-rest index
-    # (like the LSH/IVF stores); cached per dataset dir — testdata is
-    # immutable within a round, and a real deployment rebuilds the
-    # index on ingest, not per query.
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    index_path = _os.path.join(
-        wh,
-        f"_pq_index_{_hl.md5(sf_dir.encode()).hexdigest()[:10]}_m8k16",
-    )
-    if _os.path.exists(_os.path.join(index_path, "_codebooks.json")):
-        codes, books = read_pq_index(spark, index_path)
-    else:
+    # (like the LSH/IVF stores), keyed by the table's CONTENT
+    # fingerprint — NOT its path — so the driver regenerating testdata
+    # in place gets a fresh index (stale path-keyed codes served old
+    # vec_ids/codebooks against new vectors); old-fingerprint dirs are
+    # swept. A real deployment rebuilds the index on ingest, not per
+    # query.
+    fp = df_fingerprint(emb)
+    if fp is None:  # no file lineage: build in-session, skip the store
         books = pq_fit(emb, m=8, ksub=16, n_iters=2)
-        write_pq_index(
-            pq_encode(emb, books).select("vec_id", "label", "pq_code"),
-            index_path,
-            books,
-        )
-        codes, books = read_pq_index(spark, index_path)
+        codes = pq_encode(emb, books).select("vec_id", "label", "pq_code")
+    else:
+        index_path = store_path(spark, "pq_index", fp, "m8k16")
+        sweep_stale(spark, "pq_index", "m8k16", keep=index_path)
+        if _os.path.exists(_os.path.join(index_path, "_codebooks.json")):
+            codes, books = read_pq_index(spark, index_path)
+        else:
+            books = pq_fit(emb, m=8, ksub=16, n_iters=2)
+            write_pq_index(
+                pq_encode(emb, books).select("vec_id", "label", "pq_code"),
+                index_path,
+                books,
+            )
+            codes, books = read_pq_index(spark, index_path)
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    return pq_search(
+    out = pq_search(
         codes.filter(F.col("vec_id") != 0),
         books,
         qvec,
         k=10,
         rerank=emb.filter(F.col("vec_id") != 0),
     )
+    return _assert_recall(emb, out, k=10, bound=0.5, method="pq")
 
 
 @query(
@@ -364,7 +393,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    return ivfpq_search(
+    out = ivfpq_search(
         codes.filter(F.col("vec_id") != 0),
         centroids,
         books,
@@ -373,3 +402,4 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=6,
         rerank=emb.filter(F.col("vec_id") != 0),
     )
+    return _assert_recall(emb, out, k=10, bound=0.4, method="ivfpq")

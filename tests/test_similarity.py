@@ -279,3 +279,62 @@ def test_ivfpq_recall_and_determinism(spark):
     recall = len(set(exact) & {r["vec_id"] for r in got}) / 10
     assert recall >= 0.4, f"recall {recall}"
     emb.unpersist()
+
+
+def test_index_store_fingerprint_and_reuse(spark, tmp_path):
+    """Content-fingerprint keying: same files → same store path (the
+    second knn_lsh call writes nothing); touched mtime → NEW
+    fingerprint (a regenerated dataset can never alias onto a stale
+    index); no file lineage → refuse unless throwaway is opted into."""
+    import os
+    import shutil
+    import time
+
+    from babylon_data_loader_spark.operators.index_store import (
+        df_fingerprint,
+        store_path,
+    )
+    from babylon_data_loader_spark.operators.similarity import knn_lsh
+    from babylon_data_loader_spark.schemas import load_table
+
+    data = tmp_path / "ds"
+    data.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        data / "embeddings.parquet",
+    )
+    emb = load_table(spark, str(data), "embeddings")
+    fp = df_fingerprint(emb)
+    assert fp is not None
+    path = store_path(spark, "lsh_index", fp, "p8")
+
+    out1 = knn_lsh(emb, query_vec_id=0, k=10, n_planes=8).collect()
+    assert len(out1) == 10
+    mtime1 = os.path.getmtime(os.path.join(path, "_lsh_meta.json"))
+    out2 = knn_lsh(emb, query_vec_id=0, k=10, n_planes=8).collect()
+    assert out2 == out1
+    # second call reused the stored index: no rewrite happened
+    assert os.path.getmtime(os.path.join(path, "_lsh_meta.json")) == mtime1
+
+    # regenerate the dataset in place (same path, new mtime)
+    t = time.time() + 10
+    os.utime(data / "embeddings.parquet", (t, t))
+    emb2 = load_table(spark, str(data), "embeddings")
+    fp2 = df_fingerprint(emb2)
+    assert fp2 != fp  # new fingerprint → new store dir, old one swept
+    knn_lsh(emb2, query_vec_id=0, k=10, n_planes=8).collect()
+    assert os.path.isdir(store_path(spark, "lsh_index", fp2, "p8"))
+    assert not os.path.isdir(path)  # stale sibling swept
+
+    # in-memory frame: no lineage, must refuse silent staging writes
+    import pytest as _pytest
+
+    mem = spark.createDataFrame(
+        emb.limit(20).collect(), schema=emb.schema
+    )
+    with _pytest.raises(ValueError, match="build_throwaway_index"):
+        knn_lsh(mem, query_vec_id=0, k=5, n_planes=4)
+    got = knn_lsh(
+        mem, query_vec_id=0, k=5, n_planes=4, build_throwaway_index=True
+    ).collect()
+    assert len(got) <= 5
