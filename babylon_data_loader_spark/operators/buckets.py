@@ -1,0 +1,59 @@
+"""Shared hot-bucket guard for LSH-style candidate generation.
+
+Every banded-LSH path (MinHash bands over documents, sign buckets over
+embeddings) self-joins rows on a bucket key; one degenerate bucket —
+boilerplate text, near-identical embeddings — turns that join
+quadratic. Both paths cap bucket size with the SAME helper so a tuning
+fix lands in one place; the physical strategy stays a parameter because
+the two call sites measured differently:
+
+- ``window``: COUNT window over the bucket keys. Its one exchange
+  hash-partitions the rows by exactly the self-join's key and Spark
+  REUSES that exchange for both join sides — one full-data shuffle
+  total. Best when the guarded frame feeds the self-join directly
+  (MinHash bands: measured faster at sf0.1, strictly fewer shuffle
+  bytes at scale).
+- ``antijoin``: partial-aggregating groupBy + broadcast anti-join
+  against the (tiny: ≤ rows/cap) oversized-bucket list. Shuffles only
+  per-partition partials for the count. Best when the guarded frame is
+  persisted before the self-join anyway, so exchange reuse cannot
+  apply (sign-bucket banding: the bucket projection is an Arrow UDF
+  worth persisting once).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def drop_oversized_buckets(
+    df: DataFrame,
+    keys: Sequence[str],
+    cap: int | None,
+    strategy: str = "window",
+) -> DataFrame:
+    """Drop every row belonging to a bucket with more than `cap`
+    members. `cap=None` disables the guard."""
+    if cap is None:
+        return df
+    keys = list(keys)
+    if strategy == "window":
+        return (
+            df.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+            )
+            .filter(F.col("_n") <= cap)
+            .drop("_n")
+        )
+    if strategy == "antijoin":
+        oversized = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > cap)
+            .select(*keys)
+        )
+        return df.join(oversized, on=keys, how="left_anti")
+    raise ValueError(f"unknown strategy {strategy!r}")

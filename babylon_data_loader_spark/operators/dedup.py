@@ -14,7 +14,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.text import (
@@ -22,6 +22,9 @@ from babylon_data_loader_spark.functions.text import (
     minhash_band,
     shingles,
     tokens,
+)
+from babylon_data_loader_spark.operators.buckets import (
+    drop_oversized_buckets,
 )
 
 
@@ -68,6 +71,76 @@ def minhash_signatures(
     )
 
 
+def stored_minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """:func:`minhash_signatures` through the at-rest store
+    (operators/index_store.py): the md5 shingle pipeline runs ONCE per
+    dataset version and every consumer — band listing, near-dup pairs,
+    cluster dedup, the composed curation pipeline — reads the same
+    signature parquet. Keyed by content fingerprint + canonicalized
+    plan, so regenerated data or a different input subset rebuilds
+    instead of aliasing. Falls back to inline computation for frames
+    with no file lineage."""
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
+
+    return get_or_build_parquet(
+        docs,
+        "mh_sigs",
+        f"b{n_bands}s{shingle_k}",
+        lambda: minhash_signatures(
+            docs, text_col, id_col, n_bands, shingle_k
+        ),
+    )
+
+
+def doc_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(_id, _sh) DISTINCT exploded shingle table — the set
+    representation :func:`jaccard_verify` joins on."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.lower(F.col(text_col))).alias("_tok"),
+    )
+    return tok.select(
+        "_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("_tok"), shingle_k))
+        ).alias("_sh"),
+    )
+
+
+def stored_doc_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """:func:`doc_shingles` through the at-rest store — tokenization
+    and shingling run once per dataset version; Jaccard verification
+    becomes joins against a parquet read."""
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
+
+    return get_or_build_parquet(
+        docs,
+        "mh_shingles",
+        f"s{shingle_k}",
+        lambda: doc_shingles(docs, text_col, id_col, shingle_k),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -93,26 +166,12 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_val")
-    sized = bands
-    if max_bucket_size is not None:
-        # COUNT window, deliberately: its one exchange hash-partitions
-        # the band rows by exactly the self-join's key, and Spark
-        # REUSES that exchange for both join sides — one full-data
-        # shuffle total. The tempting groupBy + broadcast-anti-join
-        # alternative shuffles less for the count but leaves the band
-        # rows unpartitioned, so the self-join then shuffles them
-        # TWICE (measured slower at sf0.1 and strictly more shuffle
-        # bytes at scale).
-        sized = (
-            bands.withColumn(
-                "_n",
-                F.count(F.lit(1)).over(
-                    Window.partitionBy("band_idx", "band_val")
-                ),
-            )
-            .filter(F.col("_n") <= max_bucket_size)
-            .drop("_n")
-        )
+    # "window" strategy: the guard's exchange is REUSED by the
+    # self-join below (same partitioning key) — see operators/buckets.py
+    # for the measured window-vs-antijoin tradeoff.
+    sized = drop_oversized_buckets(
+        bands, ["band_idx", "band_val"], max_bucket_size, strategy="window"
+    )
     a = sized.alias("a")
     b = sized.alias("b")
     return (
@@ -137,20 +196,19 @@ def jaccard_verify(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs; keeps pairs ≥ threshold.
 
     Set-based: explode distinct shingles, join twice, |A∩B| / (|A|+|B|−|A∩B|).
-    """
-    tok = docs.select(
-        F.col(id_col).alias("_id"),
-        tokens(F.lower(F.col(text_col))).alias("_tok"),
-    )
-    sh = tok.select(
-        "_id",
-        F.explode(
-            F.array_distinct(shingles(F.col("_tok"), shingle_k))
-        ).alias("_sh"),
+    Pass `shingles_df` (a :func:`doc_shingles` / :func:`stored_doc_shingles`
+    frame, possibly covering a superset of `docs`) to reuse an at-rest
+    shingle table — pairs only ever reference candidate ids, so extra
+    ids in the set table are inert."""
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else doc_shingles(docs, text_col, id_col, shingle_k)
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     inter = (
@@ -185,15 +243,28 @@ def dedup_near(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    signatures: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard
     verify → drop the higher id of each surviving pair (greedy,
     deterministic). For CHAINED duplicates (A≈B≈C where A≉C directly)
     prefer :func:`dedup_clustered`, which keeps exactly one doc per
-    connected component."""
-    sig = minhash_signatures(docs, text_col, id_col)
+    connected component.
+
+    `signatures` / `shingles_df` let the caller feed at-rest tables
+    computed once for the FULL corpus (operators/index_store.py); a
+    superset signature table is restricted to `docs`' ids with a
+    semi-join so pairs can only form within the input."""
+    sig = (
+        signatures.join(docs.select(id_col), on=id_col, how="left_semi")
+        if signatures is not None
+        else minhash_signatures(docs, text_col, id_col)
+    )
     pairs = lsh_candidate_pairs(sig, id_col)
-    dup = jaccard_verify(docs, pairs, text_col, id_col, threshold)
+    dup = jaccard_verify(
+        docs, pairs, text_col, id_col, threshold, shingles_df=shingles_df
+    )
     losers = dup.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(losers, on=id_col, how="left_anti")
 
@@ -203,6 +274,8 @@ def dedup_clustered(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    signatures: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup removal with CLUSTER semantics: verified pairs become
     edges, connected components assign every doc its component's min
@@ -210,14 +283,20 @@ def dedup_clustered(
     duplicate chains correctly where greedy pair-dropping keeps
     either too many docs (A≈B, B≈C, A≉C: greedy keeps A and may keep
     C) or — with unluckier id orderings — drops transitively-linked
-    originals."""
+    originals. `signatures`/`shingles_df` as in :func:`dedup_near`."""
     from babylon_data_loader_spark.operators.graph import (
         connected_components,
     )
 
-    sig = minhash_signatures(docs, text_col, id_col)
+    sig = (
+        signatures.join(docs.select(id_col), on=id_col, how="left_semi")
+        if signatures is not None
+        else minhash_signatures(docs, text_col, id_col)
+    )
     pairs = lsh_candidate_pairs(sig, id_col)
-    dup = jaccard_verify(docs, pairs, text_col, id_col, threshold)
+    dup = jaccard_verify(
+        docs, pairs, text_col, id_col, threshold, shingles_df=shingles_df
+    )
     labels = connected_components(
         docs.select(id_col),
         dup.select("doc_a", "doc_b"),

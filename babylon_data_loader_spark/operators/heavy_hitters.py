@@ -46,7 +46,19 @@ def heavy_hitters(
     hitter can be pruned before the exact recount.
     """
     cap = max(1, int(slack_factor / phi))
-    col_idx_schema = f"`{item_col}` STRING, w BIGINT"
+    # Partial schema derives the item column's type from the input —
+    # BIGINT ids summarize as correctly as STRING tokens; hardcoding
+    # STRING would silently coerce (or fail Arrow conversion on)
+    # non-string keys.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    item_field = items.schema[item_col]
+    partial_schema = StructType(
+        [
+            StructField(item_col, item_field.dataType, True),
+            StructField("w", LongType(), True),
+        ]
+    )
 
     def mg_partials(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -54,7 +66,7 @@ def heavy_hitters(
         counters: dict[str, int] = {}
         for pdf in batches:
             for v in pdf[item_col]:
-                if v is None:
+                if pd.isna(v):  # catches None and float NaN keys
                     continue
                 if v in counters:
                     counters[v] += 1
@@ -75,7 +87,7 @@ def heavy_hitters(
             )
 
     partials = items.select(item_col).mapInPandas(
-        mg_partials, schema=col_idx_schema
+        mg_partials, schema=partial_schema
     )
     # ≤ cap·partitions rows: the only shuffle in the pipeline.
     candidates = (

@@ -61,7 +61,13 @@ def df_fingerprint(df: DataFrame) -> str | None:
     a sibling `.cache()` of the same scan makes it return [] — the
     fallback walks the ANALYZED plan's leaves (pre-substitution) for
     file-source relations, which keeps fingerprinting stable whether or
-    not the table happens to be cached this session."""
+    not the table happens to be cached this session.
+
+    The digest also folds in the CANONICALIZED logical plan (expr ids
+    normalized): two frames over the same files but different logic —
+    a table and a filtered subset of it — must never alias onto the
+    same store. A plan-string change only costs a rebuild (cache
+    miss); it can never serve stale data."""
     try:
         files = list(df.inputFiles())
     except Exception:
@@ -83,7 +89,16 @@ def df_fingerprint(df: DataFrame) -> str | None:
             return None
     if not files:
         return None
-    return files_fingerprint(files)
+    try:
+        plan = (
+            df._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
+    except Exception:
+        plan = ""
+    h = hashlib.md5(
+        (files_fingerprint(files) + "\n" + plan).encode()
+    )
+    return h.hexdigest()[:12]
 
 
 def warehouse_dir(spark: SparkSession) -> str:
@@ -94,10 +109,13 @@ def warehouse_dir(spark: SparkSession) -> str:
 def store_path(
     spark: SparkSession, kind: str, fingerprint: str, params: str
 ) -> str:
-    """`<warehouse>/_<kind>_<fingerprint>_<params>` — fingerprint in
-    the NAME so a data change can never alias onto a stale store."""
+    """`<warehouse>/idx_<kind>_<fingerprint>_<params>` — fingerprint in
+    the NAME so a data change can never alias onto a stale store. The
+    name deliberately does NOT start with `_`: Spark's hidden-path
+    filter warns on (and in glob contexts skips) underscore-led
+    directories."""
     return os.path.join(
-        warehouse_dir(spark), f"_{kind}_{fingerprint}_{params}"
+        warehouse_dir(spark), f"idx_{kind}_{fingerprint}_{params}"
     )
 
 
@@ -106,7 +124,8 @@ def sweep_stale(
 ) -> int:
     """Remove sibling stores of the same (kind, params) whose
     fingerprint differs from the live one — they index data that no
-    longer exists. Returns how many were removed."""
+    longer exists. Also removes legacy `_<kind>_*` dirs from older
+    store layouts. Returns how many were removed."""
     wh = warehouse_dir(spark)
     if not os.path.isdir(wh):
         return 0
@@ -115,7 +134,7 @@ def sweep_stale(
     keep_base = os.path.basename(keep)
     for entry in os.listdir(wh):
         if (
-            entry.startswith(f"_{kind}_")
+            entry.startswith((f"idx_{kind}_", f"_{kind}_"))
             and entry.endswith(suffix)
             and entry != keep_base
         ):

@@ -59,6 +59,12 @@ def zorder_column(
     bucket_exprs = []
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"zorder_column: column {c!r} has no numeric min/max "
+                "(all-NULL or not castable to double) — it cannot "
+                "contribute to a Z-order key"
+            )
         span = (mx - mn) or 1.0
         b = F.least(
             F.lit(cells),

@@ -210,21 +210,20 @@ def _banded_candidates(
             ),
         )
     )
-    if max_bucket_size is not None:
-        # Partial-aggregating groupBy + anti-join against the (small)
-        # oversized-bucket list instead of a COUNT window: the window
-        # shuffles every band row; this shuffles only per-partition
-        # (band, bucket, count) partials, and AQE broadcasts the
-        # anti-join build side (≤ N·bands/cap buckets can exceed cap).
-        oversized = (
-            bucketed.groupBy("band_idx", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket_size)
-            .select("band_idx", "bucket")
-        )
-        bucketed = bucketed.join(
-            oversized, on=["band_idx", "bucket"], how="left_anti"
-        )
+    # "antijoin" strategy: this frame is persisted before the
+    # self-join, so window-exchange reuse cannot apply; the groupBy
+    # shuffles only per-partition partials and AQE broadcasts the tiny
+    # oversized list — see operators/buckets.py for the tradeoff.
+    from babylon_data_loader_spark.operators.buckets import (
+        drop_oversized_buckets,
+    )
+
+    bucketed = drop_oversized_buckets(
+        bucketed,
+        ["band_idx", "bucket"],
+        max_bucket_size,
+        strategy="antijoin",
+    )
     bucketed = persist_tracked(bucketed)
     a = bucketed.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
@@ -392,7 +391,7 @@ def knn_lsh(
             # harness run).
             now = time.time()
             for entry in os.listdir(wh) if os.path.isdir(wh) else []:
-                if entry.startswith("_lsh_staging_"):
+                if entry.startswith(("lsh_staging_", "_lsh_staging_")):
                     full = os.path.join(wh, entry)
                     try:
                         if now - os.path.getmtime(full) > 3600:
@@ -400,7 +399,7 @@ def knn_lsh(
                     except OSError:
                         pass
             index_path = os.path.join(
-                wh, f"_lsh_staging_{uuid.uuid4().hex[:12]}"
+                wh, f"lsh_staging_{uuid.uuid4().hex[:12]}"
             )
         else:
             raise ValueError(

@@ -84,17 +84,9 @@ PRIORITY: list[str] = [
     # Round-4 additions (new queries, never checked by definition) are
     # registered below and slotted here, inside the ~50-entry window.
     "q_delta_export",
-    "q_asof_join",
-    "q_range_join",
-    "q_rollup_cube",
-    "q_sessionize_batch",
-    "q_minhash_shared_sigs",
-    "q_knn_recall_guard",
-    "q_topk_per_group",
     "q_approx_join_sketch",
-    "q_grouping_sets",
-    "q_percentile_groups",
     "q_dedup_survivorship",
+    "q_knn_recall_guard",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",
@@ -120,6 +112,9 @@ PRIORITY: list[str] = [
     "q_stream_replay",
     "q_knn_cosine",
     "q_pack_sequences",
+    "q_jaccard_pairs",
+    "q_dedup_clusters",
+    "q_near_dup_rate",
     "q_tpch_q1",
 ]
 
@@ -136,6 +131,7 @@ def load_all() -> None:
         json_source,
         lake_cdc,
         media,
+        round4,
         streaming_replay,
         streaming_window,
         text,

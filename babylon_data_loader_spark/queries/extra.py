@@ -345,16 +345,19 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from babylon_data_loader_spark.operators.dedup import (
         jaccard_verify,
         lsh_candidate_pairs,
-        minhash_signatures,
+        stored_doc_shingles,
+        stored_minhash_signatures,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # The signature and candidate tables both feed self-joins; persist
-    # (cluster-safe, survives executor loss via recompute, unlike
-    # localCheckpoint) makes each evaluate once instead of per side.
-    sig = persist_tracked(minhash_signatures(docs))
+    # Signatures and shingles come from the at-rest stores (computed
+    # once per dataset version); persist the reads that feed
+    # self-joins so each parquet scans once instead of per side.
+    sig = persist_tracked(stored_minhash_signatures(docs))
     pairs = persist_tracked(lsh_candidate_pairs(sig, max_bucket_size=1000))
-    return jaccard_verify(docs, pairs, threshold=0.5)
+    return jaccard_verify(
+        docs, pairs, threshold=0.5, shingles_df=stored_doc_shingles(docs)
+    )
 
 
 # Flagship corpus curation: the full training-data pipeline ------------------------
@@ -452,10 +455,22 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from babylon_data_loader_spark.operators.dedup import (
         dedup_exact,
         dedup_near,
+        stored_doc_shingles,
+        stored_minhash_signatures,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = dedup_near(dedup_exact(docs), threshold=0.5)
+    # The near-dup stage runs on the exact-deduped SUBSET but pulls
+    # signatures/shingles from the FULL-corpus at-rest stores (the same
+    # parquet the standalone dedup queries read) — dedup_near restricts
+    # the superset to the subset's ids with a semi-join, so the md5
+    # shingle pipeline is never re-derived inside the composition.
+    kept = dedup_near(
+        dedup_exact(docs),
+        threshold=0.5,
+        signatures=stored_minhash_signatures(docs),
+        shingles_df=stored_doc_shingles(docs),
+    )
     tok = tokens(F.col("text"))
     nt = F.size(tok)
     q = 0.5 * F.least(
@@ -541,18 +556,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from babylon_data_loader_spark.operators.dedup import (
         jaccard_verify,
         lsh_candidate_pairs,
-        minhash_signatures,
+        stored_doc_shingles,
+        stored_minhash_signatures,
     )
     from babylon_data_loader_spark.operators.graph import (
         connected_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = persist_tracked(minhash_signatures(docs))
+    sig = persist_tracked(stored_minhash_signatures(docs))
     pairs = persist_tracked(lsh_candidate_pairs(sig, max_bucket_size=1000))
-    dup = jaccard_verify(docs, pairs, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
+    dup = jaccard_verify(
+        docs, pairs, threshold=0.5, shingles_df=stored_doc_shingles(docs)
+    ).select("doc_a", "doc_b")
     labels = connected_components(
         docs.select("doc_id"),
         dup,
@@ -638,18 +654,19 @@ def q_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from babylon_data_loader_spark.operators.dedup import (
         jaccard_verify,
         lsh_candidate_pairs,
-        minhash_signatures,
+        stored_doc_shingles,
+        stored_minhash_signatures,
     )
     from babylon_data_loader_spark.operators.graph import (
         connected_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = persist_tracked(minhash_signatures(docs))
+    sig = persist_tracked(stored_minhash_signatures(docs))
     pairs = persist_tracked(lsh_candidate_pairs(sig, max_bucket_size=1000))
-    dup = jaccard_verify(docs, pairs, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
+    dup = jaccard_verify(
+        docs, pairs, threshold=0.5, shingles_df=stored_doc_shingles(docs)
+    ).select("doc_a", "doc_b")
     clusters = connected_components(
         docs.select("doc_id"), dup,
         id_col="doc_id", src_col="doc_a", dst_col="doc_b",

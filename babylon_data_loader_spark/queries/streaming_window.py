@@ -87,8 +87,17 @@ def _stage_time_ordered(
     ).parquet(stage_dir)
     os.makedirs(src_dir, exist_ok=True)
     base_mtime = 1_000_000_000  # fixed, strictly increasing per file
-    for i in (1, 2, 3):
-        tdir = os.path.join(stage_dir, f"_b={i}")
+    # Iterate the _b= directories that actually exist: heavy timestamp
+    # ties can make q33 == q66 (or max == q66), collapsing a bucket —
+    # a missing directory must mean fewer replay files, not a crash.
+    # Single-digit bucket ids sort correctly as strings.
+    bdirs = sorted(
+        d
+        for d in os.listdir(stage_dir)
+        if d.startswith("_b=") and os.path.isdir(os.path.join(stage_dir, d))
+    )
+    for i, bdir in enumerate(bdirs, start=1):
+        tdir = os.path.join(stage_dir, bdir)
         part = next(
             p for p in sorted(os.listdir(tdir)) if p.endswith(".parquet")
         )

