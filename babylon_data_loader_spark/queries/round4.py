@@ -241,7 +241,7 @@ def q_knn_recall_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for method, fn, bound in (
         ("lsh", q_knn_lsh, 0.3),
-        ("pq", q_knn_pq, 0.5),
+        ("pq", q_knn_pq, 0.3),
     ):
         got = {
             r["vec_id"]

@@ -305,7 +305,7 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         rerank=emb.filter(F.col("vec_id") != 0),
     )
-    return _assert_recall(emb, out, k=10, bound=0.5, method="pq")
+    return _assert_recall(emb, out, k=10, bound=0.3, method="pq")
 
 
 @query(
@@ -406,4 +406,4 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=6,
         rerank=emb.filter(F.col("vec_id") != 0),
     )
-    return _assert_recall(emb, out, k=10, bound=0.4, method="ivfpq")
+    return _assert_recall(emb, out, k=10, bound=0.3, method="ivfpq")

@@ -56,7 +56,36 @@ HEADLINE = [
     "q_knn_pq",
     "q_heavy_hitters",
     "q_semantic_dedup",
+    # round 4 additions: Bloom semi-join reduction and survivorship
+    # merge (max-struct agg, one shuffle row per group).
+    "q_approx_join_sketch",
+    "q_dedup_survivorship",
 ]
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _testdata_fingerprint(sf_dir: str) -> dict:
+    """Per-table size+mtime plus one digest — BENCH_HISTORY carries it
+    so a cross-round drift can be attributed to data regeneration (new
+    fingerprint) vs code (same fingerprint) in one line."""
+    import hashlib
+
+    tables = {}
+    h = hashlib.md5()
+    for t in _TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            tables[t] = {"bytes": st.st_size, "mtime_ns": st.st_mtime_ns}
+            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        except OSError:
+            tables[t] = None
+    return {"digest": h.hexdigest()[:12], "tables": tables}
 
 
 def _git_commit() -> str:
@@ -186,13 +215,12 @@ def _optimized_supplement(spark, qmap, sf_dir: str, reps: int) -> dict:
         timings: dict[str, float] = {}
         for name in OPTIMIZED_SUBSET:
             fn = qmap[name]
-            best = None
+            samples = []
             for _ in range(max(1, reps)):
                 t0 = time.time()
                 fn(spark, opt_dir).count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                samples.append(time.time() - t0)
+            timings[name] = round(_median(samples), 3)
         return {
             "note": (
                 "same queries, engine-rewritten physical layout "
@@ -217,19 +245,28 @@ def main() -> None:
     # Warmup: JVM + parquet footer reads.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Median of 3 per query: BENCH_HISTORY shows ~2x same-commit
+    # variance on single runs; the median is the round-over-round
+    # comparison number (min-of-reps rewards lucky runs, a single rep
+    # rewards nothing).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qmap[name]
-        best = None
+        samples = []
         for _ in range(max(1, reps)):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            samples.append(time.time() - t0)
+        timings[name] = round(_median(samples), 3)
+        spread[name] = [round(s, 3) for s in samples]
+        print(
+            f"# {name}: median {timings[name]:.3f}s of {spread[name]} "
+            f"({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -240,6 +277,10 @@ def main() -> None:
         "sf": float(sf),
         "commit": _git_commit(),
         "n_headline": len(HEADLINE),
+        "reps": reps,
+        "stat": "median",
+        "samples": spread,
+        "testdata_fingerprint": _testdata_fingerprint(sf_dir),
     }
 
     # Supplementary: end-to-end ingest throughput (CSV → validated →

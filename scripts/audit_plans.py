@@ -25,6 +25,10 @@ BNLJ_ALLOWED = {
     "q_tpch_q22",        # uncorrelated scalar aggregate (one row)
     "q_embedding_dup_pairs_exact",  # the documented O(N^2) small-N
     # verification baseline for the banded LSH scale path
+    "q_approx_join_sketch",  # one-row broadcast Bloom bitmap (the
+    # broadcast-variable shape, operators/sketch_join.py)
+    "q_knn_recall_guard",    # composes q_knn_lsh/pq whose probes
+    # broadcast single-row query vectors
 }
 
 
