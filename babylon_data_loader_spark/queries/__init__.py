@@ -87,6 +87,14 @@ PRIORITY: list[str] = [
     "q_approx_join_sketch",
     "q_dedup_survivorship",
     "q_knn_recall_guard",
+    "q_jsonl_roundtrip",
+    "q_column_profile",
+    "q_word_entropy",
+    "q_radius_search",
+    "q_benford_digits",
+    "q_containment_pairs",
+    "q_length_band",
+    "q_salted_agg",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",
@@ -132,6 +140,7 @@ def load_all() -> None:
         lake_cdc,
         media,
         round4,
+        round4b,
         streaming_replay,
         streaming_window,
         text,

@@ -1,0 +1,496 @@
+"""Round-4 wave 2: dataset profiling, information-theoretic quality
+signals, radius (range) similarity search, containment dedup, and a
+skew-resistant salted aggregation.
+
+These extend the LLM-pipeline family (SURVEY.md §2 goes beyond the
+reference surface by design): a corpus curation run profiles columns
+before ingest, filters by length band and word-entropy, dedups by
+shingle containment (asymmetric — catches quote-inclusion the
+symmetric Jaccard misses), and every wide aggregation must survive a
+hot key. Exact-match discipline as in queries/__init__.py: identical
+aliases, per-term rounding before DECIMAL sums, deterministic
+tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.functions.text import tokens
+from babylon_data_loader_spark.functions.vectors import cosine
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+_TOKENS_LOWER_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+# Column profiling -------------------------------------------------------------
+# Reference analogue: the loader's batch sanity checks counted rows and
+# nulls before sync (/root/reference/datalake/stats.go) — this is the
+# table-wide version a 100 TB ingest runs first. One pass, one
+# single-group aggregate: partial aggregation on every executor, a
+# single-row exchange, no per-column jobs.
+
+
+@query(
+    "q_column_profile",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(text) AS BIGINT) AS null_text,
+           CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS null_lang,
+           CAST(COUNT(*) - COUNT(source) AS BIGINT) AS null_source,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS distinct_lang,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS distinct_source,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (row count, per-column null counts,
+    distinct counts, numeric min/max/sum). All integer-exact. The two
+    COUNT(DISTINCT) columns expand to one partial-dedup pass each
+    under Spark's expand-operator rewrite — still one job, no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("text")).alias("null_text"),
+        (F.count(F.lit(1)) - F.count("lang")).alias("null_lang"),
+        (F.count(F.lit(1)) - F.count("source")).alias("null_source"),
+        F.count_distinct(F.col("lang")).alias("distinct_lang"),
+        F.count_distinct(F.col("source")).alias("distinct_source"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# Word-distribution entropy ----------------------------------------------------
+# A repetition/diversity quality signal: low entropy ⇒ the document
+# reuses few words (boilerplate, keyword stuffing); used alongside the
+# Gopher-style repetition gate in queries/curation2.py.
+
+
+@query(
+    "q_word_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKENS_LOWER_SQL}) AS term FROM documents
+    ), cnt AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, term
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id
+    )
+    SELECT c.doc_id, ANY_VALUE(t.n) AS n_tokens,
+           round(CAST(SUM(CAST(round(
+                   -(CAST(c.c AS DOUBLE) / t.n)
+                     * ln(CAST(c.c AS DOUBLE) / t.n), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+    FROM cnt c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id
+    """,
+)
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the word distribution,
+    H = -Σ p·ln p over the doc's own term frequencies. Two shuffles,
+    both keyed by doc_id (the second reuses the first's partitioning —
+    the (doc_id, term) → doc_id rollup never moves rows between
+    partitions). Per-term contributions are rounded to 9 decimals then
+    summed as DECIMAL so partition order cannot perturb the result."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    cnt = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term_h = F.round(-p * F.log(p), 9).cast("decimal(28,9)")
+    # Window over doc_id instead of a join: Catalyst keeps the
+    # (doc_id, term) hash partitioning from the groupBy, so the window
+    # and the final rollup are exchange-free.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id")
+    return (
+        cnt.withColumn("n", F.sum("c").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(term_h).cast("double"), 6).alias("entropy"),
+        )
+    )
+
+
+# Radius (range) similarity search --------------------------------------------
+# The range-query twin of q_knn_cosine: "everything within distance r"
+# rather than "the k nearest". At 100 TB the same shape as the
+# brute-force kNN: broadcast the 1-row query vector, scan-side filter,
+# no shuffle at all (the final sort is on the handful of survivors).
+
+
+@query(
+    "q_radius_search",
+    oracle="""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT a.vec_id, a.label,
+             round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(q.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(q.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)
+               AS sim
+      FROM embeddings a, q
+      WHERE a.vec_id <> 0
+    )
+    SELECT vec_id, label, sim FROM sims
+    WHERE sim >= 0.25
+    ORDER BY sim DESC, vec_id ASC
+    """,
+)
+def q_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vectors with cosine similarity ≥ 0.25 to the query vector.
+    Broadcast 1-row query side, similarity computed scan-side and
+    filtered before anything moves; rounded to 9 decimals in both
+    engines so the threshold comparison is bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_embedding")), 9)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.25)
+        .select("vec_id", "label", "sim")
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    )
+
+
+# Benford leading-digit audit --------------------------------------------------
+# A data-quality screen for numeric columns: natural multi-scale
+# amounts follow Benford's law; a synthetic or truncated column does
+# not. Counts are exact; the frequency and expectation are single
+# divisions on the final 9-row result.
+
+
+@query(
+    "q_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+           round(COUNT(*) / ANY_VALUE(t.n), 6) AS freq,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford
+    FROM d, tot t
+    GROUP BY digit
+    ORDER BY digit
+    """,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals vs the Benford
+    expectation log10(1+1/d). One shuffle on a 9-value key; the total
+    count rides along as a broadcast scalar subquery, not a second
+    scan of the aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = d.count()
+    return (
+        counts.withColumn(
+            "freq", F.round(F.col("n") / F.lit(float(total)), 6)
+        )
+        .withColumn(
+            "benford",
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6),
+        )
+        .orderBy("digit")
+    )
+
+
+# Containment near-dup pairs ---------------------------------------------------
+# Asymmetric containment |A∩B| / min(|A|,|B|): catches a short document
+# quoted inside a long one, which symmetric Jaccard dilutes below
+# threshold. Same bucketed candidate generation as q_jaccard_pairs —
+# shared 3-shingles, hot-bucket cap — with the containment metric in
+# the verify stage.
+
+
+_SHINGLES_SQL = f"""
+  CASE WHEN len({_TOKENS_LOWER_SQL}) >= 3
+       THEN list_transform(generate_series(1, len({_TOKENS_LOWER_SQL}) - 2),
+              j -> concat_ws(' ', {_TOKENS_LOWER_SQL}[j],
+                             {_TOKENS_LOWER_SQL}[j+1],
+                             {_TOKENS_LOWER_SQL}[j+2]))
+       ELSE [concat_ws(' ', {_TOKENS_LOWER_SQL})] END
+"""
+
+
+@query(
+    "q_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      -- document-frequency cap mirrored from the Spark operator: a
+      -- shingle shared by > 100 documents generates no candidates
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100
+    ), inter AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM sh sa
+      JOIN common c ON c.s = sa.s
+      JOIN sh sb ON sb.s = sa.s AND sa.doc_id < sb.doc_id
+      GROUP BY sa.doc_id, sb.doc_id
+    )
+    SELECT doc_a, doc_b, containment FROM (
+      SELECT i.doc_a, i.doc_b,
+             round(CAST(i.i AS DOUBLE) / least(za.sz, zb.sz), 6)
+               AS containment
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+    )
+    WHERE containment >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where the smaller document's shingle set is ≥80%
+    contained in the other's. Candidates come from a shingle-bucket
+    self-join with a document-frequency cap (a shingle in >100 docs is
+    dropped — at 100 TB those are boilerplate n-grams that would
+    produce quadratic candidates and near-zero containment evidence
+    anyway); the intersection count then shuffles only (doc_a, doc_b)
+    pairs, never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_shingles_col(F.lower(F.col("text"))))
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 100)
+        .select("s")
+    )
+    rare = sh.join(common, on="s")
+    inter = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")
+            ),
+            on="doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")
+            ),
+            on="doc_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("i").cast("double") / F.least("sza", "szb"), 6
+            ),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _shingles_col(text_lower):
+    """3-word shingles of lowercased text (functions/text.py tokens),
+    matching _SHINGLES_SQL: docs shorter than 3 tokens collapse to one
+    whole-text shingle."""
+    toks = tokens(text_lower)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - 3)
+    tri = F.transform(
+        idx,
+        lambda j: F.concat_ws(
+            " ",
+            F.element_at(toks, j + 1),
+            F.element_at(toks, j + 2),
+            F.element_at(toks, j + 3),
+        ),
+    )
+    return F.when(n >= 3, tri).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+# Length-band filter via exact rank percentiles --------------------------------
+# Curation step: drop documents outside the [p05, p95] length band.
+# Percentiles are rank-based (percentile_disc semantics) so the cut
+# points are actual data values — integer-exact across engines, no
+# interpolation-float hazard.
+
+
+@query(
+    "q_length_band",
+    oracle="""
+    WITH ranked AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ), band AS (
+      SELECT
+        MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+                 THEN n_chars END) AS p05,
+        MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                 THEN n_chars END) AS p95
+      FROM ranked
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(d.n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(d.n_chars) AS BIGINT) AS max_chars,
+           ANY_VALUE(b.p05) AS p05, ANY_VALUE(b.p95) AS p95
+    FROM documents d, band b
+    WHERE d.n_chars BETWEEN b.p05 AND b.p95
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def q_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents inside the exact [p05, p95] length band, count
+    survivors per language. The band bounds are two scalar values
+    (rank-percentile over a BIGINT column — deterministic, no float
+    interpolation) broadcast into the filter; at scale the rank pass
+    is a sort of one narrow column, and an approx-quantile pre-pass
+    could bound it further without touching the filter side."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    ranked = docs.select("n_chars", "doc_id").select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    band = ranked.agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.lit(1), F.ceil(0.05 * F.col("n")).cast("bigint")
+                ),
+                F.col("n_chars"),
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.lit(1), F.ceil(0.95 * F.col("n")).cast("bigint")
+                ),
+                F.col("n_chars"),
+            )
+        ).alias("p95"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(band))
+        .filter(F.col("n_chars").between(F.col("p05"), F.col("p95")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Skew-resistant salted aggregation -------------------------------------------
+# The 100 TB survival pattern for a hot grouping key: pre-aggregate on
+# (key, salt) so no single reducer receives the hot key's full volume,
+# then merge the ≤N_SALT partials per key. DECIMAL partials make the
+# two-stage sum exactly equal to the single-stage oracle.
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy(event_type) with explicit salting: stage 1 aggregates
+    on (event_type, crc32(event_id) % 16) — the hot key's rows spread
+    over 16 reducers — stage 2 merges 16 partial rows per key.
+    Exactness holds because both COUNT and DECIMAL SUM are
+    associative. Spark's own partial aggregation does this for
+    algebraic aggs already; the explicit form is the template for
+    non-algebraic cases (collect_set, exact distinct) where map-side
+    combine can't save you."""
+    events = load_table(spark, sf_dir, "events")
+    salted = (
+        events.filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .withColumn(
+            "salt", F.crc32(F.col("event_id").cast("string")) % 16
+        )
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(20,2)")).alias("pt"),
+        )
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            F.sum("pt").cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )
