@@ -95,6 +95,8 @@ PRIORITY: list[str] = [
     "q_containment_pairs",
     "q_length_band",
     "q_salted_agg",
+    "q_stream_dedup",
+    "q_file_provenance",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",
@@ -141,6 +143,7 @@ def load_all() -> None:
         media,
         round4,
         round4b,
+        streaming_dedup,
         streaming_replay,
         streaming_window,
         text,

@@ -14,6 +14,10 @@ tiebreaks.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -494,3 +498,58 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# File provenance via the hidden _metadata column ------------------------------
+# Every scanned row carries its source file (Spark's `_metadata`
+# struct) — the lineage primitive behind per-file error isolation and
+# audit logging (reference: per-file Stats.Failures,
+# /root/reference/datalake/stats.go). The oracle pins the invariant
+# that per-file attribution partitions the table exactly: file counts
+# sum back to COUNT(*) with the staged file count intact.
+
+
+@query(
+    "q_file_provenance",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+)
+def q_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage lineitem as 4 parquet files, read back grouping by
+    `_metadata.file_path`, and fold the per-file rows into whole-table
+    invariants. The per-file grouping is the provenance plumbing a
+    100 TB audit needs (which file contributed which rows) at the cost
+    of one shuffle keyed by file path — O(files) groups."""
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_provenance_{uuid.uuid4().hex[:12]}")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(4).write.mode("overwrite").parquet(work)
+    try:
+        staged = spark.read.parquet(work)
+        per_file = staged.groupBy(
+            F.col("_metadata.file_path").alias("file_path")
+        ).agg(
+            F.count(F.lit(1)).alias("file_rows"),
+            F.count_distinct("l_orderkey").alias("file_orders"),
+        )
+        # n_orders must be recounted globally (orders span files), so
+        # carry the order keys per file only as a correctness probe of
+        # the sum; the distinct count comes from the staged table.
+        total = staged.agg(
+            F.count_distinct("l_orderkey").alias("n_orders")
+        )
+        final = per_file.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("file_rows").cast("bigint").alias("total_rows"),
+        ).crossJoin(F.broadcast(total))
+        rows = final.collect()  # 1-row invariant summary
+        out_schema = final.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
