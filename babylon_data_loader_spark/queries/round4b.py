@@ -288,12 +288,25 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce quadratic candidates and near-zero containment evidence
     anyway); the intersection count then shuffles only (doc_a, doc_b)
     pairs, never text."""
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+    from babylon_data_loader_spark.functions.text import shingles
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(_shingles_col(F.lower(F.col("text"))))
-        ).alias("s"),
+    # Tokens and shingles materialize in SEPARATE projections
+    # (operators/dedup.py:54-57 — inlining tokens into the shingle
+    # lambda re-splits the text per array element, ~10× slower), and
+    # the exploded (doc_id, shingle) frame persists because it feeds
+    # four consumers (sizes, the df cap, both sides of the self-join).
+    tok = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_tok")
+    )
+    sh = persist_tracked(
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("_tok"), 3))
+            ).alias("s"),
+        )
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
@@ -302,7 +315,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= 100)
         .select("s")
     )
-    rare = sh.join(common, on="s")
+    rare = persist_tracked(sh.join(common, on="s"))
     inter = (
         rare.alias("a")
         .join(
@@ -338,27 +351,6 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.8)
         .select("doc_a", "doc_b", "containment")
         .orderBy("doc_a", "doc_b")
-    )
-
-
-def _shingles_col(text_lower):
-    """3-word shingles of lowercased text (functions/text.py tokens),
-    matching _SHINGLES_SQL: docs shorter than 3 tokens collapse to one
-    whole-text shingle."""
-    toks = tokens(text_lower)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - 3)
-    tri = F.transform(
-        idx,
-        lambda j: F.concat_ws(
-            " ",
-            F.element_at(toks, j + 1),
-            F.element_at(toks, j + 2),
-            F.element_at(toks, j + 3),
-        ),
-    )
-    return F.when(n >= 3, tri).otherwise(
-        F.array(F.concat_ws(" ", toks))
     )
 
 

@@ -29,6 +29,8 @@ BNLJ_ALLOWED = {
     # broadcast-variable shape, operators/sketch_join.py)
     "q_knn_recall_guard",    # composes q_knn_lsh/pq whose probes
     # broadcast single-row query vectors
+    "q_radius_search",       # single-row query vector
+    "q_length_band",         # one-row percentile-band bounds
 }
 
 
