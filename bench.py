@@ -60,6 +60,12 @@ HEADLINE = [
     # merge (max-struct agg, one shuffle row per group).
     "q_approx_join_sketch",
     "q_dedup_survivorship",
+    # round 4 wave 2: word-entropy quality signal, explicit salted
+    # aggregation, and asymmetric containment dedup (shared shingle
+    # frame + document-frequency candidate cap).
+    "q_word_entropy",
+    "q_salted_agg",
+    "q_containment_pairs",
 ]
 
 
