@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     "q_salted_agg",
     "q_stream_dedup",
     "q_file_provenance",
+    "q_incremental_dedup",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -492,6 +492,63 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental dedup against an at-rest corpus ---------------------------------
+# The cross-version op every continuously-ingesting corpus needs:
+# "which of today's documents have we already ingested?". The batch
+# side probes a Bloom sketch of the corpus fingerprints first
+# (operators/sketch_join.py — bounded bitmap, broadcast, no shuffle),
+# so the exact fingerprint join only pays for maybe-dups; false
+# positives are removed by that join, keeping the result EXACT.
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    )
+    SELECT b.doc_id, b.source FROM fp b
+    WHERE b.doc_id % 2 = 1
+      AND NOT EXISTS (
+        SELECT 1 FROM fp c WHERE c.doc_id % 2 = 0 AND c.fp = b.fp
+      )
+    ORDER BY b.doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even doc_ids play the at-rest corpus, odd doc_ids the incoming
+    batch; keep batch documents whose normalized-text fingerprint is
+    NOT already in the corpus. Plan shape: Bloom prefilter (broadcast
+    bitmap, scan-side) → exact semi-join confirm on the surviving
+    maybe-dups → narrow anti-join on doc_id. At 100 TB only the
+    maybe-dup sliver pays the fingerprint shuffle; size n_bits to the
+    corpus key count to hold the false-positive rate."""
+    from babylon_data_loader_spark.functions.text import fingerprint
+    from babylon_data_loader_spark.operators.sketch_join import (
+        bloom_prefilter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    corpus = fp.filter(F.col("doc_id") % 2 == 0)
+    batch = fp.filter(F.col("doc_id") % 2 == 1)
+    maybe_dups = bloom_prefilter(batch, corpus, "fp", "fp")
+    confirmed = maybe_dups.join(
+        corpus.select("fp").distinct(), on="fp", how="left_semi"
+    )
+    return (
+        batch.join(
+            confirmed.select("doc_id"), on="doc_id", how="left_anti"
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 # File provenance via the hidden _metadata column ------------------------------
 # Every scanned row carries its source file (Spark's `_metadata`
 # struct) — the lineage primitive behind per-file error isolation and
