@@ -98,6 +98,7 @@ PRIORITY: list[str] = [
     "q_stream_dedup",
     "q_file_provenance",
     "q_incremental_dedup",
+    "q_stream_join",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -104,3 +104,83 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_id, p.purchase_id
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.purchase_us >= c.click_us
+ AND p.purchase_us <= c.click_us + 1800000000
+"""
+
+
+@query("q_stream_join", oracle=_JOIN_ORACLE)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM attribution join, the real thing: two readStream
+    handles over the staged events, both watermarked, joined on
+    user_id with the 30-minute event-time range in the condition
+    (streaming/joins.py::attribute_purchases — q_attribution_join is
+    its batch twin and shares this oracle). The watermark here is set
+    beyond the data's time span so the oracle is exact under arbitrary
+    file arrival order; production narrows it to the attribution
+    horizon and lets click state expire — that bound times the per-key
+    event rate is the state-store footprint at 100 TB."""
+    from babylon_data_loader_spark.schemas import events_with_time
+    from babylon_data_loader_spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_stream_join_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).repartition(3).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def side(event_type: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        return events_with_time(stream).filter(
+            F.col("event_type") == event_type
+        )
+
+    joined = attribute_purchases(
+        side("click"),
+        side("purchase"),
+        within="30 minutes",
+        watermark="3650 days",  # beyond the data span: exactness over
+        # state economy, documented above
+    ).select("user_id", "click_id", "purchase_id")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    try:
+        final = spark.read.parquet(out_dir).select(
+            "user_id", "click_id", "purchase_id"
+        )
+        rows = final.collect()  # join output (bounded by oracle size)
+        out_schema = final.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
