@@ -99,6 +99,8 @@ PRIORITY: list[str] = [
     "q_file_provenance",
     "q_incremental_dedup",
     "q_stream_join",
+    "q_pmi_collocations",
+    "q_source_drift",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",
@@ -145,6 +147,7 @@ def load_all() -> None:
         media,
         round4,
         round4b,
+        round4c,
         streaming_dedup,
         streaming_replay,
         streaming_window,

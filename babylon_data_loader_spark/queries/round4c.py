@@ -1,0 +1,186 @@
+"""Round-4 wave 3: collocation mining (PMI) and cross-source
+distribution drift — corpus-analysis ops a training-data pipeline
+runs to understand what it's about to train on.
+
+Float discipline notes specific to this module:
+- PMI is ln of a RATIO OF INTEGERS (corpus counts) — one transcendental
+  per output row on identical integer inputs in both engines, no
+  cross-row float accumulation, so round-to-6 is stable.
+- The chi-square statistic DOES sum per-cell floats across rows; each
+  cell contribution is rounded then summed as DECIMAL (the
+  q_unigram_nll pattern) so partition order cannot move the total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.functions.text import tokens
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+_TOKENS_LOWER_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+# PMI collocations -------------------------------------------------------------
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKENS_LOWER_SQL} AS tok FROM documents),
+    uni AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(tok) AS term FROM t) GROUP BY term
+    ), bi AS (
+      SELECT term_a, term_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+                 j -> tok[j])) AS term_a,
+               unnest(list_transform(generate_series(1, len(tok) - 1),
+                 j -> tok[j+1])) AS term_b
+        FROM t WHERE len(tok) >= 2
+      )
+      GROUP BY term_a, term_b
+    ), n_tot AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n FROM bi)
+    SELECT b.term_a, b.term_b, b.c_ab,
+           round(ln(ANY_VALUE(n_tot.n) * b.c_ab
+                    / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+    FROM bi b
+    JOIN uni ua ON ua.term = b.term_a
+    JOIN uni ub ON ub.term = b.term_b, n_tot
+    WHERE b.c_ab >= 3
+    GROUP BY b.term_a, b.term_b, b.c_ab, ua.c, ub.c
+    HAVING round(ln(ANY_VALUE(n_tot.n) * b.c_ab
+                    / (CAST(ua.c AS DOUBLE) * ub.c)), 6) >= 0.3
+    ORDER BY term_a, term_b
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-word collocations with pointwise mutual information
+    PMI = ln(N·c(a,b) / (c(a)·c(b))) ≥ 0.3, support ≥ 3 — the classic
+    phrase-mining signal ("new york" scores high, "of the" does not).
+    Two count aggregations + two broadcast-eligible joins on term; a
+    threshold (not top-k) output dodges float rank-boundary
+    instability entirely — every survivor is decided by its own
+    rounded value, never by comparison against another float."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(tokens(F.lower(F.col("text"))).alias("_tok"))
+    uni = (
+        tok.select(F.explode("_tok").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        tok.filter(F.size("_tok") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tok") - 1),
+                    lambda j: F.struct(
+                        F.element_at(F.col("_tok"), j).alias("term_a"),
+                        F.element_at(F.col("_tok"), j + 1).alias(
+                            "term_b"
+                        ),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    # N = total bigram tokens = Σ (len(tok) − 1): integer aggregate,
+    # collected as one scalar (index metadata, not data-plane).
+    n_tot = float(
+        tok.filter(F.size("_tok") >= 2)
+        .select((F.size("_tok") - 1).alias("nb"))
+        .agg(F.sum("nb").alias("n"))
+        .first()["n"]
+    )
+    ua = uni.select(
+        F.col("term").alias("term_a"), F.col("c").alias("ca")
+    )
+    ub = uni.select(
+        F.col("term").alias("term_b"), F.col("c").alias("cb")
+    )
+    pmi = F.round(
+        F.log(
+            F.lit(n_tot)
+            * F.col("c_ab")
+            / (F.col("ca").cast("double") * F.col("cb"))
+        ),
+        6,
+    )
+    return (
+        bi.join(ua, on="term_a")
+        .join(ub, on="term_b")
+        .withColumn("pmi", pmi)
+        .filter(F.col("pmi") >= 0.3)
+        .select("term_a", "term_b", "c_ab", "pmi")
+        .orderBy("term_a", "term_b")
+    )
+
+
+# Cross-source distribution drift ---------------------------------------------
+
+
+@query(
+    "q_source_drift",
+    oracle="""
+    WITH cell AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY source, lang
+    ), row_tot AS (
+      SELECT source, CAST(SUM(o) AS BIGINT) AS rt FROM cell GROUP BY source
+    ), col_tot AS (
+      SELECT lang, CAST(SUM(o) AS BIGINT) AS ct FROM cell GROUP BY lang
+    ), n_tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM cell)
+    SELECT c.source,
+           CAST(SUM(c.o) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(round(
+                   pow(c.o - (r.rt * t.ct / (SELECT n FROM n_tot)), 2)
+                     / (r.rt * t.ct / (SELECT n FROM n_tot)), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2
+    FROM cell c
+    JOIN row_tot r USING (source)
+    JOIN col_tot t USING (lang)
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+)
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chi-square of the language distribution against the
+    corpus-wide expectation — the drift screen run when a new crawl
+    source lands: a high chi2 source is distributionally unlike the
+    rest of the corpus. Contingency cells are one tiny aggregate
+    (|sources|×|langs| rows); each cell's (o−e)²/e is rounded then
+    DECIMAL-summed per source so the cross-cell addition is
+    order-proof. Everything after the first groupBy is
+    driver-negligible metadata arithmetic at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    cell = persist_tracked(cell)
+    row_tot = cell.groupBy("source").agg(F.sum("o").alias("rt"))
+    col_tot = cell.groupBy("lang").agg(F.sum("o").alias("ct"))
+    n_tot = float(cell.agg(F.sum("o")).first()[0])
+    e = F.col("rt") * F.col("ct") / F.lit(n_tot)
+    contrib = F.round(
+        F.pow(F.col("o") - e, F.lit(2)) / e, 9
+    ).cast("decimal(28,9)")
+    return (
+        cell.join(row_tot, on="source")
+        .join(col_tot, on="lang")
+        .groupBy("source")
+        .agg(
+            F.sum("o").cast("bigint").alias("n_docs"),
+            F.round(F.sum(contrib).cast("double"), 6).alias("chi2"),
+        )
+        .orderBy("source")
+    )
