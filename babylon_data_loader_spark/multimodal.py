@@ -132,6 +132,54 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return src.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (BMP), all inside
+    Arrow-batched mapInPandas; returns MEDIA_SCHEMA so it composes
+    with extract_image_features / dedup_media_by_content.
+
+    Nearest-neighbor with the integer index map src = (dst·in)//out is
+    fully deterministic (no float resampling kernel), which is what
+    lets a solid-color fixture carry an exact arithmetic oracle
+    through the resize. At 100 TB this is the normalize-before-embed
+    step: payload bytes stay executor-side, batch shape is the Arrow
+    record batch, and the output column is again an opaque BINARY."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from babylon_data_loader_spark.functions.media_codecs import (
+            decode_image,
+            encode_bmp,
+        )
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                in_h, in_w = px.shape[0], px.shape[1]
+                yi = (np.arange(out_h) * in_h) // out_h
+                xi = (np.arange(out_w) * in_w) // out_w
+                resized = px[yi][:, xi]
+                rows.append(
+                    (
+                        int(media_id),
+                        "image",
+                        encode_bmp(resized),
+                        "image/bmp",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    src = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    )
+    return src.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """BINARY column → audio feature rows (real PCM16 WAV decode)."""
 

@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "q_stream_join",
     "q_pmi_collocations",
     "q_source_drift",
+    "q_media_resize",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -159,3 +159,38 @@ def q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_s",
         "mean_y",
     )
+
+
+@query(
+    "q_media_resize",
+    oracle=f"""
+    SELECT i AS media_id,
+           CAST(54 + 16 * 48 AS BIGINT) AS n_bytes,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST((37*i)%256 AS DOUBLE) AS mean_r,
+           CAST((59*i)%256 AS DOUBLE) AS mean_g,
+           CAST((83*i)%256 AS DOUBLE) AS mean_b
+    FROM range(0, {_N}) t(i)
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize lane: variable-dimension BMPs → nearest-neighbor resize
+    to a fixed 16x16 (multimodal.py::resize_images, integer index map,
+    no float kernel) → re-encode → REAL re-decode via the feature
+    extractor. The oracle pins the resized geometry (n_bytes becomes
+    the constant 54 + 16*ceil4(3*16) = 822) and — because the fixture
+    colors are solid — channel means that must survive the resize
+    bit-for-bit. Any off-by-one in the index map or stride padding in
+    the re-encode breaks the match."""
+    from babylon_data_loader_spark.multimodal import (
+        extract_image_features,
+        resize_images,
+        synthetic_image_table,
+    )
+
+    media = synthetic_image_table(spark, _N)
+    resized = resize_images(media, out_w=16, out_h=16)
+    return extract_image_features(resized, fake=False).select(
+        "media_id", "n_bytes", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
