@@ -494,3 +494,39 @@ def test_compression_ratio_orders_quality(spark, tmp_path):
     assert not rows[1]["keep_flag"]      # boilerplate tail
     assert not rows[2]["keep_flag"]      # noise tail
     assert rows[3]["keep_flag"]          # normal prose survives
+
+
+def test_resize_images_gradient_matches_numpy(spark):
+    """Non-solid payload: nearest-neighbor resize must equal the numpy
+    reference px[(y*in_h)//out_h][(x*in_w)//out_w] pixel for pixel —
+    the solid-color oracle in q_media_resize cannot catch a transposed
+    or off-by-one index map, this does."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from babylon_data_loader_spark.functions.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from babylon_data_loader_spark.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "image", encode_bmp(px), "image/bmp")],
+            columns=[f.name for f in MEDIA_SCHEMA.fields],
+        ),
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(media, out_w=4, out_h=6).collect()[0]
+    got = decode_bmp(bytes(out["payload"]))
+    yi = (np.arange(6) * 13) // 6
+    xi = (np.arange(4) * 9) // 4
+    expect = px[yi][:, xi]
+    assert got.shape == (6, 4, 3)
+    assert np.array_equal(got, expect)
