@@ -99,11 +99,12 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon entropy of the word distribution,
-    H = -Σ p·ln p over the doc's own term frequencies. Two shuffles,
-    both keyed by doc_id (the second reuses the first's partitioning —
-    the (doc_id, term) → doc_id rollup never moves rows between
-    partitions). Per-term contributions are rounded to 9 decimals then
-    summed as DECIMAL so partition order cannot perturb the result."""
+    H = -Σ p·ln p over the doc's own term frequencies. Two shuffles:
+    (doc_id, term) for the counts, then doc_id for the window + rollup
+    (hash(doc_id, term) does not co-locate a doc's terms, so the
+    second exchange is real — PLANS.md shows exactly 2). Per-term
+    contributions are rounded to 9 decimals then summed as DECIMAL so
+    partition order cannot perturb the result."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
@@ -113,9 +114,9 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.col("c").cast("double") / F.col("n")
     term_h = F.round(-p * F.log(p), 9).cast("decimal(28,9)")
-    # Window over doc_id instead of a join: Catalyst keeps the
-    # (doc_id, term) hash partitioning from the groupBy, so the window
-    # and the final rollup are exchange-free.
+    # Window over doc_id instead of a join: one doc_id exchange serves
+    # both the per-doc total and the final rollup (a join against a
+    # separately-aggregated totals frame would add a third).
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id")
