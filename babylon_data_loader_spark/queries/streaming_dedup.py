@@ -184,3 +184,84 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+_ENRICH_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT user_id, user_id % 3 AS tier FROM events
+  WHERE user_id IS NOT NULL
+)
+SELECT d.tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+FROM events e JOIN dim d USING (user_id)
+WHERE e.user_id IS NOT NULL AND e.value IS NOT NULL
+GROUP BY d.tier
+ORDER BY d.tier
+"""
+
+
+@query("q_stream_enrich", oracle=_ENRICH_ORACLE)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment (streaming/enrich.py): the event
+    stream joins a broadcast user dimension per micro-batch —
+    stateless, the canonical high-volume-stream × slowly-changing-dim
+    shape; a shuffle join here would re-shuffle every micro-batch.
+    The dimension is derived once from the static table (user tier =
+    user_id % 3), the enriched stream lands in an append-only parquet
+    sink, and the final per-tier aggregate must equal the plain batch
+    join oracle."""
+    from babylon_data_loader_spark.streaming.enrich import enrich_events
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_stream_enrich_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clean = events.filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    clean.repartition(3).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    user_dim = (
+        clean.select("user_id")
+        .distinct()
+        .withColumn("tier", F.col("user_id") % 3)
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    enriched = enrich_events(stream, user_dim).select(
+        "tier", "value"
+    )
+    (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    try:
+        final = (
+            spark.read.parquet(out_dir)
+            .groupBy("tier")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(20,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .orderBy("tier")
+        )
+        rows = final.collect()  # final per-tier rows
+        out_schema = final.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
