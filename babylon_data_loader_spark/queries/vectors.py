@@ -407,3 +407,41 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=emb.filter(F.col("vec_id") != 0),
     )
     return _assert_recall(emb, out, k=10, bound=0.3, method="ivfpq")
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0)
+    SELECT a.vec_id, a.label,
+           round({_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('q')}), 9)
+             AS sim
+    FROM embeddings a, q
+    WHERE a.vec_id <> 0 AND a.label <> q.label
+    ORDER BY sim DESC, a.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: the 5 nearest
+    neighbors of the anchor whose LABEL DIFFERS — the pairs that teach
+    an embedding model the most. Same zero-shuffle shape as
+    q_knn_cosine (broadcast 1-row anchor, scan-side similarity +
+    label filter, TakeOrdered); at 100 TB the per-anchor mining fans
+    out as a broadcast batch of anchors, exactly like q_knn_batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchor = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("q_label"),
+    )
+    sim = F.round(
+        cosine(F.col("embedding"), F.col("q_embedding")), 9
+    ).alias("sim")
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(anchor))
+        .filter(F.col("label") != F.col("q_label"))
+        .select("vec_id", "label", sim)
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )

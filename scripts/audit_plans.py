@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     # broadcast single-row query vectors
     "q_radius_search",       # single-row query vector
     "q_length_band",         # one-row percentile-band bounds
+    "q_hard_negatives",      # single-row anchor vector + label
 }
 
 
