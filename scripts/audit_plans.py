@@ -32,6 +32,8 @@ BNLJ_ALLOWED = {
     "q_radius_search",       # single-row query vector
     "q_length_band",         # one-row percentile-band bounds
     "q_hard_negatives",      # single-row anchor vector + label
+    "q_incremental_dedup",   # one-row broadcast Bloom bitmap
+    # (operators/sketch_join.py), same shape as q_approx_join_sketch
 }
 
 
