@@ -105,6 +105,7 @@ PRIORITY: list[str] = [
     "q_stream_enrich",
     "q_hard_negatives",
     "q_export_shards",
+    "q_bigram_nll",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -254,3 +254,104 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+# Bigram language-model scoring ------------------------------------------------
+
+
+@query(
+    "q_bigram_nll",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_LOWER_SQL} AS tok FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(tok) - 1),
+               j -> tok[j])) AS term_a,
+             unnest(list_transform(generate_series(1, len(tok) - 1),
+               j -> tok[j+1])) AS term_b
+      FROM t WHERE len(tok) >= 2
+    ), uni AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(tok) AS term FROM t) GROUP BY term
+    ), bic AS (
+      SELECT term_a, term_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM big GROUP BY term_a, term_b
+    ), v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(round(
+                   -ln((bc.c_ab + 1.0)
+                       / (CAST(ua.c AS DOUBLE) + (SELECT v FROM v))), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_nll
+    FROM big g
+    JOIN bic bc ON bc.term_a = g.term_a AND bc.term_b = g.term_b
+    JOIN uni ua ON ua.term = g.term_a
+    GROUP BY g.doc_id
+    """,
+)
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram NLL under the corpus's own add-one
+    model, P(b|a) = (c(ab)+1)/(c(a)+V) — the second-order companion to
+    q_unigram_nll: repeated boilerplate scores low, shuffled-word
+    salad scores HIGH here even when its unigram NLL looks normal.
+    Same exactness recipe: per-bigram log terms rounded to 9 then
+    DECIMAL-summed per doc. Shuffles: bigram counts, unigram counts,
+    then one join keyed by the bigram pair."""
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = persist_tracked(
+        docs.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("_tok")
+        )
+    )
+    big = persist_tracked(
+        tok.filter(F.size("_tok") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tok") - 1),
+                    lambda j: F.struct(
+                        F.element_at(F.col("_tok"), j).alias("term_a"),
+                        F.element_at(F.col("_tok"), j + 1).alias(
+                            "term_b"
+                        ),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.term_a", "p.term_b")
+    )
+    uni = persist_tracked(
+        tok.select(F.explode("_tok").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bic = big.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    v_total = float(uni.count())
+    term_nll = F.round(
+        -F.log(
+            (F.col("c_ab").cast("double") + F.lit(1.0))
+            / (F.col("c").cast("double") + F.lit(v_total))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        big.join(bic, on=["term_a", "term_b"])
+        .join(
+            uni.select(F.col("term").alias("term_a"), "c"), on="term_a"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(term_nll).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
