@@ -158,6 +158,65 @@ def _cmd_vacuum(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_profile(args: argparse.Namespace) -> int:
+    from babylon_data_loader_spark.session import build_session
+
+    spark = build_session(app_name="profile")
+    try:
+        df = spark.read.parquet(args.path)
+        from pyspark.sql import functions as F
+
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for f in df.schema.fields:
+            aggs.append(
+                (F.count(F.lit(1)) - F.count(f.name)).alias(
+                    f"null_{f.name}"
+                )
+            )
+        row = df.agg(*aggs).first().asDict()
+        print(json.dumps({"path": args.path, **row}))
+    finally:
+        spark.stop()
+    return 0
+
+
+def _cmd_export(args: argparse.Namespace) -> int:
+    from babylon_data_loader_spark.operators.export import (
+        export_corpus,
+        export_manifest,
+    )
+    from babylon_data_loader_spark.session import build_session
+
+    spark = build_session(app_name="export-corpus")
+    try:
+        df = spark.read.parquet(args.src)
+        export_corpus(
+            df,
+            args.dst,
+            fmt=args.format,
+            max_records_per_file=args.max_records_per_file,
+            shard_by=args.shard_by,
+            n_shards=args.shards,
+        )
+        manifest = export_manifest(spark, args.dst, fmt=args.format)
+        files = manifest.count()
+        rows = manifest.agg({"n_rows": "sum"}).first()[0]
+        print(
+            json.dumps(
+                {
+                    "src": args.src,
+                    "dst": args.dst,
+                    "format": args.format,
+                    "files": files,
+                    "rows": int(rows or 0),
+                }
+            )
+        )
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="babylon_data_loader_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -206,6 +265,24 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated Z-order (Morton) clustering columns",
     )
 
+    prof = sub.add_parser(
+        "profile",
+        help="one-pass table profile (row count + per-column nulls)",
+    )
+    prof.add_argument("path")
+
+    exp = sub.add_parser(
+        "export-corpus",
+        help="write a table as size-bounded, optionally hash-sharded "
+        "files + manifest (the training-corpus last mile)",
+    )
+    exp.add_argument("src")
+    exp.add_argument("dst")
+    exp.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+    exp.add_argument("--max-records-per-file", type=int, default=100_000)
+    exp.add_argument("--shard-by", default=None)
+    exp.add_argument("--shards", type=int, default=None)
+
     gen = sub.add_parser(
         "generate-synthetic-data", help="generate synthetic transactions"
     )
@@ -226,6 +303,10 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_vacuum(args)
     if args.command == "optimize-layout":
         return _cmd_optimize(args)
+    if args.command == "profile":
+        return _cmd_profile(args)
+    if args.command == "export-corpus":
+        return _cmd_export(args)
     return _cmd_generate(args)
 
 

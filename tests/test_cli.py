@@ -137,3 +137,30 @@ def test_cli_optimize_layout(spark, tmp_path):
     assert rep["rows"] == 30_000
     assert rep["files"] == 4
     assert rep["sorted_by"] == "k"
+
+
+def test_cli_profile_and_export(tmp_path):
+    out = _run(
+        ["profile", "/root/testdata/sf0.001/documents.parquet"]
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["n_rows"] > 0 and rep["null_doc_id"] == 0
+
+    dst = str(tmp_path / "shards")
+    out = _run(
+        [
+            "export-corpus",
+            "/root/testdata/sf0.001/documents.parquet",
+            dst,
+            "--shard-by",
+            "doc_id",
+            "--shards",
+            "4",
+        ]
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == json.loads(
+        _run(["profile", dst]).stdout.strip().splitlines()[-1]
+    )["n_rows"]
