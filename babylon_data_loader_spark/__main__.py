@@ -217,6 +217,72 @@ def _cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_card(args: argparse.Namespace) -> int:
+    """Dataset card: the one-page JSON summary a corpus ships with —
+    composition (language/source mix), length stats, token volume, and
+    exact-duplicate rate, all from single-pass aggregates plus one
+    fingerprint groupBy (the same normalized-md5 the dedup lane
+    uses)."""
+    from babylon_data_loader_spark.functions.text import (
+        fingerprint,
+        n_tokens,
+    )
+    from babylon_data_loader_spark.session import build_session
+
+    spark = build_session(app_name="dataset-card")
+    try:
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(args.path)
+        text_col = args.text_col
+        base = df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.sum(n_tokens(F.col(text_col))).alias("total_tokens"),
+            F.min(F.length(text_col)).alias("min_chars"),
+            F.expr(f"percentile(length({text_col}), 0.5)").alias(
+                "median_chars"
+            ),
+            F.max(F.length(text_col)).alias("max_chars"),
+        ).first()
+        uniques = (
+            df.select(fingerprint(F.col(text_col)).alias("fp"))
+            .distinct()
+            .count()
+        )
+        mix = {}
+        for dim in args.mix_by:
+            if dim in df.columns:
+                mix[dim] = {
+                    r[dim]: r["n"]
+                    for r in df.groupBy(dim)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .orderBy(F.col("n").desc())
+                    .limit(50)
+                    .collect()
+                }
+        n_docs = base["n_docs"] or 0
+        card = {
+            "path": args.path,
+            "n_docs": n_docs,
+            "total_chars": int(base["total_chars"] or 0),
+            "total_tokens": int(base["total_tokens"] or 0),
+            "chars_min_median_max": [
+                int(base["min_chars"] or 0),
+                float(base["median_chars"] or 0),
+                int(base["max_chars"] or 0),
+            ],
+            "exact_dup_rate": (
+                round(1.0 - uniques / n_docs, 6) if n_docs else 0.0
+            ),
+            "mix": mix,
+        }
+        print(json.dumps(card, default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="babylon_data_loader_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -283,6 +349,20 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--shard-by", default=None)
     exp.add_argument("--shards", type=int, default=None)
 
+    card = sub.add_parser(
+        "dataset-card",
+        help="one-page JSON corpus summary: composition mix, length "
+        "and token stats, exact-duplicate rate",
+    )
+    card.add_argument("path")
+    card.add_argument("--text-col", default="text")
+    card.add_argument(
+        "--mix-by",
+        nargs="*",
+        default=["lang", "source"],
+        help="categorical columns to histogram (top 50 each)",
+    )
+
     gen = sub.add_parser(
         "generate-synthetic-data", help="generate synthetic transactions"
     )
@@ -307,6 +387,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_profile(args)
     if args.command == "export-corpus":
         return _cmd_export(args)
+    if args.command == "dataset-card":
+        return _cmd_card(args)
     return _cmd_generate(args)
 
 

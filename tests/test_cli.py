@@ -164,3 +164,16 @@ def test_cli_profile_and_export(tmp_path):
     assert rep["rows"] == json.loads(
         _run(["profile", dst]).stdout.strip().splitlines()[-1]
     )["n_rows"]
+
+
+def test_cli_dataset_card():
+    out = _run(
+        ["dataset-card", "/root/testdata/sf0.001/documents.parquet"]
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    card = json.loads(out.stdout.strip().splitlines()[-1])
+    assert card["n_docs"] > 0
+    assert card["total_tokens"] > 0
+    assert 0.0 <= card["exact_dup_rate"] < 1.0
+    assert set(card["mix"]) == {"lang", "source"}
+    assert sum(card["mix"]["lang"].values()) == card["n_docs"]
