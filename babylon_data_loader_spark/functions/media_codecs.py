@@ -395,3 +395,13 @@ def decode_y4m_frame(data: bytes, frame_idx: int) -> np.ndarray:
         raise ValueError("bad FRAME marker")
     raw = np.frombuffer(data, np.uint8, count=frame_bytes, offset=start + 6)
     return raw.reshape(3, h, w).transpose(1, 2, 0)
+
+
+def nn_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample with the integer index map
+    src = (dst * in) // out — deterministic (no float kernel), identity
+    when dimensions are unchanged."""
+    in_h, in_w = px.shape[0], px.shape[1]
+    yi = (np.arange(out_h) * in_h) // out_h
+    xi = (np.arange(out_w) * in_w) // out_w
+    return px[yi][:, xi]

@@ -152,16 +152,14 @@ def resize_images(
         from babylon_data_loader_spark.functions.media_codecs import (
             decode_image,
             encode_bmp,
+            nn_resize,
         )
 
         for pdf in it:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 px = decode_image(bytes(payload))
-                in_h, in_w = px.shape[0], px.shape[1]
-                yi = (np.arange(out_h) * in_h) // out_h
-                xi = (np.arange(out_w) * in_w) // out_w
-                resized = px[yi][:, xi]
+                resized = nn_resize(px, out_w, out_h)
                 rows.append(
                     (
                         int(media_id),

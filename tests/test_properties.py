@@ -131,3 +131,26 @@ def test_y4m_rejects_garbage():
 
     with _pytest2.raises(IndexError):
         mc.decode_y4m_frame(data, 5)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    images(),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+def test_nn_resize_matches_index_map(px, out_w, out_h):
+    got = mc.nn_resize(px, out_w, out_h)
+    assert got.shape == (out_h, out_w, 3)
+    yi = (np.arange(out_h) * px.shape[0]) // out_h
+    xi = (np.arange(out_w) * px.shape[1]) // out_w
+    assert np.array_equal(got, px[yi][:, xi])
+    # every output pixel exists somewhere in the input
+    assert got.max(initial=0) <= px.max(initial=0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(images())
+def test_nn_resize_identity(px):
+    h, w = px.shape[0], px.shape[1]
+    assert np.array_equal(mc.nn_resize(px, w, h), px)
