@@ -106,6 +106,8 @@ PRIORITY: list[str] = [
     "q_hard_negatives",
     "q_export_shards",
     "q_bigram_nll",
+    "q_event_funnel",
+    "q_retention_cohorts",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",
@@ -153,6 +155,7 @@ def load_all() -> None:
         round4,
         round4b,
         round4c,
+        round4d,
         streaming_dedup,
         streaming_replay,
         streaming_window,

@@ -1,0 +1,141 @@
+"""Round-4 wave 4: ordered-funnel conversion and retention cohorts —
+the two classic event-analytics shapes the suite did not yet cover
+(sessionization and attribution joins are neighbors, but neither is
+an ORDERED multi-step progression nor a cohort × offset matrix).
+
+Time discipline: all comparisons in epoch-microsecond BIGINTs via
+`schemas.event_ts_us` (both testdata `ts` encodings), day ids by
+integer division — no calendar functions, so both engines agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
+
+_DAY_US = 86_400_000_000
+
+
+# Ordered funnel ---------------------------------------------------------------
+
+
+@query(
+    "q_event_funnel",
+    oracle=f"""
+    WITH pv AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS v_us
+      FROM events GROUP BY user_id
+    ), pc AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+      FROM events e JOIN pv ON pv.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > pv.v_us
+        AND epoch_us(e.ts) <= pv.v_us + {_DAY_US}
+      GROUP BY e.user_id
+    ), pp AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+      FROM events e JOIN pc ON pc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > pc.c_us
+        AND epoch_us(e.ts) <= pc.c_us + {_DAY_US}
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(v_us) AS BIGINT) FROM pv) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pc) AS n_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pp) AS n_purchase
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion, each step within 24 h of
+    the previous step's FIRST occurrence — the ordered-progression
+    semantics a flat type-count can't express (a purchase before the
+    click does not count). Three aggregates keyed by user_id; after
+    the first shuffle the two step joins co-partition on the same key,
+    and the step frames shrink monotonically (150 → 60 → 25 on the
+    test corpus), so at scale each successive stage is cheaper, not
+    wider."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", event_ts_us(ev))
+    pv = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        ).alias("v_us")
+    )
+    pc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(pv, on="user_id")
+        .filter(
+            (F.col("ts_us") > F.col("v_us"))
+            & (F.col("ts_us") <= F.col("v_us") + F.lit(_DAY_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_us"))
+    )
+    pp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(pc, on="user_id")
+        .filter(
+            (F.col("ts_us") > F.col("c_us"))
+            & (F.col("ts_us") <= F.col("c_us") + F.lit(_DAY_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_us"))
+    )
+    n_view = pv.filter(F.col("v_us").isNotNull()).count()
+    n_click = pc.count()
+    n_purchase = pp.count()
+    return spark.createDataFrame(
+        [(n_view, n_click, n_purchase)],
+        "n_view BIGINT, n_click BIGINT, n_purchase BIGINT",
+    )
+
+
+# Retention cohorts ------------------------------------------------------------
+
+
+@query(
+    "q_retention_cohorts",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // {_DAY_US}) AS d0
+      FROM events GROUP BY user_id
+    ), base AS (SELECT MIN(d0) AS b FROM firsts)
+    SELECT CAST(f.d0 - (SELECT b FROM base) AS BIGINT) AS cohort_day,
+           CAST((epoch_us(e.ts) // {_DAY_US}) - f.d0 AS BIGINT)
+             AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention matrix: users grouped by first-seen day (cohort),
+    counted distinct on each subsequent day offset — the standard
+    activation/retention readout. Day ids are integer division of
+    epoch micros (no calendar/timezone functions to disagree on).
+    Two shuffles: first-seen per user, then the (cohort, offset)
+    rollup; the firsts frame joins back broadcast-eligibly since it
+    is one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", event_ts_us(ev)).withColumn(
+        "day", (F.col("ts_us") / F.lit(_DAY_US)).cast("bigint")
+    )
+    # integer floor-div: ts_us >= 0 in this data, so cast-trunc == floor
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    base = firsts.agg(F.min("d0").alias("b"))
+    return (
+        ev.join(firsts, on="user_id")
+        .crossJoin(F.broadcast(base))
+        .groupBy(
+            (F.col("d0") - F.col("b")).alias("cohort_day"),
+            (F.col("day") - F.col("d0")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
