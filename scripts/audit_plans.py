@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "q_hard_negatives",      # single-row anchor vector + label
     "q_incremental_dedup",   # one-row broadcast Bloom bitmap
     # (operators/sketch_join.py), same shape as q_approx_join_sketch
+    "q_retention_cohorts",   # one-row cohort base-day scalar
 }
 
 
