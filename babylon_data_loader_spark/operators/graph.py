@@ -102,3 +102,58 @@ def connected_components(
 
     track(persisted)
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank by power iteration, DataFrame-native and exactly
+    reproducible: per-edge contributions are rounded to 12 decimals
+    then summed as DECIMAL(38,12), and each iteration's rank is
+    re-rounded — so the result is independent of partition/accumulation
+    order and a SQL engine unrolling the same iterations agrees digit
+    for digit.
+
+    Scale shape: each iteration is one join (ranks ⋈ edges on src —
+    co-partitioned after the first shuffle) plus one groupBy(dst) with
+    map-side partial sums; ranks are O(nodes), edges never rewritten.
+    Iteration count is a fixed small constant (power iteration
+    converges geometrically at rate `damping`). Assumes every node has
+    out-degree ≥ 1 (true for symmetric edge sets like co-occurrence
+    graphs); dangling-mass redistribution is deliberately out of scope
+    and documented rather than silently approximated."""
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    e = persist_tracked(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = float(nodes.count())
+    ranks = persist_tracked(
+        nodes.withColumn("r", F.round(F.lit(1.0) / F.lit(n), 12))
+    )
+    base = (1.0 - damping) / n
+    for _ in range(n_iters):
+        contrib = F.round(F.col("r") / F.col("d"), 12).cast(
+            "decimal(38,12)"
+        )
+        ranks = persist_tracked(
+            e.join(ranks, on=F.col("src") == F.col("node"))
+            .join(deg, on="src")
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.sum(contrib).cast("double"),
+                    12,
+                ).alias("r")
+            )
+            .select(F.col("node2").alias("node"), "r")
+        )
+    return ranks

@@ -108,6 +108,7 @@ PRIORITY: list[str] = [
     "q_bigram_nll",
     "q_event_funnel",
     "q_retention_cohorts",
+    "q_copurchase_pagerank",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

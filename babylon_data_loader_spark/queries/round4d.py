@@ -139,3 +139,85 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# Co-purchase PageRank ---------------------------------------------------------
+
+
+@query(
+    "q_copurchase_pagerank",
+    oracle="""
+    WITH ok_orders AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_partkey) BETWEEN 2 AND 10
+    ), op AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN ok_orders USING (l_orderkey)
+    ), uedges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM uedges),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM uedges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, round(1.0/(SELECT n FROM n), 12) AS r
+           FROM nodes),
+    r1 AS (
+      SELECT e.dst AS node,
+             round(0.15/(SELECT n FROM n)
+                   + 0.85*CAST(SUM(CAST(round(r0.r/deg.d, 12)
+                       AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+      FROM uedges e JOIN r0 ON r0.node = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             round(0.15/(SELECT n FROM n)
+                   + 0.85*CAST(SUM(CAST(round(r1.r/deg.d, 12)
+                       AS DECIMAL(38,12))) AS DOUBLE), 12) AS r
+      FROM uedges e JOIN r1 ON r1.node = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT node AS part, r AS rank FROM r2
+    ORDER BY r DESC, node ASC LIMIT 10
+    """,
+)
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-importance ranking by PageRank over the co-purchase
+    graph (parts sharing an order, orders capped at 10 distinct parts
+    so a degenerate basket cannot go quadratic — mirrored in the
+    oracle). Two power iterations unrolled exactly in the SQL twin;
+    the operator's per-edge round + DECIMAL-sum discipline
+    (operators/graph.py::pagerank) is what makes an ITERATIVE float
+    algorithm hash-comparable across engines. Every node has
+    out-degree ≥ 1 (the edge set is symmetric), so no dangling mass."""
+    from babylon_data_loader_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np").between(2, 10))
+        .select("l_orderkey")
+    )
+    opk = op.join(ok, on="l_orderkey")
+    edges = (
+        opk.alias("a")
+        .join(opk.alias("b"), on="l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    ranks = pagerank(edges, n_iters=2, damping=0.85)
+    return (
+        ranks.select(F.col("node").alias("part"), F.col("r").alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("part").asc())
+        .limit(10)
+    )
