@@ -109,6 +109,7 @@ PRIORITY: list[str] = [
     "q_event_funnel",
     "q_retention_cohorts",
     "q_copurchase_pagerank",
+    "q_gap_fill",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

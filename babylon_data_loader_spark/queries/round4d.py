@@ -221,3 +221,80 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("part").asc())
         .limit(10)
     )
+
+
+# Time-spine gap filling -------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@query(
+    "q_gap_fill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts) // {_HOUR_US}) AS h0,
+             MAX(epoch_us(ts) // {_HOUR_US}) AS h1
+      FROM events WHERE ts IS NOT NULL
+    ), spine AS (
+      SELECT unnest(generate_series(h0, h1)) AS hour FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+      WHERE event_type IS NOT NULL
+    ), grid AS (
+      SELECT s.hour, t.event_type FROM spine s CROSS JOIN types t
+    ), actual AS (
+      SELECT epoch_us(ts) // {_HOUR_US} AS hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT CAST(g.hour AS BIGINT) AS hour, g.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN actual a USING (hour, event_type)
+    ORDER BY hour, event_type
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with explicit zeros — the
+    resample step every time-series consumer (anomaly detection,
+    forecasting) needs, because a missing hour and a zero hour are
+    different facts. The spine is `sequence()` over the observed hour
+    bounds exploded against the type dimension (both tiny — the grid
+    is |hours|×|types|, metadata-scale next to the fact table), then
+    one LEFT join against the hourly aggregate. At 100 TB the actuals
+    aggregation dominates and is one map-side-combined shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = (
+        ev.withColumn("ts_us", event_ts_us(ev))
+        .filter(
+            F.col("ts_us").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .withColumn(
+            "hour", (F.col("ts_us") / F.lit(_HOUR_US)).cast("bigint")
+        )
+    )
+    bounds = ev.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    actual = ev.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).alias("a_n")
+    )
+    return (
+        grid.join(actual, on=["hour", "event_type"], how="left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("a_n"), F.lit(0))
+            .cast("bigint")
+            .alias("n"),
+        )
+        .orderBy("hour", "event_type")
+    )

@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "q_incremental_dedup",   # one-row broadcast Bloom bitmap
     # (operators/sketch_join.py), same shape as q_approx_join_sketch
     "q_retention_cohorts",   # one-row cohort base-day scalar
+    "q_gap_fill",            # spine × type-dimension grid: both sides
+    # metadata-scale (|hours|, |types|), the deliberate dense-grid build
 }
 
 
