@@ -110,6 +110,8 @@ PRIORITY: list[str] = [
     "q_retention_cohorts",
     "q_copurchase_pagerank",
     "q_gap_fill",
+    "q_sliding_window",
+    "q_anomaly_hours",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

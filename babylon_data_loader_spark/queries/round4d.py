@@ -298,3 +298,158 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+# Sliding (overlapping) windows in batch ---------------------------------------
+
+
+@query(
+    "q_sliding_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS h FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ), w AS (
+      SELECT event_type, unnest([h - 1, h]) AS w_start FROM e
+    )
+    SELECT event_type, CAST(w_start AS BIGINT) AS w_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY event_type, w_start
+    ORDER BY event_type, w_start
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour, batch form: each event
+    explodes into the two windows containing it (the same
+    row-multiplication Structured Streaming's sliding `F.window`
+    performs), then one count per (type, window-start). Overlap factor
+    = window/slide = 2, so the exploded frame is exactly 2× the
+    input — bounded, predictable, and the aggregate's map-side combine
+    eats most of it before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = (
+        ev.withColumn("ts_us", event_ts_us(ev))
+        .filter(
+            F.col("ts_us").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .withColumn(
+            "h", (F.col("ts_us") / F.lit(_HOUR_US)).cast("bigint")
+        )
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.explode(
+                F.array(F.col("h") - 1, F.col("h"))
+            ).alias("w_start"),
+        )
+        .groupBy("event_type", "w_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "w_start")
+    )
+
+
+# Time-series anomaly flags ----------------------------------------------------
+
+
+@query(
+    "q_anomaly_hours",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts) // {_HOUR_US}) AS h0,
+             MAX(epoch_us(ts) // {_HOUR_US}) AS h1
+      FROM events WHERE ts IS NOT NULL
+    ), spine AS (
+      SELECT unnest(generate_series(h0, h1)) AS hour FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+      WHERE event_type IS NOT NULL
+    ), grid AS (
+      SELECT s.hour, t.event_type FROM spine s CROSS JOIN types t
+    ), actual AS (
+      SELECT epoch_us(ts) // {_HOUR_US} AS hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), dense AS (
+      SELECT g.hour, g.event_type, COALESCE(a.n, 0) AS n
+      FROM grid g LEFT JOIN actual a USING (hour, event_type)
+    ), stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM dense GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(d.hour AS BIGINT) AS hour,
+           CAST(d.n AS BIGINT) AS n
+    FROM dense d JOIN stats t USING (event_type)
+    WHERE d.n > round(CAST(t.s1 AS DOUBLE) / t.cnt
+          + 3 * sqrt(CAST(t.s2 AS DOUBLE) / t.cnt
+                     - pow(CAST(t.s1 AS DOUBLE) / t.cnt, 2)), 9)
+    ORDER BY d.event_type, d.hour
+    """,
+)
+def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma spike detection over the GAP-FILLED hourly series (the
+    zero hours must be in the population or the mean is inflated and
+    spikes hide — this is why q_gap_fill exists). Moments come from
+    exact integer sums (Σn, Σn²), so mean/σ are identical doubles in
+    both engines; the threshold is rounded to 9 before the compare.
+    Two shuffles beyond the dense-series build: the per-type moment
+    aggregate (6 rows) broadcasts back over the series."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = (
+        ev.withColumn("ts_us", event_ts_us(ev))
+        .filter(
+            F.col("ts_us").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .withColumn(
+            "hour", (F.col("ts_us") / F.lit(_HOUR_US)).cast("bigint")
+        )
+    )
+    bounds = ev.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).alias("a_n")
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    dense = persist_tracked(
+        spine.crossJoin(types)
+        .join(actual, on=["hour", "event_type"], how="left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("a_n"), F.lit(0))
+            .cast("bigint")
+            .alias("n"),
+        )
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    thr = F.round(
+        mean
+        + F.lit(3.0)
+        * F.sqrt(
+            F.col("s2").cast("double") / F.col("cnt")
+            - F.pow(mean, F.lit(2))
+        ),
+        9,
+    )
+    return (
+        dense.join(F.broadcast(stats), on="event_type")
+        .filter(F.col("n") > thr)
+        .select("event_type", "hour", "n")
+        .orderBy("event_type", "hour")
+    )

@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "q_retention_cohorts",   # one-row cohort base-day scalar
     "q_gap_fill",            # spine × type-dimension grid: both sides
     # metadata-scale (|hours|, |types|), the deliberate dense-grid build
+    "q_anomaly_hours",       # same dense-grid build as q_gap_fill
 }
 
 
