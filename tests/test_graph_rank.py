@@ -1,0 +1,61 @@
+"""pagerank (operators/graph.py): analytic answers on known graphs,
+plus the order-invariance property the DECIMAL discipline promises."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _ranks(spark, edges, n_iters=3):
+    from babylon_data_loader_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    return {
+        r["node"]: r["r"] for r in pagerank(df, n_iters=n_iters).collect()
+    }
+
+
+def test_pagerank_ring_is_uniform(spark):
+    """On a directed ring every node has in/out degree 1: the uniform
+    vector is the fixed point, so every iteration returns exactly
+    1/N."""
+    n = 8
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    ranks = _ranks(spark, edges, n_iters=3)
+    assert set(ranks) == set(range(n))
+    expect = round(1.0 / n, 12)
+    assert all(abs(v - expect) < 1e-9 for v in ranks.values())
+
+
+def test_pagerank_star_matches_reference(spark):
+    """Star with bidirectional spokes: compare against a plain-python
+    power iteration applying the operator's exact rounding recipe."""
+    k = 5  # leaves
+    edges = [(0, i) for i in range(1, k + 1)] + [
+        (i, 0) for i in range(1, k + 1)
+    ]
+    n = k + 1
+    ranks = {i: round(1.0 / n, 12) for i in range(n)}
+    deg = {0: k, **{i: 1 for i in range(1, k + 1)}}
+    for _ in range(2):
+        nxt = {}
+        for node in range(n):
+            srcs = [s for s, d in edges if d == node]
+            s = sum(round(ranks[sr] / deg[sr], 12) for sr in srcs)
+            nxt[node] = round(0.15 / n + 0.85 * s, 12)
+        ranks = nxt
+    got = _ranks(spark, edges, n_iters=2)
+    assert got.keys() == ranks.keys()
+    for node in got:
+        assert abs(got[node] - ranks[node]) < 1e-11, node
+    # the hub must dominate every leaf
+    assert got[0] > max(v for nd, v in got.items() if nd != 0)
+
+
+def test_pagerank_input_order_invariant(spark):
+    """Reversing edge-row order cannot change a single digit — the
+    per-edge round + DECIMAL-sum accumulation is order-proof."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (0, 2)]
+    a = _ranks(spark, edges, n_iters=3)
+    b = _ranks(spark, list(reversed(edges)), n_iters=3)
+    assert a == b
