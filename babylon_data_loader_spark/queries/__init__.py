@@ -112,6 +112,10 @@ PRIORITY: list[str] = [
     "q_gap_fill",
     "q_sliding_window",
     "q_anomaly_hours",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q20",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -510,3 +510,311 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# Q2 — min-cost supplier (correlated min over a derived catalog) ---------------
+# The testdata has no partsupp table, so the part-supplier catalog is
+# derived from lineitem: a supplier "offers" a part at the minimum
+# extended price ever shipped for that (part, supplier) pair. MIN of a
+# double picks an existing value (no float summation), so the offer is
+# engine-exact without DECIMAL laundering.
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH euro_supp AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    offers AS (
+      SELECT l.l_partkey, l.l_suppkey, MIN(l.l_extendedprice) AS offer
+      FROM lineitem l
+      JOIN euro_supp es ON es.s_suppkey = l.l_suppkey
+      GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT es.s_acctbal, es.s_name, es.n_name,
+           p.p_partkey, p.p_brand, o.offer, es.s_suppkey
+    FROM part p
+    JOIN offers o ON o.l_partkey = p.p_partkey
+    JOIN euro_supp es ON es.s_suppkey = o.l_suppkey
+    WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 20
+      AND o.offer = (SELECT MIN(o2.offer) FROM offers o2
+                     WHERE o2.l_partkey = p.p_partkey)
+    ORDER BY es.s_acctbal DESC, es.n_name, es.s_name, p.p_partkey,
+             es.s_suppkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): for each LARGE mid-size
+    part, the European supplier(s) offering it at the minimum observed
+    price. The correlated `= (SELECT MIN ...)` becomes a window MIN
+    over the offers frame partitioned by part — ONE shuffle on
+    l_partkey, reused by the window and the final part join; the
+    supplier dimension (region-filtered) is broadcast into both the
+    offer derivation and the output join. Reference analogue: lookup
+    queries at datalake/query.go answer "best row per key" the same
+    way — here at warehouse scale."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+
+    euro_supp = (
+        s.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+                    on=[n.n_regionkey == r.r_regionkey],
+                ).select("n_nationkey", "n_name")
+            ),
+            on=[s.s_nationkey == F.col("n_nationkey")],
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(
+            F.broadcast(euro_supp.select("s_suppkey")),
+            on=[li.l_suppkey == F.col("s_suppkey")],
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("offer"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("min_offer", F.min("offer").over(w)).filter(
+        F.col("offer") == F.col("min_offer")
+    )
+    wanted = p.filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_brand")
+    return (
+        best.join(F.broadcast(wanted), on=[best.l_partkey == wanted.p_partkey])
+        .join(F.broadcast(euro_supp), on=[best.l_suppkey == euro_supp.s_suppkey])
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "offer", "s_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+# Q9 — product-type profit by nation and year ----------------------------------
+# No ps_supplycost in the testdata: cost is modeled as
+# 0.6 * p_retailprice * l_quantity (same join/agg shape, deterministic
+# arithmetic; the double product is IEEE-identical in both engines and
+# the DECIMAL cast happens on the same value).
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(SUM(
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))
+             - CAST(0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(25,6))
+           ) AS DOUBLE), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and order year): the
+    part filter broadcast-prunes lineitem FIRST (the only fact-sized
+    join is lineitem->orders on orderkey), supplier->nation collapses
+    to one broadcast map, and profit terms are decimal-cast per row so
+    the cross-row sum is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+
+    gear = p.filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = s.join(
+        F.broadcast(n), on=[s.s_nationkey == n.n_nationkey]
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit = (
+        _rev_col()
+        - (F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")).cast(
+            "decimal(25,6)"
+        )
+    )
+    return (
+        li.join(F.broadcast(gear), on=[li.l_partkey == gear.p_partkey])
+        .join(F.broadcast(supp_nation), on=[li.l_suppkey == F.col("s_suppkey")])
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            on=[li.l_orderkey == F.col("o_orderkey")],
+        )
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+    )
+
+
+# Q11 — important stock (group value vs a global-threshold scalar) -------------
+# partsupp value is modeled from lineitem: a nation's stock value per
+# part is SUM(p_retailprice * l_quantity) over lineitems shipped by
+# that nation's suppliers.
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH nation_lines AS (
+      SELECT l.l_partkey,
+             CAST(p.p_retailprice * l.l_quantity AS DECIMAL(25,6)) AS v
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+    ),
+    per_part AS (
+      SELECT l_partkey AS p_partkey, SUM(v) AS value_dec
+      FROM nation_lines GROUP BY 1
+    )
+    SELECT p_partkey, round(CAST(value_dec AS DOUBLE), 2) AS stock_value
+    FROM per_part
+    WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM nation_lines)
+    ORDER BY stock_value DESC, p_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value within one
+    nation, kept only when it exceeds a fraction of the nation's TOTAL
+    value — an aggregate filtered against a scalar subquery over the
+    same frame. The nation's line set is computed once; Catalyst
+    evaluates the per-part agg and the grand total as two consumers of
+    one shuffle. Both threshold sides derive from exact DECIMAL sums,
+    so the double comparison is engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    nation_supp = (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+            on=[s.s_nationkey == n.n_nationkey],
+        ).select("s_suppkey")
+    )
+    lines = (
+        li.join(F.broadcast(nation_supp), on=[li.l_suppkey == F.col("s_suppkey")])
+        .join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            on=[li.l_partkey == F.col("p_partkey")],
+        )
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice") * F.col("l_quantity"))
+            .cast("decimal(25,6)")
+            .alias("v"),
+        )
+    )
+    per_part = lines.groupBy("p_partkey").agg(F.sum("v").alias("value_dec"))
+    threshold = lines.agg(
+        (F.sum("v").cast("double") * F.lit(0.001)).alias("thr")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("value_dec").cast("double") > F.col("thr"))
+        .select(
+            "p_partkey",
+            F.round(F.col("value_dec").cast("double"), 2).alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), "p_partkey")
+    )
+
+
+# Q20 — suppliers with excess shipments (nested semi-join chain) ---------------
+# No partsupp availqty: the inner predicate becomes "1999 shipped
+# quantity of small-named parts above the all-supplier average", which
+# keeps Q20's scalar-subquery-inside-semi-join chain and stays
+# scale-invariant (an absolute threshold would saturate at higher SF).
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(25,6))) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM shipped
+      WHERE CAST(qty AS DOUBLE) >
+            (SELECT CAST(SUM(qty) AS DOUBLE) / COUNT(*) FROM shipped)
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-shipment suppliers): a LEFT-SEMI join
+    of the supplier dimension against an aggregate that is itself
+    filtered by a scalar subquery over the same aggregate. The part
+    filter broadcasts into the lineitem scan, the shipped frame is
+    ~|suppliers| rows, and the average threshold is a 1-row broadcast
+    — supplier never shuffles. Quantities sum in DECIMAL so the
+    average is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    small = p.filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate")
+             >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate")
+               < F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(small), on=[li.l_partkey == F.col("p_partkey")])
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty"))
+    )
+    avg_qty = shipped.agg(
+        (F.sum("qty").cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    excess = (
+        shipped.join(F.broadcast(avg_qty))
+        .filter(F.col("qty").cast("double") > F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(excess),
+            on=[s.s_suppkey == F.col("l_suppkey")],
+            how="left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
