@@ -157,3 +157,87 @@ def pagerank(
             .select(F.col("node2").alias("node"), "r")
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected
+    graph, returned as (node, n_triangles) for nodes in ≥1 triangle.
+
+    `edges` is an undirected edge list (either orientation, duplicates
+    tolerated — symmetrized and distinct-ed here).
+
+    Scale shape — degree-ordered orientation: every undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher one,
+    and wedges are enumerated only from each node's FORWARD adjacency.
+    The forward out-degree of any node is bounded by O(sqrt(|E|))
+    regardless of how skewed the raw degree distribution is (a
+    celebrity node with 10^6 followers contributes wedges only through
+    the rare neighbors ranked above it), so the wedge join cannot
+    explode on hubs — the standard arboricity bound behind every
+    distributed triangle counter. Each triangle is enumerated exactly
+    once (its corners form a total order under (degree, id)), then
+    exploded to its 3 corners for per-node counts: three shuffles
+    total (degree agg, wedge join, closing semi-join), no cartesian.
+
+    Orientation changes enumeration order only, never the triangle
+    set, so a plain a<b<c SQL oracle agrees exactly.
+    """
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    # Total degree per node (both endpoints of each undirected edge).
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient each edge toward the higher (degree, id) endpoint.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = persist_tracked(
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    )
+    # Wedges from forward adjacency: s -> (t1, t2); close with the
+    # (canonically low->high) forward edge t1 -> t2 or t2 -> t1 — the
+    # closing edge is also oriented, so probe both as an undirected
+    # lookup against the canonical min/max pair.
+    e1 = fwd.select(F.col("s"), F.col("t").alias("t1"))
+    e2 = fwd.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = e1.join(e2, "s").filter(F.col("t1") < F.col("t2"))
+    closing = fwd.select(
+        F.least("s", "t").alias("t1"), F.greatest("s", "t").alias("t2")
+    ).distinct()
+    tri = wedges.join(closing, ["t1", "t2"])
+    corners = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("t1").alias("node")))
+        .unionAll(tri.select(F.col("t2").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

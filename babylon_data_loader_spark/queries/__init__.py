@@ -116,6 +116,12 @@ PRIORITY: list[str] = [
     "q_tpch_q9",
     "q_tpch_q11",
     "q_tpch_q20",
+    "q_fuzzy_join",
+    "q_scd2_dimension",
+    "q_triangle_count",
+    "q_data_quality",
+    "q_oov_rate",
+    "q_equal_freq_binning",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",
@@ -164,6 +170,7 @@ def load_all() -> None:
         round4b,
         round4c,
         round4d,
+        round4e,
         streaming_dedup,
         streaming_replay,
         streaming_window,

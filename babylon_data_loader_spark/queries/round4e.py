@@ -1,0 +1,477 @@
+"""Round-4 wave 5: warehouse/curation shapes the suite did not yet
+cover — fuzzy record linkage, SCD Type-2 dimension building, triangle
+counting, a data-quality constraint suite, OOV-rate against a derived
+vocabulary, and equal-frequency binning.
+
+Determinism discipline (same as every other module): integer or
+DECIMAL arithmetic wherever a value crosses rows, epoch-micros for
+event time, explicit total orders under every window/top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
+
+# Fuzzy record linkage ---------------------------------------------------------
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS block_key,
+             CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           a.n_records AS n_a, b.n_records AS n_b
+    FROM names a
+    JOIN names b ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: part-name variants within edit distance
+    1–2, found via BLOCKED comparison — candidates share a blocking
+    key (the noun token), so the self-join compares O(sum of block²)
+    pairs instead of all-pairs; Levenshtein runs JVM-side only on the
+    blocked candidates. This is the entity-resolution recipe (block →
+    verify) at its smallest: at 100 TB the block key would be a
+    phonetic code or MinHash bucket, but the join shape — never a
+    cartesian, verify only inside blocks — is exactly this one.
+    Reference analogue: the dedup key-matching at datalake/merge
+    semantics is exact; this is its fuzzy extension."""
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy(
+            "p_name", F.split("p_name", " ").getItem(1).alias("block_key")
+        )
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("block_key"),
+        F.col("n_records").alias("n_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("block_key"),
+        F.col("n_records").alias("n_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist.between(1, 2))
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("long").alias("edit_dist"),
+            "n_a",
+            "n_b",
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+# SCD Type-2 dimension build ---------------------------------------------------
+
+
+@query(
+    "q_scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM ordered
+    ),
+    islands AS (
+      SELECT user_id, event_type, ts_us,
+             SUM(is_change) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS version
+      FROM changes
+    ),
+    runs AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version,
+             MIN(event_type) AS event_type,
+             MIN(ts_us) AS eff_from_us
+      FROM islands GROUP BY user_id, version
+    )
+    SELECT user_id, version, event_type, eff_from_us,
+           LEAD(eff_from_us) OVER (PARTITION BY user_id
+                                   ORDER BY version) AS eff_to_us
+    FROM runs
+    WHERE user_id % 50 = 0
+    ORDER BY user_id, version
+    """,
+)
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build: collapse each user's
+    event stream into validity intervals [eff_from_us, eff_to_us) per
+    run of identical event_type, open-ended (NULL) for the current
+    state. Classic gaps-and-islands: LAG marks change points, a
+    running SUM numbers the islands, one groupBy collapses them, LEAD
+    closes each interval. All four windows share ONE partitioning
+    (user_id) — a single shuffle serves the whole build. The user_id
+    filter keeps the declared result compact; the build itself runs
+    over every user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        event_ts_us(load_table(spark, sf_dir, "events")).alias("ts_us"),
+        "event_id",
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = ev.withColumn(
+        "is_change",
+        F.when(
+            F.lag("event_type").over(w_order).isNull()
+            | (F.lag("event_type").over(w_order) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    islands = changes.withColumn(
+        "version",
+        F.sum("is_change").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = islands.groupBy("user_id", F.col("version").cast("long").alias("version")).agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts_us").alias("eff_from_us"),
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("version")
+    return (
+        runs.withColumn("eff_to_us", F.lead("eff_from_us").over(w_ver))
+        .filter(F.col("user_id") % 50 == 0)
+        .select(
+            "user_id", "version", "event_type", "eff_from_us", "eff_to_us"
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# Triangle counting ------------------------------------------------------------
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH ok_orders AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_partkey) BETWEEN 2 AND 10
+    ), op AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN ok_orders USING (l_orderkey)
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node
+    ORDER BY n_triangles DESC, part ASC LIMIT 20
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by triangle participation in the co-purchase
+    graph (same capped edge derivation as q_copurchase_pagerank). The
+    operator (operators/graph.py::triangle_counts) orients every edge
+    low→high (degree, id) and enumerates wedges only from forward
+    adjacency — out-degree bounded O(sqrt(E)) even on hub nodes, the
+    arboricity bound that keeps distributed triangle counting from
+    exploding on skewed graphs. The oracle enumerates the same
+    triangles the naive a<b<c way; counts agree exactly because
+    orientation never changes the triangle set."""
+    from babylon_data_loader_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np").between(2, 10))
+        .select("l_orderkey")
+    )
+    op2 = op.join(ok, "l_orderkey")
+    a = op2.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op2.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    counts = triangle_counts(edges, src="u", dst="v")
+    return (
+        counts.select(F.col("node").alias("part"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), F.col("part").asc())
+        .limit(20)
+    )
+
+
+# Data-quality constraint suite ------------------------------------------------
+
+
+@query(
+    "q_data_quality",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(o_custkey) AS BIGINT) AS n_custkey,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_key,
+             CAST(SUM(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_price_ok,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_status_ok
+      FROM orders
+    ), orphan AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT * FROM (
+      SELECT 'completeness_custkey' AS constraint_name,
+             round(CAST(n_custkey AS DOUBLE) / n_rows, 9) AS metric,
+             n_custkey = n_rows AS passed FROM m
+      UNION ALL
+      SELECT 'uniqueness_orderkey',
+             round(CAST(n_distinct_key AS DOUBLE) / n_rows, 9),
+             n_distinct_key = n_rows FROM m
+      UNION ALL
+      SELECT 'range_totalprice_nonneg',
+             round(CAST(n_price_ok AS DOUBLE) / n_rows, 9),
+             n_price_ok = n_rows FROM m
+      UNION ALL
+      SELECT 'accepted_values_status',
+             round(CAST(n_status_ok AS DOUBLE) / n_rows, 9),
+             n_status_ok = n_rows FROM m
+      UNION ALL
+      SELECT 'referential_custkey',
+             round(1.0 - CAST(o.n_orphans AS DOUBLE) / m.n_rows, 9),
+             o.n_orphans = 0 FROM m, orphan o
+    ) ORDER BY constraint_name
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality suite over `orders`: completeness,
+    key uniqueness, value range, accepted values, and referential
+    integrity against `customer`, emitted as one row per constraint
+    with a [0,1] metric and a pass flag. Everything except the
+    referential check folds into ONE single-pass aggregate (no
+    per-constraint scans); the orphan count is a broadcast anti-join
+    probe. At 100 TB this is the pattern for a pre-training data
+    contract: one scan, many constraints. Reference analogue: the
+    per-batch sanity guard at datalake/stats.go wraps counts the same
+    way — this generalizes it to declarative constraints."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.countDistinct("o_orderkey").alias("n_distinct_key"),
+        F.sum(
+            F.when(F.col("o_totalprice") >= 0, 1).otherwise(0)
+        ).alias("n_price_ok"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("n_status_ok"),
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            on=[o.o_custkey == c.c_custkey],
+            how="left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    base = m.join(F.broadcast(orphans))
+
+    def row(name: str, metric: F.Column, passed: F.Column) -> DataFrame:
+        return base.select(
+            F.lit(name).alias("constraint_name"),
+            F.round(metric, 9).alias("metric"),
+            passed.alias("passed"),
+        )
+
+    n = F.col("n_rows").cast("double")
+    out = (
+        row(
+            "completeness_custkey",
+            F.col("n_custkey").cast("double") / n,
+            F.col("n_custkey") == F.col("n_rows"),
+        )
+        .unionAll(
+            row(
+                "uniqueness_orderkey",
+                F.col("n_distinct_key").cast("double") / n,
+                F.col("n_distinct_key") == F.col("n_rows"),
+            )
+        )
+        .unionAll(
+            row(
+                "range_totalprice_nonneg",
+                F.col("n_price_ok").cast("double") / n,
+                F.col("n_price_ok") == F.col("n_rows"),
+            )
+        )
+        .unionAll(
+            row(
+                "accepted_values_status",
+                F.col("n_status_ok").cast("double") / n,
+                F.col("n_status_ok") == F.col("n_rows"),
+            )
+        )
+        .unionAll(
+            row(
+                "referential_custkey",
+                F.lit(1.0) - F.col("n_orphans").cast("double") / n,
+                F.col("n_orphans") == 0,
+            )
+        )
+    )
+    return out.orderBy("constraint_name")
+
+
+# OOV rate vs a derived vocabulary ---------------------------------------------
+
+
+@query(
+    "q_oov_rate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+             AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC)
+                 AS rnk
+        FROM toks GROUP BY token
+      ) WHERE rnk <= 100
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           round(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 9) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against a vocabulary
+    DERIVED from the corpus itself (top-100 tokens, deterministic
+    count-then-token rank). The tokenizer-coverage check every
+    training pipeline runs before committing to a vocab: the vocab is
+    a top-k agg (map-side partials), then a BROADCAST left join marks
+    OOV tokens — the token explosion never shuffles twice. Exact
+    integer counts; the rate divides two identical integers in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+            ),
+        )
+        .filter(F.col("rnk") <= 100)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "token", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double"),
+                9,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Equal-frequency binning ------------------------------------------------------
+
+
+@query(
+    "q_equal_freq_binning",
+    oracle="""
+    WITH binned AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of order value — the feature
+    bucketizer: NTILE over a TOTAL order (price, then orderkey, so
+    ties at bin boundaries land identically in any engine), then
+    per-bin count and bounds. MIN/MAX pick existing doubles — no float
+    summation anywhere. Note the global NTILE is a single-partition
+    window — fine for a bounded dimension, and the declared shape for
+    the oracle; the at-scale variant is approx_percentile cutpoints +
+    a broadcast range join (the q_length_band pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )

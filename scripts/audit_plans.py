@@ -38,6 +38,9 @@ BNLJ_ALLOWED = {
     "q_gap_fill",            # spine × type-dimension grid: both sides
     # metadata-scale (|hours|, |types|), the deliberate dense-grid build
     "q_anomaly_hours",       # same dense-grid build as q_gap_fill
+    "q_tpch_q11",            # one-row global-threshold scalar
+    "q_tpch_q20",            # one-row average-quantity scalar
+    "q_data_quality",        # one-row metrics x one-row orphan count
 }
 
 

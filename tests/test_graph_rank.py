@@ -59,3 +59,54 @@ def test_pagerank_input_order_invariant(spark):
     a = _ranks(spark, edges, n_iters=3)
     b = _ranks(spark, list(reversed(edges)), n_iters=3)
     assert a == b
+
+
+# triangle_counts -------------------------------------------------------------
+
+
+def _tri(spark, edges):
+    from babylon_data_loader_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    return {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangle_counts_k4(spark):
+    """K4 has C(4,3)=4 triangles; every node sits in exactly 3."""
+    edges = [
+        (a, b) for a in range(4) for b in range(4) if a < b
+    ]
+    assert _tri(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_triangle_plus_tail(spark):
+    """A 3-cycle with a pendant edge: only the cycle nodes count, the
+    tail node is absent from the result (zero triangles)."""
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    assert _tri(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_orientation_and_duplicates_invariant(spark):
+    """Reversed, duplicated, and self-loop edges change nothing: the
+    operator canonicalizes to an undirected simple graph first."""
+    base = [(1, 2), (2, 3), (3, 1)]
+    noisy = base + [(2, 1), (3, 2), (1, 3), (1, 1), (2, 3)]
+    assert _tri(spark, base) == _tri(spark, noisy) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_hub_star_has_none(spark):
+    """A star (hub + leaves) is triangle-free no matter how skewed the
+    hub degree — the degree-ordered orientation must not fabricate
+    wedge closures."""
+    edges = [(0, i) for i in range(1, 12)]
+    assert _tri(spark, edges) == {}
+
+
+def test_triangle_counts_bowtie_center(spark):
+    """Two triangles sharing one vertex: the shared vertex counts 2,
+    the wings 1 each."""
+    edges = [(1, 2), (2, 0), (0, 1), (0, 3), (3, 4), (4, 0)]
+    assert _tri(spark, edges) == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
