@@ -1,0 +1,201 @@
+"""Edge tests for the wave-5 queries on hand-built fixtures: SCD2 run
+collapse and tie ordering, fuzzy-join blocking boundaries, the
+data-quality suite on a deliberately broken table, NTILE remainder
+distribution, and OOV against a python reference of the vocab rule."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _write(spark, tmp_path, table: str, pdf: pd.DataFrame, schema=None):
+    df = (
+        spark.createDataFrame(pdf, schema)
+        if schema
+        else spark.createDataFrame(pdf)
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path) + f"/{table}.parquet")
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark, tmp_path):
+    """User 0: view,view,click,view → 3 versions; every interval's
+    eff_to equals the next version's eff_from; the last is open."""
+    from babylon_data_loader_spark.queries.round4e import q_scd2_dimension
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 0, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=1), 0, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 0, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(hours=3), 0, "view", 1.0, "{}"),
+        # user 7 is filtered out of the declared result (id % 50 != 0)
+        (5, t0, 7, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    _write(spark, tmp_path, "events", pdf)
+    out = q_scd2_dimension.__wrapped__(spark, str(tmp_path)).collect()
+    assert [(r["user_id"], r["version"], r["event_type"]) for r in out] == [
+        (0, 1, "view"),
+        (0, 2, "click"),
+        (0, 3, "view"),
+    ]
+    assert out[0]["eff_to_us"] == out[1]["eff_from_us"]
+    assert out[1]["eff_to_us"] == out[2]["eff_from_us"]
+    assert out[2]["eff_to_us"] is None
+
+
+def test_scd2_equal_timestamps_ordered_by_event_id(spark, tmp_path):
+    """Two events at the SAME timestamp: event_id breaks the tie, so
+    the run sequence is deterministic (click@id1 before view@id2)."""
+    from babylon_data_loader_spark.queries.round4e import q_scd2_dimension
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 0, "click", 1.0, "{}"),
+        (2, t0, 0, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    _write(spark, tmp_path, "events", pdf)
+    out = q_scd2_dimension.__wrapped__(spark, str(tmp_path)).collect()
+    assert [(r["version"], r["event_type"]) for r in out] == [
+        (1, "click"),
+        (2, "view"),
+    ]
+
+
+def test_fuzzy_join_respects_blocks_and_distance_band(spark, tmp_path):
+    """'old ring'~'cold ring' (d=1) pairs; 'old king' (other block)
+    never pairs with 'old ring' despite d=1; identical names (d=0)
+    are excluded; record counts aggregate per name."""
+    from babylon_data_loader_spark.queries.round4e import q_fuzzy_join
+
+    names = ["old ring", "old ring", "cold ring", "old king", "zzz ring"]
+    pdf = pd.DataFrame(
+        {
+            "p_partkey": range(len(names)),
+            "p_name": names,
+            "p_brand": ["B"] * len(names),
+            "p_type": ["T"] * len(names),
+            "p_size": [1] * len(names),
+            "p_retailprice": [1.0] * len(names),
+        }
+    )
+    _write(spark, tmp_path, "part", pdf)
+    out = q_fuzzy_join.__wrapped__(spark, str(tmp_path)).collect()
+    assert [(r["name_a"], r["name_b"], r["edit_dist"], r["n_a"], r["n_b"])
+            for r in out] == [("cold ring", "old ring", 1, 1, 2)]
+
+
+def test_data_quality_flags_every_broken_constraint(spark, tmp_path):
+    """A table violating all five constraints at once: each row of the
+    suite reports the exact violation fraction and passed=False."""
+    from babylon_data_loader_spark.queries.round4e import q_data_quality
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 1, 2, 3],  # dup key
+            "o_custkey": pd.array([10, 10, 99, None], dtype="Int64"),
+            "o_orderstatus": ["F", "O", "X", "F"],  # X not accepted
+            "o_totalprice": [5.0, -1.0, 5.0, 5.0],  # one negative
+            "o_orderdate": [t0] * 4,
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [10],
+            "c_name": ["c"],
+            "c_nationkey": [0],
+            "c_acctbal": [0.0],
+            "c_mktsegment": ["m"],
+        }
+    )
+    _write(spark, tmp_path, "orders", orders)
+    _write(spark, tmp_path, "customer", customer)
+    out = {
+        r["constraint_name"]: (r["metric"], r["passed"])
+        for r in q_data_quality.__wrapped__(spark, str(tmp_path)).collect()
+    }
+    assert out["completeness_custkey"] == (0.75, False)
+    assert out["uniqueness_orderkey"] == (0.75, False)
+    assert out["range_totalprice_nonneg"] == (0.75, False)
+    assert out["accepted_values_status"] == (0.75, False)
+    # one orphan (99) + one NULL custkey (anti-join keeps NULL too):
+    # 1 - 2/4 = 0.5
+    assert out["referential_custkey"] == (0.5, False)
+
+
+def test_equal_freq_binning_remainder_distribution(spark, tmp_path):
+    """25 rows into 10 bins: the first 5 bins take 3 rows, the rest 2
+    (SQL NTILE remainder rule); bin ranges are non-overlapping and
+    ordered."""
+    from babylon_data_loader_spark.queries.round4e import (
+        q_equal_freq_binning,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(25),
+            "o_custkey": [1] * 25,
+            "o_orderstatus": ["F"] * 25,
+            "o_totalprice": [float(100 - i) for i in range(25)],
+            "o_orderdate": [t0] * 25,
+            "o_orderpriority": ["1-URGENT"] * 25,
+        }
+    )
+    _write(spark, tmp_path, "orders", orders)
+    out = q_equal_freq_binning.__wrapped__(spark, str(tmp_path)).collect()
+    assert [r["n"] for r in out] == [3, 3, 3, 3, 3, 2, 2, 2, 2, 2]
+    for prev, cur in zip(out, out[1:]):
+        assert prev["hi"] < cur["lo"]
+
+
+def test_oov_rate_matches_python_reference(spark, tmp_path):
+    """Corpus with >100 distinct tokens: per-doc OOV must match a
+    python re-implementation of the exact vocab rule (count desc,
+    token asc, top 100)."""
+    from collections import Counter
+
+    from babylon_data_loader_spark.queries.round4e import q_oov_rate
+
+    docs = []
+    for i in range(30):
+        toks = [f"tok{j:03d}" for j in range(i, i + 80)] + ["common"] * 5
+        docs.append((i, " ".join(toks)))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(d[1]) for d in docs],
+        }
+    )
+    _write(spark, tmp_path, "documents", pdf)
+
+    counts = Counter()
+    for _i, text in docs:
+        counts.update(text.split())
+    assert len(counts) > 100
+    vocab = {
+        t
+        for t, _c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :100
+        ]
+    }
+    out = q_oov_rate.__wrapped__(spark, str(tmp_path)).collect()
+    for r in out:
+        toks = dict(docs)[r["doc_id"]].split()
+        expected_oov = sum(1 for t in toks if t not in vocab)
+        assert (r["n_tokens"], r["n_oov"]) == (len(toks), expected_oov)
