@@ -273,3 +273,120 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema)
+
+
+# Write-time expectations with quarantine --------------------------------------
+
+_EXPECT_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+              ELSE o_orderstatus END AS status
+  FROM orders
+),
+marked AS (
+  SELECT *,
+         (price >= 0) AS ok_price,
+         (status IN ('F','O','P')) AS ok_status
+  FROM src
+)
+SELECT outcome, n FROM (
+  SELECT 'passed' AS outcome, CAST(COUNT(*) AS BIGINT) AS n
+  FROM marked WHERE ok_price AND ok_status
+  UNION ALL
+  SELECT 'quarantined', CAST(COUNT(*) AS BIGINT)
+  FROM marked WHERE NOT (ok_price AND ok_status)
+  UNION ALL
+  SELECT 'viol_price_nonneg', CAST(COUNT(*) AS BIGINT)
+  FROM marked WHERE NOT ok_price
+  UNION ALL
+  SELECT 'viol_status_accepted', CAST(COUNT(*) AS BIGINT)
+  FROM marked WHERE NOT ok_status
+) ORDER BY outcome
+"""
+
+
+@query("q_write_expectations", oracle=_EXPECT_ORACLE)
+def q_write_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time data contract: a batch (orders with deterministic
+    corruptions injected — negative price on every 97th key, bad
+    status on every 89th) is routed through two quarantine-action
+    expectations (operators/expectations.py), the passing rows MERGE
+    into a transactional lake and the violating rows land in a
+    quarantine lake with their violation names. The declared result
+    re-READS both lakes — so the driver's check covers the routing
+    arithmetic AND the round trip through the write path, like
+    q_schema_evolution does for evolution. One projection evaluates
+    every predicate; a row failing both expectations is quarantined
+    once but counted under each violation."""
+    from babylon_data_loader_spark.operators.expectations import (
+        Expectation,
+        apply_expectations,
+    )
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    res = apply_expectations(
+        src,
+        [
+            Expectation("price_nonneg", "price >= 0", "quarantine"),
+            Expectation(
+                "status_accepted", "status IN ('F','O','P')", "quarantine"
+            ),
+        ],
+    )
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_lake_expect_{uuid.uuid4().hex[:12]}")
+    try:
+        good = TransactionalLake(
+            os.path.join(work, "good"), partition_col="status"
+        )
+        good.merge(spark, res.passed, key=["o_orderkey"])
+        bad = TransactionalLake(
+            os.path.join(work, "bad"), partition_col="status"
+        )
+        bad.merge(
+            spark,
+            res.quarantined.withColumn(
+                "violations", F.array_join("violations", ",")
+            ),
+            key=["o_orderkey"],
+        )
+        passed_n = good.read(spark).count()
+        quar = bad.read(spark)
+        quar_n = quar.count()
+        viol_rows = (
+            quar.select(
+                F.explode(F.split("violations", ",")).alias("v")
+            )
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    viol = {r["v"]: r["n"] for r in viol_rows}
+    out = [
+        ("passed", passed_n),
+        ("quarantined", quar_n),
+        ("viol_price_nonneg", viol.get("price_nonneg", 0)),
+        ("viol_status_accepted", viol.get("status_accepted", 0)),
+    ]
+    return spark.createDataFrame(
+        sorted(out), schema="outcome STRING, n BIGINT"
+    )

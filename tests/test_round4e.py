@@ -199,3 +199,107 @@ def test_oov_rate_matches_python_reference(spark, tmp_path):
         toks = dict(docs)[r["doc_id"]].split()
         expected_oov = sum(1 for t in toks if t not in vocab)
         assert (r["n_tokens"], r["n_oov"]) == (len(toks), expected_oov)
+
+
+# expectations operator -------------------------------------------------------
+
+
+def _exp_fixture(spark):
+    rows = [
+        (1, 10.0, "F"),
+        (2, -5.0, "F"),   # violates price
+        (3, 10.0, "X"),   # violates status
+        (4, -1.0, "X"),   # violates both
+        (5, None, "F"),   # NULL predicate result -> violation
+    ]
+    return spark.createDataFrame(rows, "id BIGINT, price DOUBLE, status STRING")
+
+
+def test_expectations_routing_and_stats(spark):
+    from babylon_data_loader_spark.operators.expectations import (
+        Expectation,
+        apply_expectations,
+    )
+
+    res = apply_expectations(
+        _exp_fixture(spark),
+        [
+            Expectation("price_ok", "price >= 0", "quarantine"),
+            Expectation("status_ok", "status IN ('F','O')", "quarantine"),
+        ],
+    )
+    assert {r["id"] for r in res.passed.collect()} == {1}
+    quar = {r["id"]: sorted(r["violations"]) for r in res.quarantined.collect()}
+    # row 4 fails both but appears ONCE, with both names
+    assert quar == {
+        2: ["price_ok"],
+        3: ["status_ok"],
+        4: ["price_ok", "status_ok"],
+        5: ["price_ok"],
+    }
+    stats = {
+        r["expectation"]: (r["action"], r["n_violations"])
+        for r in res.stats.collect()
+    }
+    assert stats == {
+        "price_ok": ("quarantine", 3),
+        "status_ok": ("quarantine", 2),
+    }
+
+
+def test_expectations_drop_action_removes_silently(spark):
+    from babylon_data_loader_spark.operators.expectations import (
+        Expectation,
+        apply_expectations,
+    )
+
+    res = apply_expectations(
+        _exp_fixture(spark),
+        [Expectation("price_ok", "price >= 0", "drop")],
+    )
+    assert {r["id"] for r in res.passed.collect()} == {1, 3}
+    assert res.quarantined.count() == 0  # drop != quarantine
+
+
+def test_expectations_fail_action_aborts(spark):
+    import pytest
+
+    from babylon_data_loader_spark.operators.expectations import (
+        Expectation,
+        FailedExpectationError,
+        enforce,
+    )
+
+    with pytest.raises(FailedExpectationError, match="price_ok"):
+        enforce(
+            spark,
+            _exp_fixture(spark),
+            [Expectation("price_ok", "price >= 0", "fail")],
+        )
+    # no violations -> no raise, stats materialized
+    res = enforce(
+        spark,
+        _exp_fixture(spark).filter("id = 1"),
+        [Expectation("price_ok", "price >= 0", "fail")],
+    )
+    assert res.passed.count() == 1
+    assert res.stats.count() == 0
+
+
+def test_expectations_validate_inputs(spark):
+    import pytest
+
+    from babylon_data_loader_spark.operators.expectations import (
+        Expectation,
+        apply_expectations,
+    )
+
+    with pytest.raises(ValueError, match="unknown action"):
+        apply_expectations(
+            _exp_fixture(spark), [Expectation("x", "true", "explode")]
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        apply_expectations(
+            _exp_fixture(spark),
+            [Expectation("x", "true"), Expectation("x", "false")],
+        )
