@@ -123,6 +123,7 @@ PRIORITY: list[str] = [
     "q_oov_rate",
     "q_equal_freq_binning",
     "q_write_expectations",
+    "q_stream_left_join",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -265,3 +265,116 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+# Stream-stream LEFT OUTER join ------------------------------------------------
+# Unmatched-click emission is gated by the watermark: a click with no
+# purchase in its 30-minute window appears (with NULL purchase) only
+# once the global watermark strictly passes the click's window end —
+# clicks inside the final horizon are withheld state and never reach
+# the AvailableNow sink. The strict-< eviction boundary is pinned
+# empirically by tests/test_round4e.py::test_stream_left_outer_boundary
+# (a click whose window end EQUALS the final watermark is withheld).
+# Watermark arithmetic in ms (Spark's event-time granularity): each
+# side's watermark is floor_ms(max event time on that FILTERED side)
+# − 90 min; the global watermark is their min.
+
+_LEFT_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT LEAST((SELECT MAX(c_us) // 1000 FROM clicks),
+               (SELECT MAX(p_us) // 1000 FROM purch))
+         - 5400000 AS wm_ms
+)
+SELECT user_id, click_id, purchase_id FROM (
+  SELECT c.user_id, c.click_id, p.purchase_id
+  FROM clicks c JOIN purch p ON p.user_id = c.user_id
+   AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 1800000000
+  UNION ALL
+  SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+  FROM clicks c, wm
+  WHERE NOT EXISTS (
+    SELECT 1 FROM purch p WHERE p.user_id = c.user_id
+      AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 1800000000
+  ) AND (c.c_us // 1000) + 1800000 < wm.wm_ms
+) ORDER BY click_id, purchase_id
+"""
+
+
+@query("q_stream_left_join", oracle=_LEFT_JOIN_ORACLE)
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution join with REAL watermarks
+    (90 min) — unlike q_stream_join's beyond-the-span watermark, outer
+    semantics force the real thing: NULL-purchase rows exist only
+    because the engine proves no match can still arrive. Time-ordered
+    replay (the _stage_time_ordered contract) guarantees no row is
+    ever late-dropped and every genuine match beats its click's
+    eviction (delay 90 min > window 30 min makes that a theorem, not
+    luck — see the derivation in the module comment above the oracle).
+    At 100 TB the left state store holds one window's clicks per key;
+    the outer emission IS the state eviction, so state is bounded by
+    watermark lag × event rate."""
+    from babylon_data_loader_spark.queries.streaming_window import (
+        _stage_time_ordered,
+    )
+    from babylon_data_loader_spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_stream_ljoin_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(work, "src")
+    sink_dir = os.path.join(work, "sink")
+    try:
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        staged = events.filter(
+            F.col("event_type").isin("click", "purchase")
+        ).select(
+            "event_id",
+            F.timestamp_micros(event_ts_us(events)).alias("ts_ts"),
+            "user_id",
+            "event_type",
+        )
+        _stage_time_ordered(staged, work, src_dir)
+        schema = spark.read.parquet(src_dir).schema
+
+        def side(event_type: str) -> DataFrame:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src_dir)
+            )
+            return stream.filter(F.col("event_type") == event_type)
+
+        joined = attribute_purchases(
+            side("click"),
+            side("purchase"),
+            within="30 minutes",
+            watermark="90 minutes",
+            how="left",
+        ).select("user_id", "click_id", "purchase_id")
+        (
+            joined.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        out = (
+            spark.read.parquet(sink_dir)
+            .select("user_id", "click_id", "purchase_id")
+            .orderBy("click_id", "purchase_id")
+        )
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema_out)

@@ -24,13 +24,25 @@ def attribute_purchases(
     ts_col: str = "ts_ts",
     within: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Purchases joined to the click they follow within `within`.
 
     Both sides are watermarked; the join condition carries the
     event-time range, so click state older than the horizon is
     dropped instead of accumulating forever. Works identically on
-    static frames (the batch twin used by tests/oracles)."""
+    static frames (the batch twin used by tests/oracles).
+
+    how='left' (stream-stream LEFT OUTER): a click with no purchase in
+    its window is emitted with NULL purchase columns — but only once
+    the engine can PROVE no match can still arrive, i.e. when the
+    global watermark passes the click's window end. Until then the
+    click is withheld state; clicks inside the final watermark horizon
+    never reach an AvailableNow sink. The exact eviction boundary
+    (strict: click evicts when its window end is strictly below the
+    watermark, ms-floored) is pinned by
+    tests/test_round4e.py::test_stream_left_outer_boundary and encoded
+    in q_stream_left_join's oracle."""
     c = clicks.select(
         F.col(key).alias("c_key"),
         F.col(ts_col).alias("click_ts"),
@@ -53,7 +65,9 @@ def attribute_purchases(
             <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
         )
     )
-    return c.join(p, cond, "inner").select(
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return c.join(p, cond, how).select(
         F.col("c_key").alias(key),
         "click_id",
         "purchase_id",

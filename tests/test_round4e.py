@@ -303,3 +303,84 @@ def test_expectations_validate_inputs(spark):
             _exp_fixture(spark),
             [Expectation("x", "true"), Expectation("x", "false")],
         )
+
+
+# stream-stream left outer join boundary --------------------------------------
+
+
+def test_stream_left_outer_boundary(spark, tmp_path):
+    """Pins the watermark-eviction boundary of the left-outer
+    stream-stream join: with within=10min and delay=10min over
+    time-ordered files whose final watermark lands at minute 50, the
+    unmatched click at minute 0 (window end 10 < 50) IS emitted with
+    NULL, the unmatched click at minute 40 (window end 50 == 50, the
+    exact boundary) is WITHHELD — strict < — and the click at 55 is
+    withheld. Matched pairs emit regardless."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from babylon_data_loader_spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    files = [
+        [(1, m(0), 1, "click"), (2, m(5), 2, "click"),
+         (3, m(8), 2, "purchase"), (4, m(0), 5, "purchase")],
+        [(5, m(40), 3, "click"), (6, m(45), 8, "purchase")],
+        [(7, m(55), 4, "click"), (8, m(60), 9, "click"),
+         (9, m(61), 9, "purchase")],
+    ]
+    schema = (
+        "event_id BIGINT, ts_ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(files, 1):
+        p = os.path.join(src, f"{i:03d}.parquet")
+        tmp = p + ".tmpdir"
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), p)
+        shutil.rmtree(tmp)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    sch = spark.read.parquet(src).schema
+
+    def side(t):
+        s = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return s.filter(F.col("event_type") == t)
+
+    out = attribute_purchases(
+        side("click"),
+        side("purchase"),
+        within="10 minutes",
+        watermark="10 minutes",
+        how="left",
+    )
+    sink = str(tmp_path / "sink")
+    (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, None), (2, 3), (8, 9)}
