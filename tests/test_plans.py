@@ -195,3 +195,84 @@ def test_pack_sequences_has_no_single_partition_stage(spark, sf_dir):
     plan = plan_of(q_pack_sequences.__wrapped__(spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "BroadcastExchange" in plan  # the O(shards) offset table
+
+
+def test_tpch_q2_single_partkey_shuffle_broadcast_dims(spark, sf_dir):
+    """Q2's correlated min: window + joins all ride ONE l_partkey
+    exchange; the region-filtered supplier dim and part filter are
+    broadcast, never shuffled."""
+    from babylon_data_loader_spark.queries.tpch_more import q_tpch_q2
+
+    plan = plan_of(q_tpch_q2.__wrapped__(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the only hash-partitioned exchanges key on l_partkey (window +
+    # window-filter join reuse it); no exchange on suppkey anywhere.
+    # Formatted explain prints partitioning on "Arguments:" lines.
+    import re
+
+    hash_exchanges = re.findall(r"hashpartitioning\(([^,]+)[,)]", plan)
+    assert hash_exchanges, plan
+    assert all("l_partkey" in e for e in hash_exchanges), hash_exchanges
+
+
+def test_tpch_q9_broadcasts_all_dimensions(spark, sf_dir):
+    """Q9: the only fact-sized join is lineitem->orders on orderkey;
+    part and supplier->nation reach lineitem as broadcasts."""
+    from babylon_data_loader_spark.queries.tpch_more import q_tpch_q9
+
+    plan = plan_of(q_tpch_q9.__wrapped__(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """All four SCD2 windows partition by user_id: exactly ONE
+    hash-partitioning exchange on user_id feeds lag, running sum, the
+    run groupBy, and lead."""
+    from babylon_data_loader_spark.queries.round4e import q_scd2_dimension
+
+    plan = plan_of(q_scd2_dimension.__wrapped__(spark, sf_dir))
+    import re
+
+    user_exchanges = [
+        e
+        for e in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if "user_id" in e
+    ]
+    assert len(user_exchanges) == 1, plan.count("Exchange")
+    # the % 50 filter must reach the scan, not evaluate post-window
+    assert "PushedFilters: [IsNotNull(user_id)]" in plan
+
+
+def test_oov_rate_vocab_join_is_broadcast(spark, sf_dir):
+    """The vocab membership join must broadcast the 100-row vocab —
+    the exploded token stream shuffles once (per-doc agg), never for
+    the join."""
+    from babylon_data_loader_spark.queries.round4e import q_oov_rate
+
+    plan = plan_of(q_oov_rate.__wrapped__(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_blocked_no_cartesian(spark, sf_dir):
+    """The fuzzy self-join is an equi-join on the blocking key with
+    the distance predicate as a post-filter — no nested loop."""
+    from babylon_data_loader_spark.queries.round4e import q_fuzzy_join
+
+    plan = plan_of(q_fuzzy_join.__wrapped__(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_wedge_join_no_cartesian(spark, sf_dir):
+    """Wedge enumeration and closure are equi-joins (on the pivot node
+    and the canonical closing pair) — no nested loop anywhere."""
+    from babylon_data_loader_spark.queries.round4e import q_triangle_count
+
+    plan = plan_of(q_triangle_count.__wrapped__(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
