@@ -124,6 +124,8 @@ PRIORITY: list[str] = [
     "q_equal_freq_binning",
     "q_write_expectations",
     "q_stream_left_join",
+    "q_spearman_corr",
+    "q_weighted_sample",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

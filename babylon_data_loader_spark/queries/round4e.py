@@ -475,3 +475,167 @@ def q_equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# Spearman rank correlation ----------------------------------------------------
+
+
+@query(
+    "q_spearman_corr",
+    oracle="""
+    WITH j AS (
+      SELECT value AS x,
+             CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
+      FROM events
+      WHERE value IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ), ranked AS (
+      -- doubled average ranks stay INTEGER under ties:
+      -- 2*avg_rank = 2*RANK + (|ties| - 1)
+      SELECT CAST(2 * RANK() OVER (ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+             CAST(2 * RANK() OVER (ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+      FROM j
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((sxy - sx * sy / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+             AS spearman_rho
+    FROM m
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and its JSON `k`
+    prop — the robust twin of q_correlation_moments (Pearson): rho is
+    Pearson over RANKS, immune to outliers and monotone transforms.
+    Exactness trick: tie-averaged ranks are half-integers, so the
+    query carries DOUBLED ranks (2·avg_rank = 2·RANK + |ties| − 1 —
+    always an integer; rho is invariant under the linear transform)
+    and every cross-row sum is integer DECIMAL — both engines agree
+    digit for digit. The global RANK is a single-partition window —
+    the documented tradeoff for an exact oracle (same note as
+    q_equal_freq_binning); the at-scale variant ranks against
+    approx-percentile cutpoints, trading exact rho for boundedness."""
+    j = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("value").alias("x"),
+            F.get_json_object("props", "$.k").cast("double").alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    rx2 = (
+        2 * F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    ).cast("long")
+    ry2 = (
+        2 * F.rank().over(Window.orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("y"))
+        - 1
+    ).cast("long")
+    ranked = j.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("rx2")).alias("sx"),
+        dec(F.col("ry2")).alias("sy"),
+        dec(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        dec(F.col("ry2") * F.col("ry2")).alias("syy"),
+        dec(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    n = F.col("n")
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    den = F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / n) * F.sqrt(
+        F.col("syy") - F.col("sy") * F.col("sy") / n
+    )
+    return m.select(
+        n.cast("long").alias("n"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
+
+
+# Deterministic weighted sampling ----------------------------------------------
+
+# P(keep) = l_quantity / 50: the md5-derived 24-bit uniform is compared
+# against quantity * floor(2^24 / 50). Integer arithmetic end to end —
+# no RNG state, no float thresholds — so the SAME rows are kept on
+# every run, partitioning, and engine.
+_WS_SCALE = (1 << 24) // 50  # 335544
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT l_returnflag, l_quantity,
+             ('0x' || substr(md5('wsample:' || CAST(l_orderkey AS VARCHAR)
+                                 || '-' || CAST(l_linenumber AS VARCHAR)),
+                             1, 6))::BIGINT
+               < CAST(l_quantity AS BIGINT) * {_WS_SCALE} AS kept
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN CAST(l_quantity AS DECIMAL(25,6))
+                         ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+             AS qty_kept
+    FROM tagged GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sampling (P ∝ l_quantity),
+    DETERMINISTIC: the keep decision hashes the row's stable key
+    (md5 → 24-bit integer) against an integer threshold, so the sample
+    is reproducible across engines/runs/partitionings — the property
+    `df.sample()` cannot give (its RNG seeds per partition). This is
+    the importance-sampling primitive for corpus mixing: upweight
+    high-value rows without a shuffle (the decision is per-row,
+    embarrassingly parallel; the only shuffle is the evidence agg).
+    Kept mass skews toward high quantity — visible as
+    qty_kept/n_kept > mean quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("wsample:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = u < F.col("l_quantity").cast("long") * F.lit(_WS_SCALE)
+    zero = F.lit(0).cast("decimal(25,6)")
+    return (
+        li.select("l_returnflag", "l_quantity", kept.alias("kept"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(
+                F.when(
+                    F.col("kept"), F.col("l_quantity").cast("decimal(25,6)")
+                ).otherwise(zero)
+            )
+            .cast("double")
+            .alias("qty_kept"),
+        )
+        .orderBy("l_returnflag")
+    )
