@@ -66,6 +66,13 @@ HEADLINE = [
     "q_word_entropy",
     "q_salted_agg",
     "q_containment_pairs",
+    # round 4 wave 5: the correlated-min and profit TPC-H shapes, the
+    # one-shuffle SCD2 window build, and hash-deterministic weighted
+    # sampling (per-row decision, agg-only shuffle).
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_scd2_dimension",
+    "q_weighted_sample",
 ]
 
 
