@@ -110,3 +110,31 @@ def test_triangle_counts_bowtie_center(spark):
     the wings 1 each."""
     edges = [(1, 2), (2, 0), (0, 1), (0, 3), (3, 4), (4, 0)]
     assert _tri(spark, edges) == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_triangle_counts_random_graphs_match_bruteforce(spark):
+    """Seeded Erdős–Rényi graphs vs an itertools brute force: per-node
+    counts must agree exactly (orientation must neither lose nor
+    duplicate triangles on arbitrary topology, including hubs)."""
+    import itertools
+    import random
+
+    for seed in [1, 7, 42]:
+        rng = random.Random(seed)
+        n = 14
+        edges = [
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.35
+        ]
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        expected = {}
+        for a, b, c in itertools.combinations(range(n), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for v in (a, b, c):
+                    expected[v] = expected.get(v, 0) + 1
+        assert _tri(spark, edges) == expected, f"seed={seed}"
