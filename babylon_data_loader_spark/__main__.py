@@ -217,6 +217,66 @@ def _cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_validate(args: argparse.Namespace) -> int:
+    """Validate a parquet table against a JSON contract file of
+    expectations: [{"name": ..., "predicate": <SQL bool expr>,
+    "action": "drop"|"quarantine"|"fail"}, ...]. Prints one JSON line
+    with per-expectation violation counts; exit 1 if any 'fail'
+    expectation has violations (the CI-gate contract), optionally
+    writing quarantined rows (with their violation names) to
+    --quarantine-dir."""
+    from babylon_data_loader_spark.operators.expectations import (
+        Expectation,
+        FailedExpectationError,
+        apply_expectations,
+    )
+    from babylon_data_loader_spark.session import build_session
+
+    with open(args.contract) as fh:
+        spec = json.load(fh)
+    expectations = [
+        Expectation(
+            e["name"], e["predicate"], e.get("action", "quarantine")
+        )
+        for e in spec
+    ]
+    spark = build_session(app_name="validate")
+    try:
+        df = spark.read.parquet(args.path)
+        res = apply_expectations(df, expectations)
+        stats = [r.asDict() for r in res.stats.collect()]
+        if args.quarantine_dir:
+            from pyspark.sql import functions as F
+
+            res.quarantined.withColumn(
+                "violations", F.array_join("violations", ",")
+            ).write.mode("overwrite").parquet(args.quarantine_dir)
+        failed = [
+            s["expectation"]
+            for s in stats
+            if s["action"] == "fail" and s["n_violations"] > 0
+        ]
+        print(
+            json.dumps(
+                {
+                    "path": args.path,
+                    "n_rows": df.count(),
+                    "stats": stats,
+                    "failed": failed,
+                }
+            )
+        )
+        if failed:
+            raise FailedExpectationError(
+                f"expectations failed with violations: {failed}"
+            )
+    except FailedExpectationError:
+        return 1
+    finally:
+        spark.stop()
+    return 0
+
+
 def _cmd_card(args: argparse.Namespace) -> int:
     """Dataset card: the one-page JSON summary a corpus ships with —
     composition (language/source mix), length stats, token volume, and
@@ -337,6 +397,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     prof.add_argument("path")
 
+    val = sub.add_parser(
+        "validate",
+        help="check a parquet table against a JSON expectations "
+        "contract; exit 1 if a fail-action expectation has violations",
+    )
+    val.add_argument("path")
+    val.add_argument("contract", help="JSON file of expectations")
+    val.add_argument("--quarantine-dir", default=None)
+
     exp = sub.add_parser(
         "export-corpus",
         help="write a table as size-bounded, optionally hash-sharded "
@@ -385,6 +454,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_optimize(args)
     if args.command == "profile":
         return _cmd_profile(args)
+    if args.command == "validate":
+        return _cmd_validate(args)
     if args.command == "export-corpus":
         return _cmd_export(args)
     if args.command == "dataset-card":

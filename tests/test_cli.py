@@ -177,3 +177,62 @@ def test_cli_dataset_card():
     assert 0.0 <= card["exact_dup_rate"] < 1.0
     assert set(card["mix"]) == {"lang", "source"}
     assert sum(card["mix"]["lang"].values()) == card["n_docs"]
+
+
+def test_cli_validate_contract(tmp_path):
+    """validate: quarantine stats + exit 0 on soft violations; exit 1
+    when a fail-action expectation is violated; quarantined rows land
+    in --quarantine-dir with their violation names."""
+    contract = tmp_path / "contract.json"
+    contract.write_text(
+        json.dumps(
+            [
+                {
+                    "name": "chars_positive",
+                    "predicate": "n_chars > 0",
+                    "action": "quarantine",
+                },
+                {
+                    "name": "known_lang",
+                    "predicate": "lang IN ('en','de','fr','es','it')",
+                    "action": "quarantine",
+                },
+            ]
+        )
+    )
+    qdir = str(tmp_path / "quarantine")
+    out = _run(
+        [
+            "validate",
+            "/root/testdata/sf0.001/documents.parquet",
+            str(contract),
+            "--quarantine-dir",
+            qdir,
+        ]
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["n_rows"] > 0 and rep["failed"] == []
+
+    hard = tmp_path / "hard.json"
+    hard.write_text(
+        json.dumps(
+            [
+                {
+                    "name": "no_src0",
+                    "predicate": "source <> 'src0'",
+                    "action": "fail",
+                }
+            ]
+        )
+    )
+    out = _run(
+        [
+            "validate",
+            "/root/testdata/sf0.001/documents.parquet",
+            str(hard),
+        ]
+    )
+    assert out.returncode == 1
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["failed"] == ["no_src0"]
