@@ -126,6 +126,8 @@ PRIORITY: list[str] = [
     "q_stream_left_join",
     "q_spearman_corr",
     "q_weighted_sample",
+    "q_boolean_search",
+    "q_bfs_hops",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -639,3 +639,144 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# Inverted-index boolean search ------------------------------------------------
+
+
+@query(
+    "q_boolean_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS token
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM toks WHERE token IN ('data', 'table', 'join')
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms FROM hits WHERE n_terms = 3
+    ORDER BY doc_id
+    """,
+)
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) keyword search over an inverted-index shape:
+    explode to DISTINCT (doc, token) postings, keep only the query
+    terms (the posting-list read — at rest this is a partition-pruned
+    scan of a token-partitioned index, exactly like the LSH bucket
+    store), and intersect posting lists with ONE groupBy: a doc
+    matches iff it holds all |terms| distinct terms. No joins at all —
+    posting intersection degenerates to a count, the classic
+    small-conjunction plan. At 100 TB the term filter reaches the
+    index scan (three one-token partitions read, the corpus never
+    scanned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["data", "table", "join"]
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        ).alias("token"),
+    )
+    return (
+        postings.filter(F.col("token").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .filter(F.col("n_terms") == len(terms))
+        .orderBy("doc_id")
+    )
+
+
+# Bounded BFS hop distance -----------------------------------------------------
+
+
+@query(
+    "q_bfs_hops",
+    oracle="""
+    WITH ok_orders AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_partkey) BETWEEN 2 AND 10
+    ), op AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN ok_orders USING (l_orderkey)
+    ), e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ), src AS (
+      SELECT MIN(src) AS s FROM e
+    ), d0 AS (
+      SELECT s AS node FROM src
+    ), d1 AS (
+      SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+    ), d2 AS (
+      SELECT DISTINCT e.dst AS node FROM e JOIN d1 ON e.src = d1.node
+    ), d3 AS (
+      SELECT DISTINCT e.dst AS node FROM e JOIN d2 ON e.src = d2.node
+    ), all_hops AS (
+      SELECT node, 0 AS hop FROM d0
+      UNION ALL SELECT node, 1 FROM d1
+      UNION ALL SELECT node, 2 FROM d2
+      UNION ALL SELECT node, 3 FROM d3
+    )
+    SELECT CAST(hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM (SELECT node, MIN(hop) AS hop FROM all_hops GROUP BY node)
+    GROUP BY hop ORDER BY hop
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first traversal: nodes reachable from the
+    lowest-id part of the co-purchase graph within 3 hops, grouped by
+    minimum hop distance — the graph-traversal primitive (reachability
+    / blast-radius queries) the iterative family (PageRank, connected
+    components, triangles) did not yet cover. Each hop is ONE join of
+    the frontier against the edge table co-partitioned on src plus a
+    distinct — frontier frames are O(reached nodes), edges are never
+    rewritten, and the hop bound makes the unrolled SQL oracle exact.
+    At depth >3 the operator generalizes to iterate-until-fixpoint
+    with the same per-iteration shape (the connected_components
+    loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np").between(2, 10))
+        .select("l_orderkey")
+    )
+    op2 = op.join(ok, "l_orderkey")
+    a = op2.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op2.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    edges = persist_tracked(
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    frontier = edges.agg(F.min("src").alias("node"))
+    hops = [frontier.withColumn("hop", F.lit(0))]
+    for depth in (1, 2, 3):
+        frontier = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), on="src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        hops.append(frontier.withColumn("hop", F.lit(depth)))
+    from functools import reduce
+
+    all_hops = reduce(lambda x, y: x.unionAll(y), hops)
+    return (
+        all_hops.groupBy("node")
+        .agg(F.min("hop").alias("hop"))
+        .groupBy(F.col("hop").cast("long").alias("hop"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hop")
+    )
