@@ -780,3 +780,74 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("hop")
     )
+
+
+# Time-weighted average --------------------------------------------------------
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+      FROM events
+      WHERE value IS NOT NULL AND user_id % 10 = 0
+    ), seg AS (
+      SELECT user_id, value, ts_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS next_us
+      FROM ev
+    ), agg AS (
+      SELECT user_id,
+             SUM(CAST(value * (next_us - ts_us) AS DECIMAL(38,6)))
+               AS weighted,
+             CAST(SUM(next_us - ts_us) AS BIGINT) AS span_us
+      FROM seg WHERE next_us IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           round(CAST(weighted AS DOUBLE) / span_us, 9) AS twap,
+           span_us
+    FROM agg WHERE span_us > 0
+    ORDER BY user_id
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — the financial/telemetry
+    aggregate where each observation counts for HOW LONG it was
+    current, not once: value_i holds from its event until the next
+    (LEAD over the user timeline), weight = duration in integer
+    micros, TWAP = Σ value·dur / Σ dur. The per-segment products are
+    DECIMAL-summed (value × micros is exact at 6 decimal places), so
+    the one float division at the end is engine-identical. One
+    user_id shuffle serves the LEAD and the aggregate. Users with one
+    event (zero span) are excluded rather than divided by zero."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id",
+        event_ts_us(ev_raw).alias("ts_us"),
+        "event_id",
+        "value",
+    ).filter(F.col("value").isNotNull() & (F.col("user_id") % 10 == 0))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = ev.withColumn("next_us", F.lead("ts_us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    dur = F.col("next_us") - F.col("ts_us")
+    agg = seg.groupBy("user_id").agg(
+        F.sum((F.col("value") * dur).cast("decimal(38,6)")).alias(
+            "weighted"
+        ),
+        F.sum(dur).cast("long").alias("span_us"),
+    )
+    return (
+        agg.filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            F.round(
+                F.col("weighted").cast("double") / F.col("span_us"), 9
+            ).alias("twap"),
+            "span_us",
+        )
+        .orderBy("user_id")
+    )
