@@ -405,3 +405,34 @@ def nn_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     yi = (np.arange(out_h) * in_h) // out_h
     xi = (np.arange(out_w) * in_w) // out_w
     return px[yi][:, xi]
+
+
+def linear_resample(
+    samples: np.ndarray, sr: int, target_sr: int
+) -> np.ndarray:
+    """Linear-interpolation sample-rate conversion of int16 PCM:
+    (n, ch) at `sr` → (floor(n·target/sr), ch) at `target_sr`.
+    Output index j reads the fractional source position j·sr/target
+    via np.interp, rounded half-away-from-zero back to int16 —
+    identity when rates match, exactly the constant for
+    constant-amplitude input (interpolating a constant is the
+    constant, which is what lets q_media_resample pin features
+    arithmetically). A production pipeline would use a windowed-sinc
+    kernel; linear keeps the index-map semantics testable to the
+    sample."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if sr == target_sr or n == 0:
+        return s.astype(np.int16)
+    n_out = (n * target_sr) // sr
+    pos = np.arange(n_out) * (sr / target_sr)
+    src = np.arange(n)
+    out = np.empty((n_out, ch), dtype=np.int16)
+    for c in range(ch):
+        vals = np.interp(pos, src, s[:, c].astype(np.float64))
+        out[:, c] = np.clip(
+            np.floor(vals + 0.5), -32768, 32767
+        ).astype(np.int16)
+    return out

@@ -416,3 +416,41 @@ def synthetic_video_table(spark, n: int = 200) -> DataFrame:
     return spark.range(n, numPartitions=_gen_partitions(spark, n)).mapInPandas(
         gen, MEDIA_SCHEMA
     )
+
+
+def resample_audio(media: DataFrame, target_sr: int) -> DataFrame:
+    """Audio rows → WAV payloads resampled to `target_sr` via linear
+    interpolation (functions/media_codecs.py::linear_resample), the
+    audio twin of resize_images: decode → integer-exact index-map
+    kernel → re-encode, all inside one Arrow mapInPandas batch — bytes
+    never leave the executor, the driver sees only the new BINARY
+    column. Output n_samples = floor(n·target/sr)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from babylon_data_loader_spark.functions.media_codecs import (
+            decode_wav,
+            encode_wav,
+            linear_resample,
+        )
+
+        for pdf in it:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, sr = decode_wav(bytes(payload))
+                out = linear_resample(samples, sr, target_sr)
+                rows.append(
+                    (
+                        int(media_id),
+                        "audio",
+                        encode_wav(out, target_sr),
+                        "audio/wav",
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_SCHEMA.fields]
+            )
+
+    src = media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    )
+    return src.mapInPandas(batches, MEDIA_SCHEMA)

@@ -194,3 +194,49 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(resized, fake=False).select(
         "media_id", "n_bytes", "width", "height", "mean_r", "mean_g", "mean_b"
     )
+
+
+@query(
+    "q_media_resample",
+    oracle=f"""
+    SELECT i AS media_id,
+           CAST(CASE WHEN i%2=0 THEN 1000 + 10*i
+                     ELSE 500 + 5*i END AS BIGINT) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(44 + 2*(CASE WHEN i%2=0 THEN 1000 + 10*i
+                             ELSE 500 + 5*i END) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN i%2=0 THEN 1000 + 10*i
+                     ELSE 500 + 5*i END AS DOUBLE) / 8000 AS duration_s,
+           CAST(100 + i AS DOUBLE) AS rms,
+           CAST(100 + i AS INTEGER) AS peak
+    FROM range(0, {_N}) t(i)
+    """,
+)
+def q_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample lane, the audio twin of q_media_resize: mixed-rate WAVs
+    (8 kHz even ids / 16 kHz odd) → linear-interpolation resample to a
+    uniform 8 kHz (multimodal.py::resample_audio) → re-encode → REAL
+    re-decode via the feature extractor. The oracle pins the resampled
+    geometry arithmetically — n_samples halves exactly for the 16 kHz
+    ids (floor(n·8000/16000), n even), byte size follows, and the
+    constant amplitude must survive interpolation bit-for-bit (linear
+    interp of a constant is the constant), so RMS and peak stay
+    100+i. Rate normalization is the first step of every audio
+    training pipeline; this proves the plumbing at the sample level."""
+    from babylon_data_loader_spark.multimodal import (
+        extract_audio_features,
+        resample_audio,
+        synthetic_audio_table,
+    )
+
+    media = synthetic_audio_table(spark, _N)
+    resampled = resample_audio(media, target_sr=8000)
+    return extract_audio_features(resampled).select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "n_bytes",
+        "duration_s",
+        "rms",
+        "peak",
+    )

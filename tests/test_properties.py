@@ -154,3 +154,42 @@ def test_nn_resize_matches_index_map(px, out_w, out_h):
 def test_nn_resize_identity(px):
     h, w = px.shape[0], px.shape[1]
     assert np.array_equal(mc.nn_resize(px, w, h), px)
+
+
+# linear_resample -------------------------------------------------------------
+
+audio_arrays = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=2, max_size=400
+).map(lambda xs: np.array(xs, dtype=np.int16))
+
+
+@settings(max_examples=50, deadline=None)
+@given(audio_arrays, st.sampled_from([4000, 8000, 16000, 44100]))
+def test_linear_resample_identity_at_same_rate(xs, sr):
+    got = mc.linear_resample(xs, sr, sr)
+    assert np.array_equal(got[:, 0], xs)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=-32768, max_value=32767),
+    st.integers(min_value=2, max_value=500),
+    st.sampled_from([(16000, 8000), (8000, 16000), (44100, 8000)]),
+)
+def test_linear_resample_constant_preserved(val, n, rates):
+    sr, target = rates
+    xs = np.full(n, val, dtype=np.int16)
+    got = mc.linear_resample(xs, sr, target)
+    assert got.shape[0] == (n * target) // sr
+    assert (got == val).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(audio_arrays, st.sampled_from([(16000, 8000), (8000, 16000)]))
+def test_linear_resample_bounds_and_length(xs, rates):
+    """Linear interpolation can never overshoot the input range, and
+    the output length follows the integer floor law."""
+    sr, target = rates
+    got = mc.linear_resample(xs, sr, target)
+    assert got.shape[0] == (len(xs) * target) // sr
+    assert got.min() >= xs.min() and got.max() <= xs.max()
