@@ -277,6 +277,36 @@ def _cmd_validate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_run_pipeline(args: argparse.Namespace) -> int:
+    """Execute a declarative JSON pipeline spec (source → steps →
+    sink, pipeline_spec.py). Spec errors exit 2 before any I/O;
+    fail-action expectation violations exit 1."""
+    from babylon_data_loader_spark.operators.expectations import (
+        FailedExpectationError,
+    )
+    from babylon_data_loader_spark.pipeline_spec import (
+        PipelineSpecError,
+        run_pipeline,
+    )
+    from babylon_data_loader_spark.session import build_session
+
+    with open(args.spec) as fh:
+        spec = json.load(fh)
+    spark = build_session(app_name="run-pipeline")
+    try:
+        stats = run_pipeline(spark, spec)
+        print(json.dumps(stats))
+    except PipelineSpecError as exc:
+        print(json.dumps({"error": str(exc)}))
+        return 2
+    except FailedExpectationError as exc:
+        print(json.dumps({"error": str(exc)}))
+        return 1
+    finally:
+        spark.stop()
+    return 0
+
+
 def _cmd_card(args: argparse.Namespace) -> int:
     """Dataset card: the one-page JSON summary a corpus ships with —
     composition (language/source mix), length stats, token volume, and
@@ -406,6 +436,13 @@ def main(argv: list[str] | None = None) -> int:
     val.add_argument("contract", help="JSON file of expectations")
     val.add_argument("--quarantine-dir", default=None)
 
+    pipe = sub.add_parser(
+        "run-pipeline",
+        help="execute a declarative JSON pipeline spec "
+        "(source -> steps -> sink)",
+    )
+    pipe.add_argument("spec", help="JSON pipeline spec file")
+
     exp = sub.add_parser(
         "export-corpus",
         help="write a table as size-bounded, optionally hash-sharded "
@@ -456,6 +493,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_profile(args)
     if args.command == "validate":
         return _cmd_validate(args)
+    if args.command == "run-pipeline":
+        return _cmd_run_pipeline(args)
     if args.command == "export-corpus":
         return _cmd_export(args)
     if args.command == "dataset-card":

@@ -236,3 +236,34 @@ def test_cli_validate_contract(tmp_path):
     assert out.returncode == 1
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["failed"] == ["no_src0"]
+
+
+def test_cli_run_pipeline(tmp_path):
+    """run-pipeline: spec errors exit 2 pre-I/O; a good spec executes
+    and reports rows written."""
+    spec = tmp_path / "spec.json"
+    out = str(tmp_path / "out.parquet")
+    spec.write_text(
+        json.dumps(
+            {
+                "source": {
+                    "format": "parquet",
+                    "path": "/root/testdata/sf0.001/documents.parquet",
+                },
+                "steps": [
+                    {"op": "filter", "predicate": "n_chars > 0"},
+                    {"op": "select", "columns": ["doc_id", "lang", "source"]},
+                ],
+                "sink": {"type": "parquet", "path": out},
+            }
+        )
+    )
+    res = _run(["run-pipeline", str(spec)])
+    assert res.returncode == 0, res.stderr[-2000:]
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["rows_written"] > 0 and rep["sink_path"] == out
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"source": {"path": "x"}}))
+    res = _run(["run-pipeline", str(bad)])
+    assert res.returncode == 2
