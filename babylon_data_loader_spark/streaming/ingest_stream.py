@@ -55,13 +55,22 @@ def stream_ingest(
     checkpoint_dir: str,
     archive_dir: str | None = None,
     available_now: bool = True,
+    contract: list | None = None,
+    quarantine_dir: str | None = None,
 ):
     """Start (and with available_now=True, drain) the streaming ingest.
 
     Returns the StreamingQuery. Each micro-batch runs the same
     normalize → validate → merge_upsert chain as the batch pipeline,
     via foreachBatch (merge is not an append — it needs the upsert).
-    """
+
+    `contract` (list of operators/expectations.py Expectation) gates
+    each micro-batch like a DLT expectation set: passing rows merge,
+    quarantine-action violations append to `quarantine_dir` tagged
+    with their violation names and batch id. The MERGE stays
+    exactly-once under replay (keyed upsert); the quarantine append is
+    at-least-once on batch retry — it is the diagnostic channel, so
+    dedup on read (violations + key) if exactness matters there."""
     reader = (
         spark.readStream.format("csv")
         .schema(STREAM_CSV_SCHEMA)
@@ -83,6 +92,22 @@ def stream_ingest(
         valid = validate_transactions(
             normalize_transactions(accepted)
         ).drop("_input_file")
+        if contract:
+            from babylon_data_loader_spark.operators.expectations import (
+                apply_expectations,
+            )
+
+            res = apply_expectations(valid, list(contract))
+            if quarantine_dir is not None:
+                (
+                    res.quarantined.withColumn(
+                        "violations", F.array_join("violations", ",")
+                    )
+                    .withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(quarantine_dir)
+                )
+            valid = res.passed
         if valid.isEmpty():
             return
         merge_upsert(batch_df.sparkSession, lake_path, valid)

@@ -530,3 +530,53 @@ def test_resize_images_gradient_matches_numpy(spark):
     expect = px[yi][:, xi]
     assert got.shape == (6, 4, 3)
     assert np.array_equal(got, expect)
+
+
+def test_streaming_ingest_with_contract_quarantine(spark, tmp_path):
+    """Streaming ingest with a DLT-style contract: rows violating a
+    quarantine-action expectation land in the quarantine dir (tagged
+    with violation names + batch id) and never reach the lake."""
+    from babylon_data_loader_spark.operators.expectations import (
+        Expectation,
+    )
+    from babylon_data_loader_spark.sources.parquet_lake import (
+        read_transactions,
+    )
+    from babylon_data_loader_spark.streaming.ingest_stream import (
+        stream_ingest,
+    )
+
+    in_dir = tmp_path / "stream_in"
+    in_dir.mkdir()
+    (in_dir / "chase1234.csv").write_text(
+        "Details,Posting Date,Description,Category,Amount,Type,Balance,"
+        "Check or Slip #\n"
+        'DEBIT,01/01/2024,"ok row",Shopping,-75.77,DEBIT_CARD,11190.76,\n'
+        'DEBIT,01/02/2024,"huge debit",Shopping,-99999.00,DEBIT_CARD,1.00,\n'
+        'CREDIT,01/03/2024,"ok credit",Payment,1000.00,PAYMENT,10114.36,\n'
+    )
+    lake = str(tmp_path / "lake")
+    qdir = str(tmp_path / "quarantine")
+    q = stream_ingest(
+        spark,
+        str(in_dir),
+        lake,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        contract=[
+            Expectation("amount_sane", "abs(amount) < 50000", "quarantine")
+        ],
+        quarantine_dir=qdir,
+    )
+    q.awaitTermination(120)
+    stored = read_transactions(spark, lake)
+    assert stored.count() == 2
+    assert stored.filter(
+        F.col("description") == "huge debit"
+    ).count() == 0
+    quar = spark.read.parquet(qdir)
+    rows = quar.collect()
+    assert len(rows) == 1
+    assert rows[0]["description"] == "huge debit"
+    assert rows[0]["violations"] == "amount_sane"
+    assert rows[0]["_batch_id"] == 0
