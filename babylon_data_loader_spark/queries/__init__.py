@@ -130,6 +130,7 @@ PRIORITY: list[str] = [
     "q_bfs_hops",
     "q_twap",
     "q_media_resample",
+    "q_key_skew",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -851,3 +851,73 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# Key-skew diagnostics ---------------------------------------------------------
+
+
+@query(
+    "q_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ), top10 AS (
+      SELECT SUM(c) AS t FROM (
+        SELECT c FROM per_key ORDER BY c DESC, user_id ASC LIMIT 10
+      )
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_key_n,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM per_key
+    )
+    SELECT m.n_keys, m.n_rows, m.max_key_n,
+           CAST(top10.t AS BIGINT) AS top10_n,
+           round(CAST(m.max_key_n AS DOUBLE) / m.n_rows, 9) AS top1_share,
+           round(CAST(m.sum_sq AS DOUBLE)
+                 / (CAST(m.n_rows AS DOUBLE) * m.n_rows), 9) AS hhi
+    FROM m, top10
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the pre-flight check before any
+    big groupBy/join on a candidate key: per-key counts (one shuffle,
+    map-side combinable), then the concentration summary a planner
+    needs: max-key share (does one key dominate a partition?), top-10
+    mass, and the Herfindahl index Σ(cᵢ/N)² computed from EXACT
+    integer sums (Σcᵢ² / N² — no float accumulation). HHI ≈ 1/n_keys
+    means uniform (salting unnecessary); HHI ≫ 1/n_keys flags the keys
+    q_salted_agg's two-phase plan exists for. Output is one row —
+    the diagnostics cost one pass regardless of table size."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    per_key = persist_tracked(per_key)
+    top10 = (
+        per_key.orderBy(F.col("c").desc(), F.col("user_id").asc())
+        .limit(10)
+        .agg(F.sum("c").alias("t"))
+    )
+    m = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_key_n"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    return m.join(F.broadcast(top10)).select(
+        "n_keys",
+        "n_rows",
+        "max_key_n",
+        F.col("t").cast("long").alias("top10_n"),
+        F.round(
+            F.col("max_key_n").cast("double") / F.col("n_rows"), 9
+        ).alias("top1_share"),
+        F.round(
+            F.col("sum_sq").cast("double")
+            / (F.col("n_rows").cast("double") * F.col("n_rows")),
+            9,
+        ).alias("hhi"),
+    )
