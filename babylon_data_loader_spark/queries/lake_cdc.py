@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.queries import query
-from babylon_data_loader_spark.schemas import load_table
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
 _ORACLE = """
 SELECT event_type,
@@ -389,4 +389,101 @@ def q_write_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         sorted(out), schema="outcome STRING, n BIGINT"
+    )
+
+
+# Materialized-view rewrite ----------------------------------------------------
+
+_MV_ORACLE = """
+WITH clean AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, value
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+)
+SELECT event_type,
+       (ts_us // 86400000000) * 86400000000 AS day_us,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+FROM clean
+GROUP BY 1, 2
+"""
+
+
+@query("q_mv_rewrite", oracle=_MV_ORACLE)
+def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view REWRITE — the read-side twin of
+    q_incremental_agg's maintenance: a finer (hourly) COUNT/SUM
+    summary is materialized once, and the daily aggregate is answered
+    by RE-AGGREGATING THE SUMMARY (SUM of hourly sums, SUM of hourly
+    counts), never rescanning the fact table. The algebra only works
+    for decomposable aggregates — which is why the summary carries
+    COUNT and DECIMAL SUM (AVG would be derived, never stored). The
+    query ASSERTS the rewrite equals the direct fact-table recompute
+    before returning: at 100 TB the summary is O(groups × hours) —
+    the rewrite reads megabytes where the fact scan reads terabytes.
+    Reference analogue: the sync-log consumers aggregate per-batch
+    counters instead of re-scanning the lake
+    (datalake/datalake.go sync accounting)."""
+    events = load_table(spark, sf_dir, "events")
+    us = event_ts_us(events)
+    clean = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        us.alias("ts_us"),
+        F.col("value").cast("decimal(20,2)").alias("v"),
+    )
+    hour = (F.col("ts_us") / F.lit(3_600_000_000)).cast("long") * F.lit(
+        3_600_000_000
+    )
+    hourly = clean.groupBy(
+        "event_type", hour.alias("hour_us")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sum_v"),
+    )
+    # materialize the summary (the "view"); at rest this is a lake
+    # table maintained by q_incremental_agg's change-feed algebra
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    hourly = persist_tracked(hourly)
+    day = (F.col("hour_us") / F.lit(86_400_000_000)).cast("long") * F.lit(
+        86_400_000_000
+    )
+    rewritten = hourly.groupBy(
+        "event_type", day.alias("day_us")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_v").alias("sum_dec"),
+    )
+    direct = clean.groupBy(
+        "event_type",
+        ((F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+         * F.lit(86_400_000_000)).alias("day_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum("v").alias("sum_d"),
+    )
+    # in-query assertion: rewrite == direct recompute, exactly
+    mismatches = (
+        rewritten.join(direct, on=["event_type", "day_us"], how="full")
+        .filter(
+            F.col("n").isNull()
+            | F.col("n_d").isNull()
+            | (F.col("n") != F.col("n_d"))
+            | (F.col("sum_dec") != F.col("sum_d"))
+        )
+        .count()
+    )
+    if mismatches:
+        raise AssertionError(
+            f"MV rewrite diverged from direct recompute: {mismatches} groups"
+        )
+    return rewritten.select(
+        "event_type",
+        "day_us",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_dec").cast("double").alias("total_value"),
     )
