@@ -226,25 +226,44 @@ def _cmd_validate(args: argparse.Namespace) -> int:
     writing quarantined rows (with their violation names) to
     --quarantine-dir."""
     from babylon_data_loader_spark.operators.expectations import (
+        AggExpectation,
         Expectation,
         FailedExpectationError,
         apply_expectations,
+        check_aggregates,
     )
     from babylon_data_loader_spark.session import build_session
 
     with open(args.contract) as fh:
         spec = json.load(fh)
+    # scope: "row" (default) → per-row predicate with routing action;
+    # scope: "aggregate" → dataset-level metric vs predicate over
+    # `value` (failing aggregate checks always gate the exit code)
     expectations = [
         Expectation(
             e["name"], e["predicate"], e.get("action", "quarantine")
         )
         for e in spec
+        if e.get("scope", "row") == "row"
+    ]
+    agg_checks = [
+        AggExpectation(e["name"], e["metric"], e["predicate"])
+        for e in spec
+        if e.get("scope") == "aggregate"
     ]
     spark = build_session(app_name="validate")
     try:
         df = spark.read.parquet(args.path)
         res = apply_expectations(df, expectations)
         stats = [r.asDict() for r in res.stats.collect()]
+        agg_stats = (
+            [
+                r.asDict()
+                for r in check_aggregates(spark, df, agg_checks).collect()
+            ]
+            if agg_checks
+            else []
+        )
         if args.quarantine_dir:
             from pyspark.sql import functions as F
 
@@ -255,13 +274,14 @@ def _cmd_validate(args: argparse.Namespace) -> int:
             s["expectation"]
             for s in stats
             if s["action"] == "fail" and s["n_violations"] > 0
-        ]
+        ] + [s["expectation"] for s in agg_stats if not s["passed"]]
         print(
             json.dumps(
                 {
                     "path": args.path,
                     "n_rows": df.count(),
                     "stats": stats,
+                    "aggregate_stats": agg_stats,
                     "failed": failed,
                 }
             )

@@ -135,3 +135,54 @@ def enforce(
         )
     stats = spark.createDataFrame(rows, schema=res.stats.schema)
     return ExpectationResult(res.passed, res.quarantined, stats)
+
+
+class AggExpectation(NamedTuple):
+    """Dataset-level contract: `metric` is a SQL aggregate expression
+    evaluated over the whole batch (one row), `predicate` is a SQL
+    boolean over the scalar result bound as `value` — e.g.
+    metric="avg(amount)", predicate="value BETWEEN 0 AND 100", or
+    metric="count(*)", predicate="value >= 1000"."""
+
+    name: str
+    metric: str
+    predicate: str
+
+
+def check_aggregates(
+    spark: SparkSession,
+    batch: DataFrame,
+    checks: list[AggExpectation],
+) -> DataFrame:
+    """Evaluate every dataset-level check in ONE aggregate pass over
+    the batch (all metrics fold into a single agg projection — N
+    checks never cost N scans), then apply each predicate to its
+    scalar. Returns (expectation, value DOUBLE, passed) — NULL metric
+    results (e.g. avg of an empty set) fail their check, same
+    can't-evaluate-isn't-satisfied rule as row-level expectations."""
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate aggregate-check names in {names}")
+    row = batch.agg(
+        *[
+            F.expr(c.metric).cast("double").alias(f"__m{i}")
+            for i, c in enumerate(checks)
+        ]
+    ).collect()[0]
+    out = []
+    for i, c in enumerate(checks):
+        value = row[f"__m{i}"]
+        if value is None:
+            passed = False
+        else:
+            # bind the scalar as a one-row `value` column so the
+            # predicate reads naturally ("value BETWEEN 0 AND 100")
+            passed = bool(
+                spark.createDataFrame([(float(value),)], "value DOUBLE")
+                .selectExpr(f"({c.predicate}) AS p")
+                .collect()[0]["p"]
+            )
+        out.append((c.name, value, passed))
+    return spark.createDataFrame(
+        out, schema="expectation STRING, value DOUBLE, passed BOOLEAN"
+    )

@@ -267,3 +267,39 @@ def test_cli_run_pipeline(tmp_path):
     bad.write_text(json.dumps({"source": {"path": "x"}}))
     res = _run(["run-pipeline", str(bad)])
     assert res.returncode == 2
+
+
+def test_cli_validate_aggregate_scope(tmp_path):
+    """Aggregate-scope contract entries gate the exit code: a failing
+    dataset-level check exits 1 with its name in 'failed'."""
+    contract = tmp_path / "agg.json"
+    contract.write_text(
+        json.dumps(
+            [
+                {
+                    "name": "enough_docs",
+                    "scope": "aggregate",
+                    "metric": "count(*)",
+                    "predicate": "value >= 10",
+                },
+                {
+                    "name": "impossible_volume",
+                    "scope": "aggregate",
+                    "metric": "sum(n_chars)",
+                    "predicate": "value < 0",
+                },
+            ]
+        )
+    )
+    out = _run(
+        [
+            "validate",
+            "/root/testdata/sf0.001/documents.parquet",
+            str(contract),
+        ]
+    )
+    assert out.returncode == 1
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    agg = {s["expectation"]: s["passed"] for s in rep["aggregate_stats"]}
+    assert agg == {"enough_docs": True, "impossible_volume": False}
+    assert rep["failed"] == ["impossible_volume"]

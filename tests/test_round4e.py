@@ -384,3 +384,60 @@ def test_stream_left_outer_boundary(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == {(1, None), (2, 3), (8, 9)}
+
+
+def test_aggregate_expectations_one_pass(spark):
+    """Dataset-level checks: all metrics in one agg; NULL metric
+    (avg of empty set) fails its check."""
+    from babylon_data_loader_spark.operators.expectations import (
+        AggExpectation,
+        check_aggregates,
+    )
+
+    df = _exp_fixture(spark)
+    got = {
+        r["expectation"]: (r["value"], r["passed"])
+        for r in check_aggregates(
+            spark,
+            df,
+            [
+                AggExpectation("enough_rows", "count(*)", "value >= 3"),
+                AggExpectation(
+                    "avg_price_band",
+                    "avg(price)",
+                    "value BETWEEN -10 AND 10",
+                ),
+                AggExpectation(
+                    "max_price_cap", "max(price)", "value <= 5"
+                ),
+                AggExpectation(
+                    "avg_of_nothing",
+                    "avg(CASE WHEN id > 99 THEN price END)",
+                    "value > 0",
+                ),
+            ],
+        ).collect()
+    }
+    assert got["enough_rows"] == (5.0, True)
+    assert got["avg_price_band"] == (3.5, True)  # (10-5+10-1)/4
+    assert got["max_price_cap"] == (10.0, False)
+    assert got["avg_of_nothing"] == (None, False)
+
+
+def test_aggregate_expectations_reject_duplicate_names(spark):
+    import pytest
+
+    from babylon_data_loader_spark.operators.expectations import (
+        AggExpectation,
+        check_aggregates,
+    )
+
+    with pytest.raises(ValueError, match="duplicate"):
+        check_aggregates(
+            spark,
+            _exp_fixture(spark),
+            [
+                AggExpectation("x", "count(*)", "value > 0"),
+                AggExpectation("x", "max(price)", "value > 0"),
+            ],
+        )
