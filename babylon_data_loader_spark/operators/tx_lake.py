@@ -161,7 +161,69 @@ class TransactionalLake:
         ) as fh:
             return json.load(fh)
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    # -- tags ---------------------------------------------------------------
+
+    @property
+    def _tags_path(self) -> str:
+        return os.path.join(self.lake_path, "_tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """Named tag → pinned version (empty if none yet)."""
+        try:
+            with open(self._tags_path, encoding="utf-8") as fh:
+                return {k: int(v) for k, v in json.load(fh).items()}
+        except FileNotFoundError:
+            return {}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        tmp = f"{self._tags_path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(tags, fh, sort_keys=True)
+        os.replace(tmp, self._tags_path)  # atomic on POSIX
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin `name` to a committed version (default: current) —
+        Delta/Iceberg-style named snapshots ('v2024-audit',
+        'training-run-7'). Tagged versions survive vacuum regardless
+        of the retention window, so a tag is a durable reproducibility
+        handle, not just an alias. Returns the pinned version."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,99}", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        current = self.current_manifest()["version"]
+        v = current if version is None else version
+        if v < 1 or v > current:
+            raise ValueError(
+                f"version {v} not committed (current: {current})"
+            )
+        tags = self.tags()
+        tags[name] = v
+        self._write_tags(tags)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        tags = self.tags()
+        if name in tags:
+            del tags[name]
+            self._write_tags(tags)
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(
+                f"unknown tag {name!r} (have: {sorted(tags)})"
+            )
+        return tags[name]
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.resolve_tag(tag)
         manifest = (
             self.current_manifest()
             if version is None
@@ -689,8 +751,14 @@ class TransactionalLake:
 
         current = self.current_manifest()
         keep_from = max(1, current["version"] - keep_versions + 1)
+        # Tagged versions are pinned OUTSIDE the retention window —
+        # a tag is a reproducibility handle (training-run snapshot),
+        # so its dirs and manifest must survive any vacuum.
+        tagged = set(self.tags().values())
         live: set[str] = set()
-        for v in range(keep_from, current["version"] + 1):
+        for v in sorted(
+            set(range(keep_from, current["version"] + 1)) | tagged
+        ):
             for dirs in self.manifest_at(v)["partitions"].values():
                 live.update(dirs)
         removed = []
@@ -713,7 +781,11 @@ class TransactionalLake:
         if os.path.isdir(self._manifest_dir):
             for entry in sorted(os.listdir(self._manifest_dir)):
                 m = re.fullmatch(r"v(\d+)\.json", entry)
-                if m and int(m.group(1)) < keep_from:
+                if (
+                    m
+                    and int(m.group(1)) < keep_from
+                    and int(m.group(1)) not in tagged
+                ):
                     os.remove(os.path.join(self._manifest_dir, entry))
                     removed_manifests.append(entry)
                     continue

@@ -541,3 +541,47 @@ def test_vacuum_sweeps_old_takeover_tombstones(spark, tmp_path):
     rep2 = lake.vacuum(keep_versions=5)
     assert "v9.json.stale.deadbeef" in rep2["removed_manifests"]
     assert not os.path.exists(tomb)
+
+
+def test_tags_pin_versions_through_vacuum(spark, tmp_path):
+    """A tag is a durable snapshot handle: read(tag=) resolves to the
+    pinned version, and vacuum spares the tagged version's dirs AND
+    manifest even when retention would delete them."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    for i in range(4):
+        lake.merge(spark, frame(spark, [(1, f"v{i+1}", "chase")]), KEY)
+    assert lake.tag("audit", version=1) == 1
+    assert lake.tag("latest") == 4  # defaults to current
+    assert lake.tags() == {"audit": 1, "latest": 4}
+    assert [r["v"] for r in lake.read(spark, tag="audit").collect()] == [
+        "v1"
+    ]
+
+    lake.stale_claim_s = 0.0
+    report = lake.vacuum(keep_versions=2)
+    # window is v3..v4; v2 vanished but tagged v1 survived
+    assert report["kept_from_version"] == 3
+    assert [r["v"] for r in lake.read(spark, tag="audit").collect()] == [
+        "v1"
+    ]
+    with pytest.raises(FileNotFoundError):
+        lake.read(spark, version=2)
+
+    # delete the tag, vacuum again: v1 is now collectible
+    lake.delete_tag("audit")
+    lake.vacuum(keep_versions=2)
+    with pytest.raises(FileNotFoundError):
+        lake.read(spark, version=1)
+
+
+def test_tag_validation(spark, tmp_path):
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
+    with pytest.raises(ValueError, match="invalid tag"):
+        lake.tag("no spaces")
+    with pytest.raises(ValueError, match="not committed"):
+        lake.tag("future", version=9)
+    with pytest.raises(KeyError, match="unknown tag"):
+        lake.read(spark, tag="nope")
+    with pytest.raises(ValueError, match="not both"):
+        lake.read(spark, version=1, tag="x")
