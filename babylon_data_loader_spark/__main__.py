@@ -297,6 +297,24 @@ def _cmd_validate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_tag_lake(args: argparse.Namespace) -> int:
+    """Create/delete/list named version tags on a transactional lake
+    (tags pin versions through vacuum — reproducibility handles)."""
+    from babylon_data_loader_spark.config import load_config
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    path = args.path or load_config().transactions_path
+    lake = TransactionalLake(path)
+    if args.delete:
+        lake.delete_tag(args.delete)
+    elif args.name:
+        lake.tag(args.name, version=args.version)
+    print(json.dumps({"path": path, "tags": lake.tags()}))
+    return 0
+
+
 def _cmd_run_pipeline(args: argparse.Namespace) -> int:
     """Execute a declarative JSON pipeline spec (source → steps →
     sink, pipeline_spec.py). Spec errors exit 2 before any I/O;
@@ -456,6 +474,16 @@ def main(argv: list[str] | None = None) -> int:
     val.add_argument("contract", help="JSON file of expectations")
     val.add_argument("--quarantine-dir", default=None)
 
+    tagp = sub.add_parser(
+        "tag-lake",
+        help="create/delete/list named lake version tags "
+        "(tags pin versions through vacuum)",
+    )
+    tagp.add_argument("name", nargs="?", default=None)
+    tagp.add_argument("--path", default=None)
+    tagp.add_argument("--version", type=int, default=None)
+    tagp.add_argument("--delete", default=None, metavar="NAME")
+
     pipe = sub.add_parser(
         "run-pipeline",
         help="execute a declarative JSON pipeline spec "
@@ -515,6 +543,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_validate(args)
     if args.command == "run-pipeline":
         return _cmd_run_pipeline(args)
+    if args.command == "tag-lake":
+        return _cmd_tag_lake(args)
     if args.command == "export-corpus":
         return _cmd_export(args)
     if args.command == "dataset-card":

@@ -73,3 +73,4 @@ def hex_char_parity(col_name: str, pos: int) -> Column:
         )
         - 1
     ) % 2
+

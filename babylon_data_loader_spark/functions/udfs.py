@@ -85,3 +85,26 @@ def robust_zscore(df, key_col: str = "user_id", value_col: str = "value"):
         key_col
     ).applyInPandas(normalize, schema)
     return out.withColumn("z", F.round("z", 9))
+
+
+@pandas_udf("string")
+def nfc_casefold(s: pd.Series) -> pd.Series:
+    """Unicode NFC + casefold + whitespace collapse — the
+    normalization pass a corpus runs BEFORE dedup (CCNet/Dolma
+    recipe): precomposed 'é' (U+00E9) and decomposed 'e'+U+0301 are
+    DIFFERENT byte strings that render identically, so un-normalized
+    exact dedup misses real duplicates. Spark has no built-in NFC, so
+    this is an Arrow-batched pandas UDF (unicodedata is C-accelerated;
+    the batch transfer, not the normalization, is the cost) — one of
+    the few places Python in the hot path is the honest answer.
+    Matches DuckDB regexp_replace(trim(lower(nfc_normalize(x))),
+    '\\s+', ' ', 'g') for casefold-trivial text."""
+    import re as _re
+    import unicodedata
+
+    ws = _re.compile(r"\s+")
+    return s.map(
+        lambda x: None
+        if x is None
+        else ws.sub(" ", unicodedata.normalize("NFC", x).casefold()).strip()
+    )

@@ -132,6 +132,7 @@ PRIORITY: list[str] = [
     "q_media_resample",
     "q_key_skew",
     "q_mv_rewrite",
+    "q_unicode_normalize",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -921,3 +921,94 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("hhi"),
     )
+
+
+# Unicode normalization before dedup -------------------------------------------
+
+
+@query(
+    "q_unicode_normalize",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' caf' || chr(233)
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' cafe' || chr(769)
+      FROM documents WHERE doc_id % 7 = 0
+    ), n AS (
+      SELECT doc_id, text,
+             regexp_replace(trim(lower(nfc_normalize(text))),
+                            '\s+', ' ', 'g') AS norm
+      FROM corpus
+    ), groups_raw AS (
+      SELECT md5(text) AS h, COUNT(*) AS c FROM n GROUP BY 1
+    ), groups_norm AS (
+      SELECT md5(norm) AS h, COUNT(*) AS c FROM n GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM n) AS n_docs,
+           (SELECT CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM n) AS n_changed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM groups_raw WHERE c > 1)
+             AS dup_groups_raw,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM groups_norm WHERE c > 1)
+             AS dup_groups_norm
+    """,
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization BEFORE dedup — the CCNet/Dolma corpus
+    pass exact dedup is wrong without: precomposed 'café' (U+00E9)
+    and decomposed 'cafe'+U+0301 are different byte strings that
+    render identically. The query plants both forms as twins of every
+    7th document; raw-md5 grouping sees them as distinct while
+    normalized-md5 grouping (functions/udfs.py::nfc_casefold — NFC in
+    an Arrow-batched pandas UDF, Spark's one missing text built-in)
+    finds exactly one extra dup group per planted pair. n_changed
+    counts precisely the docs whose bytes normalization touched —
+    the decomposed twins."""
+    from babylon_data_loader_spark.functions.udfs import nfc_casefold
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sevens = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = (
+        docs.unionByName(
+            sevens.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" café")).alias("text"),
+            )
+        ).unionByName(
+            sevens.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" café")).alias("text"),
+            )
+        )
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    n = persist_tracked(
+        corpus.withColumn("norm", nfc_casefold(F.col("text")))
+    )
+    groups_raw = (
+        n.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_groups_raw"))
+    )
+    groups_norm = (
+        n.groupBy(F.md5(F.col("norm").cast("binary")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_groups_norm"))
+    )
+    m = n.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("norm") != F.col("text"), 1).otherwise(0)
+        ).alias("n_changed"),
+    )
+    return (
+        m.join(F.broadcast(groups_raw))
+        .join(F.broadcast(groups_norm))
+        .select("n_docs", "n_changed", "dup_groups_raw", "dup_groups_norm")
+    )

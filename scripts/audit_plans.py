@@ -41,6 +41,8 @@ BNLJ_ALLOWED = {
     "q_tpch_q11",            # one-row global-threshold scalar
     "q_tpch_q20",            # one-row average-quantity scalar
     "q_data_quality",        # one-row metrics x one-row orphan count
+    "q_key_skew",            # one-row summary x one-row top-10 scalar
+    "q_unicode_normalize",   # three one-row aggregate summaries
 }
 
 

@@ -303,3 +303,27 @@ def test_cli_validate_aggregate_scope(tmp_path):
     agg = {s["expectation"]: s["passed"] for s in rep["aggregate_stats"]}
     assert agg == {"enough_docs": True, "impossible_volume": False}
     assert rep["failed"] == ["impossible_volume"]
+
+
+def test_cli_tag_lake(spark, tmp_path):
+    """tag-lake: create, list, and delete tags on a lake by path —
+    no Spark session needed (tags are manifest metadata)."""
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    lake_path = str(tmp_path / "lake")
+    lake = TransactionalLake(lake_path)
+    df = spark.createDataFrame(
+        [(1, "a", "chase")], "k BIGINT, v STRING, data_source STRING"
+    )
+    lake.merge(spark, df, ["k"])
+
+    out = _run(["tag-lake", "release-1", "--path", lake_path])
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["tags"] == {"release-1": 1}
+
+    out = _run(["tag-lake", "--path", lake_path, "--delete", "release-1"])
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["tags"] == {}
