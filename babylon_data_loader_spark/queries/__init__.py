@@ -133,6 +133,8 @@ PRIORITY: list[str] = [
     "q_key_skew",
     "q_mv_rewrite",
     "q_unicode_normalize",
+    "q_ewma",
+    "q_linreg_by_group",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

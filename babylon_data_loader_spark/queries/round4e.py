@@ -1012,3 +1012,154 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(groups_norm))
         .select("n_docs", "n_changed", "dup_groups_raw", "dup_groups_norm")
     )
+
+
+# EWMA smoothing ---------------------------------------------------------------
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+      FROM events
+      WHERE value IS NOT NULL AND user_id % 25 = 0
+    ), idx AS (
+      SELECT user_id, ts_us, event_id, value,
+             ROW_NUMBER() OVER w AS rn
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), terms AS (
+      SELECT a.user_id, a.rn, a.ts_us, a.event_id,
+             SUM(CAST(b.value * power(0.5, a.rn - b.rn + 1)
+                      AS DECIMAL(38,18))) AS s
+      FROM idx a JOIN idx b
+        ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT user_id, ts_us, round(CAST(s AS DOUBLE), 9) AS ewma
+    FROM terms
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY rn DESC) = 1
+    ORDER BY user_id
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of each user's
+    value series, reported at their latest event. The recurrence
+    y_t = αx_t + (1−α)y_{t−1} unrolls to Σ x_i·2^{−(t−i+1)} — and
+    because α is a power of two, every weight is an EXACT double, so
+    the 20-term window sum (weights below 2^-20 are sub-rounding
+    noise) is engine-identical through DECIMAL addition with no
+    rounding laundering. Spark side: one user_id shuffle; the window
+    self-join is rank-banded (20 rows) — at scale this is the
+    bounded-state streaming smoother (applyInPandasWithState carries
+    y_{t-1}); the batch form is its audit twin."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id",
+        event_ts_us(ev_raw).alias("ts_us"),
+        "event_id",
+        "value",
+    ).filter(F.col("value").isNotNull() & (F.col("user_id") % 25 == 0))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    idx = ev.withColumn("rn", F.row_number().over(w))
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    idx = persist_tracked(idx)
+    a = idx.select(
+        "user_id",
+        F.col("rn").alias("arn"),
+        F.col("ts_us").alias("a_ts"),
+        F.col("event_id").alias("a_id"),
+    )
+    b = idx.select(
+        "user_id", F.col("rn").alias("brn"), F.col("value").alias("bval")
+    )
+    terms = (
+        a.join(b, "user_id")
+        .filter(F.col("brn").between(F.col("arn") - 19, F.col("arn")))
+        .groupBy("user_id", "arn", "a_ts", "a_id")
+        .agg(
+            F.sum(
+                (
+                    F.col("bval")
+                    * F.pow(F.lit(0.5), F.col("arn") - F.col("brn") + 1)
+                ).cast("decimal(38,18)")
+            ).alias("s")
+        )
+    )
+    w_last = Window.partitionBy("user_id").orderBy(F.col("arn").desc())
+    return (
+        terms.withColumn("rk", F.row_number().over(w_last))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("a_ts").alias("ts_us"),
+            F.round(F.col("s").cast("double"), 9).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Per-group linear regression --------------------------------------------------
+
+
+@query(
+    "q_linreg_by_group",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) / 86400000000.0 AS DOUBLE) AS x,
+             value AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 9) AS slope,
+           round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                 * (sx / n), 6) AS intercept
+    FROM m ORDER BY event_type
+    """,
+)
+def q_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares trend per event type (value vs time in
+    days): the grouped-model primitive — thousands of independent
+    regressions in ONE map-combinable aggregate, no per-group
+    iteration. Slope/intercept come from the closed-form moment
+    equations with every cross-row sum DECIMAL-routed (the same
+    discipline as q_correlation_moments), so both engines derive
+    identical doubles before the one float division."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_type",
+        (event_ts_us(ev_raw) / F.lit(86400000000.0))
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+    ).filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    intercept = F.col("sy") / n - slope * (F.col("sx") / n)
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    ).orderBy("event_type")
