@@ -12,7 +12,7 @@ query releases the previous query's tracked caches on entry
 (queries/__init__.py). In any sequential harness — the driver's
 correctness run, bench.py, a notebook — live cached partitions are
 bounded by ONE query's working set instead of accumulating across a
-102-query session. ``release_tracked()`` is also callable directly
+181-query session. ``release_tracked()`` is also callable directly
 for finer control.
 """
 

@@ -6,7 +6,7 @@ Python in a hot path):
 - :class:`NGrams` — Python UDTF (Spark 4): one row in, n rows out,
   with lateral-join composition.
 
-Prefer built-ins first (see queries/ — 67 operators, zero UDFs);
+Prefer built-ins first (see queries/ — 181 declared queries, almost all pure built-ins);
 these exist for the cases that genuinely need custom logic and as the
 pattern reference for plugging in tokenizers/models later.
 """

@@ -31,7 +31,7 @@ def query(name: str, oracle: str | None = None):
     Each invocation first releases the PREVIOUS query's tracked
     persists (functions/cache.py): operators persist narrow frames
     that feed self-joins, and those caches must outlive their function
-    but not the whole session — in a sequential 102-query harness run
+    but not the whole session — in a sequential 181-query harness run
     this bounds live cached partitions to one query's working set.
     """
 
