@@ -1163,3 +1163,206 @@ def q_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     ).orderBy("event_type")
+
+
+# Two-sample hypothesis tests --------------------------------------------------
+
+
+@query(
+    "q_rank_sum_test",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+             value AS x
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ), ranked AS (
+      SELECT grp,
+             CAST(2 * RANK() OVER (ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2
+      FROM s
+    ), ties AS (
+      SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+      FROM (SELECT COUNT(*) AS c FROM s GROUP BY x)
+    ), m AS (
+      SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(SUM(CASE WHEN grp = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r1_2
+      FROM ranked
+    )
+    SELECT m.n1, m.n2,
+           CAST(m.r1_2 - m.n1 * (m.n1 + 1) AS BIGINT) AS u1_doubled,
+           round((CAST(m.r1_2 - m.n1 * (m.n1 + 1) AS DOUBLE) / 2
+                  - CAST(m.n1 AS DOUBLE) * m.n2 / 2)
+                 / sqrt(CAST(m.n1 AS DOUBLE) * m.n2 / 12.0
+                        * ((m.n1 + m.n2 + 1)
+                           - CAST(t.tie_term AS DOUBLE)
+                             / ((m.n1 + m.n2)
+                                * (m.n1 + m.n2 - 1.0)))), 6) AS z
+    FROM m, ties t
+    """,
+)
+def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) test: do click and purchase values
+    come from the same distribution? The nonparametric A/B-test
+    primitive — robust where the t-test's moments are not. Exactness:
+    doubled tie-averaged ranks (the q_spearman_corr trick) make the U
+    statistic an INTEGER; the tie-corrected normal-approximation
+    variance consumes only integer sums (Σ(t³−t) over tie groups), so
+    both engines derive the same doubles before one sqrt. Global RANK
+    = single-partition window, the documented exact-oracle tradeoff."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(2)
+            .alias("grp"),
+            F.col("value").alias("x"),
+        )
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    s = persist_tracked(s)
+    r2 = (
+        2 * F.rank().over(Window.orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("x"))
+        - 1
+    ).cast("long")
+    ranked = s.select("grp", r2.alias("r2"))
+    ties = (
+        s.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            ).alias("tie_term")
+        )
+    )
+    m = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("r2")).otherwise(0)).alias(
+            "r1_2"
+        ),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    u1d = F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)
+    ntot = F.col("n1") + F.col("n2")
+    var = (
+        n1 * n2 / F.lit(12.0)
+        * (
+            (ntot + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (ntot * (ntot - 1)).cast("double")
+        )
+    )
+    z = (u1d.cast("double") / 2 - n1 * n2 / 2) / F.sqrt(var)
+    return (
+        m.join(F.broadcast(ties))
+        .select(
+            "n1",
+            "n2",
+            u1d.cast("long").alias("u1_doubled"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+@query(
+    "q_ks_statistic",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2,
+             value AS x
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ), counts AS (
+      SELECT x, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+      FROM s GROUP BY x
+    ), n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM counts
+    ), cum AS (
+      SELECT SUM(c1) OVER (ORDER BY x) AS f1,
+             SUM(c2) OVER (ORDER BY x) AS f2
+      FROM counts
+    )
+    SELECT n.n1, n.n2,
+           CAST(MAX(abs(cum.f1 * n.n2 - cum.f2 * n.n1)) AS BIGINT)
+             AS d_num,
+           CAST(n.n1 * n.n2 AS BIGINT) AS d_den,
+           round(CAST(MAX(abs(cum.f1 * n.n2 - cum.f2 * n.n1)) AS DOUBLE)
+                 / (n.n1 * n.n2), 9) AS d
+    FROM cum, n GROUP BY n.n1, n.n2
+    """,
+)
+def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic D = max|F₁−F₂| between
+    click and purchase value distributions — the distribution-drift
+    test that needs no binning choice (unlike the chi-square in
+    q_source_drift). Exactness: D's numerator max|f₁·n₂ − f₂·n₁| is
+    computed over INTEGER cumulative counts per distinct value — the
+    maximum of integers is engine-exact, and one final division
+    yields D. The cumulative window runs over DISTINCT values (not
+    rows) — bounded by value cardinality; the at-scale variant bins
+    to quantile sketches first."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("g2"),
+            F.col("value").alias("x"),
+        )
+    )
+    counts = s.groupBy("x").agg(
+        F.sum("g1").alias("c1"), F.sum("g2").alias("c2")
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    counts = persist_tracked(counts)
+    n = counts.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    d = cum.join(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        F.abs(
+            F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+        ).alias("num"),
+    )
+    return (
+        d.groupBy("n1", "n2")
+        .agg(F.max("num").alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            F.col("d_num").cast("long").alias("d_num"),
+            (F.col("n1") * F.col("n2")).cast("long").alias("d_den"),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                9,
+            ).alias("d"),
+        )
+    )
