@@ -1109,59 +1109,73 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT event_type,
-             CAST(epoch_us(ts) / 86400000000.0 AS DOUBLE) AS x,
-             value AS y
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
       FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ), m AS (
       SELECT event_type,
-             CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+             CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS sx,
+             SUM(y) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,0))) AS DECIMAL(18,0))
+               AS sxx,
+             SUM(CAST(x AS DECIMAL(12,0)) * y) AS sxy
       FROM ev GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 9) AS slope,
-           round(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
-                 * (sx / n), 6) AS intercept
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
+           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
     FROM m ORDER BY event_type
     """,
 )
 def q_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordinary-least-squares trend per event type (value vs time in
-    days): the grouped-model primitive — thousands of independent
+    """Ordinary-least-squares trend per event type (value vs integer
+    DAY index): the grouped-model primitive — thousands of independent
     regressions in ONE map-combinable aggregate, no per-group
-    iteration. Slope/intercept come from the closed-form moment
-    equations with every cross-row sum DECIMAL-routed (the same
-    discipline as q_correlation_moments), so both engines derive
-    identical doubles before the one float division."""
+    iteration. Numerical discipline learned the hard way: the centered
+    moment form (sxx − sx²/n) cancels ~8 significant digits at
+    epoch-scale x and the last-ulp float noise diverges ACROSS ENGINES
+    (FMA contraction, rounding boundaries). So x is an exact integer
+    day, y an exact DECIMAL(18,6), and BOTH closed forms —
+    slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) and
+    intercept = (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²) — are evaluated as
+    EXACT decimal integer arithmetic end to end (operand precisions
+    sized so products stay ≤ 37 digits, below Spark's cap), with ONE
+    IEEE division at the very end. No float cancellation exists
+    anywhere in the plan."""
     ev_raw = load_table(spark, sf_dir, "events")
     ev = ev_raw.select(
         "event_type",
-        (event_ts_us(ev_raw) / F.lit(86400000000.0))
-        .cast("double")
+        F.floor(event_ts_us(ev_raw) / F.lit(86400000000))
+        .cast("long")
         .alias("x"),
-        F.col("value").alias("y"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
     ).filter(F.col("y").isNotNull() & F.col("x").isNotNull())
-    dec = lambda c: F.sum(c.cast("decimal(38,9)")).cast("double")  # noqa: E731
     m = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dec(F.col("x")).alias("sx"),
-        dec(F.col("y")).alias("sy"),
-        dec(F.col("x") * F.col("x")).alias("sxx"),
-        dec(F.col("x") * F.col("y")).alias("sxy"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,0)")).cast("decimal(18,0)").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,0)"))
+        .cast("decimal(18,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("y")).alias("sxy"),
     )
-    n = F.col("n")
-    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
     )
-    intercept = F.col("sy") / n - slope * (F.col("sx") / n)
+    slope_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    icpt_num = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ).cast("double")
     return m.select(
         "event_type",
-        n.cast("long").alias("n"),
-        F.round(slope, 9).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
+        F.col("n").cast("long").alias("n"),
+        F.round(slope_num / den, 9).alias("slope"),
+        F.round(icpt_num / den, 6).alias("intercept"),
     ).orderBy("event_type")
 
 

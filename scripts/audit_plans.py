@@ -43,6 +43,8 @@ BNLJ_ALLOWED = {
     "q_data_quality",        # one-row metrics x one-row orphan count
     "q_key_skew",            # one-row summary x one-row top-10 scalar
     "q_unicode_normalize",   # three one-row aggregate summaries
+    "q_rank_sum_test",       # one-row tie-correction scalar
+    "q_ks_statistic",        # one-row sample-size scalar
 }
 
 
