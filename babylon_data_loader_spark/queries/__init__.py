@@ -137,6 +137,8 @@ PRIORITY: list[str] = [
     "q_linreg_by_group",
     "q_rank_sum_test",
     "q_ks_statistic",
+    "q_welch_ttest",
+    "q_acf",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

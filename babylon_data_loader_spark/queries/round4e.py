@@ -1380,3 +1380,198 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d"),
         )
     )
+
+
+@query(
+    "q_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS grp,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ), m AS (
+      SELECT grp, CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+             SUM(y) AS sy, SUM(y * y) AS syy
+      FROM s GROUP BY grp
+    ), w AS (
+      SELECT CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2,
+             CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE) AS m1,
+             CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE) AS m2,
+             CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE)
+               / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1)) AS v1,
+             CAST(b.n * b.syy - b.sy * b.sy AS DOUBLE)
+               / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1)) AS v2
+      FROM m a, m b WHERE a.grp = 1 AND b.grp = 2
+    )
+    SELECT n1, n2, round(m1 - m2, 6) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
+           round(power(v1 / n1 + v2 / n2, 2)
+                 / (power(v1 / n1, 2) / (n1 - 1)
+                    + power(v2 / n2, 2) / (n2 - 1)), 3) AS df
+    FROM w
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between click and purchase
+    values — the parametric sibling of q_rank_sum_test, with the
+    Satterthwaite effective degrees of freedom. Numerics discipline
+    from the q_linreg_by_group lesson: each group's variance comes
+    from the EXACT decimal determinant n·Σy² − (Σy)² divided once in
+    double (never the cancelling sxx − sx²/n float form), so both
+    engines see identical (m, v) pairs before the closing t and df
+    arithmetic."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(2)
+            .alias("grp"),
+            F.col("value").cast("decimal(18,6)").alias("y"),
+        )
+    )
+    m = s.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    a = m.filter(F.col("grp") == 1).select(
+        F.col("n").alias("na"), F.col("sy").alias("sya"),
+        F.col("syy").alias("syya"),
+    )
+    b = m.filter(F.col("grp") == 2).select(
+        F.col("n").alias("nb"), F.col("sy").alias("syb"),
+        F.col("syy").alias("syyb"),
+    )
+    j = a.join(F.broadcast(b))
+    n1d = F.col("na").cast("double")
+    n2d = F.col("nb").cast("double")
+    m1 = F.col("sya").cast("double") / n1d
+    m2 = F.col("syb").cast("double") / n2d
+    v1 = (F.col("na") * F.col("syya") - F.col("sya") * F.col("sya")).cast(
+        "double"
+    ) / (n1d * (n1d - 1))
+    v2 = (F.col("nb") * F.col("syyb") - F.col("syb") * F.col("syb")).cast(
+        "double"
+    ) / (n2d * (n2d - 1))
+    se2 = v1 / n1d + v2 / n2d
+    t = (m1 - m2) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(v1 / n1d, 2) / (n1d - 1) + F.pow(v2 / n2d, 2) / (n2d - 1)
+    )
+    return j.select(
+        F.col("na").cast("long").alias("n1"),
+        F.col("nb").cast("long").alias("n2"),
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round(t, 6).alias("t"),
+        F.round(df, 3).alias("df"),
+    )
+
+
+@query(
+    "q_acf",
+    oracle="""
+    WITH clean AS (
+      SELECT epoch_us(ts) AS ts_us FROM events WHERE ts IS NOT NULL
+    ), hourly AS (
+      SELECT (ts_us // 3600000000) AS h, CAST(COUNT(*) AS BIGINT) AS c
+      FROM clean GROUP BY 1
+    ), spine AS (
+      SELECT g.h, COALESCE(hourly.c, 0) AS c
+      FROM (SELECT unnest(generate_series(
+              (SELECT MIN(h) FROM hourly),
+              (SELECT MAX(h) FROM hourly))) AS h) g
+      LEFT JOIN hourly ON hourly.h = g.h
+    ), pairs AS (
+      SELECT l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.c) AS BIGINT) AS sx,
+             CAST(SUM(b.c) AS BIGINT) AS sy,
+             CAST(SUM(a.c * a.c) AS BIGINT) AS sxx,
+             CAST(SUM(b.c * b.c) AS BIGINT) AS syy,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+      FROM (VALUES (1), (2), (3)) l(lag)
+      JOIN spine a ON TRUE
+      JOIN spine b ON b.h = a.h + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+             AS acf
+    FROM pairs ORDER BY lag
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags 1-3 —
+    the seasonality probe run before any forecasting. The series is
+    the gap-filled dense hour spine (missing hours count 0, exactly
+    like q_gap_fill — skipping them would silently splice
+    non-adjacent hours together); every moment is an INTEGER sum over
+    integer counts, the correlation is a ratio of exact integer
+    determinants, and the only floats are two sqrts and one division
+    at the end. Lagged pairing is a self-equi-join on hour+lag —
+    co-partitioned, no window."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    us = event_ts_us(ev_raw)
+    hourly = (
+        ev_raw.filter(F.col("ts").isNotNull())
+        .select((us / F.lit(3_600_000_000)).cast("long").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = hourly.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).collect()[0]
+    spine = (
+        ev_raw.sparkSession.range(bounds["h0"], bounds["h1"] + 1)
+        .withColumnRenamed("id", "h")
+        .join(hourly, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    spine = persist_tracked(spine)
+    lags = ev_raw.sparkSession.range(1, 4).select(
+        F.col("id").alias("lag")
+    )
+    a = spine.select("h", F.col("c").alias("ca"))
+    b = spine.select(
+        F.col("h").alias("hb"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(b, F.col("hb") == F.col("h") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    denx = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    deny = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return pairs.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        F.round(num / (denx * deny), 9).alias("acf"),
+    ).orderBy("lag")

@@ -45,6 +45,8 @@ BNLJ_ALLOWED = {
     "q_unicode_normalize",   # three one-row aggregate summaries
     "q_rank_sum_test",       # one-row tie-correction scalar
     "q_ks_statistic",        # one-row sample-size scalar
+    "q_welch_ttest",         # one-row-per-group moment scalars
+    "q_acf",                 # 3-row lag dimension broadcast
 }
 
 
