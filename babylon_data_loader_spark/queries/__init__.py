@@ -139,6 +139,8 @@ PRIORITY: list[str] = [
     "q_ks_statistic",
     "q_welch_ttest",
     "q_acf",
+    "q_feature_mi",
+    "q_gini",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

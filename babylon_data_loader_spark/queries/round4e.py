@@ -1575,3 +1575,152 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(num / (denx * deny), 9).alias("acf"),
     ).orderBy("lag")
+
+
+@query(
+    "q_feature_mi",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS label, value,
+             NTILE(10) OVER (ORDER BY value, event_id) AS b
+      FROM events WHERE value IS NOT NULL
+    ), joint AS (
+      SELECT b, label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s GROUP BY b, label
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM joint
+    ), marg_b AS (
+      SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM joint GROUP BY b
+    ), marg_l AS (
+      SELECT label, CAST(SUM(c) AS BIGINT) AS cl FROM joint GROUP BY label
+    ), terms AS (
+      SELECT CAST(round(
+               (CAST(j.c AS DOUBLE) / t.n)
+               * ln(CAST(j.c AS DOUBLE) * t.n
+                    / (CAST(mb.cb AS DOUBLE) * ml.cl)), 12)
+             AS DECIMAL(28,12)) AS term
+      FROM joint j
+      JOIN marg_b mb ON mb.b = j.b
+      JOIN marg_l ml ON ml.label = j.label
+      CROSS JOIN tot t
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+           round(CAST(SUM(term) AS DOUBLE), 9) AS mi_nats
+    FROM terms
+    """,
+)
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between a continuous feature (value,
+    decile-binned over a TOTAL order) and the event-type label — the
+    feature-selection score for tabular ML. Every probability is a
+    ratio of exact integers; each cell's p·ln(p/(p_b·p_l)) term is
+    computed from identical doubles in both engines, rounded to 12
+    decimals, then DECIMAL-summed — the q_copurchase_pagerank recipe
+    for making transcendental sums partition-order-proof. The NTILE
+    total order (value, event_id) makes binning engine-deterministic
+    under ties."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("label"),
+            F.ntile(10)
+            .over(Window.orderBy("value", "event_id"))
+            .alias("b"),
+        )
+    )
+    joint = s.groupBy("b", "label").agg(F.count(F.lit(1)).alias("c"))
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    joint = persist_tracked(joint)
+    tot = joint.agg(F.sum("c").alias("n"))
+    marg_b = joint.groupBy("b").agg(F.sum("c").alias("cb"))
+    marg_l = joint.groupBy("label").agg(F.sum("c").alias("cl"))
+    terms = (
+        joint.join(F.broadcast(marg_b), "b")
+        .join(F.broadcast(marg_l), "label")
+        .join(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("c").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("c").cast("double")
+                    * F.col("n")
+                    / (F.col("cb").cast("double") * F.col("cl"))
+                ),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("term"),
+            "n",
+        )
+    )
+    return terms.groupBy("n").agg(
+        F.round(F.sum("term").cast("double"), 9).alias("mi_nats")
+    ).select(F.col("n").cast("long").alias("n"), "mi_nats")
+
+
+@query(
+    "q_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i
+      FROM spend
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx,
+             SUM(CAST(i AS DECIMAL(18,0)) * x) AS six
+      FROM ranked
+    )
+    SELECT n,
+           round(CAST(sx AS DOUBLE), 2) AS total_spend,
+           round(2.0 * CAST(six AS DOUBLE)
+                 / (n * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1) / n, 9) AS gini
+    FROM m
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the
+    inequality score behind 'top 1% of customers drive X% of
+    revenue'. Computed from the sorted-rank identity
+    G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n with per-customer spend summed in
+    DECIMAL, ranks from a TOTAL order (spend, custkey), and the
+    rank-weighted sum Σi·xᵢ kept in exact DECIMAL — two exact decimal
+    aggregates, float only in the final expression. The global sort
+    is the documented exact-oracle tradeoff (at scale: bin to
+    quantile buckets and compute the Lorenz curve piecewise)."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+        )
+    )
+    ranked = spend.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "o_custkey"))
+        .cast("decimal(18,0)")
+        .alias("i"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sx").cast("double"), 2).alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.col("six").cast("double")
+            / (nd * F.col("sx").cast("double"))
+            - (nd + 1) / nd,
+            9,
+        ).alias("gini"),
+    )

@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "q_ks_statistic",        # one-row sample-size scalar
     "q_welch_ttest",         # one-row-per-group moment scalars
     "q_acf",                 # 3-row lag dimension broadcast
+    "q_feature_mi",          # one-row total-count scalar
 }
 
 
