@@ -141,6 +141,10 @@ PRIORITY: list[str] = [
     "q_acf",
     "q_feature_mi",
     "q_gini",
+    "q_sequence_pattern",
+    "q_markov_transitions",
+    "q_rfm_segments",
+    "q_association_rules",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

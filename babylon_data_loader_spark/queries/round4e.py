@@ -1724,3 +1724,275 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+# Sequence / behavioral analytics ----------------------------------------------
+
+
+@query(
+    "q_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN regexp_matches(s, 'v[^p]*vp')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+           CAST(SUM(len(s)) AS BIGINT) AS total_events
+    FROM seq
+    """,
+)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching (the MATCH_RECOGNIZE shape): users
+    whose ordered event stream contains view → (no purchase) → view →
+    purchase. Each user's timeline collapses to a one-char-per-event
+    string via an ORDER-SENSITIVE aggregation — sort_array over
+    (ts, event_id, char) structs makes collect-order deterministic
+    regardless of partitioning (the classic Spark trap:
+    collect_list alone has NO order guarantee) — then one regex per
+    user does the sequence test JVM-side. One user_id shuffle; the
+    pattern state machine costs O(events per user), not a join."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id",
+        F.struct(
+            event_ts_us(ev_raw).alias("ts_us"),
+            F.col("event_id"),
+            F.substring("event_type", 1, 1).alias("ch"),
+        ).alias("e"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("e")), lambda x: x["ch"]
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("s").rlike("v[^p]*vp"), 1).otherwise(0)
+        ).alias("n_matching"),
+        F.sum(F.length("s")).alias("total_events"),
+    )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), outdeg AS (
+      SELECT from_type, CAST(SUM(c) AS BIGINT) AS total
+      FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.c,
+           round(CAST(p.c AS DOUBLE) / o.total, 9) AS p
+    FROM pairs p JOIN outdeg o ON o.from_type = p.from_type
+    ORDER BY p.from_type, p.to_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current) — the behavioral model behind
+    next-action prediction and funnel leak analysis. LEAD pairs each
+    event with its successor on ONE user_id shuffle; probabilities
+    are ratios of exact integer counts. The |types|² matrix is
+    metadata-sized output regardless of corpus scale."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_ts_us(ev_raw), F.col("event_id")
+    )
+    ordered = ev_raw.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = ordered.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    pairs = persist_tracked(pairs)
+    outdeg = pairs.groupBy("from_type").agg(F.sum("c").alias("total"))
+    return (
+        pairs.join(F.broadcast(outdeg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "c",
+            F.round(
+                F.col("c").cast("double") / F.col("total"), 9
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query(
+    "q_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(epoch_us(o_orderdate)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT NTILE(4) OVER (ORDER BY last_us, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY freq, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m,
+             monetary
+      FROM rfm
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(monetary) AS DOUBLE), 2) AS segment_value
+    FROM scored GROUP BY r, f, m ORDER BY r, f, m
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each customer scored into recency / frequency /
+    monetary quartiles (NTILE over TOTAL orders — (metric, custkey) —
+    so quartile boundaries are engine-deterministic under ties), then
+    the 4×4×4 segment census with DECIMAL-exact segment value. The
+    classic CRM cube; per-customer aggregation is one shuffle, the
+    three rankings share the tiny per-customer frame."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        ).alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+            "monetary"
+        ),
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    rfm = persist_tracked(rfm)
+    scored = rfm.select(
+        F.ntile(4).over(Window.orderBy("last_us", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .alias("m"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary").cast("double"), 2).alias(
+                "segment_value"
+            ),
+        )
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("f").cast("long").alias("f"),
+            F.col("m").cast("long").alias("m"),
+            "n_customers",
+            "segment_value",
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@query(
+    "q_association_rules",
+    oracle="""
+    WITH ok_orders AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_partkey) BETWEEN 2 AND 10
+    ), op AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN ok_orders USING (l_orderkey)
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM op
+    ), item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1
+    ), pair AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y,
+             CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT p.x, p.y, p.cxy,
+           round(CAST(p.cxy AS DOUBLE) / ix.c, 9) AS confidence,
+           round(CAST(p.cxy AS DOUBLE) * n.n_orders
+                 / (CAST(ix.c AS DOUBLE) * iy.c), 9) AS lift
+    FROM pair p
+    JOIN item ix ON ix.l_partkey = p.x
+    JOIN item iy ON iy.l_partkey = p.y
+    CROSS JOIN n
+    ORDER BY lift DESC, x, y LIMIT 25
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the capped co-purchase
+    baskets: support (co-occurrence count ≥ 3), confidence
+    P(y|x) and lift P(x,y)/(P(x)P(y)) — all ratios of exact integer
+    counts, top-25 by lift with full tiebreak. The pair join is the
+    same bounded basket self-join as the graph queries (≤10 items per
+    basket ⇒ ≤45 pairs per order, never quadratic); item counts
+    broadcast into the rule assembly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np").between(2, 10))
+        .select("l_orderkey")
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    op2 = persist_tracked(op.join(ok, "l_orderkey"))
+    n = op2.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = op2.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = op2.select("l_orderkey", F.col("l_partkey").alias("x"))
+    b = op2.select("l_orderkey", F.col("l_partkey").alias("y"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= 3)
+    )
+    ix = item.select(F.col("l_partkey").alias("x"), F.col("c").alias("cx"))
+    iy = item.select(F.col("l_partkey").alias("y"), F.col("c").alias("cy"))
+    return (
+        pair.join(F.broadcast(ix), "x")
+        .join(F.broadcast(iy), "y")
+        .join(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "cxy",
+            F.round(F.col("cxy").cast("double") / F.col("cx"), 9).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("cxy").cast("double")
+                * F.col("n_orders")
+                / (F.col("cx").cast("double") * F.col("cy")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "x", "y")
+        .limit(25)
+    )

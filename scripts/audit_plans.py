@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "q_welch_ttest",         # one-row-per-group moment scalars
     "q_acf",                 # 3-row lag dimension broadcast
     "q_feature_mi",          # one-row total-count scalar
+    "q_association_rules",   # one-row basket-count scalar
 }
 
 
