@@ -145,6 +145,9 @@ PRIORITY: list[str] = [
     "q_markov_transitions",
     "q_rfm_segments",
     "q_association_rules",
+    "q_bm25_topk",
+    "q_phrase_search",
+    "q_cumulative_uniques",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -1996,3 +1996,202 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "x", "y")
         .limit(25)
     )
+
+
+# IR ranking / phrase search / growth ------------------------------------------
+
+
+@query(
+    "q_bm25_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS token
+      FROM documents
+    ), doclen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len
+      FROM doclen
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks WHERE token IN ('data', 'table', 'join')
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS d FROM tf GROUP BY token
+    ), terms AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((CAST(s.n_docs AS DOUBLE) - df.d + 0.5)
+                  / (df.d + 0.5) + 1.0)
+               * (tf.f * 2.2)
+               / (tf.f + 1.2 * (0.25 + 0.75 * dl.dl
+                                * s.n_docs / CAST(s.total_len AS DOUBLE))),
+               9) AS DECIMAL(28,9)) AS score_term
+      FROM tf
+      JOIN df ON df.token = tf.token
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           round(CAST(SUM(score_term) AS DOUBLE), 6) AS bm25
+    FROM terms GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked top-20 documents for the 3-term query — the scoring
+    function behind every lexical search engine (k1=1.2, b=0.75).
+    Exactness for a float formula: tf/df/doclen are exact integers, so
+    each per-(doc,term) score is computed from identical doubles in
+    both engines, rounded to 9 decimals, then DECIMAL-summed per doc —
+    the partition-order-proof recipe. The term filter prunes the
+    postings scan to the query terms (at rest: partition pruning of
+    the inverted index, like q_boolean_search); doc-length and
+    corpus stats are metadata-scale broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms_list = ["data", "table", "join"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            "token"
+        ),
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    toks = persist_tracked(toks)
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms_list))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    tf = persist_tracked(tf)
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("d"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("d") + 0.5)
+        / (F.col("d") + 0.5)
+        + 1.0
+    )
+    norm = F.col("f") + 1.2 * (
+        0.25
+        + 0.75
+        * F.col("dl")
+        * F.col("n_docs")
+        / F.col("total_len").cast("double")
+    )
+    term_score = F.round(idf * (F.col("f") * 2.2) / norm, 9).cast(
+        "decimal(28,9)"
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", term_score.alias("score_term"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("score_term").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q_phrase_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM bigrams WHERE w1 = 'data' AND w2 = 'table'
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("data table", adjacent tokens) — the
+    positional-postings operation a bag-of-words index cannot answer:
+    posexplode keeps each token's POSITION, and the phrase test is a
+    self-join on (doc, pos+1). Expressed as an adjacent-pair zip
+    (arrays_zip of the array with its own tail) so the plan is one
+    projection + explode — no join at all; at rest the bigram becomes
+    the posting key (phrase indexes store n-grams for exactly this
+    reason)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            )
+        ).alias("bg"),
+    )
+    return (
+        pairs.filter(
+            (F.col("bg.0") == "data") & (F.col("bg.1") == "table")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_cumulative_uniques",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 86400000000) AS first_day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT CAST(first_day AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT)
+             AS cumulative_users
+    FROM daily ORDER BY day
+    """,
+)
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users and the cumulative distinct-user curve — the
+    growth chart. A naive running COUNT(DISTINCT) over an expanding
+    window re-scans history per day; the first-seen reduction makes it
+    exact and cheap: MIN(day) per user (one shuffle), daily counts,
+    one running sum over O(days) rows. This reduction — distinct
+    becomes first-occurrence — is the standard trick for cumulative
+    uniqueness at any scale."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev_raw.select(
+            "user_id",
+            F.floor(event_ts_us(ev_raw) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    daily = firsts.groupBy(
+        F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    ).orderBy("day")

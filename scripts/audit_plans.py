@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "q_acf",                 # 3-row lag dimension broadcast
     "q_feature_mi",          # one-row total-count scalar
     "q_association_rules",   # one-row basket-count scalar
+    "q_bm25_topk",           # one-row corpus-stats scalar
 }
 
 
