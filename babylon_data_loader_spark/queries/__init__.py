@@ -148,6 +148,7 @@ PRIORITY: list[str] = [
     "q_bm25_topk",
     "q_phrase_search",
     "q_cumulative_uniques",
+    "q_js_divergence",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

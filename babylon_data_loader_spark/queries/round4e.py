@@ -2195,3 +2195,144 @@ def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     ).orderBy("day")
+
+
+@query(
+    "q_js_divergence",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb,
+             ta.n AS na, tb.n AS nb,
+             COALESCE(ca.token, cb.token) AS token
+      FROM totals a
+      JOIN totals b ON a.source < b.source
+      JOIN totals ta ON ta.source = a.source
+      JOIN totals tb ON tb.source = b.source
+      CROSS JOIN (SELECT DISTINCT token FROM counts) t
+      LEFT JOIN counts ca ON ca.source = a.source AND ca.token = t.token
+      LEFT JOIN counts cb ON cb.source = b.source AND cb.token = t.token
+      WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0
+    ), terms AS (
+      SELECT src_a, src_b,
+             CAST(round(
+               0.5 * CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE)/na)
+                 * ln((CAST(ca AS DOUBLE)/na)
+                      / (0.5*(CAST(ca AS DOUBLE)/na
+                              + CAST(cb AS DOUBLE)/nb)))
+                 ELSE 0 END
+               + 0.5 * CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE)/nb)
+                 * ln((CAST(cb AS DOUBLE)/nb)
+                      / (0.5*(CAST(ca AS DOUBLE)/na
+                              + CAST(cb AS DOUBLE)/nb)))
+                 ELSE 0 END, 12) AS DECIMAL(28,12)) AS term
+      FROM pairs
+    )
+    SELECT src_a, src_b,
+           round(CAST(SUM(term) AS DOUBLE), 9) AS jsd_nats
+    FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """,
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the sources' token
+    distributions — the symmetric, always-finite drift measure for
+    dataset mixing (KL blows up on unshared vocabulary; JSD's mixture
+    midpoint never does). Probabilities are ratios of exact integer
+    counts; each token's contribution is computed from identical
+    doubles, rounded to 12 decimals, and DECIMAL-summed per source
+    pair. The token-pair frame is built with a FULL join per source
+    pair (a token absent on one side contributes only the other
+    side's half-term), keyed joins only — no all-pairs anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            "token"
+        ),
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    counts = persist_tracked(counts)
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    srcs = totals.select(
+        F.col("source").alias("src_a"), F.col("n").alias("na")
+    ).join(
+        F.broadcast(
+            totals.select(
+                F.col("source").alias("src_b"), F.col("n").alias("nb")
+            )
+        ),
+        F.col("src_a") < F.col("src_b"),
+    )
+    ca = counts.select(
+        F.col("source").alias("src_a"),
+        F.col("token"),
+        F.col("c").alias("ca"),
+    )
+    cb = counts.select(
+        F.col("source").alias("src_b"),
+        F.col("token"),
+        F.col("c").alias("cb"),
+    )
+    # full outer on token within each pair: join each side to the
+    # pair frame, then full-outer merge the two sides on (pair, token)
+    left = srcs.join(ca, "src_a").select(
+        "src_a", "src_b", "na", "nb", "token", "ca"
+    )
+    right = srcs.join(cb, "src_b").select(
+        F.col("src_a").alias("src_a2"),
+        F.col("src_b").alias("src_b2"),
+        F.col("token").alias("token2"),
+        "cb",
+    )
+    merged = left.join(
+        right,
+        (F.col("src_a") == F.col("src_a2"))
+        & (F.col("src_b") == F.col("src_b2"))
+        & (F.col("token") == F.col("token2")),
+        "full",
+    ).select(
+        F.coalesce("src_a", "src_a2").alias("src_a"),
+        F.coalesce("src_b", "src_b2").alias("src_b"),
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        "na",
+        "nb",
+    )
+    # na/nb are NULL on right-only rows; rejoin the pair totals
+    merged = merged.drop("na", "nb").join(
+        F.broadcast(
+            srcs.select("src_a", "src_b", "na", "nb")
+        ),
+        ["src_a", "src_b"],
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    mid = 0.5 * (pa + pb)
+    term = (
+        F.round(
+            0.5
+            * F.when(F.col("ca") > 0, pa * F.log(pa / mid)).otherwise(0.0)
+            + 0.5
+            * F.when(F.col("cb") > 0, pb * F.log(pb / mid)).otherwise(0.0),
+            12,
+        )
+    ).cast("decimal(28,12)")
+    return (
+        merged.select("src_a", "src_b", term.alias("term"))
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum("term").cast("double"), 9).alias("jsd_nats"))
+        .orderBy("src_a", "src_b")
+    )

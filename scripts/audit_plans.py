@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "q_feature_mi",          # one-row total-count scalar
     "q_association_rules",   # one-row basket-count scalar
     "q_bm25_topk",           # one-row corpus-stats scalar
+    "q_js_divergence",       # |sources|^2 pair grid (metadata-scale)
 }
 
 
