@@ -1,0 +1,155 @@
+"""Edge tests for the behavioral/IR/stat queries on hand-built
+fixtures: sequence-order determinism, Markov counts, Gini extremes,
+first-seen cumulative uniqueness, and phrase adjacency."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+
+def _write_events(spark, tmp_path, rows):
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path) + "/events.parquet"
+    )
+
+
+def test_sequence_pattern_order_and_ties(spark, tmp_path):
+    """User 1: view,click,view,purchase matches v[^p]*vp; user 2's
+    purchase-before-view does not; equal timestamps order by
+    event_id (3 before 4)."""
+    from babylon_data_loader_spark.queries.round4e import (
+        q_sequence_pattern,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=2), 1, "purchase", 1.0, "{}"),
+        (5, t0, 2, "purchase", 1.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=1), 2, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = q_sequence_pattern.__wrapped__(spark, str(tmp_path)).collect()[0]
+    assert (out["n_users"], out["n_matching"], out["total_events"]) == (
+        2,
+        1,
+        6,
+    )
+
+
+def test_markov_transition_counts(spark, tmp_path):
+    """view->view twice, view->purchase once for user 1; user 2
+    contributes view->click; probabilities are per-from-type."""
+    from babylon_data_loader_spark.queries.round4e import (
+        q_markov_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "view", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=3), 1, "purchase", 1.0, "{}"),
+        (5, t0, 2, "view", 1.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=1), 2, "click", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        (r["from_type"], r["to_type"]): (r["c"], r["p"])
+        for r in q_markov_transitions.__wrapped__(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        ("view", "view"): (2, 0.5),
+        ("view", "purchase"): (1, 0.25),
+        ("view", "click"): (1, 0.25),
+    }
+
+
+def test_gini_extremes(spark, tmp_path):
+    """Equal spend across n customers → Gini 0; total concentration
+    in one customer → (n−1)/n."""
+    from babylon_data_loader_spark.queries.round4e import q_gini
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def orders(prices):
+        return pd.DataFrame(
+            {
+                "o_orderkey": range(len(prices)),
+                "o_custkey": range(len(prices)),
+                "o_orderstatus": ["F"] * len(prices),
+                "o_totalprice": prices,
+                "o_orderdate": [t0] * len(prices),
+                "o_orderpriority": ["1-URGENT"] * len(prices),
+            }
+        )
+
+    spark.createDataFrame(orders([10.0, 10.0, 10.0, 10.0])).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path) + "/orders.parquet")
+    out = q_gini.__wrapped__(spark, str(tmp_path)).collect()[0]
+    assert out["gini"] == 0.0
+
+    spark.createDataFrame(orders([0.0, 0.0, 0.0, 100.0])).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path) + "/orders.parquet")
+    out = q_gini.__wrapped__(spark, str(tmp_path)).collect()[0]
+    assert out["gini"] == 0.75  # (n-1)/n with n=4
+
+
+def test_cumulative_uniques_first_seen_only(spark, tmp_path):
+    """A user active on three days counts once, on their first day."""
+    from babylon_data_loader_spark.queries.round4e import (
+        q_cumulative_uniques,
+    )
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, d0, 1, "view", 1.0, "{}"),
+        (2, d0 + dt.timedelta(days=1), 1, "view", 1.0, "{}"),
+        (3, d0 + dt.timedelta(days=2), 1, "view", 1.0, "{}"),
+        (4, d0 + dt.timedelta(days=1), 2, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = q_cumulative_uniques.__wrapped__(spark, str(tmp_path)).collect()
+    assert [
+        (r["new_users"], r["cumulative_users"]) for r in out
+    ] == [(1, 1), (1, 2)]
+
+
+def test_phrase_search_adjacency(spark, tmp_path):
+    """'data table data table' → 2 hits; reversed order no hit; the
+    phrase spanning a doc boundary never matches."""
+    from babylon_data_loader_spark.queries.round4e import q_phrase_search
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "data table data table",
+                "table data table data",
+                "data x table",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [21, 21, 12],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path) + "/documents.parquet"
+    )
+    out = {
+        r["doc_id"]: r["n_hits"]
+        for r in q_phrase_search.__wrapped__(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: 2, 2: 1}
