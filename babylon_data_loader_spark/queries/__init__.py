@@ -198,6 +198,7 @@ def load_all() -> None:
         round4c,
         round4d,
         round4e,
+        round4f,
         streaming_dedup,
         streaming_replay,
         streaming_window,

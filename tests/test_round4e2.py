@@ -23,7 +23,7 @@ def test_sequence_pattern_order_and_ties(spark, tmp_path):
     """User 1: view,click,view,purchase matches v[^p]*vp; user 2's
     purchase-before-view does not; equal timestamps order by
     event_id (3 before 4)."""
-    from babylon_data_loader_spark.queries.round4e import (
+    from babylon_data_loader_spark.queries.round4f import (
         q_sequence_pattern,
     )
 
@@ -48,7 +48,7 @@ def test_sequence_pattern_order_and_ties(spark, tmp_path):
 def test_markov_transition_counts(spark, tmp_path):
     """view->view twice, view->purchase once for user 1; user 2
     contributes view->click; probabilities are per-from-type."""
-    from babylon_data_loader_spark.queries.round4e import (
+    from babylon_data_loader_spark.queries.round4f import (
         q_markov_transitions,
     )
 
@@ -78,7 +78,7 @@ def test_markov_transition_counts(spark, tmp_path):
 def test_gini_extremes(spark, tmp_path):
     """Equal spend across n customers → Gini 0; total concentration
     in one customer → (n−1)/n."""
-    from babylon_data_loader_spark.queries.round4e import q_gini
+    from babylon_data_loader_spark.queries.round4f import q_gini
 
     t0 = dt.datetime(2024, 1, 1)
 
@@ -109,7 +109,7 @@ def test_gini_extremes(spark, tmp_path):
 
 def test_cumulative_uniques_first_seen_only(spark, tmp_path):
     """A user active on three days counts once, on their first day."""
-    from babylon_data_loader_spark.queries.round4e import (
+    from babylon_data_loader_spark.queries.round4f import (
         q_cumulative_uniques,
     )
 
@@ -130,7 +130,7 @@ def test_cumulative_uniques_first_seen_only(spark, tmp_path):
 def test_phrase_search_adjacency(spark, tmp_path):
     """'data table data table' → 2 hits; reversed order no hit; the
     phrase spanning a doc boundary never matches."""
-    from babylon_data_loader_spark.queries.round4e import q_phrase_search
+    from babylon_data_loader_spark.queries.round4f import q_phrase_search
 
     pdf = pd.DataFrame(
         {
