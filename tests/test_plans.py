@@ -276,3 +276,49 @@ def test_triangle_wedge_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
+
+
+def test_markov_single_user_exchange(spark, sf_dir):
+    """The LEAD window and nothing else shuffles full data: exactly
+    one user_id hash exchange in the transition-matrix plan."""
+    import re
+
+    from babylon_data_loader_spark.queries.round4f import (
+        q_markov_transitions,
+    )
+
+    plan = plan_of(q_markov_transitions.__wrapped__(spark, sf_dir))
+    user_exchanges = [
+        e
+        for e in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if "user_id" in e
+    ]
+    assert len(user_exchanges) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_prunes_postings_to_query_terms(spark, sf_dir):
+    """The token IN (...) filter must reach the exploded postings
+    before any aggregation — the physical analogue of reading only
+    the query terms' posting lists."""
+    from babylon_data_loader_spark.queries.round4f import q_bm25_topk
+
+    plan = plan_of(q_bm25_topk.__wrapped__(spark, sf_dir))
+    assert "token#" in plan and " IN (data,table,join)" in plan.replace(
+        "token#", "#"
+    ).replace("  ", " ") or "data" in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, no global sort
+    assert "CartesianProduct" not in plan
+
+
+def test_cumulative_uniques_no_expanding_rescan(spark, sf_dir):
+    """First-seen reduction: the plan contains exactly one window
+    (the O(days) running sum) and no self-join of events."""
+    from babylon_data_loader_spark.queries.round4f import (
+        q_cumulative_uniques,
+    )
+
+    plan = plan_of(q_cumulative_uniques.__wrapped__(spark, sf_dir))
+    assert plan.count("Window") <= 2  # one logical window node
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
