@@ -149,6 +149,8 @@ PRIORITY: list[str] = [
     "q_phrase_search",
     "q_cumulative_uniques",
     "q_js_divergence",
+    "q_fuzzy_clusters",
+    "q_qq_points",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

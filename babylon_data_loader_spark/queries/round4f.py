@@ -1175,3 +1175,157 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term").cast("double"), 9).alias("jsd_nats"))
         .orderBy("src_a", "src_b")
     )
+
+
+# Fuzzy entity clusters --------------------------------------------------------
+
+
+@query(
+    "q_fuzzy_clusters",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS block_key,
+             CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM part GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM names a
+      JOIN names b ON a.block_key = b.block_key AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    ), edges AS (
+      SELECT name_a AS a, name_b AS b FROM pairs
+      UNION ALL SELECT name_b, name_a FROM pairs
+    ), walk AS (
+      SELECT p_name AS node, p_name AS label FROM names
+      UNION
+      SELECT e.b AS node, w.label FROM walk w JOIN edges e ON e.a = w.node
+    ), labels AS (
+      SELECT node, MIN(label) AS cluster FROM walk GROUP BY node
+    )
+    SELECT l.cluster, CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM(n.n_records) AS BIGINT) AS n_records,
+           MIN(l.node) AS representative
+    FROM labels l JOIN names n ON n.p_name = l.node
+    GROUP BY l.cluster HAVING COUNT(*) > 1
+    ORDER BY cluster
+    """,
+)
+def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy ENTITY RESOLUTION end to end — the composition
+    q_fuzzy_join stops short of: blocked Levenshtein pairs feed
+    connected components (operators/graph.py), so chains of variants
+    ('cold ring' ~ 'old ring' ~ 'red ring' even when the ends differ
+    by 3 edits) collapse into ONE cluster with a deterministic
+    min-name representative and the total record mass it absorbs.
+    Exactly the dedup_clustered recipe applied to fuzzy name matching;
+    the RECURSIVE-CTE oracle re-derives the same transitive closure.
+    Clusters of one (no variants) are excluded — they are not
+    resolution work."""
+    from babylon_data_loader_spark.operators.graph import (
+        connected_components,
+    )
+
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy(
+        "p_name", F.split("p_name", " ").getItem(1).alias("block_key")
+    ).agg(F.count(F.lit(1)).alias("n_records"))
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    names = persist_tracked(names)
+    a = names.select(
+        F.col("p_name").alias("name_a"), "block_key"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), "block_key"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    pairs = (
+        a.join(b, "block_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist.between(1, 2))
+        .select("name_a", "name_b")
+    )
+    comp = connected_components(
+        names.select(F.col("p_name").alias("id")),
+        pairs.select(
+            F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+        ),
+    )
+    labeled = comp.select(
+        F.col("id").alias("p_name"), F.col("component").alias("cluster")
+    ).join(names.select("p_name", "n_records"), "p_name")
+    return (
+        labeled.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("n_records").alias("n_records"),
+            F.min("p_name").alias("representative"),
+        )
+        .filter(F.col("n_variants") > 1)
+        .orderBy("cluster")
+    )
+
+
+# QQ-plot points ---------------------------------------------------------------
+
+
+@query(
+    "q_qq_points",
+    oracle="""
+    WITH a AS (
+      SELECT value AS x,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS i,
+             COUNT(*) OVER () AS n
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
+    ), b AS (
+      SELECT value AS x,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS i,
+             COUNT(*) OVER () AS n
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), q AS (SELECT unnest(generate_series(1, 19)) AS k)
+    SELECT q.k,
+           (SELECT x FROM a WHERE i = (a.n * q.k + 19) // 20 LIMIT 1)
+             AS q_click,
+           (SELECT x FROM b WHERE i = (b.n * q.k + 19) // 20 LIMIT 1)
+             AS q_purchase
+    FROM q, (SELECT DISTINCT n FROM a) a(n),
+         (SELECT DISTINCT n FROM b) b(n)
+    ORDER BY q.k
+    """,
+)
+def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ-plot points (ventiles 1/20 … 19/20) comparing the click and
+    purchase value distributions — the visual companion to
+    q_ks_statistic. Each quantile is an ORDER STATISTIC: the exact
+    element at rank ⌈n·k/20⌉ under a total order (value, event_id) —
+    pure element SELECTION, no arithmetic at all, so both engines
+    return identical doubles by construction. The rank pick is a
+    row_number filter on one sort per side; at scale the same points
+    come from a quantile sketch at controlled error."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+
+    def side(event_type: str, out: str) -> DataFrame:
+        s = ev.filter(F.col("event_type") == event_type).select(
+            F.col("value").alias("x"), "event_id"
+        )
+        w = Window.orderBy("x", "event_id")
+        ranked = s.select(
+            "x",
+            F.row_number().over(w).alias("i"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy()
+            ).alias("n"),
+        )
+        ks = ev.sparkSession.range(1, 20).select(
+            F.col("id").alias("k")
+        )
+        return ranked.join(
+            F.broadcast(ks),
+            ranked.i == ((F.col("n") * F.col("k") + 19) / 20).cast("long"),
+        ).select("k", F.col("x").alias(out))
+
+    qa = side("click", "q_click")
+    qb = side("purchase", "q_purchase")
+    return qa.join(qb, "k").orderBy("k")

@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "q_association_rules",   # one-row basket-count scalar
     "q_bm25_topk",           # one-row corpus-stats scalar
     "q_js_divergence",       # |sources|^2 pair grid (metadata-scale)
+    "q_qq_points",           # 19-row ventile dimension broadcast
 }
 
 
