@@ -107,6 +107,22 @@ class TransactionalLake:
         self._manifest_dir = os.path.join(lake_path, "_manifest")
         self._current_path = os.path.join(lake_path, "_CURRENT")
 
+    @classmethod
+    def open(cls, lake_path: str, **kwargs) -> "TransactionalLake":
+        """Construct a handle honoring the partition column RECORDED
+        in the current manifest (written by migrate_partitioning) —
+        the safe way to reopen a lake whose partitioning may have
+        evolved; falls back to the default/kwarg column for manifests
+        that predate the field."""
+        probe = cls(lake_path, **kwargs)
+        if probe.is_versioned():
+            recorded = probe.current_manifest().get("partition_col")
+            if recorded and recorded != probe.partition_col:
+                kwargs = dict(kwargs)
+                kwargs["partition_col"] = recorded
+                return cls(lake_path, **kwargs)
+        return probe
+
     # -- state inspection ---------------------------------------------------
 
     def is_versioned(self) -> bool:
@@ -552,6 +568,54 @@ class TransactionalLake:
             except ConcurrentWriteError:
                 # Someone else advanced the table: our merged output is
                 # stale. Drop the orphan dir and redo on fresh state.
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self.lake_path, rel), ignore_errors=True
+                )
+                if attempt == max_retries:
+                    raise
+
+    def migrate_partitioning(
+        self,
+        spark: SparkSession,
+        new_partition_col: str,
+        max_retries: int = 3,
+    ) -> "TransactionalLake":
+        """Re-partition the WHOLE table under `new_partition_col` as
+        one atomic version — the partition-evolution rewrite (what
+        Delta requires a table rewrite for, made transactional here):
+        current state is read, written into a fresh version dir
+        partitioned by the new column, and the manifest REPLACES every
+        old partition entry in one commit. Readers on the old snapshot
+        (and time travel to it) keep working — old version dirs are
+        immutable and their manifests untouched; vacuum retires them
+        on schedule. Returns a NEW lake handle bound to the new
+        partition column — subsequent merges must use it (the old
+        handle's touched-partition logic keys on the old column)."""
+        migrated = TransactionalLake(
+            self.lake_path,
+            partition_col=new_partition_col,
+            stale_claim_s=self.stale_claim_s,
+            backend=self.backend,
+            stats_cols=self.stats_cols,
+            cluster_by=self.cluster_by,
+            cluster_files=self.cluster_files,
+            bloom_cols=self.bloom_cols,
+        )
+        for attempt in range(max_retries + 1):
+            manifest = self.current_manifest()
+            df = self.read(spark)
+            rel, new_subdirs = migrated._write_version_dir(df)
+            new_manifest = {
+                "version": manifest["version"] + 1,
+                "partition_col": new_partition_col,
+                "partitions": {s: [rel] for s in new_subdirs},
+            }
+            try:
+                migrated._claim_and_commit(new_manifest)
+                return migrated
+            except ConcurrentWriteError:
                 import shutil
 
                 shutil.rmtree(

@@ -585,3 +585,51 @@ def test_tag_validation(spark, tmp_path):
         lake.read(spark, tag="nope")
     with pytest.raises(ValueError, match="not both"):
         lake.read(spark, version=1, tag="x")
+
+
+def test_migrate_partitioning_atomic_rewrite(spark, tmp_path):
+    """Partition evolution: the table re-partitions under a new column
+    in one committed version; state is unchanged, time travel to the
+    old scheme still works, and merges through the NEW handle upsert
+    correctly under the new partitioning."""
+    import os as _os
+
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(
+        spark,
+        frame(spark, [(1, "a", "chase"), (2, "b", "syn"), (3, "a", "syn")]),
+        KEY,
+    )
+    before = state(spark, lake)
+
+    migrated = lake.migrate_partitioning(spark, "v")
+    assert migrated.partition_col == "v"
+    assert state(spark, migrated) == before
+    # new version dir is hive-partitioned by v
+    man = migrated.current_manifest()
+    assert all(s.startswith("v=") for s in man["partitions"])
+    assert man["partition_col"] == "v"
+    # old snapshot still readable (old dirs immutable)
+    assert state(spark, lake) != [] and [
+        r for r in migrated.read(spark, version=1).collect()
+    ]
+    # merge via the new handle: replaces same-key rows, new partition
+    migrated.merge(spark, frame(spark, [(1, "a", "chase2")]), KEY)
+    assert (1, "a", "chase2") in state(spark, migrated)
+    assert (1, "a", "chase") not in state(spark, migrated)
+
+
+def test_open_honors_recorded_partition_col(spark, tmp_path):
+    """TransactionalLake.open reads the migrated partition column from
+    the manifest instead of trusting the caller's default."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
+    lake.migrate_partitioning(spark, "v")
+    reopened = TransactionalLake.open(str(tmp_path / "lake"))
+    assert reopened.partition_col == "v"
+    # pre-migration lakes keep the default
+    plain = TransactionalLake(str(tmp_path / "plain"))
+    plain.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
+    assert TransactionalLake.open(
+        str(tmp_path / "plain")
+    ).partition_col == "data_source"
