@@ -151,6 +151,8 @@ PRIORITY: list[str] = [
     "q_js_divergence",
     "q_fuzzy_clusters",
     "q_qq_points",
+    "q_median_by_group",
+    "q_covariance_matrix",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -1329,3 +1329,146 @@ def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     qa = side("click", "q_click")
     qb = side("purchase", "q_purchase")
     return qa.join(qb, "k").orderBy("k")
+
+
+@query(
+    "q_median_by_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           round(SUM(CASE
+             WHEN n % 2 = 1 AND i = (n + 1) // 2 THEN value
+             WHEN n % 2 = 0 AND i IN (n // 2, n // 2 + 1)
+               THEN value / 2 ELSE 0 END), 6) AS median
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median PER GROUP by order-statistic selection: rank
+    within each group under a total order, pick the middle element
+    (odd) or average the two middles (even — value/2 + value/2 is one
+    exact float halving each, summed). One shuffle keyed by group
+    serves the ranking and the aggregation; no global sort, no
+    approx-percentile error bound. The per-group twin of the global
+    q_median."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    pick = (
+        F.when(
+            (F.col("n") % 2 == 1) & (F.col("i") == (F.col("n") + 1) / 2),
+            F.col("value"),
+        )
+        .when(
+            (F.col("n") % 2 == 0)
+            & (
+                (F.col("i") == F.col("n") / 2)
+                | (F.col("i") == F.col("n") / 2 + 1)
+            ),
+            F.col("value") / 2,
+        )
+        .otherwise(0.0)
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.sum(pick), 6).alias("median"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_covariance_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_quantity AS HUGEINT) AS q,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS p,
+             CAST(round(l_discount * 100) AS HUGEINT) AS d
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+             SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(d*d) AS sdd,
+             SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(p*d) AS spd
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n*sqq - sq*sq AS DOUBLE)
+                 / CAST(n*(n-1) AS DOUBLE), 6) AS var_qty,
+           round(CAST(n*spp - sp*sp AS DOUBLE)
+                 / CAST(n*(n-1) AS DOUBLE) / 10000.0, 4) AS var_price,
+           round(CAST(n*sdd - sd*sd AS DOUBLE)
+                 / CAST(n*(n-1) AS DOUBLE) / 10000.0, 9) AS var_disc,
+           round(CAST(n*sqp - sq*sp AS DOUBLE)
+                 / CAST(n*(n-1) AS DOUBLE) / 100.0, 4) AS cov_qty_price,
+           round(CAST(n*sqd - sq*sd AS DOUBLE)
+                 / CAST(n*(n-1) AS DOUBLE) / 100.0, 9) AS cov_qty_disc,
+           round(CAST(n*spd - sp*sd AS DOUBLE)
+                 / CAST(n*(n-1) AS DOUBLE) / 10000.0, 6) AS cov_price_disc
+    FROM m
+    """,
+)
+def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3×3 sample covariance matrix of (quantity, price, discount)
+    in ONE aggregate pass — the feature-preprocessing primitive (PCA,
+    whitening, Mahalanobis) at its smallest. Exactness at 38-digit
+    scale: values become cents-scaled INTEGERS (quantity is integral;
+    2-dp money rounds exactly), all nine moments are integer sums, and
+    each matrix entry is a ratio of exact integer determinants
+    (HUGEINT in DuckDB, DECIMAL(38,0) in Spark — products stay under
+    both engines' 128-bit/38-digit exact range), followed by one IEEE
+    division and one exact power-of-ten unit rescale."""
+    s = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(19,0)").alias("q"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("decimal(19,0)")
+        .alias("p"),
+        F.round(F.col("l_discount") * 100)
+        .cast("decimal(19,0)")
+        .alias("d"),
+    )
+    m = s.agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
+        F.sum("q").cast("decimal(19,0)").alias("sq"),
+        F.sum("p").cast("decimal(19,0)").alias("sp"),
+        F.sum("d").cast("decimal(19,0)").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(19,0)").alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).cast("decimal(19,0)").alias("spp"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(19,0)").alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).cast("decimal(19,0)").alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).cast("decimal(19,0)").alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).cast("decimal(19,0)").alias("spd"),
+    )
+    n = F.col("n")
+    nn1 = (n * (n - 1)).cast("double")
+
+    def cov(sxy, sx, sy, rescale, dp):
+        det = (n * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        return F.round(det / nn1 / F.lit(rescale), dp)
+
+    return m.select(
+        n.cast("long").alias("n"),
+        cov("sqq", "sq", "sq", 1.0, 6).alias("var_qty"),
+        cov("spp", "sp", "sp", 10000.0, 4).alias("var_price"),
+        cov("sdd", "sd", "sd", 10000.0, 9).alias("var_disc"),
+        cov("sqp", "sq", "sp", 100.0, 4).alias("cov_qty_price"),
+        cov("sqd", "sq", "sd", 100.0, 9).alias("cov_qty_disc"),
+        cov("spd", "sp", "sd", 10000.0, 6).alias("cov_price_disc"),
+    )
