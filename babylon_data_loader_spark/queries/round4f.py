@@ -1472,3 +1472,100 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov("sqd", "sq", "sd", 100.0, 9).alias("cov_qty_disc"),
         cov("spd", "sp", "sd", 10000.0, 6).alias("cov_price_disc"),
     )
+
+
+@query(
+    "q_corpus_report",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+      FROM documents
+    ), langs AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY lang
+    ), lang_entropy AS (
+      SELECT CAST(SUM(CAST(round(
+               -(CAST(c AS DOUBLE) / (SELECT SUM(c) FROM langs))
+               * ln(CAST(c AS DOUBLE) / (SELECT SUM(c) FROM langs)), 12)
+             AS DECIMAL(28,12))) AS DOUBLE) AS h
+      FROM langs
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
+           (SELECT CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) FROM d)
+             AS n_unique,
+           round(1.0 - (SELECT COUNT(DISTINCT md5(norm)) FROM d)
+                 / CAST((SELECT COUNT(*) FROM d) AS DOUBLE), 9)
+             AS dup_rate,
+           (SELECT CAST(SUM(n_toks) AS BIGINT) FROM d) AS total_tokens,
+           (SELECT CAST(MIN(n_chars) AS BIGINT) FROM d) AS min_chars,
+           (SELECT CAST(MAX(n_chars) AS BIGINT) FROM d) AS max_chars,
+           (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM d)
+             AS n_langs,
+           (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM d)
+             AS n_sources,
+           (SELECT round(h, 9) FROM lang_entropy) AS lang_entropy_nats
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card as a DRIVER-VERIFIED query — the one-row
+    corpus summary every training run should log (the CLI
+    dataset-card command's oracle-checked twin): size, normalized
+    exact-dup rate, token volume, length bounds, composition
+    cardinalities, and the language-mix entropy (rounded-term DECIMAL
+    sum, partition-order-proof). Two scans (docs + the distinct-hash
+    count) — the whole report is aggregate-only, no row ever reaches
+    the driver."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").cast(
+                "binary"
+            )
+        ).alias("h"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    d = persist_tracked(d)
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    lang_entropy = (
+        langs.join(F.broadcast(langs.agg(F.sum("c").alias("tot"))))
+        .select(
+            F.round(
+                -(F.col("c").cast("double") / F.col("tot"))
+                * F.log(F.col("c").cast("double") / F.col("tot")),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("term")
+        )
+        .agg(F.round(F.sum("term").cast("double"), 9).alias("h"))
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return base.join(F.broadcast(lang_entropy)).select(
+        "n_docs",
+        "n_unique",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_unique").cast("double") / F.col("n_docs"),
+            9,
+        ).alias("dup_rate"),
+        "total_tokens",
+        F.col("min_chars").cast("long").alias("min_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+        "n_langs",
+        "n_sources",
+        F.round(F.col("h"), 9).alias("lang_entropy_nats"),
+    )

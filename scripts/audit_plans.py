@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     "q_bm25_topk",           # one-row corpus-stats scalar
     "q_js_divergence",       # |sources|^2 pair grid (metadata-scale)
     "q_qq_points",           # 19-row ventile dimension broadcast
+    "q_corpus_report",       # one-row summary x one-row entropy
 }
 
 
