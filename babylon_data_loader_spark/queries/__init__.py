@@ -154,6 +154,7 @@ PRIORITY: list[str] = [
     "q_median_by_group",
     "q_covariance_matrix",
     "q_corpus_report",
+    "q_stream_complete",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

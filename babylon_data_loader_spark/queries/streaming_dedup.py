@@ -378,3 +378,75 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, schema=schema_out)
+
+
+# Complete-mode aggregation ----------------------------------------------------
+
+_COMPLETE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type IS NOT NULL AND value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_stream_complete", oracle=_COMPLETE_ORACLE)
+def q_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ninth streaming lane: COMPLETE output mode — the running
+    dashboard. Unlike every append-mode lane, the full aggregate is
+    re-emitted each micro-batch and NOTHING is ever late-dropped:
+    there is no watermark, so file arrival order is irrelevant
+    (deliberately staged unordered, the exact opposite of
+    _stage_time_ordered's contract — and the oracle is the plain
+    batch aggregate with no cutoff arithmetic). The cost of that
+    convenience is state: the sink holds O(groups) rows forever and
+    each batch rewrites them — fine for a |event_type|-sized
+    dashboard, wrong for high-cardinality keys (that is what the
+    watermarked lanes are for). Memory sink (complete mode's natural
+    target); the final table equals the last re-emission."""
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_stream_complete_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(work, "src")
+    table = f"complete_{uuid.uuid4().hex[:8]}"
+    try:
+        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        staged = events.filter(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        ).select("event_type", "value")
+        # UNORDERED staging — complete mode must not care
+        staged.repartition(3).write.mode("overwrite").parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        out = spark.table(table).orderBy("event_type")
+        rows = out.collect()
+        schema_out = out.schema
+    finally:
+        spark.catalog.dropTempView(table) if table in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema_out)
