@@ -633,3 +633,23 @@ def test_open_honors_recorded_partition_col(spark, tmp_path):
     assert TransactionalLake.open(
         str(tmp_path / "plain")
     ).partition_col == "data_source"
+
+
+def test_tagged_old_scheme_survives_migration_and_vacuum(spark, tmp_path):
+    """A tag pinned BEFORE partition migration keeps the old-scheme
+    snapshot readable after the migration and an aggressive vacuum."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
+    lake.merge(spark, frame(spark, [(2, "b", "syn")]), KEY)
+    lake.tag("pre-migration")  # pins v2 (old data_source scheme)
+    migrated = lake.migrate_partitioning(spark, "v")
+    migrated.merge(spark, frame(spark, [(3, "c", "syn")]), KEY)
+
+    migrated.stale_claim_s = 0.0
+    migrated.vacuum(keep_versions=1)
+    got = sorted(
+        (r["k"], r["v"])
+        for r in migrated.read(spark, tag="pre-migration").collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+    assert len(state(spark, migrated)) == 3
