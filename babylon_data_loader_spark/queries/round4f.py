@@ -1444,17 +1444,20 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(19,0)")
         .alias("d"),
     )
+    # sums cast to DECIMAL(28,0): Σp² in cents reaches ~5e19 at sf0.1
+    # (overflows 19 digits); 28-digit operands keep every determinant
+    # product within Spark's 38-digit exact range (n·Σpp ≈ 8e24).
     m = s.agg(
-        F.count(F.lit(1)).cast("decimal(19,0)").alias("n"),
-        F.sum("q").cast("decimal(19,0)").alias("sq"),
-        F.sum("p").cast("decimal(19,0)").alias("sp"),
-        F.sum("d").cast("decimal(19,0)").alias("sd"),
-        F.sum(F.col("q") * F.col("q")).cast("decimal(19,0)").alias("sqq"),
-        F.sum(F.col("p") * F.col("p")).cast("decimal(19,0)").alias("spp"),
-        F.sum(F.col("d") * F.col("d")).cast("decimal(19,0)").alias("sdd"),
-        F.sum(F.col("q") * F.col("p")).cast("decimal(19,0)").alias("sqp"),
-        F.sum(F.col("q") * F.col("d")).cast("decimal(19,0)").alias("sqd"),
-        F.sum(F.col("p") * F.col("d")).cast("decimal(19,0)").alias("spd"),
+        F.count(F.lit(1)).cast("decimal(28,0)").alias("n"),
+        F.sum("q").cast("decimal(28,0)").alias("sq"),
+        F.sum("p").cast("decimal(28,0)").alias("sp"),
+        F.sum("d").cast("decimal(28,0)").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("decimal(28,0)").alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).cast("decimal(28,0)").alias("spp"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(28,0)").alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).cast("decimal(28,0)").alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).cast("decimal(28,0)").alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).cast("decimal(28,0)").alias("spd"),
     )
     n = F.col("n")
     nn1 = (n * (n - 1)).cast("double")
