@@ -761,3 +761,148 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n",
     )
+
+
+@query(
+    "q_minhash_calibration",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, """
+    + ", ".join(f"{_jaccard_band_sql(i)} AS b{i}" for i in range(4))
+    + """
+      FROM documents
+    ), bands AS (
+    """
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS bi, b{i} AS bv FROM sig" for i in range(4)
+    )
+    + f"""
+    ), sized AS (
+      SELECT doc_id, bi, bv FROM bands
+      QUALIFY COUNT(*) OVER (PARTITION BY bi, bv) <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sized a JOIN sized b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ), agree AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST((CASE WHEN sa.b0 = sb.b0 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.b1 = sb.b1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.b2 = sb.b2 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.b3 = sb.b3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    ), sh AS (
+      SELECT doc_id, unnest({_JACCARD_SHINGLES}) AS s FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT a.doc_a, a.doc_b, a.n_agree,
+           round(CAST(a.n_agree AS DOUBLE) / 4, 2) AS est_jaccard,
+           round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / CAST(za.sz + zb.sz - COALESCE(i.i, 0) AS DOUBLE), 9)
+             AS exact_jaccard
+    FROM agree a
+    LEFT JOIN inter i ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+    JOIN sizes za ON za.doc_id = a.doc_a
+    JOIN sizes zb ON zb.doc_id = a.doc_b
+    ORDER BY a.doc_a, a.doc_b
+    """,
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch CALIBRATION: for every LSH candidate pair, the MinHash
+    Jaccard estimate (fraction of agreeing signature bands) next to
+    the exact shingle-set Jaccard — the estimator-quality evidence a
+    pipeline needs before trusting a sketch threshold at 100 TB
+    (error bounds live in tests; this puts the estimate/truth pairs
+    in driver-checked data). Everything is md5-deterministic: the
+    signatures, the candidate set, the band-agreement count
+    (integers), and the exact Jaccard (ratio of integers) are
+    oracle-reproducible to the digit. Candidates only — the
+    calibration never goes all-pairs."""
+    from babylon_data_loader_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        stored_doc_shingles,
+        stored_minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = persist_tracked(stored_minhash_signatures(docs))
+    pairs = persist_tracked(
+        lsh_candidate_pairs(sig, max_bucket_size=1000)
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(4)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(4)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"c{i}"), 1).otherwise(0)
+        for i in range(4)
+    ).cast("long")
+    agree = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+    sh = persist_tracked(
+        stored_doc_shingles(docs).select(
+            F.col("_id").alias("doc_id"), F.col("_sh").alias("s")
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "s"),
+            ["doc_b", "s"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.round(F.col("n_agree").cast("double") / 4, 2).alias(
+                "est_jaccard"
+            ),
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (
+                    F.col("sza")
+                    + F.col("szb")
+                    - F.coalesce(F.col("i"), F.lit(0))
+                ).cast("double"),
+                9,
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
