@@ -158,6 +158,7 @@ PRIORITY: list[str] = [
     "q_corpus_report",
     "q_stream_complete",
     "q_minhash_calibration",
+    "q_rolling_median",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

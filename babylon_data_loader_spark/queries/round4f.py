@@ -1572,3 +1572,86 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         F.round(F.col("h"), 9).alias("lang_entropy_nats"),
     )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), spine AS (
+      SELECT g.day, COALESCE(daily.c, 0) AS c
+      FROM (SELECT unnest(generate_series(
+              (SELECT MIN(day) FROM daily),
+              (SELECT MAX(day) FROM daily))) AS day) g
+      LEFT JOIN daily ON daily.day = g.day
+    )
+    SELECT day, c,
+           CAST(median(c) OVER (ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                AS DOUBLE) AS med7
+    FROM spine ORDER BY day
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN of the daily event count — the robust
+    smoother (a single outlier day shifts a rolling mean but not the
+    median). Spark has no median window function, so the bounded
+    frame becomes an explicit band self-join on the dense day spine
+    (center ± 3 — zero-filled like q_gap_fill, so window membership
+    is positional, not data-dependent) and each window's median is
+    order-statistic SELECTION over ≤7 integer counts: sort the
+    collected window array, pick the middle (or average the two
+    middles — exact halves). O(days × 7) rows total; counts are
+    integers so every median is engine-exact."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    daily = (
+        ev_raw.filter(F.col("ts").isNotNull())
+        .select(
+            F.floor(event_ts_us(ev_raw) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).collect()[0]
+    spine = (
+        ev_raw.sparkSession.range(bounds["d0"], bounds["d1"] + 1)
+        .withColumnRenamed("id", "day")
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    spine = persist_tracked(spine)
+    nbr = spine.select(
+        F.col("day").alias("nday"), F.col("c").alias("nc")
+    )
+    windows = (
+        spine.join(
+            nbr,
+            (F.col("nday") >= F.col("day") - 3)
+            & (F.col("nday") <= F.col("day") + 3),
+        )
+        .groupBy("day", "c")
+        .agg(F.sort_array(F.collect_list("nc")).alias("w"))
+    )
+    n = F.size("w")
+    med = F.when(
+        n % 2 == 1,
+        F.element_at("w", ((n + 1) / F.lit(2)).cast("int")),
+    ).otherwise(
+        (
+            F.element_at("w", (n / F.lit(2)).cast("int"))
+            + F.element_at("w", (n / F.lit(2)).cast("int") + 1)
+        )
+        / F.lit(2.0)
+    )
+    return windows.select(
+        "day", "c", med.cast("double").alias("med7")
+    ).orderBy("day")

@@ -53,6 +53,8 @@ BNLJ_ALLOWED = {
     "q_js_divergence",       # |sources|^2 pair grid (metadata-scale)
     "q_qq_points",           # 19-row ventile dimension broadcast
     "q_corpus_report",       # one-row summary x one-row entropy
+    "q_rolling_median",      # day-spine band join: O(days) x 7,
+    # both sides metadata-scale (the dense-grid family)
 }
 
 
