@@ -159,6 +159,10 @@ PRIORITY: list[str] = [
     "q_stream_complete",
     "q_minhash_calibration",
     "q_rolling_median",
+    "q_seasonality_profile",
+    "q_zipf_slope",
+    "q_vocab_growth",
+    "q_degree_distribution",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -1655,3 +1655,305 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.select(
         "day", "c", med.cast("double").alias("med7")
     ).orderBy("day")
+
+
+# Corpus scaling laws / seasonal profile / graph degrees -----------------------
+
+
+@query(
+    "q_seasonality_profile",
+    oracle="""
+    WITH ev AS (
+      SELECT epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL
+    ), cells AS (
+      -- epoch day 0 (1970-01-01) was a Thursday = dow 4 (ISO Mon=1)
+      SELECT ((us // 86400000000 + 3) % 7) + 1 AS dow,
+             (us % 86400000000) // 3600000000 AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2
+    ), ndays AS (
+      SELECT ((us // 86400000000 + 3) % 7) + 1 AS dow,
+             CAST(COUNT(DISTINCT us // 86400000000) AS BIGINT) AS days
+      FROM ev GROUP BY 1
+    )
+    SELECT CAST(c.dow AS BIGINT) AS dow, CAST(c.hour AS BIGINT) AS hour,
+           c.n, round(CAST(c.n AS DOUBLE) / d.days, 6) AS per_day
+    FROM cells c JOIN ndays d ON d.dow = c.dow
+    ORDER BY dow, hour
+    """,
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly seasonal fingerprint: event volume per (ISO
+    day-of-week × hour-of-day) cell, normalized by how many of that
+    weekday exist in the span — the baseline a seasonal anomaly
+    detector subtracts (q_anomaly_hours flags against a GLOBAL mean;
+    this is the per-cell version). Calendar math is pure integer
+    epoch arithmetic (epoch day 0 was a Thursday), so no timezone
+    library disagreement can leak in; the 7×24 matrix is
+    metadata-sized output at any scale."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    us = event_ts_us(ev_raw)
+    ev = ev_raw.filter(F.col("ts").isNotNull()).select(
+        us.alias("us"),
+        (((us / F.lit(86_400_000_000)).cast("long") + 3) % 7 + 1).alias(
+            "dow"
+        ),
+        (
+            (us % F.lit(86_400_000_000)) / F.lit(3_600_000_000)
+        ).cast("long").alias("hour"),
+        (us / F.lit(86_400_000_000)).cast("long").alias("day"),
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    ev = persist_tracked(ev)
+    cells = ev.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n"))
+    ndays = ev.groupBy("dow").agg(
+        F.countDistinct("day").alias("days")
+    )
+    return (
+        cells.join(F.broadcast(ndays), "dow")
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hour").cast("long").alias("hour"),
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("days"), 6
+            ).alias("per_day"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@query(
+    "q_zipf_slope",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY token
+    ), ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token ASC)
+                  AS BIGINT) AS r, f
+      FROM freq
+    ), pts AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(28,12))
+               AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)), 12) AS DECIMAL(28,12))
+               AS y
+      FROM ranked
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM m
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: OLS slope of log-frequency vs
+    log-rank over the full vocabulary (natural text ≈ −1; synthetic
+    or templated corpora deviate — a generation-quality diagnostic).
+    Log points are rounded to 12 decimals then DECIMAL-summed (the
+    transcendental recipe); the slope is a ratio of exact decimal
+    determinants. Rank order is total (freq desc, token asc) so ties
+    rank identically in both engines. One vocabulary-sized shuffle
+    plus the documented single-partition ranking window."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("token").asc()))
+        .cast("long")
+        .alias("r"),
+        "f",
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 12)
+        .cast("decimal(28,12)")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 12)
+        .cast("decimal(28,12)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    return m.select(
+        n.cast("long").alias("n_types"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@query(
+    "q_vocab_growth",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS token
+      FROM documents
+    ), firsts AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM toks GROUP BY token
+    ), doc_tokens AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt
+      FROM toks GROUP BY doc_id
+    ), buckets AS (
+      SELECT (doc_id // 100) AS bucket,
+             CAST(SUM(nt) AS BIGINT) AS tokens_in_bucket
+      FROM doc_tokens GROUP BY 1
+    ), new_types AS (
+      SELECT (first_doc // 100) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM firsts GROUP BY 1
+    )
+    SELECT CAST(b.bucket AS BIGINT) AS bucket,
+           CAST(SUM(b.tokens_in_bucket) OVER (ORDER BY b.bucket)
+                AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY b.bucket)
+                AS BIGINT) AS cum_vocab
+    FROM buckets b LEFT JOIN new_types n ON n.bucket = b.bucket
+    ORDER BY bucket
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: vocabulary size vs cumulative token volume at
+    100-document checkpoints — the corpus-scaling diagnostic that says
+    whether more data still buys new vocabulary. The same first-seen
+    reduction as q_cumulative_uniques (a type's first document, one
+    groupBy) makes the expanding distinct count exact and cheap: two
+    O(buckets) running sums, never a rescan per checkpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            "token"
+        ),
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    toks = persist_tracked(toks)
+    firsts = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    buckets = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .groupBy((F.col("doc_id") / 100).cast("long").alias("bucket"))
+        .agg(F.sum("nt").alias("tokens_in_bucket"))
+    )
+    new_types = firsts.groupBy(
+        (F.col("first_doc") / 100).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        buckets.join(F.broadcast(new_types), "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("tokens_in_bucket").over(w).cast("long").alias(
+                "cum_tokens"
+            ),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_degree_distribution",
+    oracle="""
+    WITH ok_orders AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(DISTINCT l_partkey) BETWEEN 2 AND 10
+    ), op AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN ok_orders USING (l_orderkey)
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    )
+    SELECT CAST(floor(ln(CAST(d AS DOUBLE)) / ln(2)) AS BIGINT)
+             AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1 ORDER BY log2_bin
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-binned degree distribution of the co-purchase graph — the
+    first thing to look at before ANY graph algorithm (it decides
+    whether the degree-ordered triangle orientation and the PageRank
+    basket cap actually matter). Degrees are exact integer counts;
+    the log2 bin of an integer is engine-exact (floor of a
+    transcendental applied to identical doubles, away from bin
+    boundaries by construction since degrees are integers and
+    ln(d)/ln(2) hits an integer only at exact powers of two, where
+    both engines compute the same double). O(nodes) output collapsed
+    to O(log max-degree) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np").between(2, 10))
+        .select("l_orderkey")
+    )
+    op2 = op.join(ok, "l_orderkey")
+    a = op2.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = op2.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    bin_ = F.floor(
+        F.log(F.col("d").cast("double")) / F.log(F.lit(2.0))
+    ).cast("long")
+    return (
+        deg.groupBy(bin_.alias("log2_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+        )
+        .orderBy("log2_bin")
+    )
