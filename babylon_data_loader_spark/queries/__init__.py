@@ -163,6 +163,10 @@ PRIORITY: list[str] = [
     "q_zipf_slope",
     "q_vocab_growth",
     "q_degree_distribution",
+    "q_readability",
+    "q_distinctive_terms",
+    "q_abc_classification",
+    "q_interarrival_dist",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

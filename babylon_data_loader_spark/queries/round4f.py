@@ -1957,3 +1957,284 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bin")
     )
+
+
+# Readability / distinctive terms / ABC / inter-arrival ------------------------
+
+
+@query(
+    "q_readability",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syll,
+             CAST(len(regexp_extract_all(text, '[.!?]')) + 1
+                  AS BIGINT) AS n_sents
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_syll, n_sents,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6)
+             AS flesch
+    FROM d WHERE n_words > 0 ORDER BY doc_id
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with vowel-group syllable
+    approximation — the readability gate a curation pipeline runs
+    next to the Gopher heuristics (q_repetition_filter): telegraphic
+    or run-on machine text scores far from natural prose. All three
+    inputs are integer regexp counts (vowel groups, sentence enders,
+    words), so the formula operates on identical doubles in both
+    engines — one rounded expression per row, zero cross-row floats."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    n_sents = (
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]"), F.lit(0))
+        )
+        + 1
+    ).cast("long")
+    d = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_syll.alias("n_syll"),
+        n_sents.alias("n_sents"),
+    ).filter(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6)
+        * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_syll",
+        "n_sents",
+        F.round(flesch, 6).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_distinctive_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ), tok_tot AS (
+      SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM cnt GROUP BY token
+    ), src_tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM cnt GROUP BY source
+    ), grand AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS g FROM cnt
+    ), scored AS (
+      SELECT cnt.source, cnt.token,
+             -- log-odds of the term in this source vs the rest,
+             -- +1 smoothing keeps every ratio finite
+             round(ln((CAST(cnt.c AS DOUBLE) + 1)
+                      / (st.cs - cnt.c + 1))
+                   - ln((CAST(tt.ct - cnt.c AS DOUBLE) + 1)
+                        / (g.g - st.cs - (tt.ct - cnt.c) + 1)), 9)
+               AS log_odds
+      FROM cnt
+      JOIN tok_tot tt ON tt.token = cnt.token
+      JOIN src_tot st ON st.source = cnt.source
+      CROSS JOIN grand g
+    )
+    SELECT source, token, log_odds FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY log_odds DESC, token ASC) <= 3
+    ORDER BY source, log_odds DESC, token
+    """,
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most DISTINCTIVE terms per source by smoothed log-odds
+    (term frequency in this source vs everywhere else) — the
+    corpus-exploration answer to 'what makes src7 different?', and
+    the statistic behind weighted-log-odds keyword extraction. Every
+    ratio is built from exact integer counts with +1 smoothing (no
+    zero divisions, finite everywhere); the per-source top-3 has a
+    full deterministic tiebreak. One token-level shuffle; marginals
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    cnt = persist_tracked(cnt)
+    tok_tot = cnt.groupBy("token").agg(F.sum("c").alias("ct"))
+    src_tot = cnt.groupBy("source").agg(F.sum("c").alias("cs"))
+    grand = cnt.agg(F.sum("c").alias("g"))
+    scored = (
+        cnt.join(tok_tot, "token")
+        .join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(grand))
+        .select(
+            "source",
+            "token",
+            F.round(
+                F.log(
+                    (F.col("c").cast("double") + 1)
+                    / (F.col("cs") - F.col("c") + 1)
+                )
+                - F.log(
+                    ((F.col("ct") - F.col("c")).cast("double") + 1)
+                    / (
+                        F.col("g")
+                        - F.col("cs")
+                        - (F.col("ct") - F.col("c"))
+                        + 1
+                    )
+                ),
+                9,
+            ).alias("log_odds"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("log_odds").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("source", F.col("log_odds").desc(), "token")
+    )
+
+
+@query(
+    "q_abc_classification",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x,
+             SUM(x) OVER (ORDER BY x DESC, o_custkey) AS cum,
+             SUM(x) OVER () AS total
+      FROM spend
+    ), classed AS (
+      SELECT x,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+                       <= 0.8 THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)
+                       <= 0.95 THEN 'B'
+                  ELSE 'C' END AS klass
+      FROM ranked
+    )
+    SELECT klass, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(x) AS DOUBLE), 2) AS revenue
+    FROM classed GROUP BY klass ORDER BY klass
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of customers: ranked by spend, the
+    customers covering the first 80% of cumulative revenue are class
+    A, to 95% class B, the tail C — Gini's (q_gini) actionable
+    counterpart. The cumulative sum runs in exact DECIMAL under a
+    TOTAL order (spend desc, custkey), so every class boundary is a
+    comparison of engine-identical doubles derived from exact
+    decimals; the census output is three rows."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+        )
+    )
+    w_cum = Window.orderBy(
+        F.col("x").desc(), F.col("o_custkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "x",
+        F.sum("x").over(w_cum).alias("cum"),
+        F.sum("x").over(w_all).alias("total"),
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    klass = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        ranked.select("x", klass.alias("klass"))
+        .groupBy("klass")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("x").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("klass")
+    )
+
+
+@query(
+    "q_interarrival_dist",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id
+      FROM events WHERE ts IS NOT NULL
+    ), gaps AS (
+      SELECT us - LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS gap_us
+      FROM ev
+    ), g AS (SELECT gap_us FROM gaps WHERE gap_us IS NOT NULL
+                                      AND gap_us > 0)
+    SELECT CAST(floor(ln(CAST(gap_us AS DOUBLE) / 1000000.0)
+                      / ln(10)) AS BIGINT) AS log10_sec_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gap_us) AS BIGINT) AS min_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM g GROUP BY 1 ORDER BY log10_sec_bin
+    """,
+)
+def q_interarrival_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per user stream, log10-binned
+    in seconds — the burstiness fingerprint (a Poisson process is one
+    straight band; humans are bursty) and the input to any session-gap
+    threshold choice (q_sessionize's 30-minute cut should sit in the
+    valley of this histogram). Gaps are exact integer micros from one
+    LAG over the user timeline; binning applies a transcendental to
+    identical doubles with integer-measure inputs. Zero-gaps
+    (same-instant events) are excluded from the log binning."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_ts_us(ev_raw), F.col("event_id")
+    )
+    gaps = ev_raw.filter(F.col("ts").isNotNull()).select(
+        (event_ts_us(ev_raw) - F.lag(event_ts_us(ev_raw)).over(w)).alias(
+            "gap_us"
+        )
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    bin_ = F.floor(
+        F.log(F.col("gap_us").cast("double") / F.lit(1_000_000.0))
+        / F.log(F.lit(10.0))
+    ).cast("long")
+    return (
+        gaps.groupBy(bin_.alias("log10_sec_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("gap_us").cast("long").alias("min_us"),
+            F.max("gap_us").cast("long").alias("max_us"),
+        )
+        .orderBy("log10_sec_bin")
+    )

@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "q_corpus_report",       # one-row summary x one-row entropy
     "q_rolling_median",      # day-spine band join: O(days) x 7,
     # both sides metadata-scale (the dense-grid family)
+    "q_distinctive_terms",   # one-row grand-total scalar
 }
 
 
