@@ -167,6 +167,8 @@ PRIORITY: list[str] = [
     "q_distinctive_terms",
     "q_abc_classification",
     "q_interarrival_dist",
+    "q_changepoint",
+    "q_entropy_rate",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

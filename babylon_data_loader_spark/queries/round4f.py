@@ -2238,3 +2238,167 @@ def q_interarrival_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log10_sec_bin")
     )
+
+
+# Changepoint / entropy rate ---------------------------------------------------
+
+
+@query(
+    "q_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM daily
+    ), cusum AS (
+      -- scaled CUSUM: n*Σ_{i<=k}(c_i) - k-prefix count * total stays
+      -- INTEGER (avoids the fractional mean); argmax is unchanged
+      SELECT day,
+             CAST(m.n * SUM(c) OVER (ORDER BY day)
+                  - (ROW_NUMBER() OVER (ORDER BY day)) * m.s
+               AS BIGINT) AS cu
+      FROM daily, m
+    )
+    SELECT day AS changepoint_day,
+           cu AS cusum_scaled,
+           (SELECT CAST(MAX(abs(cu)) AS BIGINT) FROM cusum) AS max_abs
+    FROM cusum
+    WHERE abs(cu) = (SELECT MAX(abs(cu)) FROM cusum)
+    ORDER BY day LIMIT 1
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint over the daily event-count series:
+    the day where the cumulative deviation from the global mean peaks
+    — the first answer to 'when did traffic change?'. Exactness
+    trick: the CUSUM is SCALED by n (n·prefix_sum − k·total), which
+    keeps every value an integer — no fractional mean, no float
+    accumulation — so the argmax (earliest day on ties) is
+    engine-exact. One O(days) window after the daily aggregate."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    daily = (
+        ev_raw.filter(F.col("ts").isNotNull())
+        .select(
+            F.floor(event_ts_us(ev_raw) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    daily = persist_tracked(daily)
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cusum = (
+        daily.join(F.broadcast(m))
+        .select(
+            "day",
+            (
+                F.col("n") * F.sum("c").over(w)
+                - F.row_number().over(Window.orderBy("day")) * F.col("s")
+            )
+            .cast("long")
+            .alias("cu"),
+        )
+    )
+    cusum = persist_tracked(cusum)
+    mx = cusum.agg(F.max(F.abs("cu")).alias("max_abs"))
+    return (
+        cusum.join(F.broadcast(mx))
+        .filter(F.abs("cu") == F.col("max_abs"))
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("cu").alias("cusum_scaled"),
+            F.col("max_abs").cast("long").alias("max_abs"),
+        )
+        .orderBy("changepoint_day")
+        .limit(1)
+    )
+
+
+@query(
+    "q_entropy_rate",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS a, next_type AS b, CAST(COUNT(*) AS BIGINT)
+        AS c
+      FROM ordered WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ), marg AS (
+      SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM pairs GROUP BY a
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t FROM pairs
+    ), terms AS (
+      SELECT CAST(round(
+               -(CAST(p.c AS DOUBLE) / tot.t)
+               * ln(CAST(p.c AS DOUBLE) / marg.ca), 12)
+             AS DECIMAL(28,12)) AS term
+      FROM pairs p JOIN marg ON marg.a = p.a CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(t AS BIGINT) FROM tot) AS n_transitions,
+           round(CAST(SUM(term) AS DOUBLE), 9) AS entropy_rate_nats
+    FROM terms
+    """,
+)
+def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type process, H(next | current) =
+    −Σ p(a,b)·ln p(b|a) — how predictable the next user action is
+    given the current one (0 = deterministic flows, ln|types| =
+    uniform). The information-theoretic summary OF the Markov matrix
+    (q_markov_transitions): same LEAD pairing, same integer counts,
+    each transcendental term rounded then DECIMAL-summed. One user_id
+    shuffle; the |types|² term table is metadata-sized."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        event_ts_us(ev_raw), F.col("event_id")
+    )
+    pairs = (
+        ev_raw.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    pairs = persist_tracked(pairs)
+    marg = pairs.groupBy("a").agg(F.sum("c").alias("ca"))
+    tot = pairs.agg(F.sum("c").alias("t"))
+    terms = (
+        pairs.join(F.broadcast(marg), "a")
+        .join(F.broadcast(tot))
+        .select(
+            F.round(
+                -(F.col("c").cast("double") / F.col("t"))
+                * F.log(F.col("c").cast("double") / F.col("ca")),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("term"),
+            "t",
+        )
+    )
+    return terms.groupBy("t").agg(
+        F.round(F.sum("term").cast("double"), 9).alias(
+            "entropy_rate_nats"
+        )
+    ).select(
+        F.col("t").cast("long").alias("n_transitions"),
+        "entropy_rate_nats",
+    )

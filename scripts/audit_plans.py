@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
     "q_rolling_median",      # day-spine band join: O(days) x 7,
     # both sides metadata-scale (the dense-grid family)
     "q_distinctive_terms",   # one-row grand-total scalar
+    "q_changepoint",         # one-row mean/max scalars over O(days)
+    "q_entropy_rate",        # one-row transition-total scalar
 }
 
 
