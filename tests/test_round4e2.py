@@ -153,3 +153,101 @@ def test_phrase_search_adjacency(spark, tmp_path):
         for r in q_phrase_search.__wrapped__(spark, str(tmp_path)).collect()
     }
     assert out == {1: 2, 2: 1}
+
+
+def test_changepoint_detects_level_shift(spark, tmp_path):
+    """10 days at 2 events/day then 10 days at 8/day: the scaled
+    CUSUM peaks exactly at the last low day."""
+    from babylon_data_loader_spark.queries.round4f import q_changepoint
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(20):
+        per_day = 2 if day < 10 else 8
+        for k in range(per_day):
+            eid += 1
+            rows.append(
+                (eid, d0 + dt.timedelta(days=day, minutes=k), 1,
+                 "view", 1.0, "{}")
+            )
+    _write_events(spark, tmp_path, rows)
+    out = q_changepoint.__wrapped__(spark, str(tmp_path)).collect()[0]
+    day0 = int(
+        (d0 - dt.datetime(1970, 1, 1)).total_seconds() // 86400
+    )
+    assert out["changepoint_day"] == day0 + 9  # last low day
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark, tmp_path):
+    """A strictly periodic view->click->view->click stream has
+    H(next|current) = 0 — every transition is certain."""
+    from babylon_data_loader_spark.queries.round4f import q_entropy_rate
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, d0 + dt.timedelta(minutes=i), 1,
+         "view" if i % 2 == 0 else "click", 1.0, "{}")
+        for i in range(40)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = q_entropy_rate.__wrapped__(spark, str(tmp_path)).collect()[0]
+    assert out["n_transitions"] == 39
+    assert out["entropy_rate_nats"] == 0.0
+
+
+def test_abc_classification_concentrated_spend(spark, tmp_path):
+    """One whale at 80 and four minnows at 5: the whale alone covers
+    exactly 80% (class A), the next two reach 95% (class B), the rest
+    C."""
+    from babylon_data_loader_spark.queries.round4f import (
+        q_abc_classification,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    prices = [80.0, 5.0, 5.0, 5.0, 5.0]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(5),
+            "o_custkey": range(5),
+            "o_orderstatus": ["F"] * 5,
+            "o_totalprice": prices,
+            "o_orderdate": [t0] * 5,
+            "o_orderpriority": ["1-URGENT"] * 5,
+        }
+    )
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(
+        str(tmp_path) + "/orders.parquet"
+    )
+    out = {
+        r["klass"]: (r["n_customers"], r["revenue"])
+        for r in q_abc_classification.__wrapped__(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {"A": (1, 80.0), "B": (3, 15.0), "C": (1, 5.0)}
+
+
+def test_readability_hand_computed(spark, tmp_path):
+    """'the cat sat. the dog ran.' → 6 words, 6 vowel groups, 3
+    sentence units (2 enders + 1): flesch matches the formula by
+    hand."""
+    from babylon_data_loader_spark.queries.round4f import q_readability
+
+    text = "the cat sat. the dog ran."
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [len(text)],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path) + "/documents.parquet"
+    )
+    out = q_readability.__wrapped__(spark, str(tmp_path)).collect()[0]
+    assert (out["n_words"], out["n_syll"], out["n_sents"]) == (6, 6, 3)
+    expected = round(206.835 - 1.015 * (6 / 3) - 84.6 * (6 / 6), 6)
+    assert out["flesch"] == expected
