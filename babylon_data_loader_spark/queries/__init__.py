@@ -169,6 +169,8 @@ PRIORITY: list[str] = [
     "q_interarrival_dist",
     "q_changepoint",
     "q_entropy_rate",
+    "q_dup_burden_by_source",
+    "q_cross_source_leakage",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

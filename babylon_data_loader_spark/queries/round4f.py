@@ -2402,3 +2402,137 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("long").alias("n_transitions"),
         "entropy_rate_nats",
     )
+
+
+# Duplicate provenance ---------------------------------------------------------
+
+
+@query(
+    "q_dup_burden_by_source",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               AS h
+      FROM documents
+    ), ranked AS (
+      SELECT source,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_redundant,
+           round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS dup_burden
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def q_dup_burden_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source PAYS the duplicate tax: per source, the fraction
+    of its documents that are redundant copies (non-first members of
+    a normalized-hash group, first = lowest doc_id — the exact-dedup
+    survivor rule). The curation budget question 'which feed should we
+    fix upstream?' answered from one hash shuffle + one group-ranked
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = d.select(
+        "source", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias(
+                "n_redundant"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_redundant",
+            F.round(
+                F.col("n_redundant").cast("double") / F.col("n_docs"), 9
+            ).alias("dup_burden"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_cross_source_leakage",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               AS h
+      FROM documents
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+           CAST(SUM(CASE WHEN src_a = src_b THEN 1 ELSE 0 END)
+                AS BIGINT) AS within_source,
+           CAST(SUM(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END)
+                AS BIGINT) AS cross_source,
+           round(CAST(SUM(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / GREATEST(COUNT(*), 1), 9) AS cross_share
+    FROM pairs
+    """,
+)
+def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do duplicates stay INSIDE a feed or leak ACROSS feeds?
+    Within-source dup pairs are a feed hygiene problem; CROSS-source
+    pairs are syndication/scrape overlap — the case that silently
+    defeats per-source dedup and biases any source-stratified split
+    (a doc and its twin can land in train AND eval). Pairs join on
+    the normalized hash only (each hash group is tiny after exact
+    dedup accounting), so the self-join is bucket-bounded, never
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ").cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    d = persist_tracked(d)
+    a = d.select("h", F.col("doc_id").alias("ida"), F.col("source").alias("src_a"))
+    b = d.select("h", F.col("doc_id").alias("idb"), F.col("source").alias("src_b"))
+    pairs = a.join(b, "h").filter(F.col("ida") < F.col("idb"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.sum(
+            F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0)
+        ).alias("within_source"),
+        F.sum(
+            F.when(F.col("src_a") != F.col("src_b"), 1).otherwise(0)
+        ).alias("cross_source"),
+    ).select(
+        "n_dup_pairs",
+        "within_source",
+        "cross_source",
+        F.round(
+            F.col("cross_source").cast("double")
+            / F.greatest(F.col("n_dup_pairs"), F.lit(1)),
+            9,
+        ).alias("cross_share"),
+    )
