@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 
 def _write_events(spark, tmp_path, rows):
@@ -251,3 +252,87 @@ def test_readability_hand_computed(spark, tmp_path):
     assert (out["n_words"], out["n_syll"], out["n_sents"]) == (6, 6, 3)
     expected = round(206.835 - 1.015 * (6 / 3) - 84.6 * (6 / 6), 6)
     assert out["flesch"] == expected
+
+
+def test_stream_left_join_crash_resume_exactness(spark, tmp_path):
+    """Kill the left-outer join stream mid-drain, restart from the
+    same checkpoint: the final sink equals the uninterrupted result —
+    checkpointed source offsets + join state make the drain
+    crash-resumable without duplicates or losses."""
+    import os
+    import shutil
+
+    from babylon_data_loader_spark.streaming.joins import (
+        attribute_purchases,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    files = [
+        [(1, m(0), 1, "click"), (2, m(5), 2, "click"),
+         (3, m(8), 2, "purchase")],
+        [(4, m(40), 3, "click"), (5, m(45), 8, "purchase")],
+        [(6, m(55), 4, "click"), (7, m(60), 9, "click"),
+         (8, m(61), 9, "purchase")],
+    ]
+    schema = (
+        "event_id BIGINT, ts_ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(files, 1):
+        p = os.path.join(src, f"{i:03d}.parquet")
+        tmp = p + ".tmpdir"
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), p)
+        shutil.rmtree(tmp)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    sch = spark.read.parquet(src).schema
+
+    def run(sink, ckpt, interrupt: bool):
+        def side(t):
+            s = (
+                spark.readStream.schema(sch)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            return s.filter(F.col("event_type") == t)
+
+        out = attribute_purchases(
+            side("click"),
+            side("purchase"),
+            within="10 minutes",
+            watermark="10 minutes",
+            how="left",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if interrupt:
+            # stop as soon as the first batch lands (or immediately)
+            q.awaitTermination(5)
+            q.stop()
+            q.awaitTermination()
+        else:
+            q.awaitTermination()
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    run(sink, ckpt, interrupt=True)   # partial drain
+    run(sink, ckpt, interrupt=False)  # resume to completion
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, None), (2, 3), (7, 8)}
