@@ -171,6 +171,8 @@ PRIORITY: list[str] = [
     "q_entropy_rate",
     "q_dup_burden_by_source",
     "q_cross_source_leakage",
+    "q_kaplan_meier",
+    "q_forecast_eval",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -2536,3 +2536,175 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cross_share"),
     )
+
+
+# Survival analysis / forecast evaluation --------------------------------------
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS t0,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS tp,
+             MAX(epoch_us(ts)) AS tmax
+      FROM events GROUP BY user_id
+    ), subjects AS (
+      -- duration to first purchase after first view; users who never
+      -- purchase are right-CENSORED at their last observed event
+      SELECT CASE WHEN tp IS NOT NULL AND tp >= t0
+                  THEN (tp - t0) // 3600000000
+                  ELSE (tmax - t0) // 3600000000 END AS dur_h,
+             CASE WHEN tp IS NOT NULL AND tp >= t0 THEN 1 ELSE 0 END
+               AS observed
+      FROM spans WHERE t0 IS NOT NULL
+    ), times AS (
+      SELECT dur_h, CAST(SUM(observed) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM subjects GROUP BY dur_h
+    ), risk AS (
+      SELECT dur_h, d,
+             CAST(SUM(leaving) OVER (ORDER BY dur_h DESC) AS BIGINT)
+               AS n_at_risk
+      FROM times
+    ), km AS (
+      SELECT dur_h, d, n_at_risk,
+             exp(SUM(CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk),
+                                12) AS DECIMAL(28,12)))
+                 OVER (ORDER BY dur_h)) AS s_raw
+      FROM risk WHERE d > 0 AND d < n_at_risk
+    )
+    SELECT CAST(dur_h AS BIGINT) AS dur_h, d, n_at_risk,
+           round(CAST(s_raw AS DOUBLE), 9) AS survival
+    FROM km ORDER BY dur_h
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase (hours
+    after first view), with users who never purchase right-CENSORED
+    at their last event — the estimator that makes 'median time to
+    convert' honest when many subjects haven't converted yet (naive
+    averages over converters only are biased low). Determinism for a
+    PRODUCT estimator: each factor ln(1 − dᵢ/nᵢ) is computed from
+    exact integer death/at-risk counts, rounded to 12 decimals,
+    DECIMAL-summed cumulatively, then exponentiated once — the
+    multiplicative twin of the rounded-term sum recipe. Risk sets
+    come from one descending cumulative sum; steps where d = n (the
+    final full-death step, survival 0, log undefined) are excluded
+    like every standard implementation's curve tail."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    us = event_ts_us(ev_raw)
+    spans = ev_raw.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tp"),
+        F.max(us).alias("tmax"),
+    )
+    observed = F.col("tp").isNotNull() & (F.col("tp") >= F.col("t0"))
+    subjects = spans.filter(F.col("t0").isNotNull()).select(
+        F.when(
+            observed,
+            F.floor((F.col("tp") - F.col("t0")) / F.lit(3_600_000_000)),
+        )
+        .otherwise(
+            F.floor((F.col("tmax") - F.col("t0")) / F.lit(3_600_000_000))
+        )
+        .cast("long")
+        .alias("dur_h"),
+        F.when(observed, 1).otherwise(0).alias("observed"),
+    )
+    times = subjects.groupBy("dur_h").agg(
+        F.sum("observed").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.col("dur_h").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = times.select(
+        "dur_h",
+        "d",
+        F.sum("leaving").over(w_desc).cast("long").alias("n_at_risk"),
+    ).filter((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")))
+    w_asc = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    log_term = (
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_at_risk")
+            ),
+            12,
+        )
+    ).cast("decimal(28,12)")
+    return risk.select(
+        "dur_h",
+        "d",
+        "n_at_risk",
+        F.round(
+            F.exp(F.sum(log_term).over(w_asc).cast("double")), 9
+        ).alias("survival"),
+    ).orderBy("dur_h")
+
+
+@query(
+    "q_forecast_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), paired AS (
+      SELECT c AS actual,
+             LAG(c) OVER (ORDER BY day) AS forecast
+      FROM daily
+    ), e AS (
+      SELECT actual, forecast, abs(actual - forecast) AS ae
+      FROM paired WHERE forecast IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
+           round(CAST(SUM(CAST(round(
+                   CAST(ae AS DOUBLE) / actual, 12)
+                 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS mape
+    FROM e
+    """,
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation metrics for the naive (persistence)
+    baseline — forecast(t) = actual(t−1) over daily counts: the MAE /
+    MAPE floor every real forecasting model must beat before it earns
+    cluster time. Absolute errors are exact integers (MAE is an
+    integer ratio); per-day percentage errors are rounded then
+    DECIMAL-summed. One LAG over O(days) rows."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    daily = (
+        ev_raw.filter(F.col("ts").isNotNull())
+        .select(
+            F.floor(event_ts_us(ev_raw) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("day")
+    paired = daily.select(
+        F.col("c").alias("actual"),
+        F.lag("c").over(w).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    ae = F.abs(F.col("actual") - F.col("forecast"))
+    pe = F.round(ae.cast("double") / F.col("actual"), 12).cast(
+        "decimal(28,12)"
+    )
+    return paired.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sum(ae).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae"
+        ),
+        F.round(
+            F.sum(pe).cast("double") / F.count(F.lit(1)), 9
+        ).alias("mape"),
+    )
