@@ -173,6 +173,7 @@ PRIORITY: list[str] = [
     "q_cross_source_leakage",
     "q_kaplan_meier",
     "q_forecast_eval",
+    "q_lorenz_points",
     # Strongest already-verified queries fill the rest of the window so
     # a driver re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",

@@ -2708,3 +2708,69 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(pe).cast("double") / F.count(F.lit(1)), 9
         ).alias("mape"),
     )
+
+
+@query(
+    "q_lorenz_points",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_custkey
+    ), binned AS (
+      SELECT x, NTILE(10) OVER (ORDER BY x, o_custkey) AS decile
+      FROM spend
+    ), per AS (
+      SELECT decile, SUM(x) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n,
+           round(CAST(SUM(s) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST((SELECT SUM(s) FROM per) AS DOUBLE), 9)
+             AS cum_share
+    FROM per ORDER BY decile
+    """,
+)
+def q_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points: cumulative spend share held by each
+    customer decile (poorest first) — the curve whose area deficit IS
+    q_gini and whose top-end thresholds ARE q_abc_classification;
+    together the three give the full inequality picture. Deciles over
+    a total order, per-decile DECIMAL sums, one O(10) running sum,
+    one closing division."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+        )
+    )
+    binned = spend.select(
+        "x",
+        F.ntile(10)
+        .over(Window.orderBy("x", "o_custkey"))
+        .alias("decile"),
+    )
+    per = binned.groupBy("decile").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+
+    per = persist_tracked(per)
+    tot = per.agg(F.sum("s").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n",
+            F.round(
+                F.sum("s").over(w).cast("double")
+                / F.col("t").cast("double"),
+                9,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

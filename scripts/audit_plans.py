@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "q_distinctive_terms",   # one-row grand-total scalar
     "q_changepoint",         # one-row mean/max scalars over O(days)
     "q_entropy_rate",        # one-row transition-total scalar
+    "q_lorenz_points",       # one-row grand-total scalar
 }
 
 
