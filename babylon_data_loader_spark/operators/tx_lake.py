@@ -202,7 +202,13 @@ class TransactionalLake:
         Delta/Iceberg-style named snapshots ('v2024-audit',
         'training-run-7'). Tagged versions survive vacuum regardless
         of the retention window, so a tag is a durable reproducibility
-        handle, not just an alias. Returns the pinned version."""
+        handle, not just an alias. Returns the pinned version.
+
+        Concurrency: the tag file is a whole-file read-modify-write
+        OUTSIDE the manifest claim protocol (tags are metadata, not
+        table state). Two simultaneous tag()/delete_tag() calls can
+        lose one update — callers that tag concurrently must serialize
+        externally. Table commits are never affected."""
         if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,99}", name):
             raise ValueError(f"invalid tag name {name!r}")
         current = self.current_manifest()["version"]
@@ -211,6 +217,17 @@ class TransactionalLake:
             raise ValueError(
                 f"version {v} not committed (current: {current})"
             )
+        # A version inside [1, current] may still have been vacuumed
+        # away; tagging it would make read(tag=) and every later
+        # vacuum raise FileNotFoundError. Verify the manifest exists
+        # NOW, while it cannot disappear (vacuum keeps the current
+        # window and everything already tagged).
+        try:
+            self.manifest_at(v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {v} was vacuumed; cannot tag it"
+            ) from None
         tags = self.tags()
         tags[name] = v
         self._write_tags(tags)
@@ -497,6 +514,31 @@ class TransactionalLake:
         escapes path-special chars as %XX; unquote reverses it)."""
         return unquote(subdir.split("=", 1)[1])
 
+    def _next_manifest(
+        self, manifest: dict, partitions: dict[str, list[str]]
+    ) -> dict:
+        """Successor manifest that CARRIES the recorded partition
+        column forward. Every write path must build manifests through
+        here: a manifest that drops `partition_col` would make
+        `open()` fall back to the default column after a
+        migrate_partitioning, and merges through that handle would
+        write dirs under the wrong column and miss touched-partition
+        matching — silently resurrecting same-key rows. Also fails
+        fast if THIS handle's column disagrees with the recorded one
+        (a handle constructed directly instead of via `open()`)."""
+        recorded = manifest.get("partition_col")
+        if recorded and recorded != self.partition_col:
+            raise ValueError(
+                f"lake records partition_col={recorded!r} but this "
+                f"handle writes {self.partition_col!r}; reopen with "
+                "TransactionalLake.open()"
+            )
+        return {
+            "version": manifest["version"] + 1,
+            "partition_col": recorded or self.partition_col,
+            "partitions": partitions,
+        }
+
     def merge(
         self,
         spark: SparkSession,
@@ -506,7 +548,14 @@ class TransactionalLake:
     ) -> None:
         """MERGE INTO: batch rows replace same-key stored rows in the
         touched partitions; everything else survives untouched. One
-        data write, then an atomic commit; retries on writer races."""
+        data write, then an atomic commit; retries on writer races.
+
+        Partition-scoped by design (the 100 TB shape: only touched
+        partitions are read): a stored same-key row in an UNTOUCHED
+        partition is not matched. Consequently the partition column
+        must be stable per key (true for data_source); migrating
+        partitioning onto a mutable value column would let a key's
+        old row survive in its former partition."""
         for attempt in range(max_retries + 1):
             manifest = self.current_manifest()
             # NULL partition values land on disk under Spark's
@@ -555,13 +604,13 @@ class TransactionalLake:
             else:
                 merged = batch
             rel, new_subdirs = self._write_version_dir(merged)
-            new_manifest = {
-                "version": manifest["version"] + 1,
-                "partitions": {
+            new_manifest = self._next_manifest(
+                manifest,
+                {
                     **manifest["partitions"],
                     **{s: [rel] for s in new_subdirs},
                 },
-            }
+            )
             try:
                 self._claim_and_commit(new_manifest)
                 return
@@ -637,16 +686,16 @@ class TransactionalLake:
         rel, new_subdirs = self._write_version_dir(batch)
         for attempt in range(max_retries + 1):
             manifest = self.current_manifest()
-            new_manifest = {
-                "version": manifest["version"] + 1,
-                "partitions": {
+            new_manifest = self._next_manifest(
+                manifest,
+                {
                     **manifest["partitions"],
                     **{
                         s: manifest["partitions"].get(s, []) + [rel]
                         for s in new_subdirs
                     },
                 },
-            }
+            )
             try:
                 self._claim_and_commit(new_manifest)
                 return
@@ -668,10 +717,7 @@ class TransactionalLake:
             return
         rel, new_subdirs = self._write_version_dir(self.read(spark))
         self._claim_and_commit(
-            {
-                "version": manifest["version"] + 1,
-                "partitions": {s: [rel] for s in new_subdirs},
-            }
+            self._next_manifest(manifest, {s: [rel] for s in new_subdirs})
         )
 
     def diff(

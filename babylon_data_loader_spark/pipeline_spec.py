@@ -95,8 +95,24 @@ def validate_spec(spec: dict[str, Any]) -> None:
     if not sink.get("path"):
         _fail(None, "sink needs a 'path'")
     if sink["type"] == "lake_merge":
-        if not sink.get("key"):
-            _fail(None, "lake_merge sink needs 'key'")
+        key = sink.get("key")
+        # A bare string key would later hit list('user_id') and split
+        # into single-character column names — normalize it here and
+        # require every element be a non-empty string so the error is
+        # a spec error, not a downstream unresolved-column failure.
+        if isinstance(key, str):
+            key = [key]
+            sink["key"] = key
+        if (
+            not isinstance(key, list)
+            or not key
+            or not all(isinstance(k, str) and k for k in key)
+        ):
+            _fail(
+                None,
+                "lake_merge sink needs 'key': a non-empty string or "
+                "list of non-empty strings",
+            )
         if not sink.get("partition_col"):
             _fail(None, "lake_merge sink needs 'partition_col'")
 
@@ -198,9 +214,20 @@ def run_pipeline(
             TransactionalLake,
         )
 
-        lake = TransactionalLake(
+        # open() honors the partition column RECORDED in the lake's
+        # manifest; merging under the spec's column against a migrated
+        # lake would partition new dirs wrongly and silently resurrect
+        # same-key rows. A disagreement is a spec error, not a
+        # preference.
+        lake = TransactionalLake.open(
             sink["path"], partition_col=sink["partition_col"]
         )
+        if lake.partition_col != sink["partition_col"]:
+            raise ValueError(
+                f"lake at {sink['path']!r} records partition_col="
+                f"{lake.partition_col!r} but the spec says "
+                f"{sink['partition_col']!r}"
+            )
         lake.merge(spark, df, key=list(sink["key"]))
         rows = lake.read(spark).count()
     return {

@@ -31,7 +31,7 @@ def query(name: str, oracle: str | None = None):
     Each invocation first releases the PREVIOUS query's tracked
     persists (functions/cache.py): operators persist narrow frames
     that feed self-joins, and those caches must outlive their function
-    but not the whole session — in a sequential 181-query harness run
+    but not the whole session — in a sequential 218-query harness run
     this bounds live cached partitions to one query's working set.
     """
 
@@ -63,60 +63,15 @@ def query(name: str, oracle: str | None = None):
 # until every query has a driver row. Already-verified strong queries
 # fill the tail so re-runs on fresh testdata still re-check signal.
 PRIORITY: list[str] = [
-    # The 18 queries with no driver CORRECTNESS row in any of r1-r3
-    # (union of CORRECTNESS_r0*.json keys vs the registry) come first.
-    "q_knn_lsh",
-    "q_knn_ivf",
-    "q_knn_pq",
-    "q_knn_ivfpq",
-    "q_embedding_dup_pairs_exact",
-    "q_embedding_stats",
-    "q_sketch_distinct",
+    # ROUND-5 WINDOW (the driver verifies exactly the first 50):
+    # slot 1 is q_sketch_quantiles — its r4 driver row was a harness
+    # crash (array column, unhashable in pandas canonicalization);
+    # the fix must be driver-witnessed this round. Slots 2-50 are
+    # the 49 OLDEST queries with no driver CORRECTNESS row in any
+    # of r1-r4 (union of CORRECTNESS_r0*.json keys vs the
+    # registry), in registration order. Registry growth is FROZEN
+    # this round so the remaining 8 drain in r6.
     "q_sketch_quantiles",
-    "q_orc_roundtrip",
-    "q_mode_per_group",
-    "q_bigram_freq",
-    "q_hash_split",
-    "q_label_encode",
-    "q_feature_hash",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_array_ops",
-    "q_compression_ratio",
-    # Round-4 additions (new queries, never checked by definition) are
-    # registered below and slotted here, inside the ~50-entry window.
-    "q_delta_export",
-    "q_approx_join_sketch",
-    "q_dedup_survivorship",
-    "q_knn_recall_guard",
-    "q_jsonl_roundtrip",
-    "q_column_profile",
-    "q_word_entropy",
-    "q_radius_search",
-    "q_benford_digits",
-    "q_containment_pairs",
-    "q_length_band",
-    "q_salted_agg",
-    "q_stream_dedup",
-    "q_file_provenance",
-    "q_incremental_dedup",
-    "q_stream_join",
-    "q_pmi_collocations",
-    "q_source_drift",
-    "q_media_resize",
-    "q_stream_enrich",
-    "q_hard_negatives",
-    "q_export_shards",
-    "q_bigram_nll",
-    "q_event_funnel",
-    "q_retention_cohorts",
-    "q_copurchase_pagerank",
-    "q_gap_fill",
-    "q_sliding_window",
-    "q_anomaly_hours",
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
     "q_tpch_q20",
     "q_fuzzy_join",
     "q_scd2_dimension",
@@ -166,6 +121,8 @@ PRIORITY: list[str] = [
     "q_readability",
     "q_distinctive_terms",
     "q_abc_classification",
+    # The remaining 8 never-driver-checked queries — next in line
+    # for the r6 window.
     "q_interarrival_dist",
     "q_changepoint",
     "q_entropy_rate",
@@ -174,35 +131,28 @@ PRIORITY: list[str] = [
     "q_kaplan_meier",
     "q_forecast_eval",
     "q_lorenz_points",
-    # Strongest already-verified queries fill the rest of the window so
-    # a driver re-run on fresh testdata still re-checks real signal.
+    # Strongest already-verified queries fill the rest so a driver
+    # re-run on fresh testdata still re-checks real signal.
     "q_semantic_dedup",
     "q_near_dup_pairs",
     "q_corpus_curation",
     "q_minhash_bands",
     "q_embedding_dup_pairs",
     "q_media_image_features",
-    "q_media_video_features",
     "q_tfidf_top_terms",
-    "q_unigram_nll",
-    "q_chunk_documents",
     "q_heavy_hitters",
     "q_lake_skipping",
-    "q_lake_point_lookup",
     "q_time_travel",
     "q_incremental_agg",
-    "q_schema_evolution",
-    "q_layout_skipping",
     "q_stream_stateful",
-    "q_stream_session",
-    "q_stream_window",
-    "q_stream_replay",
     "q_knn_cosine",
     "q_pack_sequences",
-    "q_jaccard_pairs",
     "q_dedup_clusters",
-    "q_near_dup_rate",
     "q_tpch_q1",
+    "q_delta_export",
+    "q_incremental_dedup",
+    "q_event_funnel",
+    "q_retention_cohorts",
 ]
 
 

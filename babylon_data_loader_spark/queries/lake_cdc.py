@@ -435,9 +435,17 @@ def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         us.alias("ts_us"),
         F.col("value").cast("decimal(20,2)").alias("v"),
     )
-    hour = (F.col("ts_us") / F.lit(3_600_000_000)).cast("long") * F.lit(
-        3_600_000_000
-    )
+    # Floor-based bucketing in pure integer arithmetic: the oracle's
+    # `//` floors, while double-divide + cast('long') truncates toward
+    # zero — they diverge on pre-1970 (negative-micros) timestamps.
+    # `x - ((x % N) + N) % N` is the exact floor bucket start for any
+    # sign, with no double rounding.
+    def _floor_bucket(col: str, n: int):
+        x = F.col(col)
+        lit = F.lit(n)
+        return x - ((x % lit) + lit) % lit
+
+    hour = _floor_bucket("ts_us", 3_600_000_000)
     hourly = clean.groupBy(
         "event_type", hour.alias("hour_us")
     ).agg(
@@ -449,9 +457,7 @@ def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from babylon_data_loader_spark.functions.cache import persist_tracked
 
     hourly = persist_tracked(hourly)
-    day = (F.col("hour_us") / F.lit(86_400_000_000)).cast("long") * F.lit(
-        86_400_000_000
-    )
+    day = _floor_bucket("hour_us", 86_400_000_000)
     rewritten = hourly.groupBy(
         "event_type", day.alias("day_us")
     ).agg(

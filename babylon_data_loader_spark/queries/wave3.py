@@ -303,16 +303,28 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of event value per type
     (percentile_approx, accuracy 10k). Mergeable sketch: map-side
     partials, O(accuracy) state per group — the scale path where exact
-    percentiles would sort every group."""
+    percentiles would sort every group. Output is EXPLODED to one
+    scalar row per (event_type, p) — array columns are unhashable in
+    the harness's pandas canonicalization, and scalar rows keep the
+    result representable for any future oracle."""
     ev = load_table(spark, sf_dir, "events")
+    ps = [0.5, 0.95, 0.99]
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", ps, 10000).alias("quantiles")
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-                "quantiles"
-            )
+        agg.select(
+            "event_type",
+            F.posexplode("quantiles").alias("pos", "quantile"),
         )
-        .orderBy("event_type")
+        .select(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(p) for p in ps]), F.col("pos") + 1
+            ).alias("p"),
+            F.round(F.col("quantile"), 9).alias("quantile"),
+        )
+        .orderBy("event_type", "p")
     )
 
 

@@ -172,3 +172,75 @@ def test_pipeline_lake_merge_sink_is_upsert(spark, events_parquet, tmp_path):
     # idempotence: re-running the same spec converges to same state
     stats2 = run_pipeline(spark, spec)
     assert stats2["rows_written"] == stats["rows_written"]
+
+
+def test_bare_string_key_is_wrapped_not_split(spark, events_parquet, tmp_path):
+    """ADVICE r4 (low): a JSON string key ('event_id') must be treated
+    as a one-column key, not split by list() into characters."""
+    spec = {
+        "source": _events_src(events_parquet),
+        "steps": [],
+        "sink": {
+            "type": "lake_merge",
+            "path": str(tmp_path / "lake"),
+            "key": "event_id",  # bare string, not a list
+            "partition_col": "event_type",
+        },
+    }
+    validate_spec(spec)
+    assert spec["sink"]["key"] == ["event_id"]  # normalized in place
+    stats = run_pipeline(spark, spec)
+    # merge keeps a batch's own rows (5, incl. the event_id=3 pair);
+    # the point here is the key resolved as ONE column — a split key
+    # ('e','v','e','n',...) would be an unresolved-column failure
+    assert stats["rows_written"] == 5
+    # re-running is an idempotent upsert, not an append
+    assert run_pipeline(spark, spec)["rows_written"] == 5
+
+    # non-string / empty keys are spec errors, not unresolved columns
+    for bad_key in (123, [], ["ok", ""], [1, 2]):
+        bad = {
+            "source": _events_src(events_parquet),
+            "sink": {
+                "type": "lake_merge",
+                "path": "y",
+                "key": bad_key,
+                "partition_col": "event_type",
+            },
+        }
+        with pytest.raises(PipelineSpecError, match="needs 'key'"):
+            validate_spec(bad)
+
+
+def test_lake_merge_sink_respects_recorded_partition_col(
+    spark, events_parquet, tmp_path
+):
+    """ADVICE r4 (low): the lake_merge sink must open() the lake and
+    refuse a spec whose partition_col disagrees with the recorded one
+    (the silent duplicate-key corruption mode)."""
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    path = str(tmp_path / "lake")
+    spec = {
+        "source": _events_src(events_parquet),
+        "steps": [],
+        "sink": {
+            "type": "lake_merge",
+            "path": path,
+            "key": ["event_id"],
+            "partition_col": "event_type",
+        },
+    }
+    run_pipeline(spark, spec)
+    TransactionalLake.open(
+        path, partition_col="event_type"
+    ).migrate_partitioning(spark, "user_id")
+
+    with pytest.raises(ValueError, match="records partition_col"):
+        run_pipeline(spark, spec)
+
+    spec["sink"]["partition_col"] = "user_id"
+    stats = run_pipeline(spark, spec)  # agrees with recorded: fine
+    assert stats["rows_written"] == 5

@@ -653,3 +653,65 @@ def test_tagged_old_scheme_survives_migration_and_vacuum(spark, tmp_path):
     )
     assert got == [(1, "a"), (2, "b")]
     assert len(state(spark, migrated)) == 3
+
+
+def test_manifest_carries_partition_col_through_writes(spark, tmp_path):
+    """ADVICE r4 (high): merge/append/compact manifests must CARRY the
+    partition_col recorded by migrate_partitioning. If any write drops
+    it, open() falls back to the default column and merges through
+    that handle silently resurrect same-key rows."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "a", "chase"), (2, "b", "syn")]), KEY)
+    migrated = lake.migrate_partitioning(spark, "v")
+
+    # merge, append, compact each commit a NEW manifest post-migration
+    # (updates keep each key's partition value "v" constant — merge is
+    # partition-scoped by design, so a key's partition value moving is
+    # out of scope here)
+    migrated.merge(spark, frame(spark, [(1, "a", "chase2")]), KEY)
+    assert migrated.current_manifest()["partition_col"] == "v"
+    migrated.append(spark, frame(spark, [(9, "z", "syn")]))
+    assert migrated.current_manifest()["partition_col"] == "v"
+    migrated.compact(spark)
+    assert migrated.current_manifest()["partition_col"] == "v"
+
+    # the regression scenario: reopen AFTER the post-migration writes
+    # and merge a same-key row — it must replace, not duplicate
+    reopened = TransactionalLake.open(str(tmp_path / "lake"))
+    assert reopened.partition_col == "v"
+    reopened.merge(spark, frame(spark, [(1, "a", "chase3")]), KEY)
+    rows = state(spark, reopened)
+    assert (1, "a", "chase3") in rows
+    assert len([r for r in rows if r[0] == 1]) == 1
+    # subdirs are under the migrated column in every committed version
+    assert all(
+        s.startswith("v=")
+        for s in reopened.current_manifest()["partitions"]
+    )
+
+
+def test_mismatched_handle_refuses_to_write(spark, tmp_path):
+    """A handle constructed DIRECTLY (not via open()) with the wrong
+    partition column must fail fast instead of committing dirs under
+    the wrong scheme."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(spark, frame(spark, [(1, "a", "chase")]), KEY)
+    lake.migrate_partitioning(spark, "v")
+    stale = TransactionalLake(str(tmp_path / "lake"))  # default col
+    with pytest.raises(ValueError, match="reopen with"):
+        stale.append(spark, frame(spark, [(2, "b", "syn")]))
+
+
+def test_tag_rejects_vacuumed_version(spark, tmp_path):
+    """ADVICE r4 (low): tagging a version whose manifest was vacuumed
+    must fail at tag() time, not poison read(tag=) and every later
+    vacuum with FileNotFoundError."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    for i in range(4):
+        lake.merge(spark, frame(spark, [(i, "a", "chase")]), KEY)
+    lake.stale_claim_s = 0.0
+    lake.vacuum(keep_versions=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        lake.tag("old", version=1)
+    # current version still taggable
+    assert lake.tag("now") == lake.current_manifest()["version"]
