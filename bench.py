@@ -73,6 +73,11 @@ HEADLINE = [
     "q_tpch_q9",
     "q_scd2_dimension",
     "q_weighted_sample",
+    # round 5 additions: the distributed two-pass ranking operator
+    # (operators/rank.py) exercised end-to-end — triple NTILE over the
+    # per-customer frame and the rank-weighted Gini aggregate.
+    "q_rfm_segments",
+    "q_gini",
 ]
 
 

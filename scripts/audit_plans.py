@@ -1,13 +1,16 @@
 """Registry-wide physical-plan audit: explain EVERY declared query and
 flag scale anti-patterns — cartesian products, row-at-a-time Python
-UDFs (BatchEvalPython), and nested-loop joins outside the documented
-O(1)-build-side set. Exit 1 on any finding.
+UDFs (BatchEvalPython), nested-loop joins outside the documented
+O(1)-build-side set, and GLOBAL windows (WindowExec with an empty
+partition spec — the whole input serialized onto ONE task) outside
+the documented bounded-frame set. Exit 1 on any finding.
 
     python scripts/audit_plans.py [sf_dir]
 """
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -25,6 +28,8 @@ BNLJ_ALLOWED = {
     "q_tpch_q22",        # uncorrelated scalar aggregate (one row)
     "q_embedding_dup_pairs_exact",  # the documented O(N^2) small-N
     # verification baseline for the banded LSH scale path
+    "q_abc_classification",  # one-row grand-total scalar broadcast
+    "q_domain_mix",          # one-row weight-total scalar broadcast
     "q_approx_join_sketch",  # one-row broadcast Bloom bitmap (the
     # broadcast-variable shape, operators/sketch_join.py)
     "q_knn_recall_guard",    # composes q_knn_lsh/pq whose probes
@@ -61,6 +66,81 @@ BNLJ_ALLOWED = {
     "q_lorenz_points",       # one-row grand-total scalar
 }
 
+# A Window with NO partition spec moves the entire input to one task
+# (WindowExec logs "No Partition Defined"). Allowed ONLY over frames
+# bounded by construction — day/hour spines, decile/bucket tables,
+# after-top-k slices — never over row- or entity-level input. The
+# statistics family's global ranks/prefix sums route through
+# operators/rank.py (distributed two-pass) instead.
+GLOBAL_WINDOW_ALLOWED = {
+    "q_lorenz_points",    # O(10) decile-table running sum
+    "q_forecast_eval",    # day-spine LAG: O(days) frame
+    "q_seasonality_profile",  # day-spine window: O(days)
+    "q_changepoint",      # day-spine CUSUM: O(days)
+    "q_vocab_growth",     # day-spine cumulative vocab: O(days)
+    "q_cumulative_uniques",   # day-spine running total: O(days)
+    "q_acf",              # day-spine lag frame: O(days)
+    "q_interarrival_dist",    # log-bucket table: O(buckets)
+    "q_twap",             # hour-spine weighting: O(hours)
+    "q_ewma",             # day-spine recursion: O(days)
+}
+
+
+def _global_window_count(plan: str) -> int:
+    """Count Window nodes whose formatted-explain Arguments carry two
+    top-level lists ([exprs], [order]) instead of three ([exprs],
+    [partition], [order]) — i.e. an empty partition spec."""
+    lines = plan.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        m = re.fullmatch(
+            r"\(\d+\) Window(GroupLimit)?( \(\d+\))?", ln.strip()
+        )
+        if not m:
+            continue
+        # Window arguments: [exprs], [partition], [order]; either of
+        # the last two may be absent. The GLOBAL (single-task) case is
+        # partition-spec-missing WITH an order spec — order specs are
+        # recognizable by their ASC/DESC NULLS markers, partition
+        # specs are bare columns. WindowGroupLimit (rank-limit
+        # pushdown) prints [partition], [order], fn, k, mode — one
+        # list means the partition spec is missing.
+        is_wgl = bool(m.group(1))
+        for j in range(i + 1, min(i + 6, len(lines))):
+            arg = lines[j].strip()
+            if not arg.startswith("Arguments:"):
+                continue
+            depth, lists, buf = 0, [], []
+            for ch in arg:
+                if ch == "[":
+                    if depth == 0:
+                        buf = []
+                    depth += 1
+                    if depth == 1:
+                        continue
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        lists.append("".join(buf))
+                        continue
+                if depth >= 1:
+                    buf.append(ch)
+
+            def _is_order(s: str) -> bool:
+                return " ASC NULLS" in s or " DESC NULLS" in s
+
+            if is_wgl:
+                if len(lists) == 1:
+                    n += 1
+            elif len(lists) == 1 or (
+                len(lists) == 2 and _is_order(lists[1])
+            ):
+                # [exprs] alone = over () — global, no order;
+                # [exprs], [order] = global ordered window
+                n += 1
+            break
+    return n
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -85,6 +165,12 @@ def main() -> int:
             findings.append(f"{name}: row-at-a-time Python UDF")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             findings.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        gw = _global_window_count(plan)
+        if gw and name not in GLOBAL_WINDOW_ALLOWED:
+            findings.append(
+                f"{name}: {gw} global window(s) (empty partition spec "
+                "over non-allowlisted input) — use operators/rank.py"
+            )
         print(f"ok {name}")
     spark.stop()
     if findings:
@@ -93,7 +179,8 @@ def main() -> int:
             print(" -", f)
         return 1
     print(f"\nAUDIT CLEAN: {len(entrymod.queries())} query plans, "
-          "no cartesians, no row-wise Python, no unexpected nested loops")
+          "no cartesians, no row-wise Python, no unexpected nested "
+          "loops, no unexpected global windows")
     return 0
 
 

@@ -1,0 +1,127 @@
+"""operators/rank.py: the two-pass distributed ranking must be
+byte-identical to the single-partition global window it replaces
+(r4 VERDICT 'What's wrong #2' — the exact-oracle-preserving rewrite
+of the statistics family's scale anti-pattern)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.operators.rank import (
+    running_totals,
+    value_ranks,
+    with_global_ntile,
+    with_global_row_number,
+)
+
+
+def _frame(spark, n=997, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 50), rng.randint(0, 10**6)) for i in range(n)]
+    # skewed duplicates so tie groups straddle range boundaries
+    rows += [(n + i, 25, 1234) for i in range(200)]
+    return spark.createDataFrame(rows, "id BIGINT, v BIGINT, w BIGINT").repartition(16)
+
+
+def test_global_row_number_matches_window(spark):
+    df = _frame(spark)
+    got = with_global_row_number(
+        df, [F.col("v").asc(), F.col("id").asc()], "rn"
+    )
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_running_totals_match_window(spark):
+    df = _frame(spark)
+    got = running_totals(
+        df,
+        [F.col("v").asc(), F.col("id").asc()],
+        {"run_w": F.col("w"), "run_n": F.lit(1)},
+    )
+    w = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.withColumn("run_w", F.sum("w").over(w)).withColumn(
+        "run_n", F.sum(F.lit(1)).over(w)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_value_ranks_tie_averaged(spark):
+    df = _frame(spark)
+    got = value_ranks(df, ["v"])
+    want = (
+        df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rnk", F.rank().over(Window.orderBy("v")))
+    )
+    # rank over distinct values must equal rank over rows, and the
+    # doubled tie-average identity 2*RANK + cnt - 1 must hold
+    rows = df.select(
+        "v",
+        F.rank().over(Window.orderBy("v")).alias("row_rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("v")).alias("ties"),
+    ).distinct()
+    j = got.join(rows, "v")
+    bad = j.filter(
+        (F.col("rnk") != F.col("row_rnk"))
+        | (F.col("cnt") != F.col("ties"))
+        | (F.col("rnk2_avg") != 2 * F.col("row_rnk") + F.col("ties") - 1)
+    )
+    assert got.count() == want.count()
+    assert bad.count() == 0
+
+
+def test_value_ranks_descending(spark):
+    df = _frame(spark, n=300)
+    got = value_ranks(df, ["v"], descending=True)
+    rows = df.select(
+        "v",
+        F.rank().over(Window.orderBy(F.col("v").desc())).alias("r"),
+    ).distinct()
+    assert got.join(rows, "v").filter(
+        F.col("rnk") != F.col("r")
+    ).count() == 0
+
+
+def test_global_ntile_matches_window(spark):
+    df = _frame(spark, n=503)
+    for n in (4, 10, 7):
+        got = with_global_ntile(
+            df, [F.col("v").asc(), F.col("id").asc()], n, "tile"
+        )
+        want = df.withColumn(
+            "tile", F.ntile(n).over(Window.orderBy("v", "id"))
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"ntile({n})"
+
+
+def test_global_ntile_more_tiles_than_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 0), (2, 20, 0), (3, 30, 0)], "id BIGINT, v BIGINT, w BIGINT"
+    )
+    got = with_global_ntile(df, [F.col("v").asc()], 10, "tile")
+    want = df.withColumn("tile", F.ntile(10).over(Window.orderBy("v")))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id BIGINT, v BIGINT, w BIGINT")
+    assert (
+        with_global_row_number(df, [F.col("v").asc()], "rn").count() == 0
+    )
+    assert value_ranks(df, ["v"]).count() == 0

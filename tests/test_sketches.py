@@ -32,11 +32,19 @@ def test_hll_distinct_within_rsd(spark):
 
 
 def test_quantile_sketch_brackets_exact(spark):
+    """The query emits one SCALAR row per (event_type, p) — the shape
+    the driver's pandas canonicalization can sort (the r4 harness
+    crash was an array column here)."""
     from babylon_data_loader_spark.queries.wave3 import q_sketch_quantiles
 
-    rows = {r["event_type"]: r["quantiles"] for r in q_sketch_quantiles(spark, SF).collect()}
+    out = q_sketch_quantiles(spark, SF).collect()
+    rows: dict = {}
+    for r in out:
+        rows.setdefault(r["event_type"], {})[r["p"]] = r["quantile"]
     ev = load_table(spark, SF, "events")
-    for et, (p50, p95, p99) in rows.items():
+    for et, qs in rows.items():
+        assert sorted(qs) == [0.5, 0.95, 0.99]
+        p50, p95, p99 = qs[0.5], qs[0.95], qs[0.99]
         assert p50 <= p95 <= p99  # monotone
         vals = ev.filter(F.col("event_type") == et).select("value")
         n = vals.count()
