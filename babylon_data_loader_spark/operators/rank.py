@@ -60,12 +60,15 @@ def _ranged(df: DataFrame, order: list[Column]) -> DataFrame:
 
 def _offsets_frame(
     part: DataFrame, sums: dict[str, Column]
-) -> DataFrame:
+) -> tuple[DataFrame, dict]:
     """Exclusive per-partition cumulative offsets for each named sum,
-    as a tiny broadcastable frame keyed by partition id. The offset
-    columns keep the EXACT sum types (long stays long, DECIMAL stays
-    DECIMAL at Spark's sum-widened precision) so decimal prefix sums
-    lose nothing crossing the driver."""
+    as a tiny broadcastable frame keyed by partition id, PLUS the
+    grand totals (offset + last partition's sum) — callers that need
+    the total (NTILE tile sizing, target ranks) get it from the same
+    O(#partitions) collect instead of a second job. The offset columns
+    keep the EXACT sum types (long stays long, DECIMAL stays DECIMAL
+    at Spark's sum-widened precision) so decimal prefix sums lose
+    nothing crossing the driver."""
     from decimal import Decimal
 
     from pyspark.sql.types import (
@@ -110,7 +113,31 @@ def _offsets_frame(
         # empty input: a one-row zero frame keeps the join resolvable
         out = [(0, *[zeros[n] for n in sums])]
     spark = part.sparkSession
-    return F.broadcast(spark.createDataFrame(out, schema))
+    return F.broadcast(spark.createDataFrame(out, schema)), dict(running)
+
+
+def _scan(
+    df: DataFrame,
+    order: list[Column],
+    sums: dict[str, Column],
+) -> tuple[DataFrame, dict]:
+    """The distributed prefix scan plus the grand totals per sum."""
+    part = _ranged(df, order)
+    w = (
+        Window.partitionBy(PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part
+    for name, col in sums.items():
+        local = local.withColumn(name, F.sum(col).over(w))
+    off, totals = _offsets_frame(part, sums)
+    local = local.join(off, PID)
+    for name in sums:
+        local = local.withColumn(
+            name, F.col(name) + F.col(f"__off_{name}")
+        ).drop(f"__off_{name}")
+    return local.drop(PID), totals
 
 
 def running_totals(
@@ -123,22 +150,7 @@ def running_totals(
     prefix scan. Adds one output column per ``sums`` key; drops
     nothing else. Numeric exactness is the caller's contract: pass
     integer/DECIMAL columns for cross-engine-exact totals."""
-    part = _ranged(df, order)
-    w = (
-        Window.partitionBy(PID)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = part
-    for name, col in sums.items():
-        local = local.withColumn(name, F.sum(col).over(w))
-    off = _offsets_frame(part, sums)
-    local = local.join(off, PID)
-    for name in sums:
-        local = local.withColumn(
-            name, F.col(name) + F.col(f"__off_{name}")
-        ).drop(f"__off_{name}")
-    return local.drop(PID)
+    return _scan(df, order, sums)[0]
 
 
 def with_global_row_number(
@@ -146,8 +158,19 @@ def with_global_row_number(
 ) -> DataFrame:
     """ROW_NUMBER() OVER (ORDER BY order) without the single-partition
     sort. ``order`` must be a total order (unique tiebreak)."""
-    out = running_totals(df, order, {name: F.lit(1)})
-    return out.withColumn(name, F.col(name).cast("long"))
+    return global_row_number_with_total(df, order, name)[0]
+
+
+def global_row_number_with_total(
+    df: DataFrame, order: list[Column], name: str = "rn"
+) -> tuple[DataFrame, int]:
+    """ROW_NUMBER plus the total row count — the count comes from the
+    offsets collect (O(#partitions) metadata), not a second job; use
+    this wherever a target rank or tile size is derived from N."""
+    out, totals = _scan(df, order, {name: F.lit(1)})
+    return out.withColumn(name, F.col(name).cast("long")), int(
+        totals[name]
+    )
 
 
 def value_ranks(
@@ -196,10 +219,9 @@ def with_global_ntile(
     """NTILE(n) OVER (ORDER BY order) via the distributed row number.
 
     SQL NTILE semantics exactly: with N rows, the first N % n tiles
-    get ceil(N/n) rows, the rest floor(N/n). The total N is one extra
-    O(partitions) metadata pass (the offsets are already collected)."""
-    rn = with_global_row_number(df, order, "__rank_rn")
-    total = rn.count()
+    get ceil(N/n) rows, the rest floor(N/n). The total N rides along
+    with the offsets collect — no extra job."""
+    rn, total = global_row_number_with_total(df, order, "__rank_rn")
     q, r = divmod(total, n)
     big = q + 1
     rn_c = F.col("__rank_rn")

@@ -290,23 +290,19 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway); the intersection count then shuffles only (doc_a, doc_b)
     pairs, never text."""
     from babylon_data_loader_spark.functions.cache import persist_tracked
-    from babylon_data_loader_spark.functions.text import shingles
+    from babylon_data_loader_spark.operators.dedup import (
+        stored_doc_shingles,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    # Tokens and shingles materialize in SEPARATE projections
-    # (operators/dedup.py:54-57 — inlining tokens into the shingle
-    # lambda re-splits the text per array element, ~10× slower), and
-    # the exploded (doc_id, shingle) frame persists because it feeds
-    # four consumers (sizes, the df cap, both sides of the self-join).
-    tok = docs.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("_tok")
-    )
+    # The exploded DISTINCT (doc_id, shingle) frame comes from the
+    # AT-REST shingle store (operators/index_store.py — tokenize +
+    # shingle runs once per dataset version; every dedup-family query
+    # shares the parquet), then persists because it feeds four
+    # consumers here (sizes, the df cap, both sides of the self-join).
     sh = persist_tracked(
-        tok.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles(F.col("_tok"), 3))
-            ).alias("s"),
+        stored_doc_shingles(docs).select(
+            F.col("_id").alias("doc_id"), F.col("_sh").alias("s")
         )
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -400,16 +396,15 @@ def q_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from babylon_data_loader_spark.operators.rank import (
-        with_global_row_number,
+        global_row_number_with_total,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    ranked = with_global_row_number(
+    ranked, n = global_row_number_with_total(
         docs.select("n_chars", "doc_id"),
         [F.col("n_chars").asc(), F.col("doc_id").asc()],
         "rn",
     )
-    n = ranked.count()
     t05 = max(1, math.ceil(0.05 * n))
     t95 = max(1, math.ceil(0.95 * n))
     band = ranked.filter(F.col("rn").isin(t05, t95)).agg(

@@ -1321,7 +1321,7 @@ def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(1) metadata) and broadcast — no global sort, no global-count
     window."""
     from babylon_data_loader_spark.operators.rank import (
-        with_global_row_number,
+        global_row_number_with_total,
     )
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -1332,10 +1332,9 @@ def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = ev.filter(F.col("event_type") == event_type).select(
             F.col("value").alias("x"), "event_id"
         )
-        ranked = with_global_row_number(
+        ranked, n = global_row_number_with_total(
             s, [F.col("x").asc(), F.col("event_id").asc()], "i"
         )
-        n = ranked.count()
         ks = F.broadcast(
             ev.sparkSession.createDataFrame(
                 [(k, (n * k + 19) // 20) for k in range(1, 20)],
