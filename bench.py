@@ -263,6 +263,22 @@ def main() -> None:
     # Warmup: JVM + parquet footer reads.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Machine-calibration probe: a fixed single-thread CPU loop plus a
+    # fixed tiny Spark job, both code- and data-independent. Their
+    # times move ONLY with machine load, so a contended run is
+    # self-evident in the recorded JSON instead of masquerading as a
+    # per-query regression (r4's close-out run and r5's session-start
+    # run were both flagged this way). Quiet-machine reference on this
+    # box: cpu_loop ~2.1 s, spark_probe ~0.4 s.
+    t0 = time.time()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i & 1023
+    cpu_loop_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    spark.range(50_000_000).selectExpr("sum(id % 7)").collect()
+    spark_probe_s = round(time.time() - t0, 3)
+
     # Median of 3 per query: BENCH_HISTORY shows ~2x same-commit
     # variance on single runs; the median is the round-over-round
     # comparison number (min-of-reps rewards lucky runs, a single rep
@@ -298,6 +314,15 @@ def main() -> None:
         "reps": reps,
         "stat": "median",
         "samples": spread,
+        "calibration": {
+            "cpu_loop_s": cpu_loop_s,
+            "spark_probe_s": spark_probe_s,
+            "note": (
+                "fixed code/data-independent probes; compare across "
+                "rounds to detect machine contention before reading "
+                "regressions"
+            ),
+        },
         "testdata_fingerprint": _testdata_fingerprint(sf_dir),
     }
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -125,3 +126,58 @@ def test_empty_input(spark):
         with_global_row_number(df, [F.col("v").asc()], "rn").count() == 0
     )
     assert value_ranks(df, ["v"]).count() == 0
+
+
+@pytest.mark.parametrize(
+    "shape",
+    ["all_equal", "sorted", "reversed", "single", "two_values"],
+)
+def test_adversarial_shapes_match_window(spark, shape):
+    """Degenerate orderings: one giant tie group, pre-sorted input,
+    reverse-sorted input, a single row, and a two-value column — the
+    range partitioner's worst cases (empty partitions, every tie
+    straddling boundaries)."""
+    n = 400
+    rows = {
+        "all_equal": [(i, 7, i) for i in range(n)],
+        "sorted": [(i, i, i) for i in range(n)],
+        "reversed": [(i, n - i, i) for i in range(n)],
+        "single": [(0, 42, 0)],
+        "two_values": [(i, i % 2, i) for i in range(n)],
+    }[shape]
+    df = spark.createDataFrame(
+        rows, "id BIGINT, v BIGINT, w BIGINT"
+    ).repartition(16)
+
+    got_rn = with_global_row_number(
+        df, [F.col("v").asc(), F.col("id").asc()], "rn"
+    )
+    want_rn = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id"))
+    )
+    assert sorted(map(tuple, got_rn.collect())) == sorted(
+        map(tuple, want_rn.collect())
+    )
+
+    got_vr = value_ranks(df, ["v"])
+    want_vr = (
+        df.select(
+            "v",
+            F.rank().over(Window.orderBy("v")).alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("v")).alias("cnt"),
+        )
+        .distinct()
+    )
+    assert sorted(
+        (r["v"], r["rnk"], r["cnt"]) for r in got_vr.collect()
+    ) == sorted(map(tuple, want_vr.collect()))
+
+    got_nt = with_global_ntile(
+        df, [F.col("v").asc(), F.col("id").asc()], 7, "t"
+    )
+    want_nt = df.withColumn(
+        "t", F.ntile(7).over(Window.orderBy("v", "id"))
+    )
+    assert sorted(map(tuple, got_nt.collect())) == sorted(
+        map(tuple, want_nt.collect())
+    )
