@@ -113,3 +113,55 @@ def test_distributed_sniff_keeps_header_strings_off_driver(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 40  # one data row per file, headers dropped
     assert {r["details"] for r in rows} == {f"D{i}" for i in range(40)}
+
+
+def test_global_rank_at_millions_no_single_task_sort(spark):
+    """The two-pass ranking must hold its shape at millions of rows:
+    no WindowExec with an empty partition spec in the plan, and the
+    result is a valid permutation with correct boundary ordering —
+    checked by invariants (no reference global window is computed
+    here; byte-parity vs the window is pinned at small scale in
+    test_rank, and a 2M-row single-task sort is exactly what the
+    operator exists to avoid)."""
+    from pyspark.sql import functions as F
+
+    from babylon_data_loader_spark.operators.rank import (
+        global_row_number_with_total,
+    )
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.hash("id") % 1000).alias("v"),  # 1000-value tie-heavy column
+    )
+    ranked, total = global_row_number_with_total(
+        df, [F.col("v").asc(), F.col("id").asc()], "rn"
+    )
+    assert total == n
+
+    plan = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "formatted"
+    )
+    # every Window node is partitioned by the pinned partition id
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__rank_pid" in line
+
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("rn").alias("distinct_rn"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+        F.sum(F.col("rn").cast("decimal(28,0)")).alias("s"),
+    ).first()
+    assert stats["cnt"] == n == stats["distinct_rn"]
+    assert (stats["lo"], stats["hi"]) == (1, n)
+    assert int(stats["s"]) == n * (n + 1) // 2  # exact permutation
+    # rank order agrees with the value order: per-rank-adjacent check
+    # via a self-join on rn+1 would shuffle 2M rows; the permutation +
+    # per-value contiguity invariant below pins correctness instead
+    per_v = ranked.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"),
+        (F.max("rn") - F.min("rn") + 1).alias("span"),
+    )
+    assert per_v.filter(F.col("c") != F.col("span")).count() == 0
