@@ -73,16 +73,14 @@ BNLJ_ALLOWED = {
 # statistics family's global ranks/prefix sums route through
 # operators/rank.py (distributed two-pass) instead.
 GLOBAL_WINDOW_ALLOWED = {
+    # Exactly the five that trip today — a stale entry would hide a
+    # future regression, so entries are removed when a query stops
+    # needing one.
     "q_lorenz_points",    # O(10) decile-table running sum
     "q_forecast_eval",    # day-spine LAG: O(days) frame
-    "q_seasonality_profile",  # day-spine window: O(days)
     "q_changepoint",      # day-spine CUSUM: O(days)
     "q_vocab_growth",     # day-spine cumulative vocab: O(days)
     "q_cumulative_uniques",   # day-spine running total: O(days)
-    "q_acf",              # day-spine lag frame: O(days)
-    "q_interarrival_dist",    # log-bucket table: O(buckets)
-    "q_twap",             # hour-spine weighting: O(hours)
-    "q_ewma",             # day-spine recursion: O(days)
 }
 
 
