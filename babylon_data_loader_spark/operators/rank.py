@@ -58,6 +58,19 @@ def _ranged(df: DataFrame, order: list[Column]) -> DataFrame:
     return persist_tracked(part.withColumn(PID, F.spark_partition_id()))
 
 
+def _zero_for(dtype) -> object:
+    """Additive identity matching a Spark sum type exactly."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    if isinstance(dtype, DecimalType):
+        return Decimal(0)
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return 0.0
+    return 0
+
+
 def _offsets_frame(
     part: DataFrame, sums: dict[str, Column]
 ) -> tuple[DataFrame, dict]:
@@ -69,16 +82,7 @@ def _offsets_frame(
     keep the EXACT sum types (long stays long, DECIMAL stays DECIMAL
     at Spark's sum-widened precision) so decimal prefix sums lose
     nothing crossing the driver."""
-    from decimal import Decimal
-
-    from pyspark.sql.types import (
-        DecimalType,
-        DoubleType,
-        FloatType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
 
     totals = part.groupBy(PID).agg(
         *[F.sum(c).alias(n) for n, c in sums.items()]
@@ -92,13 +96,7 @@ def _offsets_frame(
         ]
     )
     zeros = {
-        f.name: Decimal(0)
-        if isinstance(f.dataType, DecimalType)
-        else (
-            0.0
-            if isinstance(f.dataType, (DoubleType, FloatType))
-            else 0
-        )
+        f.name: _zero_for(f.dataType)
         for f in totals.schema
         if f.name != PID
     }
@@ -232,3 +230,87 @@ def with_global_ntile(
             rn_c <= r * big, F.ceil(rn_c / F.lit(big))
         ).otherwise(r + F.ceil((rn_c - r * big) / F.lit(q)))
     return rn.withColumn(name, tile.cast("int")).drop("__rank_rn")
+
+
+def grouped_running_totals(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    sums: dict[str, Column],
+) -> DataFrame:
+    """Per-GROUP exact running totals under ``order``, distributed
+    across the whole cluster even when there are FEW groups.
+
+    ``Window.partitionBy(group)`` with a low-cardinality group column
+    (5 event types over a 100 TB fact table) sorts each group in ONE
+    task — the grouped twin of the global-window anti-pattern. Here a
+    group spans many range partitions instead: range-repartition on
+    (group, order), window per (partition id, group), then collect the
+    per-(partition, group) totals — O(#groups + #partitions) rows,
+    since groups are contiguous under the range order — cumulate them
+    per group in partition order, and broadcast-join the exclusive
+    offsets back.
+
+    Use a plain partitionBy window for HIGH-cardinality groups (hash
+    partitioning already spreads those, and this operator's metadata
+    collect grows with #groups)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    g_order = [F.col(g).asc() for g in group_cols]
+    part = df.repartitionByRange(
+        _num_range_partitions(df), *g_order, *order
+    )
+    part = persist_tracked(part.withColumn(PID, F.spark_partition_id()))
+    w = (
+        Window.partitionBy(PID, *group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part
+    for name, col in sums.items():
+        local = local.withColumn(name, F.sum(col).over(w))
+
+    totals = part.groupBy(PID, *group_cols).agg(
+        *[F.sum(c).alias(n) for n, c in sums.items()]
+    )
+    sum_fields = [
+        f for f in totals.schema if f.name not in (PID, *group_cols)
+    ]
+    group_fields = [f for f in totals.schema if f.name in group_cols]
+    schema = StructType(
+        [StructField(PID, LongType(), False)]
+        + [StructField(f.name, f.dataType, True) for f in group_fields]
+        + [
+            StructField(f"__off_{f.name}", f.dataType, True)
+            for f in sum_fields
+        ]
+    )
+    zeros = {f.name: _zero_for(f.dataType) for f in sum_fields}
+    rows = sorted(
+        totals.collect(),
+        key=lambda r: (r[PID], tuple(str(r[g]) for g in group_cols)),
+    )
+    running: dict[tuple, dict] = {}
+    out = []
+    for r in rows:
+        key = tuple(r[g] for g in group_cols)
+        acc = running.setdefault(key, dict(zeros))
+        out.append(
+            (r[PID], *key, *[acc[n] for n in sums])
+        )
+        for n in sums:
+            if r[n] is not None:
+                acc[n] += r[n]
+    if not out:
+        out = [(0, *[None] * len(group_cols), *[zeros[n] for n in sums])]
+    off = F.broadcast(
+        part.sparkSession.createDataFrame(out, schema)
+    )
+    local = local.join(off, [PID, *group_cols])
+    for name in sums:
+        local = local.withColumn(
+            name, F.col(name) + F.col(f"__off_{name}")
+        ).drop(f"__off_{name}")
+    # the multi-key join moved the group columns to the front;
+    # restore the caller's column order, sums appended
+    return local.select(*df.columns, *sums)

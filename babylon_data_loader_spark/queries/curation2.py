@@ -171,10 +171,18 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
+    # quota <= _MIX_TARGET by construction; the LITERAL rank bound
+    # lets Catalyst infer WindowGroupLimit (per-input-partition top-k
+    # pruning BEFORE the shuffle), which a dynamic `rn <= quota`
+    # filter alone defeats — without it each source's entire doc list
+    # sorts in one task. The dynamic filter still applies after.
     return (
         docs.join(F.broadcast(quotas), on="source")
         .withColumn("_rn", F.row_number().over(rank))
-        .filter(F.col("_rn") <= F.col("quota"))
+        .filter(
+            (F.col("_rn") <= F.lit(_MIX_TARGET))
+            & (F.col("_rn") <= F.col("quota"))
+        )
         .select("source", "quota", "doc_id")
     )
 

@@ -1369,45 +1369,49 @@ def q_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median PER GROUP by order-statistic selection: rank
-    within each group under a total order, pick the middle element
-    (odd) or average the two middles (even — value/2 + value/2 is one
-    exact float halving each, summed). One shuffle keyed by group
-    serves the ranking and the aggregation; no global sort, no
-    approx-percentile error bound. The per-group twin of the global
-    q_median."""
+    """Exact median PER GROUP by order-statistic selection over the
+    per-(group, value) COUNT table: the middle positions are located
+    in the per-group cumulative counts, so the median never ranks raw
+    rows. event_type has FIVE values — a partitionBy(event_type)
+    window would sort the whole fact table in five tasks; the grouped
+    distributed prefix scan (operators/rank.py::grouped_running_totals)
+    spreads each group across the cluster's range partitions instead.
+    Even-n medians average the two middle elements as value/2 +
+    value/2 — each halving exact in IEEE, matching the oracle's
+    arithmetic digit for digit."""
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("event_type"))
-        .alias("n"),
+    counts = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    pick = (
-        F.when(
-            (F.col("n") % 2 == 1) & (F.col("i") == (F.col("n") + 1) / 2),
-            F.col("value"),
-        )
-        .when(
-            (F.col("n") % 2 == 0)
-            & (
-                (F.col("i") == F.col("n") / 2)
-                | (F.col("i") == F.col("n") / 2 + 1)
-            ),
-            F.col("value") / 2,
-        )
-        .otherwise(0.0)
+    cum = grouped_running_totals(
+        counts, ["event_type"], [F.col("value").asc()], {"cum": F.col("c")}
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(tot), "event_type")
+
+    def covers(t):  # value's rank interval (cum-c, cum] contains t
+        return (F.col("cum") - F.col("c") < t) & (t <= F.col("cum"))
+
+    t_odd = F.expr("CAST((n + 1) DIV 2 AS BIGINT)")
+    t1 = F.expr("CAST(n DIV 2 AS BIGINT)")
+    contrib = F.when(
+        F.col("n") % 2 == 1,
+        F.when(covers(t_odd), F.col("value")).otherwise(0.0),
+    ).otherwise(
+        F.when(covers(t1), F.col("value") / 2).otherwise(0.0)
+        + F.when(covers(t1 + 1), F.col("value") / 2).otherwise(0.0)
     )
     return (
-        ranked.groupBy("event_type")
+        j.groupBy("event_type")
         .agg(
             F.max("n").cast("long").alias("n"),
-            F.round(F.sum(pick), 6).alias("median"),
+            F.round(F.sum(contrib), 6).alias("median"),
         )
         .orderBy("event_type")
     )

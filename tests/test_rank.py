@@ -181,3 +181,71 @@ def test_adversarial_shapes_match_window(spark, shape):
     assert sorted(map(tuple, got_nt.collect())) == sorted(
         map(tuple, want_nt.collect())
     )
+
+
+def test_grouped_running_totals_match_grouped_window(spark):
+    """The grouped prefix scan must equal Window.partitionBy(group)
+    .orderBy(...) exactly — including groups that straddle range
+    partition boundaries (few groups, many partitions guarantees
+    straddling)."""
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, ["a", "b", "c"][rng.randint(0, 2)], rng.randint(0, 30), rng.randint(1, 9))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "id BIGINT, g STRING, v BIGINT, w BIGINT"
+    ).repartition(16)
+
+    got = grouped_running_totals(
+        df,
+        ["g"],
+        [F.col("v").asc(), F.col("id").asc()],
+        {"run_w": F.col("w"), "run_n": F.lit(1)},
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("run_w", F.sum("w").over(w)).withColumn(
+        "run_n", F.sum(F.lit(1)).over(w)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_grouped_running_totals_single_group_and_empty(spark):
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+
+    one = spark.createDataFrame(
+        [(i, "only", i % 5, 1) for i in range(300)],
+        "id BIGINT, g STRING, v BIGINT, w BIGINT",
+    ).repartition(8)
+    got = grouped_running_totals(
+        one, ["g"], [F.col("v").asc(), F.col("id").asc()], {"r": F.col("w")}
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = one.withColumn("r", F.sum("w").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    empty = spark.createDataFrame([], "id BIGINT, g STRING, v BIGINT, w BIGINT")
+    assert (
+        grouped_running_totals(
+            empty, ["g"], [F.col("v").asc()], {"r": F.col("w")}
+        ).count()
+        == 0
+    )
