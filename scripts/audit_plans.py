@@ -84,6 +84,63 @@ GLOBAL_WINDOW_ALLOWED = {
 }
 
 
+# Dimension-like columns whose cardinality does NOT grow with data:
+# a Window partitioned ONLY by these sorts each group in one task
+# (the grouped twin of the global-window anti-pattern) unless the
+# plan prunes per-partition first via WindowGroupLimit. Use
+# operators/rank.py::grouped_running_totals instead.
+LOW_CARDINALITY_COLS = {"event_type", "source", "lang", "grp", "label"}
+
+
+def _few_group_window_count(plan: str) -> int:
+    """Count Window nodes whose ENTIRE partition spec is
+    low-cardinality dimension columns, in plans with no
+    WindowGroupLimit pruning."""
+    if "WindowGroupLimit" in plan:
+        return 0
+    lines = plan.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        if not re.fullmatch(r"\(\d+\) Window( \(\d+\))?", ln.strip()):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            arg = lines[j].strip()
+            if not arg.startswith("Arguments:"):
+                continue
+            depth, lists, buf = 0, [], []
+            for ch in arg:
+                if ch == "[":
+                    if depth == 0:
+                        buf = []
+                    depth += 1
+                    if depth == 1:
+                        continue
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        lists.append("".join(buf))
+                        continue
+                if depth >= 1:
+                    buf.append(ch)
+            part_spec = None
+            if len(lists) == 3:
+                part_spec = lists[1]
+            elif len(lists) == 2 and not (
+                " ASC NULLS" in lists[1] or " DESC NULLS" in lists[1]
+            ):
+                part_spec = lists[1]
+            if part_spec:
+                cols = {
+                    c.strip().split("#")[0]
+                    for c in part_spec.split(",")
+                    if c.strip()
+                }
+                if cols and cols <= LOW_CARDINALITY_COLS:
+                    n += 1
+            break
+    return n
+
+
 def _global_window_count(plan: str) -> int:
     """Count Window nodes whose formatted-explain Arguments carry two
     top-level lists ([exprs], [order]) instead of three ([exprs],
@@ -169,6 +226,13 @@ def main() -> int:
                 f"{name}: {gw} global window(s) (empty partition spec "
                 "over non-allowlisted input) — use operators/rank.py"
             )
+        fg = _few_group_window_count(plan)
+        if fg and name not in GLOBAL_WINDOW_ALLOWED:
+            findings.append(
+                f"{name}: {fg} few-group window(s) (partitioned only "
+                "by dimension columns, no WindowGroupLimit pruning) — "
+                "use grouped_running_totals or a literal rank bound"
+            )
         print(f"ok {name}")
     spark.stop()
     if findings:
@@ -178,7 +242,7 @@ def main() -> int:
         return 1
     print(f"\nAUDIT CLEAN: {len(entrymod.queries())} query plans, "
           "no cartesians, no row-wise Python, no unexpected nested "
-          "loops, no unexpected global windows")
+          "loops, no unexpected global or few-group windows")
     return 0
 
 
