@@ -322,3 +322,34 @@ def test_cumulative_uniques_no_expanding_rescan(spark, sf_dir):
     assert plan.count("Window") <= 2  # one logical window node
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-group top-k queries must keep the WindowGroupLimit
+    pushdown (per-input-partition pruning BEFORE the shuffle): a
+    dimension-partitioned window without it sorts each group in one
+    task. q_domain_mix regressed this once — its dynamic rn<=quota
+    filter defeats the inference without the literal bound."""
+    from babylon_data_loader_spark.queries.curation import (
+        q_stratified_sample,
+    )
+    from babylon_data_loader_spark.queries.curation2 import q_domain_mix
+    from babylon_data_loader_spark.queries.round4f import (
+        q_distinctive_terms,
+    )
+
+    for fn in (q_domain_mix, q_stratified_sample, q_distinctive_terms):
+        plan = plan_of(fn.__wrapped__(spark, sf_dir))
+        assert "WindowGroupLimit" in plan, fn.__name__
+
+
+def test_median_by_group_windows_are_pid_partitioned(spark, sf_dir):
+    """The per-group median must rank via the grouped distributed
+    prefix scan — every window node partitioned by the pinned range
+    partition id, never by the five-value event_type alone."""
+    from babylon_data_loader_spark.queries.round4f import q_median_by_group
+
+    plan = plan_of(q_median_by_group.__wrapped__(spark, sf_dir))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__rank_pid" in line
