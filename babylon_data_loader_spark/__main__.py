@@ -77,7 +77,7 @@ def _cmd_compact(args: argparse.Namespace) -> int:
     path = args.path or load_config().transactions_path
     spark = build_session(app_name="babylon-compact")
     try:
-        lake = TransactionalLake(path)
+        lake = TransactionalLake.open(path)
         before = lake.current_manifest()
         lake.compact(spark)
         after = lake.current_manifest()

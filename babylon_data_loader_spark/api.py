@@ -63,7 +63,8 @@ def add_transaction(
         spark.createDataFrame([tuple(row.values())], TRANSACTION_SCHEMA)
         .withColumn("transaction_id", F.lit(txn_id))
     )
-    TransactionalLake(lake_path).append(spark, df)
+    # open(): honor a migrated lake's recorded partition column
+    TransactionalLake.open(lake_path).append(spark, df)
     return txn_id
 
 

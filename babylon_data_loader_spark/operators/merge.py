@@ -72,4 +72,8 @@ def merge_upsert(
     """
     key = key or TRANSACTION_KEY
     batch = dedup_latest(batch, key)
-    TransactionalLake(lake_path, partition_col).merge(spark, batch, key)
+    # open() honors the partition column recorded in the manifest of a
+    # migrated lake; the caller's column applies to fresh lakes only.
+    TransactionalLake.open(
+        lake_path, partition_col=partition_col
+    ).merge(spark, batch, key)

@@ -29,7 +29,7 @@ def read_transactions(
         TransactionalLake,
     )
 
-    lake = TransactionalLake(lake_path)
+    lake = TransactionalLake.open(lake_path)
     df = (
         lake.read(spark)
         if lake.is_versioned()
