@@ -304,13 +304,20 @@ def grouped_running_totals(
     if not out:
         out = [(0, *[None] * len(group_cols), *[zeros[n] for n in sums])]
     off = F.broadcast(
-        part.sparkSession.createDataFrame(out, schema)
+        part.sparkSession.createDataFrame(out, schema).withColumnsRenamed(
+            {g: f"__grp_{g}" for g in group_cols}
+        )
     )
-    local = local.join(off, [PID, *group_cols])
+    # eqNullSafe on the group keys: a NULL group value is a real group
+    # (groupBy produced it) and a plain equality join would silently
+    # DROP its rows here.
+    cond = local[PID] == off[PID]
+    for g in group_cols:
+        cond = cond & local[g].eqNullSafe(off[f"__grp_{g}"])
+    local = local.join(off, cond).drop(off[PID])
     for name in sums:
         local = local.withColumn(
             name, F.col(name) + F.col(f"__off_{name}")
         ).drop(f"__off_{name}")
-    # the multi-key join moved the group columns to the front;
     # restore the caller's column order, sums appended
     return local.select(*df.columns, *sums)

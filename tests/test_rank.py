@@ -249,3 +249,29 @@ def test_grouped_running_totals_single_group_and_empty(spark):
         ).count()
         == 0
     )
+
+
+def test_grouped_running_totals_null_group(spark):
+    """A NULL group value is a real group — the offsets join must be
+    null-safe or its rows silently vanish."""
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+
+    rows = [(i, None if i % 3 == 0 else "g", i % 7, 1) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "id BIGINT, g STRING, v BIGINT, w BIGINT"
+    ).repartition(8)
+    got = grouped_running_totals(
+        df, ["g"], [F.col("v").asc(), F.col("id").asc()], {"r": F.col("w")}
+    )
+    assert got.count() == 120  # nothing dropped
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("r", F.sum("w").over(w))
+    assert sorted(
+        map(tuple, got.collect()), key=str
+    ) == sorted(map(tuple, want.collect()), key=str)
