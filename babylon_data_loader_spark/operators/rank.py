@@ -187,9 +187,12 @@ def value_ranks(
                    always integer — the cross-engine-exact carrier)
 
     Join back on ``cols`` to attach ranks to rows: the join shuffles
-    by value (distributed), never serializes onto one task. Aggregate
-    first, rank the distinct values — at 100 TB the distinct frame is
-    orders of magnitude smaller than the fact table."""
+    by value (distributed), never serializes onto one task. If a value
+    column can be NULL, join back with eqNullSafe — NULL is a ranked
+    value here (sorted first), but a plain equality join would drop
+    its rows. Aggregate first, rank the distinct values — at 100 TB
+    the distinct frame is orders of magnitude smaller than the fact
+    table."""
     vals = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
     order = [
         (F.col(c).desc() if descending else F.col(c).asc())
