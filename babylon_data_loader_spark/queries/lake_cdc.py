@@ -466,8 +466,7 @@ def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     direct = clean.groupBy(
         "event_type",
-        ((F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
-         * F.lit(86_400_000_000)).alias("day_us"),
+        _floor_bucket("ts_us", 86_400_000_000).alias("day_us"),
     ).agg(
         F.count(F.lit(1)).alias("n_d"),
         F.sum("v").alias("sum_d"),
