@@ -365,7 +365,9 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = event_ts_us(ev_raw)
     hourly = (
         ev_raw.filter(F.col("ts").isNotNull())
-        .select((us / F.lit(3_600_000_000)).cast("long").alias("h"))
+        .select(
+            F.floor(us / F.lit(3_600_000_000)).cast("long").alias("h")
+        )
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1718,13 +1720,13 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = event_ts_us(ev_raw)
     ev = ev_raw.filter(F.col("ts").isNotNull()).select(
         us.alias("us"),
-        (((us / F.lit(86_400_000_000)).cast("long") + 3) % 7 + 1).alias(
+        ((F.floor(us / F.lit(86_400_000_000)) + 3) % 7 + 1).alias(
             "dow"
         ),
-        (
+        F.floor(
             (us % F.lit(86_400_000_000)) / F.lit(3_600_000_000)
         ).cast("long").alias("hour"),
-        (us / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.floor(us / F.lit(86_400_000_000)).cast("long").alias("day"),
     )
     from babylon_data_loader_spark.functions.cache import persist_tracked
 
@@ -1884,11 +1886,13 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         toks.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("nt"))
-        .groupBy((F.col("doc_id") / 100).cast("long").alias("bucket"))
+        .groupBy(
+            F.floor(F.col("doc_id") / 100).cast("long").alias("bucket")
+        )
         .agg(F.sum("nt").alias("tokens_in_bucket"))
     )
     new_types = firsts.groupBy(
-        (F.col("first_doc") / 100).cast("long").alias("bucket")
+        F.floor(F.col("first_doc") / 100).cast("long").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("new_types"))
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
