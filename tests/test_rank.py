@@ -275,3 +275,64 @@ def test_grouped_running_totals_null_group(spark):
     assert sorted(
         map(tuple, got.collect()), key=str
     ) == sorted(map(tuple, want.collect()), key=str)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_randomized_with_nulls_and_decimals_match_window(spark, seed):
+    """Seeded-random fuzz: NULLs in the SORT column (ranked values —
+    sorted first under asc, like the window form), negative values,
+    heavy duplication, and a DECIMAL sum column. The two-pass scan
+    must agree with the single-partition window on every row."""
+    from decimal import Decimal
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(rng.randint(300, 900)):
+        v = rng.choice([None, *range(-5, 6)])
+        amt = Decimal(rng.randint(-10_000, 10_000)) / 100
+        rows.append((i, v, amt))
+    df = spark.createDataFrame(
+        rows, "id BIGINT, v BIGINT, amt DECIMAL(12,2)"
+    ).repartition(16)
+    order = [F.col("v").asc(), F.col("id").asc()]
+
+    got = running_totals(df, order, {"cum_amt": F.col("amt")})
+    want = df.withColumn(
+        "cum_amt",
+        F.sum("amt").over(
+            Window.orderBy("v", "id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    got_rn = with_global_row_number(df, order, "rn")
+    want_rn = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id"))
+    )
+    assert sorted(map(tuple, got_rn.collect())) == sorted(
+        map(tuple, want_rn.collect())
+    )
+
+    # value_ranks treats NULL as a ranked value (sorted first);
+    # rnk/cnt must match the window's RANK + per-value COUNT
+    got_vr = {
+        (r["v"], r["rnk"], r["cnt"], r["rnk2_avg"])
+        for r in value_ranks(df, ["v"]).collect()
+    }
+    want_vr = {
+        (r["v"], r["rnk"], r["cnt"], 2 * r["rnk"] + r["cnt"] - 1)
+        for r in df.select(
+            "v",
+            F.rank().over(Window.orderBy("v")).alias("rnk"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("v"))
+            .alias("cnt"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got_vr == want_vr
