@@ -165,3 +165,44 @@ def test_global_rank_at_millions_no_single_task_sort(spark):
         (F.max("rn") - F.min("rn") + 1).alias("span"),
     )
     assert per_v.filter(F.col("c") != F.col("span")).count() == 0
+
+
+def test_grouped_scan_at_millions_few_groups_no_single_task(spark):
+    """grouped_running_totals exists for the FEW-group case (5 event
+    types over a fact table) where Window.partitionBy(group) would
+    sort each group in one task. At 2M rows / 5 groups: every window
+    in the plan is partitioned by the pinned partition id, and the
+    per-group running count is an exact 1..N_g permutation."""
+    from pyspark.sql import functions as F
+
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.hash("id") % 5).alias("g"),  # 5 groups, fact-table shape
+    )
+    out = grouped_running_totals(
+        df, ["g"], [F.col("id").asc()], {"rn": F.lit(1)}
+    )
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__rank_pid" in line
+
+    per_g = out.groupBy("g").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("rn").alias("d"),
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+        F.sum(F.col("rn").cast("decimal(28,0)")).alias("s"),
+    )
+    for r in per_g.collect():
+        assert r["c"] == r["d"] == r["hi"]
+        assert r["lo"] == 1
+        assert int(r["s"]) == r["c"] * (r["c"] + 1) // 2
