@@ -107,6 +107,9 @@ def append_to_lake(
         TransactionalLake,
     )
 
-    TransactionalLake(lake_path).append(
+    # open(): honor a migrated lake's recorded partition column (a
+    # default-constructed handle would fail fast rather than corrupt,
+    # but appending synthetic rows to a migrated lake should just work)
+    TransactionalLake.open(lake_path).append(
         spark, df.withColumn("data_source", F.lit("synthetic"))
     )
