@@ -39,7 +39,9 @@ def drop_oversized_buckets(
     members. `cap=None` disables the guard."""
     if cap is None:
         return df
-    keys = list(keys)
+    # a bare string is a Sequence[str]: list('key') would split it
+    # into single-character column names
+    keys = [keys] if isinstance(keys, str) else list(keys)
     if strategy == "window":
         return (
             df.withColumn(

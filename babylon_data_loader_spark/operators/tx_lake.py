@@ -99,10 +99,19 @@ class TransactionalLake:
         # bloom_cols (operators/lake_bloom.py) additionally get
         # per-file Bloom bitsets so POINT lookups on unclustered keys
         # skip files too (read_lookup).
-        self.stats_cols = list(stats_cols) if stats_cols else []
-        self.cluster_by = list(cluster_by) if cluster_by else []
+        # Accept a bare column name anywhere a column list is taken:
+        # list('value') would silently split into single-character
+        # "columns" and surface later as a confusing unresolved-column
+        # error (the pipeline_spec 'key' hazard).
+        def _cols(v) -> list[str]:
+            if isinstance(v, str):
+                return [v]
+            return list(v) if v else []
+
+        self.stats_cols = _cols(stats_cols)
+        self.cluster_by = _cols(cluster_by)
         self.cluster_files = cluster_files
-        self.bloom_cols = list(bloom_cols) if bloom_cols else []
+        self.bloom_cols = _cols(bloom_cols)
         self._versions_dir = os.path.join(lake_path, "_versions")
         self._manifest_dir = os.path.join(lake_path, "_manifest")
         self._current_path = os.path.join(lake_path, "_CURRENT")
