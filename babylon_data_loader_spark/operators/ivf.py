@@ -126,10 +126,13 @@ def write_ivf_index(
     import os
 
     indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-    with open(
-        os.path.join(path, "_centroids.json"), "w", encoding="utf-8"
-    ) as fh:
+    # commit marker: presence implies a complete index, so the write
+    # must be atomic (crash mid-write would poison the store)
+    meta_path = os.path.join(path, "_centroids.json")
+    tmp = f"{meta_path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(centroids, fh)
+    os.replace(tmp, meta_path)  # atomic on POSIX
 
 
 def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:

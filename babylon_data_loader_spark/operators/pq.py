@@ -148,10 +148,13 @@ def write_pq_index(
     import os
 
     codes.write.mode("overwrite").parquet(path)
-    with open(
-        os.path.join(path, "_codebooks.json"), "w", encoding="utf-8"
-    ) as fh:
+    # commit marker: presence implies a complete index, so the write
+    # must be atomic (crash mid-write would poison the store)
+    meta_path = os.path.join(path, "_codebooks.json")
+    tmp = f"{meta_path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(codebooks, fh)
+    os.replace(tmp, meta_path)  # atomic on POSIX
 
 
 def read_pq_index(spark, path: str):

@@ -276,13 +276,18 @@ def write_lsh_index(
         .partitionBy("bucket")
         .parquet(path)
     )
-    with open(
-        os.path.join(path, "_lsh_meta.json"), "w", encoding="utf-8"
-    ) as fh:
+    # The meta file is the index's COMMIT MARKER (written after the
+    # parquet, checked for existence before reuse), so its write must
+    # be atomic: a crash mid-write would otherwise leave truncated
+    # JSON that blocks every future rebuild.
+    meta_path = os.path.join(path, "_lsh_meta.json")
+    tmp = f"{meta_path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(
             {"n_planes": n_planes, "dim": dim, "fingerprint": fingerprint},
             fh,
         )
+    os.replace(tmp, meta_path)  # atomic on POSIX
 
 
 def read_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
