@@ -802,8 +802,10 @@ class TransactionalLake:
     def fsck(self) -> dict:
         """Integrity report: every dir the current manifest references
         must exist; dirs and claims nothing references are listed for
-        vacuum. Returns {ok, missing_dirs, orphan_dirs,
-        dangling_claims}."""
+        vacuum; tags must pin manifests that still exist (tag()
+        validates at creation, but external damage or hand-edited tag
+        files can break the invariant). Returns {ok, missing_dirs,
+        orphan_dirs, dangling_claims, broken_tags}."""
         current = self.current_manifest()
         referenced: set[str] = set()
         for v in range(1, current["version"] + 1):
@@ -837,12 +839,19 @@ class TransactionalLake:
                 m = re.fullmatch(r"v(\d+)\.json", entry)
                 if m and int(m.group(1)) > current["version"]:
                     dangling.append(entry)
+        broken_tags = []
+        for name, v in sorted(self.tags().items()):
+            try:
+                self.manifest_at(v)
+            except FileNotFoundError:
+                broken_tags.append(f"{name}=v{v}")
         return {
-            "ok": not missing,
+            "ok": not missing and not broken_tags,
             "version": current["version"],
             "missing_dirs": missing,
             "orphan_dirs": orphans,
             "dangling_claims": dangling,
+            "broken_tags": broken_tags,
         }
 
     def vacuum(self, keep_versions: int = 3) -> dict:

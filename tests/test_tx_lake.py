@@ -258,6 +258,19 @@ def test_fsck_reports_integrity(spark, tmp_path):
     assert lake.fsck()["dangling_claims"] == ["v3.json"]
     _os.remove(_os.path.join(str(tmp_path / "lake"), "_manifest", "v3.json"))
 
+    # a tag pinned to a vacuumed/missing manifest breaks integrity
+    # (tag() validates at creation; simulate external damage by
+    # deleting the pinned manifest out from under an existing tag)
+    lake.tag("audit", 1)
+    assert lake.fsck()["broken_tags"] == []
+    _os.remove(
+        _os.path.join(str(tmp_path / "lake"), "_manifest", "v1.json")
+    )
+    report = lake.fsck()
+    assert not report["ok"] and report["broken_tags"] == ["audit=v1"]
+    lake.delete_tag("audit")
+    assert lake.fsck()["ok"]
+
     # deleting a live dir breaks integrity
     live = lake.current_manifest()["partitions"]["data_source=chase"][0]
     _shutil.rmtree(_os.path.join(str(tmp_path / "lake"), live))
