@@ -887,7 +887,16 @@ class TransactionalLake:
         for v in sorted(
             set(range(keep_from, current["version"] + 1)) | tagged
         ):
-            for dirs in self.manifest_at(v)["partitions"].values():
+            try:
+                m = self.manifest_at(v)
+            except FileNotFoundError:
+                if v >= keep_from:
+                    raise  # retention-window manifest gone: corruption
+                # a tag pinned to an externally-deleted manifest must
+                # not wedge every future vacuum; fsck reports it as
+                # broken_tags and the operator deletes the tag
+                continue
+            for dirs in m["partitions"].values():
                 live.update(dirs)
         removed = []
         now = _time.time()
