@@ -125,7 +125,15 @@ def write_ivf_index(
     import json
     import os
 
-    indexed.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    # one build-time shuffle on cluster_id so each list is ONE file,
+    # not one file per upstream task (see write_lsh_index — same
+    # small-files hazard; probes open one file per probed list)
+    (
+        indexed.repartition(F.col("cluster_id"))
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
     # commit marker: presence implies a complete index, so the write
     # must be atomic (crash mid-write would poison the store)
     meta_path = os.path.join(path, "_centroids.json")

@@ -272,6 +272,15 @@ def write_lsh_index(
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     (
         emb.withColumn("bucket", sign_bucket(F.col(vec_col), planes))
+        # ONE build-time hash shuffle on bucket: without it,
+        # partitionBy splits EVERY upstream task's output by bucket —
+        # #tasks × #buckets tiny files (a probe then opens up to
+        # #tasks files per bucket; on a 1000-executor build, 1000).
+        # After the shuffle each bucket lives in exactly one task, so
+        # a probe reads one file per bucket. If single buckets outgrow
+        # a task at extreme scale, repartition on (bucket, salt)
+        # instead — probes still prune on the bucket directory.
+        .repartition(F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)
