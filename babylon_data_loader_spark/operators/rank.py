@@ -39,6 +39,18 @@ from babylon_data_loader_spark.functions.cache import persist_tracked
 PID = "__rank_pid"
 
 
+def _check_collisions(df: DataFrame, names: list[str]) -> None:
+    """Internal/output columns silently REPLACE same-named caller
+    columns under withColumn — corrupted data with no error — so any
+    collision with the input frame is a hard ValueError instead."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"rank helper output/internal column(s) {clash} already "
+            "exist on the input frame; rename them before calling"
+        )
+
+
 def _num_range_partitions(df: DataFrame) -> int:
     """Range-partition count: the session shuffle parallelism. The
     scan is O(rows/partition) per task either way; matching the
@@ -81,35 +93,61 @@ def _offsets_frame(
     O(#partitions) collect instead of a second job. The offset columns
     keep the EXACT sum types (long stays long, DECIMAL stays DECIMAL
     at Spark's sum-widened precision) so decimal prefix sums lose
-    nothing crossing the driver."""
+    nothing crossing the driver.
+
+    Each sum also carries ``__offcnt_{name}``: the EXCLUSIVE prefix
+    count of NON-NULL summed values. SQL's running SUM is NULL only
+    while the whole global prefix is NULL; a partition whose local
+    prefix is all-NULL must still inherit earlier partitions' sum, and
+    the count (not the offset value, which is 0 in both cases)
+    distinguishes "nothing non-null yet" from "non-null values summing
+    to zero"."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     totals = part.groupBy(PID).agg(
-        *[F.sum(c).alias(n) for n, c in sums.items()]
+        *[
+            c
+            for n, col in sums.items()
+            for c in (
+                F.sum(col).alias(n),
+                F.count(col).alias(f"__cnt_{n}"),
+            )
+        ]
     )
+    sum_types = {
+        f.name: f.dataType
+        for f in totals.schema
+        if f.name != PID and not f.name.startswith("__cnt_")
+    }
     schema = StructType(
         [StructField(PID, LongType(), False)]
         + [
-            StructField(f"__off_{f.name}", f.dataType, True)
-            for f in totals.schema
-            if f.name != PID
+            field
+            for n in sums
+            for field in (
+                StructField(f"__off_{n}", sum_types[n], True),
+                StructField(f"__offcnt_{n}", LongType(), False),
+            )
         ]
     )
-    zeros = {
-        f.name: _zero_for(f.dataType)
-        for f in totals.schema
-        if f.name != PID
-    }
+    zeros = {n: _zero_for(t) for n, t in sum_types.items()}
     rows = sorted(totals.collect(), key=lambda r: r[PID])
     out, running = [], dict(zeros)
+    counts = {n: 0 for n in sums}
     for r in rows:
-        out.append((r[PID], *[running[n] for n in sums]))
+        out.append(
+            (
+                r[PID],
+                *[v for n in sums for v in (running[n], counts[n])],
+            )
+        )
         for n in sums:
             if r[n] is not None:
                 running[n] += r[n]
+            counts[n] += r[f"__cnt_{n}"]
     if not out:
         # empty input: a one-row zero frame keeps the join resolvable
-        out = [(0, *[zeros[n] for n in sums])]
+        out = [(0, *[v for n in sums for v in (zeros[n], 0)])]
     spark = part.sparkSession
     return F.broadcast(spark.createDataFrame(out, schema)), dict(running)
 
@@ -120,6 +158,7 @@ def _scan(
     sums: dict[str, Column],
 ) -> tuple[DataFrame, dict]:
     """The distributed prefix scan plus the grand totals per sum."""
+    _check_collisions(df, [PID, *sums])
     part = _ranged(df, order)
     w = (
         Window.partitionBy(PID)
@@ -132,9 +171,21 @@ def _scan(
     off, totals = _offsets_frame(part, sums)
     local = local.join(off, PID)
     for name in sums:
+        # SQL running-SUM NULL semantics: NULL only before the FIRST
+        # non-null value globally. A locally-all-NULL prefix with
+        # earlier non-null partitions (__offcnt > 0) yields the
+        # inherited offset, not NULL.
         local = local.withColumn(
-            name, F.col(name) + F.col(f"__off_{name}")
-        ).drop(f"__off_{name}")
+            name,
+            F.when(
+                F.col(name).isNull()
+                & (F.col(f"__offcnt_{name}") == 0),
+                F.lit(None),
+            ).otherwise(
+                F.coalesce(F.col(name), F.lit(0))
+                + F.col(f"__off_{name}")
+            ),
+        ).drop(f"__off_{name}", f"__offcnt_{name}")
     return local.drop(PID), totals
 
 
@@ -147,7 +198,10 @@ def running_totals(
     each ``sums`` column under the total ``order`` — the distributed
     prefix scan. Adds one output column per ``sums`` key; drops
     nothing else. Numeric exactness is the caller's contract: pass
-    integer/DECIMAL columns for cross-engine-exact totals."""
+    integer/DECIMAL columns for cross-engine-exact totals. NULL summed
+    values follow SQL window-SUM semantics exactly (NULL only before
+    the first non-null value in the global prefix); a ``sums`` key or
+    internal column colliding with an input column raises."""
     return _scan(df, order, sums)[0]
 
 
@@ -193,6 +247,16 @@ def value_ranks(
     its rows. Aggregate first, rank the distinct values — at 100 TB
     the distinct frame is orders of magnitude smaller than the fact
     table."""
+    clash = [
+        c
+        for c in ("cnt", "cum_cnt", "rnk", "rnk2_avg")
+        if c in cols
+    ]
+    if clash:
+        raise ValueError(
+            f"value_ranks output column(s) {clash} collide with the "
+            "ranked value columns; rename them before calling"
+        )
     vals = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
     order = [
         (F.col(c).desc() if descending else F.col(c).asc())
@@ -222,6 +286,7 @@ def with_global_ntile(
     SQL NTILE semantics exactly: with N rows, the first N % n tiles
     get ceil(N/n) rows, the rest floor(N/n). The total N rides along
     with the offsets collect — no extra job."""
+    _check_collisions(df, [name])
     rn, total = global_row_number_with_total(df, order, "__rank_rn")
     q, r = divmod(total, n)
     big = q + 1
@@ -259,6 +324,7 @@ def grouped_running_totals(
     collect grows with #groups)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    _check_collisions(df, [PID, *sums])
     g_order = [F.col(g).asc() for g in group_cols]
     part = df.repartitionByRange(
         _num_range_partitions(df), *g_order, *order
@@ -274,38 +340,61 @@ def grouped_running_totals(
         local = local.withColumn(name, F.sum(col).over(w))
 
     totals = part.groupBy(PID, *group_cols).agg(
-        *[F.sum(c).alias(n) for n, c in sums.items()]
+        *[
+            c
+            for n, col in sums.items()
+            for c in (
+                F.sum(col).alias(n),
+                F.count(col).alias(f"__cnt_{n}"),
+            )
+        ]
     )
-    sum_fields = [
-        f for f in totals.schema if f.name not in (PID, *group_cols)
-    ]
+    sum_types = {
+        f.name: f.dataType
+        for f in totals.schema
+        if f.name not in (PID, *group_cols)
+        and not f.name.startswith("__cnt_")
+    }
     group_fields = [f for f in totals.schema if f.name in group_cols]
     schema = StructType(
         [StructField(PID, LongType(), False)]
         + [StructField(f.name, f.dataType, True) for f in group_fields]
         + [
-            StructField(f"__off_{f.name}", f.dataType, True)
-            for f in sum_fields
+            field
+            for n in sums
+            for field in (
+                StructField(f"__off_{n}", sum_types[n], True),
+                StructField(f"__offcnt_{n}", LongType(), False),
+            )
         ]
     )
-    zeros = {f.name: _zero_for(f.dataType) for f in sum_fields}
+    zeros = {n: _zero_for(t) for n, t in sum_types.items()}
     rows = sorted(
         totals.collect(),
         key=lambda r: (r[PID], tuple(str(r[g]) for g in group_cols)),
     )
     running: dict[tuple, dict] = {}
+    group_counts: dict[tuple, dict] = {}
     out = []
     for r in rows:
         key = tuple(r[g] for g in group_cols)
         acc = running.setdefault(key, dict(zeros))
+        cnt = group_counts.setdefault(key, {n: 0 for n in sums})
         out.append(
-            (r[PID], *key, *[acc[n] for n in sums])
+            (r[PID], *key, *[v for n in sums for v in (acc[n], cnt[n])])
         )
         for n in sums:
             if r[n] is not None:
                 acc[n] += r[n]
+            cnt[n] += r[f"__cnt_{n}"]
     if not out:
-        out = [(0, *[None] * len(group_cols), *[zeros[n] for n in sums])]
+        out = [
+            (
+                0,
+                *[None] * len(group_cols),
+                *[v for n in sums for v in (zeros[n], 0)],
+            )
+        ]
     off = F.broadcast(
         part.sparkSession.createDataFrame(out, schema).withColumnsRenamed(
             {g: f"__grp_{g}" for g in group_cols}
@@ -319,8 +408,18 @@ def grouped_running_totals(
         cond = cond & local[g].eqNullSafe(off[f"__grp_{g}"])
     local = local.join(off, cond).drop(off[PID])
     for name in sums:
+        # same NULL-prefix semantics as _scan: NULL only before the
+        # group's first non-null summed value.
         local = local.withColumn(
-            name, F.col(name) + F.col(f"__off_{name}")
-        ).drop(f"__off_{name}")
+            name,
+            F.when(
+                F.col(name).isNull()
+                & (F.col(f"__offcnt_{name}") == 0),
+                F.lit(None),
+            ).otherwise(
+                F.coalesce(F.col(name), F.lit(0))
+                + F.col(f"__off_{name}")
+            ),
+        ).drop(f"__off_{name}", f"__offcnt_{name}")
     # restore the caller's column order, sums appended
     return local.select(*df.columns, *sums)

@@ -229,8 +229,13 @@ class TransactionalLake:
         # A version inside [1, current] may still have been vacuumed
         # away; tagging it would make read(tag=) and every later
         # vacuum raise FileNotFoundError. Verify the manifest exists
-        # NOW, while it cannot disappear (vacuum keeps the current
-        # window and everything already tagged).
+        # NOW. This check-then-write is only airtight under the
+        # single-writer assumption documented above (tag/delete_tag/
+        # vacuum serialized externally): a CONCURRENT vacuum could
+        # still delete an old, not-yet-tagged manifest between this
+        # check and _write_tags. Within the retention window, or for
+        # versions already tagged, the manifest genuinely cannot
+        # disappear regardless.
         try:
             self.manifest_at(v)
         except FileNotFoundError:

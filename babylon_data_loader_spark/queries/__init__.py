@@ -63,66 +63,11 @@ def query(name: str, oracle: str | None = None):
 # until every query has a driver row. Already-verified strong queries
 # fill the tail so re-runs on fresh testdata still re-check signal.
 PRIORITY: list[str] = [
-    # ROUND-5 WINDOW (the driver verifies exactly the first 50):
-    # slot 1 is q_sketch_quantiles — its r4 driver row was a harness
-    # crash (array column, unhashable in pandas canonicalization);
-    # the fix must be driver-witnessed this round. Slots 2-50 are
-    # the 49 OLDEST queries with no driver CORRECTNESS row in any
-    # of r1-r4 (union of CORRECTNESS_r0*.json keys vs the
-    # registry), in registration order. Registry growth is FROZEN
-    # this round so the remaining 8 drain in r6.
-    "q_sketch_quantiles",
-    "q_tpch_q20",
-    "q_fuzzy_join",
-    "q_scd2_dimension",
-    "q_triangle_count",
-    "q_data_quality",
-    "q_oov_rate",
-    "q_equal_freq_binning",
-    "q_write_expectations",
-    "q_stream_left_join",
-    "q_spearman_corr",
-    "q_weighted_sample",
-    "q_boolean_search",
-    "q_bfs_hops",
-    "q_twap",
-    "q_media_resample",
-    "q_key_skew",
-    "q_mv_rewrite",
-    "q_unicode_normalize",
-    "q_ewma",
-    "q_linreg_by_group",
-    "q_rank_sum_test",
-    "q_ks_statistic",
-    "q_welch_ttest",
-    "q_acf",
-    "q_feature_mi",
-    "q_gini",
-    "q_sequence_pattern",
-    "q_markov_transitions",
-    "q_rfm_segments",
-    "q_association_rules",
-    "q_bm25_topk",
-    "q_phrase_search",
-    "q_cumulative_uniques",
-    "q_js_divergence",
-    "q_fuzzy_clusters",
-    "q_qq_points",
-    "q_median_by_group",
-    "q_covariance_matrix",
-    "q_corpus_report",
-    "q_stream_complete",
-    "q_minhash_calibration",
-    "q_rolling_median",
-    "q_seasonality_profile",
-    "q_zipf_slope",
-    "q_vocab_growth",
-    "q_degree_distribution",
-    "q_readability",
-    "q_distinctive_terms",
-    "q_abc_classification",
-    # The remaining 8 never-driver-checked queries — next in line
-    # for the r6 window.
+    # ROUND-6 WINDOW (the driver verifies exactly the first 50):
+    # slots 1-8 are the LAST 8 queries with no driver CORRECTNESS
+    # row in any of r1-r5 — after this round every oracle-backed
+    # query in the registry has a driver-proven row at least once
+    # (r5 VERDICT ask #1).
     "q_interarrival_dist",
     "q_changepoint",
     "q_entropy_rate",
@@ -131,8 +76,19 @@ PRIORITY: list[str] = [
     "q_kaplan_meier",
     "q_forecast_eval",
     "q_lorenz_points",
-    # Strongest already-verified queries fill the rest so a driver
-    # re-run on fresh testdata still re-checks real signal.
+    # Slots 9-10: the two formerly-uninterpretable rows-only queries,
+    # now SELF-CERTIFYING (exact twin / roundtrip + bound columns,
+    # in-query raise on violation — r5 VERDICT ask #2); rotated in so
+    # the driver witnesses the new acceptance columns.
+    "q_sketch_quantiles",
+    "q_compression_ratio",
+    # Slots 11+: queries ADDED THIS ROUND (full DuckDB oracles) —
+    # new queries go at the window head so no new debt accrues.
+    # (inserted here as they land)
+    # Remaining slots: strongest already-verified queries so a driver
+    # re-run on fresh testdata still re-checks real signal — ordered
+    # to cover every operator family (dedup, ANN, lake, streaming,
+    # stats, text, media, TPC-H).
     "q_semantic_dedup",
     "q_near_dup_pairs",
     "q_corpus_curation",
@@ -153,6 +109,26 @@ PRIORITY: list[str] = [
     "q_incremental_dedup",
     "q_event_funnel",
     "q_retention_cohorts",
+    "q_rfm_segments",
+    "q_gini",
+    "q_sketch_distinct",
+    "q_mv_rewrite",
+    "q_scd2_dimension",
+    "q_stream_left_join",
+    "q_write_expectations",
+    "q_unicode_normalize",
+    "q_media_resample",
+    "q_readability",
+    "q_bm25_topk",
+    "q_distinctive_terms",
+    "q_js_divergence",
+    "q_fuzzy_clusters",
+    "q_spearman_corr",
+    "q_median_by_group",
+    "q_dedup_exact_text",
+    "q_simhash",
+    "q_dedup_key",
+    "q_tpch_q20",
 ]
 
 

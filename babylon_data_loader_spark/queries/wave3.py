@@ -323,35 +323,153 @@ def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("q_sketch_quantiles")  # rows-only: quantile sketch is
-# approximate and engine-specific; error bounded in tests
+@query("q_sketch_quantiles")  # rows-only: quantile sketch register
+# layout is engine-specific; the exact order-statistic twin + rank
+# error ride along so the driver's record witnesses the bound
+# in-query (the q_sketch_distinct pattern, r5 VERDICT ask #2)
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of event value per type
     (percentile_approx, accuracy 10k). Mergeable sketch: map-side
     partials, O(accuracy) state per group — the scale path where exact
-    percentiles would sort every group. Output is EXPLODED to one
-    scalar row per (event_type, p) — array columns are unhashable in
-    the harness's pandas canonicalization, and scalar rows keep the
-    result representable for any future oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    ps = [0.5, 0.95, 0.99]
-    agg = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", ps, 10000).alias("quantiles")
+    percentiles would sort every group.
+
+    Self-certifying: each row carries the EXACT per-type order
+    statistic at rank ceil(p*n) (selection, no arithmetic — computed
+    with the distributed grouped prefix scan, never a per-type
+    single-task window), the sketch value's true rank interval
+    [rank_lo, rank_hi], the value-space rel_err, and within_bound =
+    "the returned value's rank interval intersects target ± n/accuracy
+    (+1 slack)" — the Greenwald–Khanna guarantee percentile_approx
+    documents. The query RAISES if any row violates the bound. The
+    exact side is the verification harness the sketch replaces at
+    scale, not part of the scale path."""
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
     )
-    return (
-        agg.select(
-            "event_type",
-            F.posexplode("quantiles").alias("pos", "quantile"),
+
+    ACCURACY = 10000
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    # p as exact rationals so target = ceil(p*n) is pure integer math
+    ps = [(1, 2), (19, 20), (99, 100)]
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", [num / den for num, den in ps], ACCURACY
+        ).alias("quantiles")
+    )
+    sk = agg.select(
+        "event_type",
+        F.posexplode("quantiles").alias("pos", "quantile"),
+    ).select(
+        "event_type",
+        F.element_at(
+            F.array(*[F.lit(num / den) for num, den in ps]),
+            F.col("pos") + 1,
+        ).alias("p"),
+        F.element_at(
+            F.array(*[F.lit(num) for num, _ in ps]), F.col("pos") + 1
+        ).alias("__p_num"),
+        F.element_at(
+            F.array(*[F.lit(den) for _, den in ps]), F.col("pos") + 1
+        ).alias("__p_den"),
+        F.col("quantile"),
+    )
+    # per-type cumulative counts over DISTINCT values: the compact
+    # rank carrier (|distinct| << |rows| at scale), cumulated with the
+    # distributed grouped scan — event_type is low-cardinality, so a
+    # plain partitionBy window would sort each type in one task.
+    vals = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = grouped_running_totals(
+        vals,
+        ["event_type"],
+        [F.col("value").asc()],
+        {"cum_cnt": F.col("cnt")},
+    ).withColumn("cum_cnt", F.col("cum_cnt").cast("long"))
+    tot = cum.groupBy("event_type").agg(
+        F.sum("cnt").alias("__n")
+    )
+    sk = sk.join(F.broadcast(tot), "event_type").withColumn(
+        "__target",
+        F.floor(
+            (F.col("__p_num") * F.col("__n") + F.col("__p_den") - 1)
+            / F.col("__p_den")
+        ).cast("long"),
+    )
+    # one distributed pass: replicate each distinct-value row across
+    # the (3 per type) broadcast sketch rows, then aggregate the rank
+    # interval of the sketch value and the exact order statistic
+    joined = cum.join(F.broadcast(sk), "event_type")
+    out = (
+        joined.groupBy(
+            "event_type", "p", "quantile", "__n", "__target"
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_cnt") >= F.col("__target"),
+                    F.col("value"),
+                )
+            ).alias("exact"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("value") < F.col("quantile"),
+                        F.col("cum_cnt"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("__cnt_lt"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("value") <= F.col("quantile"),
+                        F.col("cum_cnt"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("__cnt_le"),
+        )
+        .withColumn(
+            "__bound",
+            F.floor(F.col("__n") / F.lit(ACCURACY)).cast("long")
+            + F.lit(1),
         )
         .select(
             "event_type",
-            F.element_at(
-                F.array(*[F.lit(p) for p in ps]), F.col("pos") + 1
-            ).alias("p"),
+            "p",
             F.round(F.col("quantile"), 9).alias("quantile"),
+            F.round(F.col("exact"), 9).alias("exact"),
+            F.round(
+                F.abs(F.col("quantile") - F.col("exact"))
+                / F.greatest(F.abs(F.col("exact")), F.lit(1e-12)),
+                9,
+            ).alias("rel_err"),
+            (F.col("__cnt_lt") + 1).alias("rank_lo"),
+            F.col("__cnt_le").alias("rank_hi"),
+            F.col("__target").alias("target_rank"),
+            (
+                (
+                    F.col("__cnt_le")
+                    >= F.col("__target") - F.col("__bound")
+                )
+                & (
+                    F.col("__cnt_lt") + 1
+                    <= F.col("__target") + F.col("__bound")
+                )
+            ).alias("within_bound"),
         )
         .orderBy("event_type", "p")
     )
+    bad = out.where(~F.col("within_bound")).count()
+    if bad:
+        raise AssertionError(
+            f"percentile_approx rank error exceeds the n/{ACCURACY} "
+            f"GK bound on {bad} (event_type, p) row(s)"
+        )
+    return out
 
 
 @query(

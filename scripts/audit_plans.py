@@ -92,52 +92,80 @@ GLOBAL_WINDOW_ALLOWED = {
 LOW_CARDINALITY_COLS = {"event_type", "source", "lang", "grp", "label"}
 
 
+def _arg_lists(arg: str) -> list[str]:
+    """Top-level [...]-bracketed lists from a formatted-explain
+    Arguments line."""
+    depth, lists, buf = 0, [], []
+    for ch in arg:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                lists.append("".join(buf))
+                continue
+        if depth >= 1:
+            buf.append(ch)
+    return lists
+
+
+def _node_arg_lists(lines: list[str], i: int) -> list[str]:
+    """Arguments lists for the plan node headed at line ``i``."""
+    for j in range(i + 1, min(i + 6, len(lines))):
+        arg = lines[j].strip()
+        if arg.startswith("Arguments:"):
+            return _arg_lists(arg)
+    return []
+
+
+def _spec_cols(spec: str) -> frozenset[str]:
+    return frozenset(
+        c.strip().split("#")[0] for c in spec.split(",") if c.strip()
+    )
+
+
 def _few_group_window_count(plan: str) -> int:
     """Count Window nodes whose ENTIRE partition spec is
-    low-cardinality dimension columns, in plans with no
-    WindowGroupLimit pruning."""
-    if "WindowGroupLimit" in plan:
-        return 0
+    low-cardinality dimension columns and that are NOT pruned by a
+    WindowGroupLimit over the SAME partition spec. Matching per spec
+    (not a whole-plan substring check) so one pruned top-k window
+    cannot mask a different unpruned few-group window in the same
+    plan (r5 ADVICE)."""
     lines = plan.splitlines()
+    # partition specs that ARE rank-limit pruned: WindowGroupLimit
+    # prints [partition], [order], fn, k, mode
+    pruned: set[frozenset[str]] = set()
+    for i, ln in enumerate(lines):
+        if re.fullmatch(
+            r"\(\d+\) WindowGroupLimit( \(\d+\))?", ln.strip()
+        ):
+            lists = _node_arg_lists(lines, i)
+            if len(lists) >= 2:
+                pruned.add(_spec_cols(lists[0]))
     n = 0
     for i, ln in enumerate(lines):
         if not re.fullmatch(r"\(\d+\) Window( \(\d+\))?", ln.strip()):
             continue
-        for j in range(i + 1, min(i + 6, len(lines))):
-            arg = lines[j].strip()
-            if not arg.startswith("Arguments:"):
-                continue
-            depth, lists, buf = 0, [], []
-            for ch in arg:
-                if ch == "[":
-                    if depth == 0:
-                        buf = []
-                    depth += 1
-                    if depth == 1:
-                        continue
-                elif ch == "]":
-                    depth -= 1
-                    if depth == 0:
-                        lists.append("".join(buf))
-                        continue
-                if depth >= 1:
-                    buf.append(ch)
-            part_spec = None
-            if len(lists) == 3:
-                part_spec = lists[1]
-            elif len(lists) == 2 and not (
-                " ASC NULLS" in lists[1] or " DESC NULLS" in lists[1]
+        lists = _node_arg_lists(lines, i)
+        part_spec = None
+        if len(lists) == 3:
+            part_spec = lists[1]
+        elif len(lists) == 2 and not (
+            " ASC NULLS" in lists[1] or " DESC NULLS" in lists[1]
+        ):
+            part_spec = lists[1]
+        if part_spec:
+            cols = _spec_cols(part_spec)
+            if (
+                cols
+                and cols <= LOW_CARDINALITY_COLS
+                and cols not in pruned
             ):
-                part_spec = lists[1]
-            if part_spec:
-                cols = {
-                    c.strip().split("#")[0]
-                    for c in part_spec.split(",")
-                    if c.strip()
-                }
-                if cols and cols <= LOW_CARDINALITY_COLS:
-                    n += 1
-            break
+                n += 1
     return n
 
 

@@ -336,3 +336,94 @@ def test_randomized_with_nulls_and_decimals_match_window(spark, seed):
         .collect()
     }
     assert got_vr == want_vr
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_null_summed_column_matches_window(spark, seed):
+    """r5 ADVICE medium: NULLs in the SUMMED column (not just the sort
+    column). SQL's running SUM is NULL only before the first non-null
+    value in the global prefix; a range partition whose local prefix
+    is all-NULL must inherit earlier partitions' sum. Fuzz with long
+    all-NULL runs at the head so whole partitions are NULL-only."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(700):
+        # first 250 rows (by sort order) all-NULL: several leading
+        # range partitions see no non-null value at all
+        amt = None if i < 250 else rng.choice([None, *range(-50, 51)])
+        rows.append((i, amt))
+    df = spark.createDataFrame(
+        rows, "id BIGINT, amt BIGINT"
+    ).repartition(16)
+    order = [F.col("id").asc()]
+
+    got = running_totals(df, order, {"cum_amt": F.col("amt")})
+    want = df.withColumn(
+        "cum_amt",
+        F.sum("amt").over(
+            Window.orderBy("id").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
+
+
+def test_null_summed_column_grouped_matches_window(spark):
+    """Grouped twin of the NULL-summed-column contract: per-group
+    running SUM with groups whose leading rows are all-NULL."""
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(600):
+        g = i % 3
+        amt = None if (i // 3) < 60 else rng.choice([None, i, -i])
+        rows.append((i, g, amt))
+    df = spark.createDataFrame(
+        rows, "id BIGINT, g INT, amt BIGINT"
+    ).repartition(16)
+
+    got = grouped_running_totals(
+        df, ["g"], [F.col("id").asc()], {"cum_amt": F.col("amt")}
+    )
+    want = df.withColumn(
+        "cum_amt",
+        F.sum("amt").over(
+            Window.partitionBy("g")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
+
+
+def test_column_collision_raises(spark):
+    """r5 ADVICE low: output/internal names colliding with caller
+    columns must fail loudly, never silently replace data."""
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 3)], "id BIGINT, rn BIGINT, __rank_pid BIGINT"
+    )
+    order = [F.col("id").asc()]
+    with pytest.raises(ValueError, match="collid|exist"):
+        with_global_row_number(df.select("id", "rn"), order, "rn")
+    with pytest.raises(ValueError, match="collid|exist"):
+        running_totals(df.select("id", "__rank_pid"), order, {"s": F.col("id")})
+    with pytest.raises(ValueError, match="collid|exist"):
+        grouped_running_totals(
+            df.select("id", "rn"), ["rn"], order, {"rn": F.col("id")}
+        )
+    with pytest.raises(ValueError, match="collid|exist"):
+        with_global_ntile(df.select("id", "rn"), order, 4, name="rn")
+    with pytest.raises(ValueError, match="collide"):
+        value_ranks(df.selectExpr("id AS cnt"), ["cnt"])
