@@ -225,6 +225,43 @@ def _global_window_count(plan: str) -> int:
     return n
 
 
+def explain_formatted(df) -> str:
+    """The formatted physical plan for a DataFrame."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    """All scale-anti-pattern findings for one query's formatted plan.
+    Pure function of the plan text so tests can exercise the gates on
+    deliberately-regressed plans (r5 VERDICT ask #7)."""
+    findings = []
+    if "CartesianProduct" in plan and name != "q_embedding_dup_pairs_exact":
+        findings.append(f"{name}: CartesianProduct")
+    # Arrow-batched Python nodes (ArrowEvalPython*, mapInPandas,
+    # FlatMapGroupsInPandas) are the sanctioned escape hatch; the
+    # ROW-oriented pickling node is the anti-pattern.
+    if "BatchEvalPython" in plan.replace("ArrowEvalPython", ""):
+        findings.append(f"{name}: row-at-a-time Python UDF")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+        findings.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    gw = _global_window_count(plan)
+    if gw and name not in GLOBAL_WINDOW_ALLOWED:
+        findings.append(
+            f"{name}: {gw} global window(s) (empty partition spec "
+            "over non-allowlisted input) — use operators/rank.py"
+        )
+    fg = _few_group_window_count(plan)
+    if fg and name not in GLOBAL_WINDOW_ALLOWED:
+        findings.append(
+            f"{name}: {fg} few-group window(s) (partitioned only "
+            "by dimension columns, no WindowGroupLimit pruning) — "
+            "use grouped_running_totals or a literal rank bound"
+        )
+    return findings
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_session(app_name="plan-audit")
@@ -232,35 +269,11 @@ def main() -> int:
     findings = []
     for name, fn in sorted(entrymod.queries().items()):
         try:
-            df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = explain_formatted(fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001
             findings.append(f"{name}: failed to plan: {exc}")
             continue
-        if "CartesianProduct" in plan and name != "q_embedding_dup_pairs_exact":
-            findings.append(f"{name}: CartesianProduct")
-        # Arrow-batched Python nodes (ArrowEvalPython*, mapInPandas,
-        # FlatMapGroupsInPandas) are the sanctioned escape hatch; the
-        # ROW-oriented pickling node is the anti-pattern.
-        if "BatchEvalPython" in plan.replace("ArrowEvalPython", ""):
-            findings.append(f"{name}: row-at-a-time Python UDF")
-        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
-            findings.append(f"{name}: unexpected BroadcastNestedLoopJoin")
-        gw = _global_window_count(plan)
-        if gw and name not in GLOBAL_WINDOW_ALLOWED:
-            findings.append(
-                f"{name}: {gw} global window(s) (empty partition spec "
-                "over non-allowlisted input) — use operators/rank.py"
-            )
-        fg = _few_group_window_count(plan)
-        if fg and name not in GLOBAL_WINDOW_ALLOWED:
-            findings.append(
-                f"{name}: {fg} few-group window(s) (partitioned only "
-                "by dimension columns, no WindowGroupLimit pruning) — "
-                "use grouped_running_totals or a literal rank bound"
-            )
+        findings.extend(audit_plan(name, plan))
         print(f"ok {name}")
     spark.stop()
     if findings:
