@@ -716,11 +716,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: each customer scored into recency / frequency /
     monetary quartiles (NTILE over TOTAL orders — (metric, custkey) —
     so quartile boundaries are engine-deterministic under ties), then
-    the 4×4×4 segment census with DECIMAL-exact segment value. The
-    classic CRM cube; per-customer aggregation is one shuffle, and
-    each quartile assignment is the distributed two-pass NTILE
-    (operators/rank.py) over the persisted per-customer frame — three
-    range-shuffles of an entity-scale frame, zero global windows."""
+    the 4×4×4 segment census with DECIMAL-exact segment value.
+
+    One shared ranking pass for all three quartiles (r5 VERDICT ask
+    #4; was three sequential two-pass NTILEs, 15 exchanges): the
+    per-customer frame is MELTED into a (metric, value, custkey) long
+    frame — 3N narrow rows, values cast to a common DECIMAL carrier,
+    an order-preserving injection for all three source types — and
+    ranked with ONE grouped distributed prefix scan
+    (operators/rank.py::grouped_running_totals; metric is the 3-value
+    group key, exactly its few-group design case). Tile assignment is
+    driver arithmetic from the single cached count; the monetary
+    passthrough rides the melt so no join back onto the per-customer
+    frame is needed. Zero global windows, one range shuffle."""
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max(
@@ -732,23 +740,58 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     from babylon_data_loader_spark.functions.cache import persist_tracked
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
 
     rfm = persist_tracked(rfm)
-    from babylon_data_loader_spark.operators.rank import with_global_ntile
+    n_customers = rfm.count()
 
-    scored = rfm
-    for metric, name in (
-        ("last_us", "r"),
-        ("freq", "f"),
-        ("monetary", "m"),
-    ):
-        scored = with_global_ntile(
-            scored,
-            [F.col(metric).asc(), F.col("o_custkey").asc()],
-            4,
-            name,
+    def _arm(metric: str, col: str) -> DataFrame:
+        return rfm.select(
+            F.lit(metric).alias("metric"),
+            F.col(col).cast("decimal(38,6)").alias("val"),
+            "o_custkey",
+            (
+                F.col("monetary")
+                if metric == "m"
+                else F.lit(None).cast(rfm.schema["monetary"].dataType)
+            ).alias("monetary"),
         )
-    scored = scored.select("r", "f", "m", "monetary")
+
+    long = (
+        _arm("r", "last_us")
+        .unionAll(_arm("f", "freq"))
+        .unionAll(_arm("m", "monetary"))
+    )
+    ranked = grouped_running_totals(
+        long,
+        ["metric"],
+        [F.col("val").asc(), F.col("o_custkey").asc()],
+        {"rn": F.lit(1)},
+    ).withColumn("rn", F.col("rn").cast("long"))
+    # SQL NTILE(4) from the global row number: first N%4 tiles get
+    # ceil(N/4) rows, the rest floor(N/4) — same formula as
+    # rank.py::with_global_ntile, N from the one cached count
+    q, r = divmod(n_customers, 4)
+    big = q + 1
+    rn_c = F.col("rn")
+    if q == 0:
+        tile = rn_c
+    else:
+        tile = F.when(
+            rn_c <= r * big, F.ceil(rn_c / F.lit(big))
+        ).otherwise(r + F.ceil((rn_c - r * big) / F.lit(q)))
+    scored = (
+        ranked.withColumn("tile", tile.cast("long"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("metric") == "r", F.col("tile"))).alias("r"),
+            F.max(F.when(F.col("metric") == "f", F.col("tile"))).alias("f"),
+            F.max(F.when(F.col("metric") == "m", F.col("tile"))).alias("m"),
+            F.max("monetary").alias("monetary"),
+        )
+    )
     return (
         scored.groupBy("r", "f", "m")
         .agg(
@@ -756,13 +799,6 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("monetary").cast("double"), 2).alias(
                 "segment_value"
             ),
-        )
-        .select(
-            F.col("r").cast("long").alias("r"),
-            F.col("f").cast("long").alias("f"),
-            F.col("m").cast("long").alias("m"),
-            "n_customers",
-            "segment_value",
         )
         .orderBy("r", "f", "m")
     )
