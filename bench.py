@@ -18,6 +18,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 from babylon_data_loader_spark.session import build_session  # noqa: E402
 
 # The headline set: scan+agg, join+topk, star join, window dedup,
@@ -253,6 +255,82 @@ def _optimized_supplement(spark, qmap, sf_dir: str, reps: int) -> dict:
         shutil.rmtree(opt_dir, ignore_errors=True)
 
 
+def _lake_multiversion_supplement(spark, sf_dir: str, reps: int) -> dict:
+    """The 100 TB lake READ shape the headline lane never times (r5
+    VERDICT ask #5): appends accumulate per-partition dir lists, so a
+    long-lived table is read through a MULTI-dir manifest until a
+    compaction folds it. Loads the sf events table in 3 batches
+    (merge + 2 appends → 3 dirs per partition), times the multi-dir
+    read, then times the same read post-compact()."""
+    import shutil
+    import tempfile
+
+    from babylon_data_loader_spark.operators.merge import dedup_latest
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    root = tempfile.mkdtemp(
+        prefix="_bench_lakev_",
+        dir=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+        ),
+    )
+    lake_path = os.path.join(root, "events_lake")
+    try:
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        lake = TransactionalLake.open(lake_path, partition_col="event_type")
+        t0 = time.time()
+        for i in range(3):
+            batch = ev.where(F.col("event_id") % 3 == i)
+            if i == 0:
+                lake.merge(
+                    spark, dedup_latest(batch, ["event_id"]), ["event_id"]
+                )
+            else:
+                lake.append(spark, batch)
+        load_s = round(time.time() - t0, 3)
+
+        def _timed_read() -> tuple[float, int]:
+            samples, n = [], 0
+            for _ in range(max(1, reps)):
+                t0 = time.time()
+                df = TransactionalLake.open(lake_path).read(spark)
+                # sum(value) forces a data read, not a footer count
+                n = df.agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("value")
+                ).collect()[0]["n"]
+                samples.append(time.time() - t0)
+            return round(_median(samples), 3), n
+
+        multi_s, n_rows = _timed_read()
+        n_dirs = sum(
+            len(dirs)
+            for dirs in TransactionalLake.open(lake_path)
+            .current_manifest()["partitions"]
+            .values()
+        )
+        t0 = time.time()
+        TransactionalLake.open(lake_path).compact(spark)
+        compact_s = round(time.time() - t0, 3)
+        compact_read_s, _ = _timed_read()
+        return {
+            "note": (
+                "3-batch load (merge + 2 appends) → multi-dir manifest "
+                "read vs the same read after compact(); the accumulated-"
+                "appends shape a long-lived 100 TB table reads through"
+            ),
+            "rows": n_rows,
+            "load_3_batches_sec": load_s,
+            "data_dirs_before_compact": n_dirs,
+            "multi_dir_read_sec": multi_s,
+            "compact_sec": compact_s,
+            "post_compact_read_sec": compact_read_s,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -351,6 +429,15 @@ def main() -> None:
         )
     except Exception as exc:  # supplement must never break the headline
         result["optimized_layout_error"] = str(exc)[:200]
+    # Supplementary: the multi-version lake read path (accumulated
+    # appends → multi-dir manifest) and the post-compaction read — the
+    # read shape a long-lived table converges to at 100 TB.
+    try:
+        result["lake_multiversion"] = _lake_multiversion_supplement(
+            spark, sf_dir, reps
+        )
+    except Exception as exc:
+        result["lake_multiversion_error"] = str(exc)[:200]
     # Round-over-round comparison against the last recorded run at the
     # same sf: per-query regressions beyond 1.5x are named explicitly
     # so a slowdown is a diff in the output, not archaeology.
