@@ -84,7 +84,10 @@ PRIORITY: list[str] = [
     "q_compression_ratio",
     # Slots 11+: queries ADDED THIS ROUND (full DuckDB oracles) —
     # new queries go at the window head so no new debt accrues.
-    # (inserted here as they land)
+    "q_rerank_candidates",
+    "q_token_budget_sample",
+    "q_source_token_budget",
+    "q_winsorize",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -123,12 +126,8 @@ PRIORITY: list[str] = [
     "q_distinctive_terms",
     "q_js_divergence",
     "q_fuzzy_clusters",
-    "q_spearman_corr",
-    "q_median_by_group",
     "q_dedup_exact_text",
     "q_simhash",
-    "q_dedup_key",
-    "q_tpch_q20",
 ]
 
 
@@ -150,6 +149,7 @@ def load_all() -> None:
         round4d,
         round4e,
         round4f,
+        round6,
         streaming_dedup,
         streaming_replay,
         streaming_window,

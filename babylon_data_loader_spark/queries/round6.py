@@ -1,0 +1,416 @@
+"""Round-6 registry growth (r5 VERDICT ask #6): the two suggested
+LLM-pipeline gaps — cross-encoder-style re-ranking over retrieved
+candidates and token-budget-aware corpus sampling — plus the grouped
+per-source budget twin and per-entity winsorization. Every query
+carries a full DuckDB oracle.
+
+Scale notes up front:
+- re-rank: the EXPENSIVE scorer runs only on |queries| x k candidate
+  pairs, never the corpus — the production retriever/re-ranker shape.
+  The retrieval stage here is the oracle-able brute-force cosine
+  baseline; at 100 TB it is the at-rest ANN index
+  (operators/similarity.py) with the same downstream contract.
+- budget sampling: greedy prefix selection under a quality order is a
+  RUNNING SUM — the distributed prefix scan (operators/rank.py), not
+  a single-task global window; the grouped variant uses the few-group
+  grouped scan. Budget comparisons are pure integer arithmetic
+  (cum*2 <= total, cum*10 <= 3*total) so no float boundary can flip a
+  row between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.functions.cache import persist_tracked
+from babylon_data_loader_spark.functions.text import n_tokens, tokens
+from babylon_data_loader_spark.functions.vectors import cosine
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
+
+_TOKENS_LOWER_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+# DuckDB cosine twin (same folds as queries/vectors.py)
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+
+
+def _norm_sql(tbl: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform({tbl}.embedding, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+@query(
+    "q_rerank_candidates",
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), cand AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+             round({_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('q')}), 9)
+               AS sim
+      FROM embeddings a, qs q
+      WHERE a.vec_id <> q.vec_id
+    ), top20 AS (
+      SELECT * FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) <= 20
+    ), terms AS (
+      SELECT DISTINCT doc_id, unnest({_TOKENS_LOWER_SQL}) AS term
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM terms GROUP BY doc_id
+    ), shared AS (
+      SELECT t.query_id, t.cand_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM top20 t
+      JOIN terms tq ON tq.doc_id = t.query_id
+      JOIN terms tc ON tc.doc_id = t.cand_id AND tc.term = tq.term
+      GROUP BY t.query_id, t.cand_id
+    ), scored AS (
+      SELECT t.query_id, t.cand_id, t.sim,
+             round(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+                   / CAST(sq.n_terms + sc.n_terms
+                          - COALESCE(s.n_shared, 0) AS DOUBLE), 9)
+               AS lexical_jaccard
+      FROM top20 t
+      LEFT JOIN shared s
+        ON s.query_id = t.query_id AND s.cand_id = t.cand_id
+      JOIN sizes sq ON sq.doc_id = t.query_id
+      JOIN sizes sc ON sc.doc_id = t.cand_id
+    )
+    SELECT query_id, cand_id, sim, lexical_jaccard,
+           round(CAST(0.8 AS DOUBLE) * sim
+                 + CAST(0.2 AS DOUBLE) * lexical_jaccard, 9) AS score,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(CAST(0.8 AS DOUBLE) * sim
+                 + CAST(0.2 AS DOUBLE) * lexical_jaccard, 9) DESC,
+               cand_id ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q_rerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: a cheap vector retriever proposes top-20
+    candidates per query anchor, then a cross-encoder-style scorer —
+    which needs BOTH texts, so it is orders of magnitude more
+    expensive per pair — re-ranks ONLY those |queries| x 20 pairs to a
+    final top-5. The scorer here is a deterministic stand-in
+    (0.8*cosine + 0.2*lexical token Jaccard of the two documents);
+    a learned cross-encoder drops into the same candidate-pair frame.
+
+    Scale shape: the corpus-sized work is the retrieval scan (at
+    100 TB: the partition-pruned ANN index, operators/similarity.py —
+    brute-force here because the oracle must reproduce it); document
+    text is joined AFTER candidate pruning, so the wide text column
+    never rides a corpus-scale shuffle. Ranking uses rounded-9 scores
+    with cand_id tiebreaks — no float boundary can flip the top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_embedding")), 9)
+    cand = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id").asc()
+    )
+    top20 = persist_tracked(
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    # expensive stage: token sets for exactly the docs in play
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .distinct()
+    )
+    sizes = terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms")
+    )
+    shared = (
+        top20.join(
+            terms.withColumnsRenamed(
+                {"doc_id": "query_id", "term": "q_term"}
+            ),
+            "query_id",
+        )
+        .join(
+            terms.withColumnsRenamed(
+                {"doc_id": "cand_id", "term": "c_term"}
+            ),
+            ["cand_id"],
+        )
+        .where(F.col("q_term") == F.col("c_term"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = (
+        top20.join(shared, ["query_id", "cand_id"], "left")
+        .join(
+            sizes.withColumnsRenamed(
+                {"doc_id": "query_id", "n_terms": "nq"}
+            ),
+            "query_id",
+        )
+        .join(
+            sizes.withColumnsRenamed(
+                {"doc_id": "cand_id", "n_terms": "nc"}
+            ),
+            "cand_id",
+        )
+        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+        .select(
+            "query_id",
+            "cand_id",
+            "sim",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (
+                    F.col("nq") + F.col("nc") - F.col("n_shared")
+                ).cast("double"),
+                9,
+            ).alias("lexical_jaccard"),
+        )
+    )
+    score = F.round(
+        F.lit(0.8) * F.col("sim")
+        + F.lit(0.2) * F.col("lexical_jaccard"),
+        9,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        score.desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id", "cand_id", "sim", "lexical_jaccard", "score", "rank"
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_PER_DOC_SQL = f"""
+      SELECT doc_id, source,
+             CAST(len({_TOKENS_LOWER_SQL}) AS BIGINT) AS nt,
+             round(CAST(len(list_distinct({_TOKENS_LOWER_SQL})) AS DOUBLE)
+                   / CAST(len({_TOKENS_LOWER_SQL}) AS DOUBLE), 9)
+               AS div_ratio
+      FROM documents
+"""
+
+
+def _per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, nt, div_ratio): token count and distinct-token
+    diversity ratio — the repetition-aware quality order both budget
+    samplers share. Rounded-9 ratio + doc_id tiebreak keeps the order
+    engine-deterministic."""
+    toks = tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("nt"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            9,
+        ).alias("div_ratio"),
+    )
+
+
+@query(
+    "q_token_budget_sample",
+    oracle=f"""
+    WITH per AS ({_PER_DOC_SQL}
+    ), cum AS (
+      SELECT doc_id, nt, div_ratio,
+             SUM(nt) OVER (
+               ORDER BY div_ratio DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM per
+    ), tot AS (SELECT SUM(nt) AS total FROM per)
+    SELECT doc_id, nt AS n_tokens, div_ratio, cum_tokens
+    FROM cum, tot
+    WHERE cum_tokens * 2 <= tot.total
+    ORDER BY cum_tokens
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-aware corpus sampling: spend a fixed token budget
+    (here 50% of the corpus) on the highest-quality documents first —
+    quality = distinct-token diversity ratio, so repetitive boilerplate
+    sinks. Greedy prefix selection under a total order IS a running
+    sum: computed with the distributed two-pass prefix scan
+    (operators/rank.py::running_totals), never a single-task global
+    window, and the budget test is pure integer arithmetic
+    (cum*2 <= total) — no float boundary can flip a document in or
+    out. The budget scalar comes from the same aggregated per-doc
+    frame (O(1) driver value, the documented scalar pattern)."""
+    from babylon_data_loader_spark.operators.rank import running_totals
+
+    per = persist_tracked(
+        _per_doc(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "nt", "div_ratio"
+        )
+    )
+    total = per.agg(F.sum("nt")).first()[0] or 0
+    cum = running_totals(
+        per,
+        [F.col("div_ratio").desc(), F.col("doc_id").asc()],
+        {"cum_tokens": F.col("nt")},
+    ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
+    return (
+        cum.where(F.col("cum_tokens") * 2 <= F.lit(int(total)))
+        .select(
+            "doc_id",
+            F.col("nt").alias("n_tokens"),
+            "div_ratio",
+            "cum_tokens",
+        )
+        .orderBy("cum_tokens")
+    )
+
+
+@query(
+    "q_source_token_budget",
+    oracle=f"""
+    WITH per AS ({_PER_DOC_SQL}
+    ), cum AS (
+      SELECT source, doc_id, nt, div_ratio,
+             SUM(nt) OVER (
+               PARTITION BY source
+               ORDER BY div_ratio DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM per
+    ), tot AS (
+      SELECT source, SUM(nt) AS source_total FROM per GROUP BY source
+    )
+    SELECT c.source, c.doc_id, c.nt AS n_tokens, c.cum_tokens,
+           t.source_total
+    FROM cum c JOIN tot t USING (source)
+    WHERE c.cum_tokens * 10 <= t.source_total * 3
+    ORDER BY c.source, c.cum_tokens
+    """,
+)
+def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget allocation: each source independently
+    spends 30% of its own token mass on its highest-diversity
+    documents — the domain-mixture curation step that keeps one giant
+    source from crowding out the rest. source is a LOW-cardinality
+    dimension, so the per-source running sum uses the grouped
+    distributed prefix scan (operators/rank.py::grouped_running_totals
+    — a plain partitionBy window would sort each source's share of a
+    100 TB corpus in one task). Budget test is integer-exact
+    (cum*10 <= 3*total)."""
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+
+    per = persist_tracked(
+        _per_doc(load_table(spark, sf_dir, "documents"))
+    )
+    cum = grouped_running_totals(
+        per,
+        ["source"],
+        [F.col("div_ratio").desc(), F.col("doc_id").asc()],
+        {"cum_tokens": F.col("nt")},
+    ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
+    totals = per.groupBy("source").agg(
+        F.sum("nt").alias("source_total")
+    )
+    return (
+        cum.join(F.broadcast(totals), "source")
+        .where(
+            F.col("cum_tokens") * 10 <= F.col("source_total") * 3
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.col("nt").alias("n_tokens"),
+            "cum_tokens",
+            "source_total",
+        )
+        .orderBy("source", "cum_tokens")
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY value ASC, event_id ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), bounds AS (
+      SELECT user_id,
+             MIN(CASE WHEN rn = (5 * n + 99) // 100 THEN value END)
+               AS lo,
+             MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN value END)
+               AS hi
+      FROM ranked GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           LEAST(GREATEST(e.value, b.lo), b.hi) AS clipped
+    FROM events e JOIN bounds b USING (user_id)
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user winsorization: clip each user's event values to that
+    user's exact [p05, p95] order statistics (rank ceil(q*n) under the
+    (value, event_id) total order — pure element SELECTION, so the
+    bounds are cross-engine exact; the rank formulas are floored
+    integer arithmetic, F.floor both sides). user_id cardinality grows
+    with the data, so the per-user windows hash-spread across the
+    cluster — no few-group hazard; one shuffle for ranks, one tiny
+    bounds frame joined back by key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n"),
+    )
+    lo_rank = F.floor((5 * F.col("n") + 99) / 100)
+    hi_rank = F.floor((95 * F.col("n") + 99) / 100)
+    bounds = ranked.groupBy("user_id").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("value"))).alias("hi"),
+    )
+    return ev.join(bounds, "user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "clipped"
+        ),
+    )

@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "q_knn_recall_guard",    # composes q_knn_lsh/pq whose probes
     # broadcast single-row query vectors
     "q_radius_search",       # single-row query vector
+    "q_rerank_candidates",   # 3-row query-anchor set (retrieval stage)
     "q_length_band",         # one-row percentile-band bounds
     "q_hard_negatives",      # single-row anchor vector + label
     "q_incremental_dedup",   # one-row broadcast Bloom bitmap
