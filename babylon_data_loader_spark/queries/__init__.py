@@ -88,6 +88,7 @@ PRIORITY: list[str] = [
     "q_token_budget_sample",
     "q_source_token_budget",
     "q_winsorize",
+    "q_rerank_ann",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -125,7 +126,6 @@ PRIORITY: list[str] = [
     "q_bm25_topk",
     "q_distinctive_terms",
     "q_js_divergence",
-    "q_fuzzy_clusters",
     "q_dedup_exact_text",
     "q_simhash",
 ]
