@@ -89,6 +89,8 @@ PRIORITY: list[str] = [
     "q_source_token_budget",
     "q_winsorize",
     "q_rerank_ann",
+    "q_mmr_diversify",
+    "q_skipgram_pairs",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -124,8 +126,6 @@ PRIORITY: list[str] = [
     "q_media_resample",
     "q_readability",
     "q_bm25_topk",
-    "q_distinctive_terms",
-    "q_js_divergence",
     "q_dedup_exact_text",
     "q_simhash",
 ]

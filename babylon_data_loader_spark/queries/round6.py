@@ -503,3 +503,245 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "retrieval_recall_at_20", recall_col
     ).withColumn("recall_bound", F.lit(float(bound)))
+
+
+@query(
+    "q_mmr_diversify",
+    oracle=f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    rel AS (
+      SELECT a.vec_id,
+             round({_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('q')}), 9)
+               AS rel
+      FROM embeddings a, q
+      WHERE a.vec_id <> 0
+      ORDER BY rel DESC, a.vec_id ASC
+      LIMIT 10
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DOT_SQL.replace('q.embedding', 'b.embedding')}
+                   / ({_norm_sql('a')} * {_norm_sql('b')}), 9) AS sim
+      FROM (SELECT e.vec_id, e.embedding FROM embeddings e
+            JOIN rel r ON r.vec_id = e.vec_id) a
+      JOIN (SELECT e.vec_id, e.embedding FROM embeddings e
+            JOIN rel r ON r.vec_id = e.vec_id) b
+        ON a.vec_id <> b.vec_id
+    ), s1 AS (
+      SELECT vec_id, rel, CAST(NULL AS DOUBLE) AS max_sim_selected,
+             rel AS mmr_score
+      FROM rel ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ), c2 AS (
+      SELECT r.vec_id, r.rel,
+             MAX(p.sim) AS ms
+      FROM rel r
+      JOIN pairs p ON p.id_a = r.vec_id
+      JOIN s1 ON p.id_b = s1.vec_id
+      WHERE r.vec_id NOT IN (SELECT vec_id FROM s1)
+      GROUP BY r.vec_id, r.rel
+    ), s2 AS (
+      SELECT vec_id, rel, ms AS max_sim_selected,
+             round(CAST(0.7 AS DOUBLE) * rel
+                   - CAST(0.3 AS DOUBLE) * ms, 9) AS mmr_score
+      FROM c2
+      ORDER BY round(CAST(0.7 AS DOUBLE) * rel
+                     - CAST(0.3 AS DOUBLE) * ms, 9) DESC, vec_id ASC
+      LIMIT 1
+    ), c3 AS (
+      SELECT r.vec_id, r.rel, MAX(p.sim) AS ms
+      FROM rel r
+      JOIN pairs p ON p.id_a = r.vec_id
+      JOIN (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2) s
+        ON p.id_b = s.vec_id
+      WHERE r.vec_id NOT IN (
+        SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+      GROUP BY r.vec_id, r.rel
+    ), s3 AS (
+      SELECT vec_id, rel, ms AS max_sim_selected,
+             round(CAST(0.7 AS DOUBLE) * rel
+                   - CAST(0.3 AS DOUBLE) * ms, 9) AS mmr_score
+      FROM c3
+      ORDER BY round(CAST(0.7 AS DOUBLE) * rel
+                     - CAST(0.3 AS DOUBLE) * ms, 9) DESC, vec_id ASC
+      LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS step, * FROM s1
+    UNION ALL SELECT CAST(2 AS BIGINT), * FROM s2
+    UNION ALL SELECT CAST(3 AS BIGINT), * FROM s3
+    ORDER BY step
+    """,
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: greedily pick 3 results from the
+    top-10 relevance pool, each step maximizing
+    0.7*relevance - 0.3*max-similarity-to-already-selected — the
+    classic redundancy-aware re-ranking of retrieval output. The
+    greedy recurrence is UNROLLED into the plan (the q_ewma/q_bfs_hops
+    discipline — no driver-side selection loop): each step is an
+    argmax (orderBy+limit over the 10-row pool) joined against the
+    prior selections; pairwise similarities are computed once over the
+    pruned pool (10x10, broadcast), never the corpus. Scores are
+    rounded-9 with vec_id tiebreaks, so the greedy path is
+    engine-deterministic — and therefore fully DuckDB-oracle-checked
+    despite being an iterative algorithm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    rel = persist_tracked(
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                cosine(F.col("embedding"), F.col("q_embedding")), 9
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    a = rel.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = rel.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = persist_tracked(
+        a.join(F.broadcast(b), F.col("id_a") != F.col("id_b")).select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 9).alias(
+                "sim"
+            ),
+        )
+    )
+    pool = rel.select("vec_id", "rel")
+    steps = []
+    selected: DataFrame | None = None
+    for step in (1, 2, 3):
+        if selected is None:
+            pick = (
+                pool.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+                .limit(1)
+                .select(
+                    F.lit(step).cast("bigint").alias("step"),
+                    "vec_id",
+                    "rel",
+                    F.lit(None).cast("double").alias("max_sim_selected"),
+                    F.col("rel").alias("mmr_score"),
+                )
+            )
+        else:
+            sel_ids = selected.select(
+                F.col("vec_id").alias("id_b")
+            )
+            cand = (
+                pool.join(
+                    selected.select("vec_id"), "vec_id", "left_anti"
+                )
+                .join(pairs, pool["vec_id"] == pairs["id_a"])
+                .join(F.broadcast(sel_ids), "id_b", "left_semi")
+                .groupBy("vec_id", "rel")
+                .agg(F.max("sim").alias("ms"))
+            )
+            score = F.round(
+                F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms"), 9
+            )
+            pick = (
+                cand.withColumn("mmr_score", score)
+                .orderBy(
+                    F.col("mmr_score").desc(), F.col("vec_id").asc()
+                )
+                .limit(1)
+                .select(
+                    F.lit(step).cast("bigint").alias("step"),
+                    "vec_id",
+                    "rel",
+                    F.col("ms").alias("max_sim_selected"),
+                    "mmr_score",
+                )
+            )
+        pick = persist_tracked(pick)
+        steps.append(pick)
+        selected = (
+            pick.select("vec_id")
+            if selected is None
+            else selected.select("vec_id").unionAll(
+                pick.select("vec_id")
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("step")
+
+
+@query(
+    "q_skipgram_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.term, CAST(t.pos AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id,
+               generate_subscripts({_TOKENS_LOWER_SQL}, 1) AS pos,
+               unnest({_TOKENS_LOWER_SQL}) AS term
+        FROM documents
+      ) t
+    )
+    SELECT a.term AS w1, b.term AS w2,
+           CAST(COUNT(*) AS BIGINT) AS n_cooc
+    FROM tok a
+    JOIN tok b
+      ON a.doc_id = b.doc_id
+     AND b.pos > a.pos AND b.pos <= a.pos + 2
+    GROUP BY a.term, b.term
+    HAVING COUNT(*) >= 5
+    ORDER BY n_cooc DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (word2vec context windows):
+    ordered token pairs within a +/-2 position window, counted over
+    the corpus, support >= 5, top-50. The positional self-join is
+    keyed on doc_id — pairs never cross documents, so the join is
+    document-local (shuffles by doc_id, each task windows its own
+    docs; the per-doc pair fanout is bounded by 2 per token). Counts
+    are exact integers; ordering ties break lexicographically."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = persist_tracked(
+        docs.select(
+            "doc_id",
+            F.posexplode(tokens(F.lower(F.col("text")))).alias(
+                "pos", "term"
+            ),
+        ).select(
+            "doc_id", "term", (F.col("pos") + 1).cast("bigint").alias("pos")
+        )
+    )
+    a = tok.select(
+        "doc_id",
+        F.col("term").alias("w1"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = tok.select(
+        "doc_id",
+        F.col("term").alias("w2"),
+        F.col("pos").alias("pos_b"),
+    )
+    return (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("pos_b") > F.col("pos_a"))
+            & (F.col("pos_b") <= F.col("pos_a") + 2)
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .where(F.col("n_cooc") >= 5)
+        .orderBy(
+            F.col("n_cooc").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(50)
+    )

@@ -80,6 +80,10 @@ HEADLINE = [
     # per-customer frame and the rank-weighted Gini aggregate.
     "q_rfm_segments",
     "q_gini",
+    # round 6 additions: two-stage retrieve->re-rank and token-budget
+    # corpus sampling via the distributed prefix scan.
+    "q_rerank_candidates",
+    "q_token_budget_sample",
 ]
 
 

@@ -36,6 +36,8 @@ BNLJ_ALLOWED = {
     # broadcast single-row query vectors
     "q_radius_search",       # single-row query vector
     "q_rerank_candidates",   # 3-row query-anchor set (retrieval stage)
+    "q_mmr_diversify",       # 1-row query vector + 10-row pruned-pool
+    # pairwise-similarity self-join (both O(1)/O(k) build sides)
     "q_length_band",         # one-row percentile-band bounds
     "q_hard_negatives",      # single-row anchor vector + label
     "q_incremental_dedup",   # one-row broadcast Bloom bitmap

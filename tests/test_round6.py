@@ -136,3 +136,35 @@ def test_winsorize_hand_computed(spark, tmp_path):
     assert got[19] == 19.0
     assert got[20] == 19.0   # clipped to p95
     assert got[10] == 10.0
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
+    """Planted pool: candidate 2 is a near-duplicate of the first pick
+    (sim ~1.0) and 3 sits on the OTHER side of the query (negative
+    off-axis component -> sim to the first pick only ~0.79 despite
+    rel 0.94). Plain top-2 would take {1,2}; MMR step 2 must flip to
+    3 (0.7*0.94 - 0.3*0.79 = 0.42 beats 0.7*0.95 - 0.3*1.0 = 0.365),
+    and the twin only enters at step 3 once the penalty is paid."""
+    sf = os.path.join(tmp_path, "sf")
+    os.makedirs(sf)
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),            # query
+        (1, [0.95, 0.312, 0.0, 0.0], 0),          # rel ~0.950, pick 1
+        (2, [0.95, 0.310, 0.01, 0.0], 0),         # rel ~0.950, dup of 1
+        (3, [0.94, -0.341, 0.0, 0.0], 1),         # rel ~0.940, sim(3,1)~0.79
+        (4, [0.5, 0.0, 0.0, 0.866], 1),           # rel 0.5, filler
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).write.parquet(os.path.join(sf, "embeddings.parquet"))
+    got = {
+        r["step"]: r
+        for r in Q.QUERIES["q_mmr_diversify"](spark, sf).collect()
+    }
+    # 2 edges out 1 at step 1 (marginally smaller norm -> higher
+    # cosine); what matters: its TWIN is deferred past the diverse 3
+    assert got[1]["vec_id"] == 2
+    assert got[2]["vec_id"] == 3   # diversification flips the twin out
+    assert got[3]["vec_id"] == 1   # twin admitted only after 3
+    assert got[2]["max_sim_selected"] is not None
+    assert got[3]["max_sim_selected"] > 0.99
