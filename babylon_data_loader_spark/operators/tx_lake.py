@@ -229,13 +229,14 @@ class TransactionalLake:
         # A version inside [1, current] may still have been vacuumed
         # away; tagging it would make read(tag=) and every later
         # vacuum raise FileNotFoundError. Verify the manifest exists
-        # NOW. This check-then-write is only airtight under the
-        # single-writer assumption documented above (tag/delete_tag/
-        # vacuum serialized externally): a CONCURRENT vacuum could
-        # still delete an old, not-yet-tagged manifest between this
-        # check and _write_tags. Within the retention window, or for
-        # versions already tagged, the manifest genuinely cannot
-        # disappear regardless.
+        # NOW, and re-verify AFTER the tag is written: tag/delete_tag/
+        # vacuum are documented single-writer, but a misconfigured
+        # concurrent vacuum could still delete an old, not-yet-tagged
+        # manifest between the first check and _write_tags — the
+        # post-write re-check sees either the manifest (now protected:
+        # vacuum keeps tagged versions) or its absence, in which case
+        # the tag is rolled back and the call fails instead of leaving
+        # a dangling tag (r5 ADVICE).
         try:
             self.manifest_at(v)
         except FileNotFoundError:
@@ -245,6 +246,16 @@ class TransactionalLake:
         tags = self.tags()
         tags[name] = v
         self._write_tags(tags)
+        try:
+            self.manifest_at(v)
+        except FileNotFoundError:
+            tags = self.tags()
+            if tags.get(name) == v:
+                del tags[name]
+                self._write_tags(tags)
+            raise ValueError(
+                f"version {v} was vacuumed concurrently; tag rolled back"
+            ) from None
         return v
 
     def delete_tag(self, name: str) -> None:

@@ -731,3 +731,32 @@ def test_tag_rejects_vacuumed_version(spark, tmp_path):
         lake.tag("old", version=1)
     # current version still taggable
     assert lake.tag("now") == lake.current_manifest()["version"]
+
+
+def test_tag_rolls_back_on_concurrent_vacuum(spark, tmp_path):
+    """r5 ADVICE (low): if a (mis-serialized) concurrent vacuum
+    deletes the target manifest between tag()'s pre-check and the tag
+    write, the post-write re-verify must remove the dangling tag and
+    raise — never leave a tag pointing at a deleted manifest."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    for i in range(3):
+        lake.merge(spark, frame(spark, [(i, "a", "chase")]), KEY)
+
+    real = lake.manifest_at
+    calls = {"n": 0}
+
+    def racy(v):
+        m = real(v)
+        calls["n"] += 1
+        if v == 1 and calls["n"] == 1:
+            # simulate the vacuum landing right after the pre-check:
+            # delete v1's manifest before tag() re-verifies
+            os.remove(os.path.join(lake._manifest_dir, "v1.json"))
+        return m
+
+    lake.manifest_at = racy
+    with pytest.raises(ValueError, match="rolled back"):
+        lake.tag("pin", version=1)
+    assert "pin" not in lake.tags()
+    # untouched versions still taggable afterwards
+    assert lake.tag("now") == lake.current_manifest()["version"]
