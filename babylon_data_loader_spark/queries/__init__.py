@@ -91,6 +91,7 @@ PRIORITY: list[str] = [
     "q_rerank_ann",
     "q_mmr_diversify",
     "q_skipgram_pairs",
+    "q_stream_sliding",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -125,7 +126,6 @@ PRIORITY: list[str] = [
     "q_unicode_normalize",
     "q_media_resample",
     "q_readability",
-    "q_bm25_topk",
     "q_dedup_exact_text",
     "q_simhash",
 ]

@@ -368,3 +368,105 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+# Sliding (overlapping) windows on the stream — the streaming twin of
+# the batch q_sliding_window: window('2 hours', slide '1 hour'), so
+# every event lands in exactly TWO windows (starts at the enclosing
+# hour and the hour before). Append mode emits a window once the
+# watermark passes its END (start + 2h); same ms-floored horizon as
+# the tumbling lane, and the 90-minute delay again lands mid-hour so
+# the eviction boundary comparison cannot matter.
+_SLIDING_ORACLE = """
+WITH clean AS (
+  SELECT epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+), wm AS (
+  SELECT (MAX(ts_us) // 1000) - 5400000 AS wm_ms FROM clean
+), ex AS (
+  SELECT c.event_type, c.value,
+         (c.ts_us // 3600000000) * 3600000000 - s.offs
+           AS window_start_us
+  FROM clean c, (VALUES (CAST(0 AS BIGINT)),
+                        (CAST(3600000000 AS BIGINT))) s(offs)
+)
+SELECT e.window_start_us, e.event_type,
+       round(CAST(SUM(CAST(e.value AS DECIMAL(20,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS avg_value
+FROM ex e, wm
+WHERE ((e.window_start_us + 7200000000) // 1000) <= wm.wm_ms
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_sliding", oracle=_SLIDING_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window mean value per event type over the
+    replayed events stream (streaming/windows.py::sliding_avg — 2h
+    windows sliding hourly, each event in two windows). State cost is
+    window_count x keys like the tumbling lane times the overlap
+    factor W/S = 2; the watermark bounds it identically. Final sink =
+    windows whose end cleared the final watermark — the same
+    append-mode determinism argument as q_stream_window, applied to
+    overlapping windows."""
+    from babylon_data_loader_spark.streaming.windows import sliding_avg
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_stream_sliding_{uuid.uuid4().hex[:12]}")
+    src_dir = os.path.join(work, "src")
+    sink_dir = os.path.join(work, "sink")
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clean = events.filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    staged = clean.select(
+        F.timestamp_micros(event_ts_us(clean)).alias("ts_ts"),
+        "event_type",
+        "value",
+    )
+    _stage_time_ordered(staged, work, src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    windowed = sliding_avg(
+        stream,
+        window_duration="2 hours",
+        slide="1 hour",
+        watermark="90 minutes",
+        ts_col="ts_ts",
+    )
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        (
+            windowed.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        emitted = spark.read.parquet(sink_dir)
+        final = emitted.select(
+            F.unix_micros(F.col("window_start")).alias("window_start_us"),
+            "event_type",
+            F.round(F.col("avg_value"), 9).alias("avg_value"),
+        )
+        rows = final.collect()
+        out_schema = final.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
