@@ -299,6 +299,65 @@ def write_lsh_index(
     os.replace(tmp, meta_path)  # atomic on POSIX
 
 
+def append_lsh_index(
+    new_vecs,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fingerprint: str | None = None,
+) -> None:
+    """Incrementally extend an EXISTING LSH index with new vectors —
+    the maintenance half of the at-rest economics: at 100 TB an append
+    of 0.1%% of the corpus must cost 0.1%% of a build, not a rebuild.
+    New rows are bucketed with the SAME deterministic hyperplanes
+    (from the stored {n_planes, dim} meta) and written in append mode
+    into the bucket partition directories, so probes keep pruning
+    exactly as before; each append adds at most one file per TOUCHED
+    bucket (the accumulated-appends trade every lake makes — fold with
+    a periodic rebuild, like tx_lake.compact()).
+
+    Search results over (base ++ appended) are IDENTICAL to a fresh
+    full build over the union: bucketing is deterministic per vector
+    and lsh_search re-ranks by exact cosine within the probed buckets,
+    so only CONTENT, not file layout, affects the top-k
+    (pinned by tests/test_similarity.py).
+
+    Only meaningful for caller-owned `index_path` stores: the
+    fingerprint-keyed session store is invalidated by ANY source-table
+    change, by design. The meta's fingerprint is updated (or cleared)
+    so a stale-content guard cannot silently pass."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_lsh_meta.json")
+    with open(meta_path, encoding="utf-8") as fh:
+        meta = json.load(fh)
+    dim = int(meta["dim"])
+    planes = [_hyperplane(p, dim) for p in range(int(meta["n_planes"]))]
+    first = new_vecs.select(vec_col).first()
+    if first is None:
+        return  # empty append: nothing to write, meta untouched
+    if len(first[0]) != dim:
+        raise ValueError(
+            f"append_lsh_index: new vectors have dim {len(first[0])}, "
+            f"index was built for dim {dim}"
+        )
+    (
+        new_vecs.withColumn("bucket", sign_bucket(F.col(vec_col), planes))
+        # same one-shuffle discipline as the full build: one new file
+        # per touched bucket per append, not #tasks x #buckets
+        .repartition(F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    meta["fingerprint"] = fingerprint
+    tmp = f"{meta_path}.tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, meta_path)  # atomic on POSIX
+
+
 def read_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
     """(indexed DataFrame with its `bucket` partition column, meta)."""
     import json

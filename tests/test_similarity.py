@@ -338,3 +338,67 @@ def test_index_store_fingerprint_and_reuse(spark, tmp_path):
         mem, query_vec_id=0, k=5, n_planes=4, build_throwaway_index=True
     ).collect()
     assert len(got) <= 5
+
+
+def test_append_lsh_index_equals_full_build(spark, tmp_path):
+    """Incremental index maintenance: build over half the vectors,
+    append the other half — every probe must return EXACTLY what a
+    fresh full build returns (bucketing is deterministic per vector;
+    search re-ranks by exact cosine, so file layout is irrelevant).
+    Appending a wrong-dim batch must fail; an empty append is a
+    no-op."""
+    from babylon_data_loader_spark.operators.similarity import (
+        append_lsh_index,
+        lsh_search,
+        read_lsh_index,
+        write_lsh_index,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    base = emb.filter("vec_id % 2 = 0")
+    extra = emb.filter("vec_id % 2 = 1")
+
+    inc_path = str(tmp_path / "lsh_inc")
+    full_path = str(tmp_path / "lsh_full")
+    write_lsh_index(base, inc_path, n_planes=6)
+    append_lsh_index(extra, inc_path)
+    write_lsh_index(emb, full_path, n_planes=6)
+
+    inc, meta_i = read_lsh_index(spark, inc_path)
+    full, meta_f = read_lsh_index(spark, full_path)
+    assert inc.count() == full.count() == emb.count()
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    for ph in (1, 2, 6):
+        got_i = [
+            tuple(r)
+            for r in lsh_search(
+                inc.filter("vec_id <> 0"), meta_i, qvec, k=10,
+                probe_hamming=ph,
+            ).collect()
+        ]
+        got_f = [
+            tuple(r)
+            for r in lsh_search(
+                full.filter("vec_id <> 0"), meta_f, qvec, k=10,
+                probe_hamming=ph,
+            ).collect()
+        ]
+        assert got_i == got_f
+
+    # empty append: no change
+    before = inc.count()
+    append_lsh_index(extra.filter("vec_id < 0"), inc_path)
+    assert spark.read.parquet(inc_path).count() == before
+
+    # wrong dimension refused
+    import pytest as _pytest
+
+    import pyspark.sql.functions as _F
+
+    bad = extra.limit(1).select(
+        "vec_id", _F.slice("embedding", 1, 3).alias("embedding"), "label"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        append_lsh_index(bad, inc_path)
