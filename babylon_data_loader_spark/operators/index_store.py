@@ -29,6 +29,7 @@ import shutil
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def files_fingerprint(paths: Iterable[str]) -> str:
@@ -164,3 +165,43 @@ def get_or_build_parquet(
     if not os.path.exists(os.path.join(path, marker)):
         build().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def compact_index(spark, path: str, part_col: str) -> None:
+    """Fold an appended index back to one file per partition — the
+    index twin of tx_lake.compact(): appends trade write cost for an
+    extra file per touched partition per batch, and a periodic compact
+    restores the one-file-per-probe read shape. The compacted copy is
+    written to a sibling staging dir and swapped in (never
+    collect()ed through the driver — an index can be arbitrarily
+    large), preserving the JSON meta files. The swap is NOT atomic
+    for concurrent readers; like the build itself, compaction assumes
+    a single-writer maintenance window, and a crash mid-swap is
+    recovered by rebuilding the index (the at-rest stores are
+    derived data, never the source of truth)."""
+    import json
+
+    metas = {
+        name: json.load(open(os.path.join(path, name), encoding="utf-8"))
+        for name in os.listdir(path)
+        if name.endswith(".json")
+    }
+    staging = f"{path}.compact.tmp"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        spark.read.parquet(path)
+        .repartition(F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(staging)
+    )
+    for name, meta in metas.items():
+        with open(
+            os.path.join(staging, name), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(meta, fh)
+    old = f"{path}.pre_compact.tmp"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)

@@ -155,6 +155,44 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     return spark.read.parquet(path), centroids
 
 
+def append_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a stored IVF index: assign new vectors to
+    the EXISTING centroids (no refit — the stored lists stay valid;
+    centroid drift is a periodic-rebuild decision, not an append-time
+    one) and append into the cluster partition directories. One new
+    file per touched list per append; probes keep pruning unchanged.
+    Search over (base ++ appended) equals search over a single build
+    with the same centroids — assignment is deterministic per vector
+    and ivf_search re-ranks by exact cosine within the probed lists
+    (pinned by tests/test_similarity.py)."""
+    first = new_vecs.select(vec_col).first()
+    if first is None:
+        return
+    import json
+    import os
+
+    with open(
+        os.path.join(path, "_centroids.json"), encoding="utf-8"
+    ) as fh:
+        centroids = json.load(fh)
+    if len(first[0]) != len(centroids[0]):
+        raise ValueError(
+            f"append_ivf_index: new vectors have dim {len(first[0])}, "
+            f"index was built for dim {len(centroids[0])}"
+        )
+    (
+        _assign(new_vecs, vec_col, centroids)
+        .repartition(F.col("cluster_id"))
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+
+
 def ivf_search(
     indexed: DataFrame,
     centroids: list[list[float]],

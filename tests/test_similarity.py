@@ -402,3 +402,65 @@ def test_append_lsh_index_equals_full_build(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="dim"):
         append_lsh_index(bad, inc_path)
+
+
+def test_append_ivf_and_compact_index(spark, tmp_path):
+    """IVF incremental append: assign to EXISTING centroids, append
+    into list dirs — search equals a single build with the same
+    centroids. compact_index folds the appended files back to one per
+    list, preserving meta and results."""
+    from babylon_data_loader_spark.operators.index_store import (
+        compact_index,
+    )
+    from babylon_data_loader_spark.operators.ivf import (
+        append_ivf_index,
+        ivf_index,
+        ivf_search,
+        kmeans_fit,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    centroids = kmeans_fit(emb, k=8, n_iters=2)
+    base = emb.filter("vec_id % 2 = 0")
+    extra = emb.filter("vec_id % 2 = 1")
+
+    inc_path = str(tmp_path / "ivf_inc")
+    write_ivf_index(ivf_index(base, centroids), inc_path, centroids)
+    append_ivf_index(extra, inc_path)
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_index(ivf_index(emb, centroids), full_path, centroids)
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    def topk(path):
+        stored, cents = read_ivf_index(spark, path)
+        return [
+            tuple(r)
+            for r in ivf_search(
+                stored.filter("vec_id <> 0"), cents, qvec, k=10, nprobe=3
+            ).collect()
+        ]
+
+    assert topk(inc_path) == topk(full_path)
+
+    # appended lists have 2 files; compaction folds to 1, results equal
+    import glob
+    import os
+
+    def max_files_per_list(path):
+        return max(
+            len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(path, "cluster_id=*"))
+        )
+
+    before = topk(inc_path)
+    assert max_files_per_list(inc_path) >= 2
+    compact_index(spark, inc_path, "cluster_id")
+    assert max_files_per_list(inc_path) == 1
+    assert topk(inc_path) == before
+    _, cents = read_ivf_index(spark, inc_path)  # meta survived
+    assert cents == centroids
