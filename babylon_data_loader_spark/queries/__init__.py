@@ -92,6 +92,7 @@ PRIORITY: list[str] = [
     "q_mmr_diversify",
     "q_skipgram_pairs",
     "q_stream_sliding",
+    "q_ann_index_maintenance",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -125,7 +126,6 @@ PRIORITY: list[str] = [
     "q_write_expectations",
     "q_unicode_normalize",
     "q_media_resample",
-    "q_readability",
     "q_dedup_exact_text",
     "q_simhash",
 ]

@@ -745,3 +745,103 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query("q_ann_index_maintenance")  # rows-only: index file layout is
+# not SQL-expressible. Self-certifying: asserts IN-QUERY that the
+# incrementally-maintained index answers every probe IDENTICALLY to a
+# fresh full build, and emits the per-probe match flags as rows.
+def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index lifecycle a 100 TB corpus actually runs:
+    build (half the vectors) → incremental append (the other half,
+    operators/similarity.py::append_lsh_index — one new file per
+    touched bucket, no rebuild) → compact
+    (operators/index_store.py::compact_index — fold back to one file
+    per bucket). After EACH maintenance step, every probed top-10 must
+    equal the fresh-full-build answer bit-for-bit (bucketing is
+    deterministic per vector; search re-ranks by exact cosine, so
+    layout cannot change results). The query RAISES on any
+    divergence; the emitted rows witness (step, probe config, match,
+    files per bucket before/after compact)."""
+    import os
+    import shutil
+    import uuid
+
+    from babylon_data_loader_spark.operators.index_store import (
+        compact_index,
+    )
+    from babylon_data_loader_spark.operators.similarity import (
+        append_lsh_index,
+        lsh_search,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_idx_maint_{uuid.uuid4().hex[:12]}")
+    inc_path = os.path.join(work, "inc")
+    full_path = os.path.join(work, "full")
+    try:
+        write_lsh_index(emb.where("vec_id % 2 = 0"), inc_path, n_planes=6)
+        append_lsh_index(emb.where("vec_id % 2 = 1"), inc_path)
+        write_lsh_index(emb, full_path, n_planes=6)
+        qvec = [
+            float(x)
+            for x in emb.where("vec_id = 0").first()["embedding"]
+        ]
+
+        def probe(path: str, ph: int) -> list[tuple]:
+            stored, meta = read_lsh_index(spark, path)
+            return [
+                tuple(r)
+                for r in lsh_search(
+                    stored.where("vec_id <> 0"),
+                    meta,
+                    qvec,
+                    k=10,
+                    probe_hamming=ph,
+                ).collect()
+            ]
+
+        def files_per_bucket(path: str) -> int:
+            import glob
+
+            return max(
+                len(glob.glob(os.path.join(d, "*.parquet")))
+                for d in glob.glob(os.path.join(path, "bucket=*"))
+            )
+
+        rows = []
+        want = {ph: probe(full_path, ph) for ph in (1, 2, 6)}
+        pre_files = files_per_bucket(inc_path)
+        for ph in (1, 2, 6):
+            rows.append(
+                ("append", ph, probe(inc_path, ph) == want[ph], pre_files)
+            )
+        compact_index(spark, inc_path, "bucket")
+        post_files = files_per_bucket(inc_path)
+        for ph in (1, 2, 6):
+            rows.append(
+                (
+                    "compact",
+                    ph,
+                    probe(inc_path, ph) == want[ph],
+                    post_files,
+                )
+            )
+        bad = [r for r in rows if not r[2]]
+        if bad or post_files != 1:
+            raise AssertionError(
+                f"index maintenance diverged from full build: {bad}, "
+                f"files per bucket after compact = {post_files}"
+            )
+        return spark.createDataFrame(
+            rows,
+            "step STRING, probe_hamming INT, matches_full_build BOOLEAN,"
+            " max_files_per_bucket INT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
