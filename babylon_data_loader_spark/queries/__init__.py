@@ -93,6 +93,8 @@ PRIORITY: list[str] = [
     "q_skipgram_pairs",
     "q_stream_sliding",
     "q_ann_index_maintenance",
+    "q_ndcg_eval",
+    "q_wilson_quality",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -124,8 +126,6 @@ PRIORITY: list[str] = [
     "q_scd2_dimension",
     "q_stream_left_join",
     "q_write_expectations",
-    "q_unicode_normalize",
-    "q_media_resample",
     "q_dedup_exact_text",
     "q_simhash",
 ]

@@ -845,3 +845,224 @@ def q_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# 1/log2(rank+1) discount weights for ranks 1..5, pre-rounded to 12
+# decimals and used as LITERALS in both engines — the only
+# transcendental in NDCG becomes a shared constant, so the metric is
+# pure multiply-add over rounded-9 gains (cross-engine exact).
+_NDCG_W = [
+    1.0,
+    0.630929753571,
+    0.5,
+    0.430676558073,
+    0.386852807235,
+]
+
+
+@query(
+    "q_ndcg_eval",
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), cand AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+             round({_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('q')}), 9)
+               AS sim
+      FROM embeddings a, qs q
+      WHERE a.vec_id <> q.vec_id
+    ), top20 AS (
+      SELECT * FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, cand_id ASC) <= 20
+    ), terms AS (
+      SELECT DISTINCT doc_id, unnest({_TOKENS_LOWER_SQL}) AS term
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM terms GROUP BY doc_id
+    ), shared AS (
+      SELECT t.query_id, t.cand_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM top20 t
+      JOIN terms tq ON tq.doc_id = t.query_id
+      JOIN terms tc ON tc.doc_id = t.cand_id AND tc.term = tq.term
+      GROUP BY t.query_id, t.cand_id
+    ), scored AS (
+      SELECT t.query_id, t.cand_id, t.sim,
+             round(CAST(0.8 AS DOUBLE) * t.sim
+                   + CAST(0.2 AS DOUBLE) *
+                     round(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+                           / CAST(sq.n_terms + sc.n_terms
+                                  - COALESCE(s.n_shared, 0) AS DOUBLE),
+                           9), 9) AS score
+      FROM top20 t
+      LEFT JOIN shared s
+        ON s.query_id = t.query_id AND s.cand_id = t.cand_id
+      JOIN sizes sq ON sq.doc_id = t.query_id
+      JOIN sizes sc ON sc.doc_id = t.cand_id
+    ), sys5 AS (
+      SELECT query_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, cand_id ASC) AS rnk
+      FROM scored QUALIFY rnk <= 5
+    ), ideal5 AS (
+      SELECT query_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, cand_id ASC) AS rnk
+      FROM top20 QUALIFY rnk <= 5
+    ), w(rnk, wt) AS (
+      VALUES (1, CAST({_NDCG_W[0]!r} AS DOUBLE)),
+             (2, CAST({_NDCG_W[1]!r} AS DOUBLE)),
+             (3, CAST({_NDCG_W[2]!r} AS DOUBLE)),
+             (4, CAST({_NDCG_W[3]!r} AS DOUBLE)),
+             (5, CAST({_NDCG_W[4]!r} AS DOUBLE)),
+    ), dcg AS (
+      SELECT s.query_id,
+             CAST(SUM(CAST(round(s.sim * w.wt, 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS dcg
+      FROM sys5 s JOIN w ON w.rnk = s.rnk GROUP BY s.query_id
+    ), idcg AS (
+      SELECT i.query_id,
+             CAST(SUM(CAST(round(i.sim * w.wt, 9)
+                           AS DECIMAL(20,9))) AS DOUBLE) AS idcg
+      FROM ideal5 i JOIN w ON w.rnk = i.rnk GROUP BY i.query_id
+    )
+    SELECT d.query_id, round(d.dcg, 9) AS dcg, round(i.idcg, 9) AS idcg,
+           round(d.dcg / i.idcg, 9) AS ndcg
+    FROM dcg d JOIN idcg i USING (query_id)
+    ORDER BY query_id
+    """,
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the cross-encoder re-ranker:
+    NDCG@5 per query anchor, with graded relevance = the rounded-9
+    cosine similarity (so the IDEAL ordering is the pure-relevance
+    retrieval order and the SYSTEM ordering is the re-ranked top-5).
+    The log2 discounts are pre-rounded shared literals and each gain
+    term is rounded then DECIMAL-summed — the whole metric is
+    cross-engine exact, a fully oracle-checked eval harness for the
+    retrieval family. Work per query is O(candidate pool), never the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_embedding")), 9)
+    cand = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim")
+        )
+    )
+    w20 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id").asc()
+    )
+    top20 = persist_tracked(
+        cand.withColumn("rn", F.row_number().over(w20))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    reranked = _cross_encoder_rerank(docs, top20)
+
+    wmap = F.create_map(
+        *[
+            c
+            for i, wt in enumerate(_NDCG_W, start=1)
+            for c in (F.lit(i), F.lit(wt))
+        ]
+    )
+
+    def _dcg(frame: DataFrame, rank_col: str, out: str) -> DataFrame:
+        term = F.round(
+            F.col("sim") * F.element_at(wmap, F.col(rank_col).cast("int")),
+            9,
+        )
+        return (
+            frame.where(F.col(rank_col) <= 5)
+            .groupBy("query_id")
+            .agg(
+                F.sum(term.cast("decimal(20,9)"))
+                .cast("double")
+                .alias(out)
+            )
+        )
+
+    sys5 = _dcg(reranked, "rank", "dcg")
+    ideal = top20.withColumn(
+        "irank", F.row_number().over(w20)
+    )
+    ideal5 = _dcg(ideal, "irank", "idcg")
+    return (
+        sys5.join(ideal5, "query_id")
+        .select(
+            "query_id",
+            F.round(F.col("dcg"), 9).alias("dcg"),
+            F.round(F.col("idcg"), 9).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "q_wilson_quality",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN n_chars BETWEEN 200 AND 2000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS kept
+      FROM documents GROUP BY source
+    )
+    SELECT source, n, kept,
+           round(CAST(kept AS DOUBLE) / CAST(n AS DOUBLE), 9) AS rate,
+           round((CAST(kept AS DOUBLE) / CAST(n AS DOUBLE)
+                  + CAST(3.8416 AS DOUBLE) / (2.0 * n)
+                  - CAST(1.96 AS DOUBLE) * sqrt(
+                      (CAST(kept AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(kept AS DOUBLE) / CAST(n AS DOUBLE))
+                      / n
+                      + CAST(3.8416 AS DOUBLE) / (4.0 * n * n)))
+                 / (1.0 + CAST(3.8416 AS DOUBLE) / n), 9)
+             AS wilson_lower
+    FROM g
+    ORDER BY wilson_lower DESC, source ASC
+    """,
+)
+def q_wilson_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality keep-rate with a Wilson-score LOWER bound
+    (z=1.96): the sample-size-aware ranking a curation pipeline uses
+    to decide which sources to trust — a source with 3/3 kept ranks
+    BELOW one with 80/100, which the raw rate gets backwards. All
+    inputs are integer counts; z and z² are shared literals and sqrt
+    is correctly-rounded IEEE in both engines, so the rounded-9 bound
+    is cross-engine exact. One aggregation shuffle on the source
+    dimension."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("n_chars").between(200, 2000), 1
+            ).otherwise(0)
+        ).alias("kept"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("kept").cast("double") / n
+    z2 = F.lit(3.8416)
+    wilson = (
+        p
+        + z2 / (2.0 * n)
+        - F.lit(1.96)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (4.0 * n * n))
+    ) / (F.lit(1.0) + z2 / n)
+    return g.select(
+        "source",
+        "n",
+        "kept",
+        F.round(p, 9).alias("rate"),
+        F.round(wilson, 9).alias("wilson_lower"),
+    ).orderBy(F.col("wilson_lower").desc(), F.col("source").asc())
