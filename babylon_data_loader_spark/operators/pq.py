@@ -157,6 +157,45 @@ def write_pq_index(
     os.replace(tmp, meta_path)  # atomic on POSIX
 
 
+def append_pq_index(
+    new_vecs: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a stored PQ index: encode new vectors with
+    the EXISTING codebooks (no refit — stored codes stay valid; train
+    drift is a periodic-rebuild decision) and append the new m-byte
+    codes. Search over (base ++ appended) equals a single encode of
+    the union with the same codebooks — the Arrow encode kernel is
+    deterministic per vector (argmin ties to the lowest index) and ADC
+    scoring depends only on code content (pinned by
+    tests/test_similarity.py)."""
+    first = new_vecs.select(vec_col).first()
+    if first is None:
+        return
+    import json
+    import os
+
+    with open(
+        os.path.join(path, "_codebooks.json"), encoding="utf-8"
+    ) as fh:
+        codebooks = json.load(fh)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    if len(first[0]) != m * dsub:
+        raise ValueError(
+            f"append_pq_index: new vectors have dim {len(first[0])}, "
+            f"index was built for dim {m * dsub}"
+        )
+    cols = [c for c in new_vecs.columns if c != vec_col]
+    (
+        pq_encode(new_vecs, codebooks, vec_col=vec_col)
+        .select(*cols, "pq_code")
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
 def read_pq_index(spark, path: str):
     """(codes DataFrame, codebooks) from a stored PQ index."""
     import json

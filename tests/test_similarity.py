@@ -464,3 +464,63 @@ def test_append_ivf_and_compact_index(spark, tmp_path):
     assert topk(inc_path) == before
     _, cents = read_ivf_index(spark, inc_path)  # meta survived
     assert cents == centroids
+
+
+def test_append_pq_index_equals_full_encode(spark, tmp_path):
+    """PQ incremental append: encode the second half with the STORED
+    codebooks and append — ADC search results equal a single full
+    encode (the encode kernel is deterministic per vector and ADC
+    scoring sees only code content)."""
+    from babylon_data_loader_spark.operators.pq import (
+        append_pq_index,
+        pq_encode,
+        pq_fit,
+        pq_search,
+        read_pq_index,
+        write_pq_index,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    books = pq_fit(emb, m=8, ksub=16, n_iters=2)
+    base = emb.filter("vec_id % 2 = 0")
+    extra = emb.filter("vec_id % 2 = 1")
+
+    inc_path = str(tmp_path / "pq_inc")
+    write_pq_index(
+        pq_encode(base, books).select("vec_id", "label", "pq_code"),
+        inc_path,
+        books,
+    )
+    append_pq_index(extra, inc_path)
+
+    full_path = str(tmp_path / "pq_full")
+    write_pq_index(
+        pq_encode(emb, books).select("vec_id", "label", "pq_code"),
+        full_path,
+        books,
+    )
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    def topk(path):
+        codes, cb = read_pq_index(spark, path)
+        return [
+            tuple(r)
+            for r in pq_search(
+                codes.filter("vec_id <> 0"), cb, qvec, k=10,
+                rerank=emb.filter("vec_id <> 0"),
+            ).collect()
+        ]
+
+    assert topk(inc_path) == topk(full_path)
+
+    import pytest as _pytest
+
+    import pyspark.sql.functions as _F
+
+    bad = extra.limit(1).select(
+        "vec_id", _F.slice("embedding", 1, 3).alias("embedding"), "label"
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        append_pq_index(bad, inc_path)
