@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     # broadcast single-row query vectors
     "q_radius_search",       # single-row query vector
     "q_rerank_candidates",   # 3-row query-anchor set (retrieval stage)
+    "q_ndcg_eval",           # same 3-row anchor set as the re-ranker
     "q_mmr_diversify",       # 1-row query vector + 10-row pruned-pool
     # pairwise-similarity self-join (both O(1)/O(k) build sides)
     "q_length_band",         # one-row percentile-band bounds
