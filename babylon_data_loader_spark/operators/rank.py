@@ -423,3 +423,81 @@ def grouped_running_totals(
         ).drop(f"__off_{name}", f"__offcnt_{name}")
     # restore the caller's column order, sums appended
     return local.select(*df.columns, *sums)
+
+
+def _extreme_scan(
+    df: DataFrame,
+    order: list[Column],
+    cols: dict[str, Column],
+    kind: str,
+) -> DataFrame:
+    """Distributed running MAX/MIN under a total order — the prefix
+    scan generalized from sums to extremes. Same two-pass shape as
+    ``_scan``: range repartition, per-partition window extreme,
+    O(#partitions) exclusive per-partition extremes broadcast back.
+    NULL semantics come free: ``greatest``/``least`` ignore NULLs (the
+    result is NULL only before the first non-null value globally),
+    which is exactly SQL's window MAX/MIN, so no non-null-count
+    carrier is needed."""
+    from pyspark.sql.types import StructField, StructType
+
+    if kind not in ("max", "min"):
+        raise ValueError(f"kind must be 'max' or 'min', got {kind!r}")
+    _check_collisions(df, [PID, *cols])
+    agg_f = F.max if kind == "max" else F.min
+    combine = F.greatest if kind == "max" else F.least
+    part = _ranged(df, order)
+    w = (
+        Window.partitionBy(PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part
+    for name, col in cols.items():
+        local = local.withColumn(name, agg_f(col).over(w))
+
+    totals = part.groupBy(PID).agg(
+        *[agg_f(c).alias(n) for n, c in cols.items()]
+    )
+    types = {
+        f.name: f.dataType for f in totals.schema if f.name != PID
+    }
+    schema = StructType(
+        [totals.schema[PID]]
+        + [StructField(f"__off_{n}", types[n], True) for n in cols]
+    )
+    rows = sorted(totals.collect(), key=lambda r: r[PID])
+    out, running = [], {n: None for n in cols}
+    for r in rows:
+        out.append((r[PID], *[running[n] for n in cols]))
+        for n in cols:
+            if r[n] is not None:
+                running[n] = (
+                    r[n]
+                    if running[n] is None
+                    else (max if kind == "max" else min)(running[n], r[n])
+                )
+    if not out:
+        out = [(0, *[None] * len(cols))]
+    off = F.broadcast(part.sparkSession.createDataFrame(out, schema))
+    local = local.join(off, PID)
+    for name in cols:
+        local = local.withColumn(
+            name, combine(F.col(name), F.col(f"__off_{name}"))
+        ).drop(f"__off_{name}")
+    return local.drop(PID)
+
+
+def running_max(
+    df: DataFrame, order: list[Column], cols: dict[str, Column]
+) -> DataFrame:
+    """MAX(col) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING) for
+    each ``cols`` entry, without the single-partition global window."""
+    return _extreme_scan(df, order, cols, "max")
+
+
+def running_min(
+    df: DataFrame, order: list[Column], cols: dict[str, Column]
+) -> DataFrame:
+    """MIN twin of :func:`running_max`."""
+    return _extreme_scan(df, order, cols, "min")

@@ -95,6 +95,7 @@ PRIORITY: list[str] = [
     "q_ann_index_maintenance",
     "q_ndcg_eval",
     "q_wilson_quality",
+    "q_pareto_frontier",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -125,7 +126,6 @@ PRIORITY: list[str] = [
     "q_mv_rewrite",
     "q_scd2_dimension",
     "q_stream_left_join",
-    "q_write_expectations",
     "q_dedup_exact_text",
     "q_simhash",
 ]

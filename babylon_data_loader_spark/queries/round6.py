@@ -1066,3 +1066,76 @@ def q_wilson_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 9).alias("rate"),
         F.round(wilson, 9).alias("wilson_lower"),
     ).orderBy(F.col("wilson_lower").desc(), F.col("source").asc())
+
+
+@query(
+    "q_pareto_frontier",
+    oracle=f"""
+    WITH per AS ({_PER_DOC_SQL}
+    )
+    SELECT p.doc_id, p.div_ratio, p.nt AS n_tokens
+    FROM per p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM per e
+      WHERE e.div_ratio >= p.div_ratio AND e.nt >= p.nt
+        AND (e.div_ratio > p.div_ratio OR e.nt > p.nt)
+    )
+    ORDER BY p.div_ratio DESC, p.doc_id ASC
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) selection over two quality axes —
+    token-diversity ratio and document length: the documents no other
+    document beats on both. The classic multi-objective curation
+    operator Spark has no built-in for, computed WITHOUT the O(N²)
+    dominance join the oracle uses:
+
+    1. aggregate to one row per distinct diversity value with its max
+       length (vocabulary-scale frame);
+    2. distributed prefix MAX (operators/rank.py::running_max) under
+       diversity-descending order gives each value the best length
+       among STRICTLY more diverse docs (exclusive via a row-number
+       self-join on the tiny distinct frame);
+    3. a value is on the frontier iff its max length beats that
+       prefix; docs join back on (diversity, length) equality.
+
+    A doc is dominated exactly when a same-diversity doc is longer or
+    a more-diverse doc is at-least-as-long, so frontier membership is
+    `l == max_l(q) AND max_l(q) > prefix_max(q)` — pure integer/
+    rounded-value comparisons, engine-exact."""
+    from babylon_data_loader_spark.operators.rank import (
+        running_max,
+        with_global_row_number,
+    )
+
+    per = persist_tracked(
+        _per_doc(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "nt", "div_ratio"
+        )
+    )
+    per_q = per.groupBy("div_ratio").agg(F.max("nt").alias("max_l"))
+    order = [F.col("div_ratio").desc()]
+    ranked = with_global_row_number(per_q, order, "rn")
+    im = running_max(ranked, order, {"im": F.col("max_l")})
+    em = im.select(
+        (F.col("rn") + 1).alias("rn"), F.col("im").alias("em")
+    )
+    # no broadcast hint: the distinct-ratio frame is usually tiny but
+    # is NOT bounded by construction (rounded-9 ratios) — let AQE pick
+    frontier = (
+        im.join(em, "rn", "left")
+        .where(
+            F.col("em").isNull() | (F.col("max_l") > F.col("em"))
+        )
+        .select("div_ratio", "max_l")
+    )
+    return (
+        per.join(frontier, "div_ratio")
+        .where(F.col("nt") == F.col("max_l"))
+        .select(
+            "doc_id",
+            "div_ratio",
+            F.col("nt").alias("n_tokens"),
+        )
+        .orderBy(F.col("div_ratio").desc(), F.col("doc_id").asc())
+    )

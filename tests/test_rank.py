@@ -427,3 +427,40 @@ def test_column_collision_raises(spark):
         with_global_ntile(df.select("id", "rn"), order, 4, name="rn")
     with pytest.raises(ValueError, match="collide"):
         value_ranks(df.selectExpr("id AS cnt"), ["cnt"])
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_running_max_min_match_window(spark, seed):
+    """Distributed prefix MAX/MIN vs the global window, with NULLs in
+    the tracked column (window MAX ignores NULLs: NULL only before
+    the first non-null globally) and long all-NULL head runs."""
+    from babylon_data_loader_spark.operators.rank import (
+        running_max,
+        running_min,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(600):
+        v = None if i < 150 else rng.choice([None, *range(-40, 41)])
+        rows.append((i, v))
+    df = spark.createDataFrame(
+        rows, "id BIGINT, v BIGINT"
+    ).repartition(16)
+    order = [F.col("id").asc()]
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+
+    got = running_max(df, order, {"mx": F.col("v")})
+    want = df.withColumn("mx", F.max("v").over(w))
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
+
+    got = running_min(df, order, {"mn": F.col("v")})
+    want = df.withColumn("mn", F.min("v").over(w))
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, want.collect()), key=str
+    )
+
+    with pytest.raises(ValueError, match="exist"):
+        running_max(df, order, {"v": F.col("v")})
