@@ -96,6 +96,7 @@ PRIORITY: list[str] = [
     "q_ndcg_eval",
     "q_wilson_quality",
     "q_pareto_frontier",
+    "q_curriculum_order",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -127,7 +128,6 @@ PRIORITY: list[str] = [
     "q_scd2_dimension",
     "q_stream_left_join",
     "q_dedup_exact_text",
-    "q_simhash",
 ]
 
 

@@ -1139,3 +1139,68 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("div_ratio").desc(), F.col("doc_id").asc())
     )
+
+
+@query(
+    "q_curriculum_order",
+    oracle=f"""
+    WITH per AS ({_PER_DOC_SQL}
+    ), tiled AS (
+      SELECT doc_id, div_ratio,
+             CAST(NTILE(4) OVER (ORDER BY div_ratio ASC, doc_id ASC)
+                  AS BIGINT) AS stage
+      FROM per
+    )
+    SELECT stage,
+           CAST(row_number() OVER (
+             PARTITION BY stage
+             ORDER BY md5('cur7-' || CAST(doc_id AS VARCHAR)) ASC,
+                      doc_id ASC) AS BIGINT) AS pos,
+           doc_id, div_ratio
+    FROM tiled
+    ORDER BY stage, pos
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: documents staged easiest→hardest by
+    diversity-quartile (the distributed two-pass NTILE — no global
+    window), then DETERMINISTICALLY shuffled within each stage by a
+    seeded md5 of the doc id (reproducible epochs, no RNG state; the
+    q_weighted_sample discipline). Stage position comes from the
+    grouped distributed prefix scan — stage has 4 values, exactly the
+    few-group case a plain partitionBy window would serialize. The
+    output is the training data-loader's read order."""
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+        with_global_ntile,
+    )
+
+    per = persist_tracked(
+        _per_doc(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "div_ratio"
+        )
+    )
+    tiled = with_global_ntile(
+        per,
+        [F.col("div_ratio").asc(), F.col("doc_id").asc()],
+        4,
+        "stage",
+    ).withColumn("stage", F.col("stage").cast("bigint"))
+    shuffle_key = F.md5(
+        F.concat(F.lit("cur7-"), F.col("doc_id").cast("string"))
+    )
+    ordered = grouped_running_totals(
+        tiled.withColumn("__shuf", shuffle_key),
+        ["stage"],
+        [F.col("__shuf").asc(), F.col("doc_id").asc()],
+        {"pos": F.lit(1)},
+    )
+    return (
+        ordered.select(
+            "stage",
+            F.col("pos").cast("bigint").alias("pos"),
+            "doc_id",
+            "div_ratio",
+        )
+        .orderBy("stage", "pos")
+    )
