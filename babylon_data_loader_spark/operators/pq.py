@@ -287,13 +287,29 @@ def ivfpq_build(
     Returns (codes DataFrame with cluster_id + pq_code, coarse
     centroids, residual codebooks). Deterministic end to end.
     """
-    from babylon_data_loader_spark.operators.ivf import ivf_index, kmeans_fit
+    from babylon_data_loader_spark.operators.ivf import kmeans_fit
 
     centroids = kmeans_fit(
         emb, k=k_coarse, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
-    assigned = ivf_index(emb, centroids, vec_col=vec_col)
+    with_res = _with_residuals(emb, centroids, id_col, vec_col)
+    books = pq_fit(
+        with_res.select(id_col, F.col("_res").alias(vec_col)),
+        m=m,
+        ksub=ksub,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return ivfpq_encode(emb, centroids, books, id_col, vec_col), centroids, books
 
+
+def _with_residuals(emb, centroids, id_col, vec_col):
+    """Assign each vector to its nearest coarse centroid and attach
+    the residual vector (Arrow-batched, no shuffle)."""
+    from babylon_data_loader_spark.operators.ivf import ivf_index
+
+    assigned = ivf_index(emb, centroids, vec_col=vec_col)
     cen = np.asarray(centroids, dtype=np.float64)
 
     from pyspark.sql.functions import pandas_udf
@@ -308,28 +324,36 @@ def ivfpq_build(
         r = x - cen[cids.to_numpy().astype(np.int64)]
         return pd.Series(list(r))
 
-    with_res = assigned.withColumn(
+    return assigned.withColumn(
         "_res", _residual(F.col(vec_col), F.col("cluster_id"))
     )
-    books = pq_fit(
-        with_res.select(id_col, F.col("_res").alias(vec_col)),
-        m=m,
-        ksub=ksub,
-        n_iters=n_iters,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
-    codes = pq_encode(
+
+
+def ivfpq_encode(
+    new_vecs: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors against EXISTING IVF-PQ parameters — the
+    incremental-maintenance half: assign to the stored coarse
+    centroids, residual-encode with the stored codebooks, no refit.
+    ivfpq_build's own encode stage IS this function, so
+    codes(base) ++ ivfpq_encode(extra) is code-for-code identical to a
+    single build's encode of the union under the same parameters
+    (pinned by tests/test_similarity.py)."""
+    with_res = _with_residuals(new_vecs, centroids, id_col, vec_col)
+    return pq_encode(
         with_res.select(
             id_col,
             "cluster_id",
             *(["label"] if "label" in with_res.columns else []),
             F.col("_res").alias(vec_col),
         ),
-        books,
+        codebooks,
         vec_col=vec_col,
     ).drop(vec_col)
-    return codes, centroids, books
 
 
 def ivfpq_search(

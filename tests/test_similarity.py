@@ -524,3 +524,47 @@ def test_append_pq_index_equals_full_encode(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="dim"):
         append_pq_index(bad, inc_path)
+
+
+def test_ivfpq_encode_increment_equals_full(spark):
+    """IVF-PQ incremental encode: encoding the second half against the
+    stored (centroids, codebooks) and unioning with the base codes
+    must equal a single build's encode of the union, and search
+    results must match."""
+    from babylon_data_loader_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_encode,
+        ivfpq_search,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").cache()
+    codes_full, cents, books = ivfpq_build(emb, k_coarse=8, m=8, ksub=16)
+
+    base = emb.filter("vec_id % 2 = 0")
+    extra = emb.filter("vec_id % 2 = 1")
+    inc = ivfpq_encode(base, cents, books).unionAll(
+        ivfpq_encode(extra, cents, books)
+    )
+    want = {
+        r["vec_id"]: (r["cluster_id"], tuple(r["pq_code"]))
+        for r in codes_full.collect()
+    }
+    got = {
+        r["vec_id"]: (r["cluster_id"], tuple(r["pq_code"]))
+        for r in inc.collect()
+    }
+    assert got == want
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    def topk(codes):
+        return [
+            tuple(r)
+            for r in ivfpq_search(
+                codes.filter("vec_id <> 0"), cents, books, qvec, k=10,
+                rerank=emb.filter("vec_id <> 0"),
+            ).collect()
+        ]
+
+    assert topk(inc) == topk(codes_full)
