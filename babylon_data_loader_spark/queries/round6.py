@@ -1,8 +1,13 @@
 """Round-6 registry growth (r5 VERDICT ask #6): the two suggested
 LLM-pipeline gaps — cross-encoder-style re-ranking over retrieved
 candidates and token-budget-aware corpus sampling — plus the grouped
-per-source budget twin and per-entity winsorization. Every query
-carries a full DuckDB oracle.
+per-source budget twin, per-entity winsorization, MMR
+diversification, skip-gram co-occurrence, NDCG evaluation,
+Wilson-score source trust, the Pareto-frontier skyline, curriculum
+ordering, and the ANN-index lifecycle witnesses. Every query carries
+a full DuckDB oracle except the two self-certifying rows-only ones
+(`q_rerank_ann`, `q_ann_index_maintenance` — each asserts its
+acceptance criterion in-query and emits it as columns).
 
 Scale notes up front:
 - re-rank: the EXPENSIVE scorer runs only on |queries| x k candidate
