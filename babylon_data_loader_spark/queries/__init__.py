@@ -82,8 +82,14 @@ PRIORITY: list[str] = [
     # the driver witnesses the new acceptance columns.
     "q_sketch_quantiles",
     "q_compression_ratio",
-    # Slots 11+: queries ADDED THIS ROUND (full DuckDB oracles) —
-    # new queries go at the window head so no new debt accrues.
+    # Slots 11-23: the 13 queries ADDED THIS ROUND — new queries go
+    # at the window head so no new debt accrues. All carry full
+    # DuckDB oracles except q_rerank_ann / q_ann_index_maintenance
+    # (rows-only but SELF-CERTIFYING: in-query acceptance asserts
+    # with the measured figure + bound emitted as columns). Every
+    # window query was pre-flighted against this round's regenerated
+    # testdata (scripts/check_oracle.py, all exact-match) before the
+    # driver run; the additions were checked at sf0.001/0.01/0.1.
     "q_rerank_candidates",
     "q_token_budget_sample",
     "q_source_token_budget",
