@@ -650,6 +650,78 @@ class TransactionalLake:
                 if attempt == max_retries:
                     raise
 
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        max_retries: int = 3,
+    ) -> int:
+        """Targeted row deletion (the GDPR / right-to-be-forgotten
+        shape): rewrite ONLY the partitions that contain matching rows
+        — survivors re-written, everything else untouched — committed
+        as one atomic new version. Returns the number of rows deleted.
+
+        Semantics are SQL DELETE WHERE: a row is deleted iff the
+        condition is TRUE on it (NULL keeps the row — filtering with
+        the raw negation would silently delete NULL-condition rows).
+        Old snapshots keep the rows (time travel still sees them)
+        until vacuum retires their versions — the audit/compliance
+        two-step every transactional lake documents: delete makes data
+        unreachable NOW, vacuum makes it physically gone LATER. A
+        partition whose rows all match is DROPPED from the manifest.
+        A no-match delete returns 0 without committing a version."""
+        survives = ~F.coalesce(condition, F.lit(False))
+        for attempt in range(max_retries + 1):
+            manifest = self.current_manifest()
+            if not manifest["partitions"]:
+                return 0
+            full = self._read_subdirs(spark, manifest["partitions"])
+            touched_values = {
+                HIVE_NULL_PARTITION if r[0] is None else str(r[0])
+                for r in full.where(~survives)
+                .select(self.partition_col)
+                .distinct()
+                .collect()
+            }
+            if not touched_values:
+                return 0
+            stored_subdirs = {
+                subdir: dirs
+                for subdir, dirs in manifest["partitions"].items()
+                if self._subdir_value(subdir) in touched_values
+            }
+            stored = self._read_subdirs(spark, stored_subdirs)
+            n_before = stored.count()
+            survivors = stored.where(survives)
+            rel, new_subdirs = self._write_version_dir(survivors)
+            n_deleted = n_before - self._read_subdirs(
+                spark, {s: [rel] for s in new_subdirs}
+            ).count() if new_subdirs else n_before
+            new_manifest = self._next_manifest(
+                manifest,
+                {
+                    **{
+                        s: d
+                        for s, d in manifest["partitions"].items()
+                        if s not in stored_subdirs
+                    },
+                    **{s: [rel] for s in new_subdirs},
+                },
+            )
+            try:
+                self._claim_and_commit(new_manifest)
+                return n_deleted
+            except ConcurrentWriteError:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(self.lake_path, rel), ignore_errors=True
+                )
+                if attempt == max_retries:
+                    raise
+        return 0
+
     def migrate_partitioning(
         self,
         spark: SparkSession,

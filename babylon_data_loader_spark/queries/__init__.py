@@ -103,6 +103,7 @@ PRIORITY: list[str] = [
     "q_wilson_quality",
     "q_pareto_frontier",
     "q_curriculum_order",
+    "q_lake_delete",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -133,7 +134,6 @@ PRIORITY: list[str] = [
     "q_mv_rewrite",
     "q_scd2_dimension",
     "q_stream_left_join",
-    "q_dedup_exact_text",
 ]
 
 

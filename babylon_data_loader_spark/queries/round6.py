@@ -1209,3 +1209,75 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage", "pos")
     )
+
+
+@query(
+    "q_lake_delete",
+    oracle="""
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+    FROM events
+    WHERE event_type <> 'error' AND user_id % 7 <> 0
+    """,
+)
+def q_lake_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted deletion on the transactional lake — the GDPR /
+    right-to-be-forgotten workflow: merge the events table into a
+    lake partitioned by event_type, DELETE WHERE (an event-type purge,
+    then a user purge across partitions), and return the surviving
+    table. delete_where rewrites only partitions containing matches
+    and commits atomically; the first delete drops the whole 'error'
+    partition from the manifest (no rewrite of the other four), the
+    second rewrites the survivors of each remaining partition. Time
+    travel still sees the deleted rows until vacuum — asserted
+    in-query — which is the delete-now/forget-later contract every
+    transactional lake documents. The oracle is the surviving-rows
+    SELECT."""
+    import os
+    import shutil
+    import uuid
+
+    from babylon_data_loader_spark.operators.merge import dedup_latest
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+    from babylon_data_loader_spark.schemas import event_ts_us
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        event_ts_us(ev_raw).alias("ts_us"),
+        "value",
+    )
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_lake_delete_{uuid.uuid4().hex[:12]}")
+    try:
+        lake = TransactionalLake.open(
+            os.path.join(work, "events_lake"), partition_col="event_type"
+        )
+        lake.merge(spark, dedup_latest(ev, ["event_id"]), ["event_id"])
+        v1 = lake.current_manifest()["version"]
+        n1 = lake.delete_where(spark, F.col("event_type") == "error")
+        n2 = lake.delete_where(spark, F.col("user_id") % 7 == 0)
+        # no-match delete must not commit a version
+        v_after = lake.current_manifest()["version"]
+        assert lake.delete_where(spark, F.lit(False)) == 0
+        if lake.current_manifest()["version"] != v_after:
+            raise AssertionError("no-match delete committed a version")
+        # the pre-delete snapshot still has every row (time travel)
+        n_v1 = lake.read(spark, version=v1).count()
+        if n_v1 != ev.count() or n1 <= 0 or n2 <= 0:
+            raise AssertionError(
+                f"delete accounting broken: v1={n_v1}, n1={n1}, n2={n2}"
+            )
+        out = lake.read(spark).select(
+            "event_id", "user_id", "event_type", "ts_us", "value"
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -8,6 +8,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.operators.tx_lake import (
     ConcurrentWriteError,
@@ -760,3 +761,39 @@ def test_tag_rolls_back_on_concurrent_vacuum(spark, tmp_path):
     assert "pin" not in lake.tags()
     # untouched versions still taggable afterwards
     assert lake.tag("now") == lake.current_manifest()["version"]
+
+
+def test_delete_where_semantics(spark, tmp_path):
+    """delete_where: SQL DELETE semantics (NULL condition keeps the
+    row), partition-scoped rewrite, all-match partitions dropped from
+    the manifest, no-match deletes commit nothing, and time travel
+    still sees the deleted rows."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    rows = [
+        (0, "a", "chase"),
+        (1, "b", "chase"),
+        (2, "c", "synthetic"),
+        (3, None, "synthetic"),  # NULL v: kept by the v='c' delete
+    ]
+    lake.merge(spark, frame(spark, rows), KEY)
+    v1 = lake.current_manifest()["version"]
+
+    # delete everything in one partition: its manifest entry vanishes
+    n = lake.delete_where(spark, F.col("data_source") == "chase")
+    assert n == 2
+    m = lake.current_manifest()
+    assert "data_source=chase" not in m["partitions"]
+    assert m["version"] == v1 + 1
+
+    # NULL condition rows survive (v is NULL on row 3)
+    n = lake.delete_where(spark, F.col("v") == "c")
+    assert n == 1
+    assert [r["k"] for r in lake.read(spark).collect()] == [3]
+
+    # no-match: returns 0, no version committed
+    v_now = lake.current_manifest()["version"]
+    assert lake.delete_where(spark, F.col("v") == "zzz") == 0
+    assert lake.current_manifest()["version"] == v_now
+
+    # pre-delete snapshot still has all 4 rows
+    assert lake.read(spark, version=v1).count() == 4
