@@ -158,6 +158,38 @@ def _cmd_vacuum(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_delete(args: argparse.Namespace) -> int:
+    """DELETE FROM <lake> WHERE <sql-predicate> — the reference has no
+    delete surface (Mongo deletes happen out of band); this is the
+    lake-native GDPR workflow: partition-scoped atomic delete NOW,
+    vacuum forgets the old versions LATER."""
+    from babylon_data_loader_spark.config import load_config
+    from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
+    from babylon_data_loader_spark.session import build_session
+
+    path = args.path or load_config().transactions_path
+    spark = build_session(app_name="delete-from-lake")
+    try:
+        from pyspark.sql import functions as F
+
+        lake = TransactionalLake.open(path)
+        n = lake.delete_where(spark, F.expr(args.where))
+        print(
+            json.dumps(
+                {
+                    "path": path,
+                    "where": args.where,
+                    "rows_deleted": n,
+                    "version": lake.current_manifest()["version"],
+                }
+            )
+        )
+        return 0
+    finally:
+        spark.stop()
+
+
+
 def _cmd_profile(args: argparse.Namespace) -> int:
     from babylon_data_loader_spark.session import build_session
 
@@ -441,6 +473,14 @@ def main(argv: list[str] | None = None) -> int:
         "(default: the lake's stale_claim_s) — protects in-flight writers",
     )
 
+    dele = sub.add_parser(
+        "delete-from-lake",
+        help="DELETE FROM the lake WHERE a SQL predicate holds "
+        "(atomic new version; old snapshots keep rows until vacuum)",
+    )
+    dele.add_argument("where", help="SQL boolean predicate, e.g. \"data_source = 'chase'\"")
+    dele.add_argument("--path", default=None)
+
     opt = sub.add_parser(
         "optimize-layout",
         help="rewrite a parquet table into right-sized, optionally "
@@ -535,6 +575,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_fsck(args)
     if args.command == "vacuum-lake":
         return _cmd_vacuum(args)
+    if args.command == "delete-from-lake":
+        return _cmd_delete(args)
     if args.command == "optimize-layout":
         return _cmd_optimize(args)
     if args.command == "profile":

@@ -327,3 +327,24 @@ def test_cli_tag_lake(spark, tmp_path):
     out = _run(["tag-lake", "--path", lake_path, "--delete", "release-1"])
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["tags"] == {}
+
+
+def test_cli_delete_from_lake(spark, tmp_path):
+    """delete-from-lake applies a SQL predicate delete through the
+    atomic commit protocol and reports rows_deleted + new version."""
+    from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
+
+    path = str(tmp_path / "lake")
+    lake = TransactionalLake(path)
+    df = spark.createDataFrame(
+        [(1, "a", "chase"), (2, "b", "chase"), (3, "c", "syn")],
+        "k BIGINT, v STRING, data_source STRING",
+    )
+    lake.merge(spark, df, ["k"])
+
+    out = _run(["delete-from-lake", "data_source = 'chase'", "--path", path])
+    assert out.returncode == 0, out.stderr[-500:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["rows_deleted"] == 2
+    assert stats["version"] == 2
+    assert [r["k"] for r in lake.read(spark).collect()] == [3]
