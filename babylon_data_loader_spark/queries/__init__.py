@@ -104,6 +104,14 @@ PRIORITY: list[str] = [
     "q_pareto_frontier",
     "q_curriculum_order",
     "q_lake_delete",
+    # Slots 25-29: the second r6 wave (queries/round6b.py) — the
+    # pre-trainer feature-engineering/sampling family, all with full
+    # DuckDB oracles, same new-queries-go-at-the-head rule.
+    "q_target_encode",
+    "q_quantile_normalize",
+    "q_class_rebalance",
+    "q_decay_weighted",
+    "q_chi2_terms",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -156,6 +164,7 @@ def load_all() -> None:
         round4e,
         round4f,
         round6,
+        round6b,
         streaming_dedup,
         streaming_replay,
         streaming_window,

@@ -68,6 +68,10 @@ BNLJ_ALLOWED = {
     "q_changepoint",         # one-row mean/max scalars over O(days)
     "q_entropy_rate",        # one-row transition-total scalar
     "q_lorenz_points",       # one-row grand-total scalar
+    "q_target_encode",       # one-row global-mean scalar
+    "q_class_rebalance",     # one-row min-class-size scalar
+    "q_decay_weighted",      # one-row reference-timestamp scalar
+    "q_chi2_terms",          # one-row corpus-size scalar
 }
 
 # A Window with NO partition spec moves the entire input to one task
