@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -443,6 +444,64 @@ def _cmd_card(args: argparse.Namespace) -> int:
     return 0
 
 
+def _registry():
+    from babylon_data_loader_spark import queries as Q
+
+    Q.load_all()
+    return Q.QUERIES, Q.ORACLES
+
+
+def _cmd_list_queries(args: argparse.Namespace) -> int:
+    qmap, omap = _registry()
+    for name, fn in qmap.items():
+        if args.filter and args.filter not in name:
+            continue
+        doc = (fn.__doc__ or "").strip().splitlines()
+        print(
+            json.dumps(
+                {
+                    "name": name,
+                    "oracle": name in omap,
+                    "doc": doc[0] if doc else "",
+                }
+            )
+        )
+    return 0
+
+
+def _cmd_run_query(args: argparse.Namespace) -> int:
+    from babylon_data_loader_spark.session import build_session
+
+    qmap, _ = _registry()
+    if args.name not in qmap:
+        print(f"unknown query {args.name!r} (see list-queries)", file=sys.stderr)
+        return 2
+    spark = build_session(app_name=f"run-{args.name}")
+    try:
+        df = qmap[args.name](spark, args.sf_dir)
+        rows = df.limit(args.limit).collect() if args.limit else df.collect()
+        for r in rows:
+            print(json.dumps(r.asDict(recursive=True), default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
+def _cmd_explain_query(args: argparse.Namespace) -> int:
+    from babylon_data_loader_spark.session import build_session
+
+    qmap, _ = _registry()
+    if args.name not in qmap:
+        print(f"unknown query {args.name!r} (see list-queries)", file=sys.stderr)
+        return 2
+    spark = build_session(app_name=f"explain-{args.name}")
+    try:
+        qmap[args.name](spark, args.sf_dir).explain(mode="formatted")
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="babylon_data_loader_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -557,6 +616,34 @@ def main(argv: list[str] | None = None) -> int:
         help="categorical columns to histogram (top 50 each)",
     )
 
+    lsq = sub.add_parser(
+        "list-queries",
+        help="list the declared query registry (name, oracle flag, "
+        "one-line description) as JSON lines",
+    )
+    lsq.add_argument("--filter", default=None, help="name substring")
+
+    _default_sf = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+    )
+    runq = sub.add_parser(
+        "run-query",
+        help="run one declared query against a testdata dir and "
+        "print rows as JSON lines",
+    )
+    runq.add_argument("name")
+    runq.add_argument("--sf-dir", default=_default_sf)
+    runq.add_argument(
+        "--limit", type=int, default=20, help="0 = no limit"
+    )
+
+    expq = sub.add_parser(
+        "explain-query",
+        help="print a declared query's formatted physical plan",
+    )
+    expq.add_argument("name")
+    expq.add_argument("--sf-dir", default=_default_sf)
+
     gen = sub.add_parser(
         "generate-synthetic-data", help="generate synthetic transactions"
     )
@@ -591,6 +678,12 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_export(args)
     if args.command == "dataset-card":
         return _cmd_card(args)
+    if args.command == "list-queries":
+        return _cmd_list_queries(args)
+    if args.command == "run-query":
+        return _cmd_run_query(args)
+    if args.command == "explain-query":
+        return _cmd_explain_query(args)
     return _cmd_generate(args)
 
 

@@ -348,3 +348,34 @@ def test_cli_delete_from_lake(spark, tmp_path):
     assert stats["rows_deleted"] == 2
     assert stats["version"] == 2
     assert [r["k"] for r in lake.read(spark).collect()] == [3]
+
+
+def test_cli_query_surface():
+    """list-queries needs no Spark session; run-query and
+    explain-query drive a registered query end-to-end against the
+    sf0.001 testdata; unknown names exit 2."""
+    out = _run(["list-queries", "--filter", "q_target_encode"])
+    assert out.returncode == 0, out.stderr[-500:]
+    rows = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
+    assert {"q_target_encode"} == {r["name"] for r in rows}
+    assert rows[0]["oracle"] is True and rows[0]["doc"]
+
+    out = _run(["run-query", "q_target_encode", "--limit", "2"])
+    assert out.returncode == 0, out.stderr[-500:]
+    data = [
+        json.loads(ln)
+        for ln in out.stdout.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert len(data) == 2
+    assert {"o_orderpriority", "n", "target_mean", "target_enc"} == set(
+        data[0]
+    )
+
+    out = _run(["explain-query", "q_target_encode"])
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "== Physical Plan ==" in out.stdout
+    assert "Scan parquet" in out.stdout
+
+    out = _run(["run-query", "q_definitely_not_registered"])
+    assert out.returncode == 2
