@@ -84,6 +84,12 @@ HEADLINE = [
     # corpus sampling via the distributed prefix scan.
     "q_rerank_candidates",
     "q_token_budget_sample",
+    # round 6 wave 2: the feature-engineering family's two heavy
+    # shapes — the grouped distributed prefix scan (per-source rank
+    # normalization) and the token-explode + marginal-join +
+    # rank-limit-pruned chi-squared term selection.
+    "q_quantile_normalize",
+    "q_chi2_terms",
 ]
 
 
