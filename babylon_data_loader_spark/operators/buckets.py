@@ -1,24 +1,25 @@
 """Shared hot-bucket guard for LSH-style candidate generation.
 
 Every banded-LSH path (MinHash bands over documents, sign buckets over
-embeddings) self-joins rows on a bucket key; one degenerate bucket —
-boilerplate text, near-identical embeddings — turns that join
-quadratic. Both paths cap bucket size with the SAME helper so a tuning
-fix lands in one place; the physical strategy stays a parameter because
-the two call sites measured differently:
+embeddings, shingle buckets for containment) generates within-bucket
+pairs; one degenerate bucket — boilerplate text, near-identical
+embeddings — turns that quadratic. All paths cap bucket size with the
+SAME helper so a tuning fix lands in one place.
 
-- ``window``: COUNT window over the bucket keys. Its one exchange
-  hash-partitions the rows by exactly the self-join's key and Spark
-  REUSES that exchange for both join sides — one full-data shuffle
-  total. Best when the guarded frame feeds the self-join directly
-  (MinHash bands: measured faster at sf0.1, strictly fewer shuffle
-  bytes at scale).
-- ``antijoin``: partial-aggregating groupBy + broadcast anti-join
-  against the (tiny: ≤ rows/cap) oversized-bucket list. Shuffles only
-  per-partition partials for the count. Best when the guarded frame is
-  persisted before the self-join anyway, so exchange reuse cannot
-  apply (sign-bucket banding: the bucket projection is an Arrow UDF
-  worth persisting once).
+All current call sites use ``antijoin``: a partial-aggregating groupBy
++ broadcast anti-join against the oversized-bucket list, which stays
+TINY (≤ rows/cap entries) at any corpus size — so the broadcast holds
+at 100 TB where a keep-list of under-cap buckets would not. The guard
+also bounds the downstream ``groupBy(bucket) + collect_list`` pair
+generators: post-guard every bucket has ≤ cap members, so aggregation
+buffers are capped by construction (the reason the guard must run
+BEFORE collecting, never as a size filter on the collected array).
+
+``window`` (COUNT window over the bucket keys, one full-data exchange
+that a same-keyed self-join can reuse) is retained for callers whose
+guarded frame feeds a bucket-keyed self-join; since the pair
+generators moved to in-bucket collect_list + explode (r6), no
+first-party call site uses it.
 """
 
 from __future__ import annotations

@@ -210,27 +210,32 @@ def _banded_candidates(
             ),
         )
     )
-    # "antijoin" strategy: this frame is persisted before the
-    # self-join, so window-exchange reuse cannot apply; the groupBy
-    # shuffles only per-partition partials and AQE broadcasts the tiny
-    # oversized list — see operators/buckets.py for the tradeoff.
+    # Persist BEFORE the guard: the Arrow bucket kernel then runs once
+    # and feeds both the guard's oversized-bucket count and the pair
+    # generation. The guard is the "antijoin" strategy (broadcast
+    # anti-join against the tiny >cap list — see operators/buckets.py)
+    # so the collect_list below has aggregation buffers bounded at
+    # `max_bucket_size` ids by construction; the in-row double explode
+    # then emits a<b pairs with ONE band-keyed shuffle of bare ids —
+    # no self-join of the bucketed frame.
     from babylon_data_loader_spark.operators.buckets import (
         drop_oversized_buckets,
     )
 
+    bucketed = persist_tracked(bucketed)
     bucketed = drop_oversized_buckets(
         bucketed,
         ["band_idx", "bucket"],
         max_bucket_size,
         strategy="antijoin",
     )
-    bucketed = persist_tracked(bucketed)
-    a = bucketed.select(F.col(id_col).alias("id_a"), "band_idx", "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), "band_idx", "bucket")
+    buckets = bucketed.groupBy("band_idx", "bucket").agg(
+        F.collect_list(id_col).alias("_ids")
+    )
     pairs = (
-        a.join(b, on=["band_idx", "bucket"])
+        buckets.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))

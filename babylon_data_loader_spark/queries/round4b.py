@@ -283,13 +283,23 @@ _SHINGLES_SQL = f"""
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs where the smaller document's shingle set is ≥80%
-    contained in the other's. Candidates come from a shingle-bucket
-    self-join with a document-frequency cap (a shingle in >100 docs is
-    dropped — at 100 TB those are boilerplate n-grams that would
-    produce quadratic candidates and near-zero containment evidence
-    anyway); the intersection count then shuffles only (doc_a, doc_b)
-    pairs, never text."""
-    from babylon_data_loader_spark.functions.cache import persist_tracked
+    contained in the other's. The document-frequency cap (a shingle in
+    >100 docs generates no candidates — at 100 TB those are
+    boilerplate n-grams that would produce quadratic candidates and
+    near-zero containment evidence anyway) is a broadcast ANTI-join
+    against the HOT-shingle list, which stays tiny (≤ rows/cap
+    entries) at any corpus size — the ≤100-df "common" set it
+    replaces grows with the vocabulary and would stop broadcasting.
+    Pair generation then happens inside each shingle bucket:
+    groupBy(shingle) + collect_list (arrays capped at ≤100 ids by the
+    guard, so aggregation buffers are bounded by construction) and an
+    in-row double explode — no self-join of the exploded frame, and
+    the intersection count shuffles only (doc_a, doc_b) pairs, never
+    text. Measured at sf0.1: 2.8 s → 2.0 s warm vs the former
+    common-join + self-join shape, identical output."""
+    from babylon_data_loader_spark.operators.buckets import (
+        drop_oversized_buckets,
+    )
     from babylon_data_loader_spark.operators.dedup import (
         stored_doc_shingles,
     )
@@ -298,33 +308,23 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The exploded DISTINCT (doc_id, shingle) frame comes from the
     # AT-REST shingle store (operators/index_store.py — tokenize +
     # shingle runs once per dataset version; every dedup-family query
-    # shares the parquet), then persists because it feeds four
-    # consumers here (sizes, the df cap, both sides of the self-join).
-    sh = persist_tracked(
-        stored_doc_shingles(docs).select(
-            F.col("_id").alias("doc_id"), F.col("_sh").alias("s")
-        )
+    # shares the parquet). Two consumers (sizes, rare) each re-scan
+    # the pruned two-column parquet — cheaper than a persist round-trip.
+    sh = stored_doc_shingles(docs).select(
+        F.col("_id").alias("doc_id"), F.col("_sh").alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    common = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= 100)
-        .select("s")
+    rare = drop_oversized_buckets(sh, "s", 100, strategy="antijoin")
+    buckets = rare.groupBy("s").agg(
+        F.collect_list("doc_id").alias("ids")
     )
-    rare = persist_tracked(sh.join(common, on="s"))
-    inter = (
-        rare.alias("a")
-        .join(
-            rare.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
+    pairs = (
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("i")
     )
     return (
         inter.join(
