@@ -146,9 +146,19 @@ def _cross_encoder_rerank(docs: DataFrame, top20: DataFrame) -> DataFrame:
     candidate pair with 0.8*cosine + 0.2*lexical-token-Jaccard of the
     two documents and keep the top-5 per query. Document text is
     joined only for the pruned candidate set."""
-    # expensive stage: token sets for exactly the docs in play
+    # expensive stage: token sets for EXACTLY the docs in play — the
+    # ≤ |queries|·(k+1) ids from the candidate frame semi-join the
+    # corpus (broadcast: the id list is candidate-sized by
+    # construction) BEFORE tokenization, so the explode+distinct
+    # shuffle carries a candidate-scale frame, never the corpus.
+    ids_in_play = (
+        top20.select(F.col("query_id").alias("doc_id"))
+        .union(top20.select(F.col("cand_id").alias("doc_id")))
+        .distinct()
+    )
+    in_play = docs.join(F.broadcast(ids_in_play), "doc_id", "left_semi")
     terms = (
-        docs.select(
+        in_play.select(
             "doc_id",
             F.explode(tokens(F.lower(F.col("text")))).alias("term"),
         )
