@@ -112,6 +112,12 @@ PRIORITY: list[str] = [
     "q_class_rebalance",
     "q_decay_weighted",
     "q_chi2_terms",
+    # Slots 30-31: the third r6 wave (queries/round6c.py) —
+    # split-hygiene composition queries (near-dup leakage across the
+    # hash split; duplication-aware loss weights), full DuckDB
+    # oracles, pre-flighted at sf0.001/0.01/0.1.
+    "q_split_leakage",
+    "q_dup_weight",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -165,6 +171,7 @@ def load_all() -> None:
         round4f,
         round6,
         round6b,
+        round6c,
         streaming_dedup,
         streaming_replay,
         streaming_window,
