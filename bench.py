@@ -90,6 +90,10 @@ HEADLINE = [
     # rank-limit-pruned chi-squared term selection.
     "q_quantile_normalize",
     "q_chi2_terms",
+    # round 6 wave 3: the split-hygiene composition — verified
+    # near-dup pairs -> connected components -> per-cluster weight
+    # join, the deepest reuse of the shared at-rest shingle store.
+    "q_dup_weight",
 ]
 
 
