@@ -63,36 +63,32 @@ def query(name: str, oracle: str | None = None):
 # until every query has a driver row. Already-verified strong queries
 # fill the tail so re-runs on fresh testdata still re-check signal.
 PRIORITY: list[str] = [
-    # ROUND-6 WINDOW (the driver verifies exactly the first 50):
-    # slots 1-8 are the LAST 8 queries with no driver CORRECTNESS
-    # row in any of r1-r5 — after this round every oracle-backed
-    # query in the registry has a driver-proven row at least once
-    # (r5 VERDICT ask #1).
-    "q_interarrival_dist",
-    "q_changepoint",
-    "q_entropy_rate",
-    "q_dup_burden_by_source",
-    "q_cross_source_leakage",
-    "q_kaplan_meier",
-    "q_forecast_eval",
-    "q_lorenz_points",
-    # Slots 9-10: the two formerly-uninterpretable rows-only queries,
-    # now SELF-CERTIFYING (exact twin / roundtrip + bound columns,
-    # in-query raise on violation — r5 VERDICT ask #2); rotated in so
-    # the driver witnesses the new acceptance columns.
-    "q_sketch_quantiles",
-    "q_compression_ratio",
-    # Slots 11-23: the 13 queries ADDED THIS ROUND — new queries go
-    # at the window head so no new debt accrues. All carry full
-    # DuckDB oracles except q_rerank_ann / q_ann_index_maintenance
-    # (rows-only but SELF-CERTIFYING: in-query acceptance asserts
-    # with the measured figure + bound emitted as columns). Every
-    # window query was pre-flighted against this round's regenerated
-    # testdata (scripts/check_oracle.py, all exact-match) before the
-    # driver run; the additions were checked at sf0.001/0.01/0.1.
-    "q_rerank_candidates",
+    # ROUND-7 WINDOW (the driver verifies exactly the first 50):
+    # slots 1-2 are the ONLY two oracle-backed queries ever to fail
+    # the driver's hash (r6: the rounded-DOUBLE div_ratio ordering
+    # key diverged across DuckDB builds at exact half-way cases).
+    # r7 replaced that key with pure BIGINT integer division
+    # (round6.py::_per_doc div_key) — pinned here for the green
+    # re-witness (r6 VERDICT ask #1).
     "q_token_budget_sample",
     "q_source_token_budget",
+    # Slots 3-5: the other queries whose output/keys changed in the
+    # r7 integer-key sweep (r6 VERDICT ask #2): the rerank score is
+    # now a pure-BIGINT rank key and _per_doc consumers emit div_key.
+    # All re-pre-flighted exact-match at sf0.001/0.01/0.1.
+    "q_rerank_candidates",
+    "q_pareto_frontier",
+    "q_curriculum_order",
+    # Slots 6+: queries ADDED OR REWORKED this round go at the head
+    # so no new verification debt accrues (r6 VERDICT ask #7 cadence).
+    "q_dup_weight",
+    "q_split_leakage",
+    "q_dedup_clusters",
+    "q_chi2_terms",
+    # Remaining slots: strongest already-verified queries so a driver
+    # re-run on fresh testdata still re-checks real signal — ordered
+    # to cover every operator family (dedup, ANN, lake, streaming,
+    # stats, text, media, TPC-H).
     "q_winsorize",
     "q_rerank_ann",
     "q_mmr_diversify",
@@ -101,27 +97,11 @@ PRIORITY: list[str] = [
     "q_ann_index_maintenance",
     "q_ndcg_eval",
     "q_wilson_quality",
-    "q_pareto_frontier",
-    "q_curriculum_order",
     "q_lake_delete",
-    # Slots 25-29: the second r6 wave (queries/round6b.py) — the
-    # pre-trainer feature-engineering/sampling family, all with full
-    # DuckDB oracles, same new-queries-go-at-the-head rule.
     "q_target_encode",
     "q_quantile_normalize",
     "q_class_rebalance",
     "q_decay_weighted",
-    "q_chi2_terms",
-    # Slots 30-31: the third r6 wave (queries/round6c.py) —
-    # split-hygiene composition queries (near-dup leakage across the
-    # hash split; duplication-aware loss weights), full DuckDB
-    # oracles, pre-flighted at sf0.001/0.01/0.1.
-    "q_split_leakage",
-    "q_dup_weight",
-    # Remaining slots: strongest already-verified queries so a driver
-    # re-run on fresh testdata still re-checks real signal — ordered
-    # to cover every operator family (dedup, ANN, lake, streaming,
-    # stats, text, media, TPC-H).
     "q_semantic_dedup",
     "q_near_dup_pairs",
     "q_corpus_curation",
@@ -136,7 +116,6 @@ PRIORITY: list[str] = [
     "q_stream_stateful",
     "q_knn_cosine",
     "q_pack_sequences",
-    "q_dedup_clusters",
     "q_tpch_q1",
     "q_delta_export",
     "q_incremental_dedup",
@@ -148,6 +127,12 @@ PRIORITY: list[str] = [
     "q_mv_rewrite",
     "q_scd2_dimension",
     "q_stream_left_join",
+    "q_sketch_quantiles",
+    "q_compression_ratio",
+    "q_interarrival_dist",
+    "q_changepoint",
+    "q_kaplan_meier",
+    "q_lorenz_points",
 ]
 
 

@@ -79,23 +79,22 @@ def _norm_sql(tbl: str) -> str:
       GROUP BY t.query_id, t.cand_id
     ), scored AS (
       SELECT t.query_id, t.cand_id, t.sim,
-             round(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
-                   / CAST(sq.n_terms + sc.n_terms
-                          - COALESCE(s.n_shared, 0) AS DOUBLE), 9)
-               AS lexical_jaccard
+             CAST(round(t.sim * 1000000000) AS BIGINT) AS sim_e9,
+             CAST(COALESCE(s.n_shared, 0) AS BIGINT) * 1000000000
+               // CAST(sq.n_terms + sc.n_terms
+                       - COALESCE(s.n_shared, 0) AS BIGINT) AS jacc_e9
       FROM top20 t
       LEFT JOIN shared s
         ON s.query_id = t.query_id AND s.cand_id = t.cand_id
       JOIN sizes sq ON sq.doc_id = t.query_id
       JOIN sizes sc ON sc.doc_id = t.cand_id
     )
-    SELECT query_id, cand_id, sim, lexical_jaccard,
-           round(CAST(0.8 AS DOUBLE) * sim
-                 + CAST(0.2 AS DOUBLE) * lexical_jaccard, 9) AS score,
+    SELECT query_id, cand_id, sim,
+           jacc_e9 / 1000000000.0 AS lexical_jaccard,
+           (8 * sim_e9 + 2 * jacc_e9) / 10000000000.0 AS score,
            CAST(row_number() OVER (
              PARTITION BY query_id
-             ORDER BY round(CAST(0.8 AS DOUBLE) * sim
-                 + CAST(0.2 AS DOUBLE) * lexical_jaccard, 9) DESC,
+             ORDER BY 8 * sim_e9 + 2 * jacc_e9 DESC,
                cand_id ASC) AS BIGINT) AS rank
     FROM scored
     QUALIFY rank <= 5
@@ -203,29 +202,38 @@ def _cross_encoder_rerank(docs: DataFrame, top20: DataFrame) -> DataFrame:
             "query_id",
             "cand_id",
             "sim",
-            F.round(
-                F.col("n_shared").cast("double")
-                / (
-                    F.col("nq") + F.col("nc") - F.col("n_shared")
-                ).cast("double"),
-                9,
-            ).alias("lexical_jaccard"),
+            # integer-exact rank keys (r6 VERDICT ask #2): the Jaccard
+            # is a ratio of small integers, so a rounded-DOUBLE form
+            # can land exactly on a half-way case (power-of-two union
+            # sizes) and round differently across engine builds. The
+            # quantized keys below are pure BIGINT arithmetic; sim_e9
+            # re-quantizes the already-9dp-rounded sim (within 1e-5 of
+            # an integer — nowhere near a .5 boundary).
+            F.round(F.col("sim") * F.lit(1000000000.0))
+            .cast("bigint")
+            .alias("sim_e9"),
+            F.expr(
+                "CAST(n_shared AS BIGINT) * CAST(1000000000 AS BIGINT) "
+                "div CAST(nq + nc - n_shared AS BIGINT)"
+            ).alias("jacc_e9"),
         )
     )
-    score = F.round(
-        F.lit(0.8) * F.col("sim")
-        + F.lit(0.2) * F.col("lexical_jaccard"),
-        9,
-    )
+    score_key = 8 * F.col("sim_e9") + 2 * F.col("jacc_e9")
     w2 = Window.partitionBy("query_id").orderBy(
-        score.desc(), F.col("cand_id").asc()
+        score_key.desc(), F.col("cand_id").asc()
     )
     return (
-        scored.withColumn("score", score)
-        .withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        scored.withColumn("rank", F.row_number().over(w2).cast("bigint"))
         .where(F.col("rank") <= 5)
         .select(
-            "query_id", "cand_id", "sim", "lexical_jaccard", "score", "rank"
+            "query_id",
+            "cand_id",
+            "sim",
+            (F.col("jacc_e9") / F.lit(1000000000.0)).alias(
+                "lexical_jaccard"
+            ),
+            (score_key / F.lit(10000000000.0)).alias("score"),
+            "rank",
         )
         .orderBy("query_id", "rank")
     )
@@ -234,28 +242,35 @@ def _cross_encoder_rerank(docs: DataFrame, top20: DataFrame) -> DataFrame:
 _PER_DOC_SQL = f"""
       SELECT doc_id, source,
              CAST(len({_TOKENS_LOWER_SQL}) AS BIGINT) AS nt,
-             round(CAST(len(list_distinct({_TOKENS_LOWER_SQL})) AS DOUBLE)
-                   / CAST(len({_TOKENS_LOWER_SQL}) AS DOUBLE), 9)
-               AS div_ratio
+             CAST(len(list_distinct({_TOKENS_LOWER_SQL})) AS BIGINT)
+               * 1000000000 // CAST(len({_TOKENS_LOWER_SQL}) AS BIGINT)
+               AS div_key
       FROM documents
 """
 
 
 def _per_doc(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, nt, div_ratio): token count and distinct-token
-    diversity ratio — the repetition-aware quality order both budget
-    samplers share. Rounded-9 ratio + doc_id tiebreak keeps the order
-    engine-deterministic."""
+    """(doc_id, source, nt, div_key): token count and the distinct-token
+    diversity key — the repetition-aware quality order both budget
+    samplers share. div_key = (n_distinct * 1e9) div n_tokens as pure
+    BIGINT integer division (Spark ``div`` / DuckDB ``//``): bit-exact
+    in every engine build, unlike the rounded-DOUBLE ratio it replaces
+    (r6 driver hash-fail: round(nd/nt, 9) lands exactly on a half-way
+    case whenever nt is a power of two >= 1024, and different DuckDB
+    builds round it differently, flipping the greedy prefix order)."""
     toks = tokens(F.lower(F.col("text")))
     return docs.select(
         "doc_id",
         "source",
         F.size(toks).cast("bigint").alias("nt"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double"),
-            9,
-        ).alias("div_ratio"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("_nd"),
+    ).select(
+        "doc_id",
+        "source",
+        "nt",
+        F.expr("_nd * CAST(1000000000 AS BIGINT) div nt").alias(
+            "div_key"
+        ),
     )
 
 
@@ -264,14 +279,14 @@ def _per_doc(docs: DataFrame) -> DataFrame:
     oracle=f"""
     WITH per AS ({_PER_DOC_SQL}
     ), cum AS (
-      SELECT doc_id, nt, div_ratio,
+      SELECT doc_id, nt, div_key,
              SUM(nt) OVER (
-               ORDER BY div_ratio DESC, doc_id ASC
+               ORDER BY div_key DESC, doc_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS cum_tokens
       FROM per
     ), tot AS (SELECT SUM(nt) AS total FROM per)
-    SELECT doc_id, nt AS n_tokens, div_ratio, cum_tokens
+    SELECT doc_id, nt AS n_tokens, div_key, cum_tokens
     FROM cum, tot
     WHERE cum_tokens * 2 <= tot.total
     ORDER BY cum_tokens
@@ -285,20 +300,22 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum: computed with the distributed two-pass prefix scan
     (operators/rank.py::running_totals), never a single-task global
     window, and the budget test is pure integer arithmetic
-    (cum*2 <= total) — no float boundary can flip a document in or
-    out. The budget scalar comes from the same aggregated per-doc
-    frame (O(1) driver value, the documented scalar pattern)."""
+    (cum*2 <= total) — and since r7 the quality ORDER key is pure
+    BIGINT integer division too (see _per_doc), so neither membership
+    nor order can shift with an engine build. The budget scalar comes
+    from the same aggregated per-doc frame (O(1) driver value, the
+    documented scalar pattern)."""
     from babylon_data_loader_spark.operators.rank import running_totals
 
     per = persist_tracked(
         _per_doc(load_table(spark, sf_dir, "documents")).select(
-            "doc_id", "nt", "div_ratio"
+            "doc_id", "nt", "div_key"
         )
     )
     total = per.agg(F.sum("nt")).first()[0] or 0
     cum = running_totals(
         per,
-        [F.col("div_ratio").desc(), F.col("doc_id").asc()],
+        [F.col("div_key").desc(), F.col("doc_id").asc()],
         {"cum_tokens": F.col("nt")},
     ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
     return (
@@ -306,7 +323,7 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("nt").alias("n_tokens"),
-            "div_ratio",
+            "div_key",
             "cum_tokens",
         )
         .orderBy("cum_tokens")
@@ -318,10 +335,10 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per AS ({_PER_DOC_SQL}
     ), cum AS (
-      SELECT source, doc_id, nt, div_ratio,
+      SELECT source, doc_id, nt, div_key,
              SUM(nt) OVER (
                PARTITION BY source
-               ORDER BY div_ratio DESC, doc_id ASC
+               ORDER BY div_key DESC, doc_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS cum_tokens
       FROM per
@@ -355,7 +372,7 @@ def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = grouped_running_totals(
         per,
         ["source"],
-        [F.col("div_ratio").desc(), F.col("doc_id").asc()],
+        [F.col("div_key").desc(), F.col("doc_id").asc()],
         {"cum_tokens": F.col("nt")},
     ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
     totals = per.groupBy("source").agg(
@@ -1088,14 +1105,14 @@ def q_wilson_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per AS ({_PER_DOC_SQL}
     )
-    SELECT p.doc_id, p.div_ratio, p.nt AS n_tokens
+    SELECT p.doc_id, p.div_key, p.nt AS n_tokens
     FROM per p
     WHERE NOT EXISTS (
       SELECT 1 FROM per e
-      WHERE e.div_ratio >= p.div_ratio AND e.nt >= p.nt
-        AND (e.div_ratio > p.div_ratio OR e.nt > p.nt)
+      WHERE e.div_key >= p.div_key AND e.nt >= p.nt
+        AND (e.div_key > p.div_key OR e.nt > p.nt)
     )
-    ORDER BY p.div_ratio DESC, p.doc_id ASC
+    ORDER BY p.div_key DESC, p.doc_id ASC
     """,
 )
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1125,11 +1142,11 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per = persist_tracked(
         _per_doc(load_table(spark, sf_dir, "documents")).select(
-            "doc_id", "nt", "div_ratio"
+            "doc_id", "nt", "div_key"
         )
     )
-    per_q = per.groupBy("div_ratio").agg(F.max("nt").alias("max_l"))
-    order = [F.col("div_ratio").desc()]
+    per_q = per.groupBy("div_key").agg(F.max("nt").alias("max_l"))
+    order = [F.col("div_key").desc()]
     ranked = with_global_row_number(per_q, order, "rn")
     im = running_max(ranked, order, {"im": F.col("max_l")})
     em = im.select(
@@ -1142,17 +1159,17 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.col("em").isNull() | (F.col("max_l") > F.col("em"))
         )
-        .select("div_ratio", "max_l")
+        .select("div_key", "max_l")
     )
     return (
-        per.join(frontier, "div_ratio")
+        per.join(frontier, "div_key")
         .where(F.col("nt") == F.col("max_l"))
         .select(
             "doc_id",
-            "div_ratio",
+            "div_key",
             F.col("nt").alias("n_tokens"),
         )
-        .orderBy(F.col("div_ratio").desc(), F.col("doc_id").asc())
+        .orderBy(F.col("div_key").desc(), F.col("doc_id").asc())
     )
 
 
@@ -1161,8 +1178,8 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per AS ({_PER_DOC_SQL}
     ), tiled AS (
-      SELECT doc_id, div_ratio,
-             CAST(NTILE(4) OVER (ORDER BY div_ratio ASC, doc_id ASC)
+      SELECT doc_id, div_key,
+             CAST(NTILE(4) OVER (ORDER BY div_key ASC, doc_id ASC)
                   AS BIGINT) AS stage
       FROM per
     )
@@ -1171,7 +1188,7 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY stage
              ORDER BY md5('cur7-' || CAST(doc_id AS VARCHAR)) ASC,
                       doc_id ASC) AS BIGINT) AS pos,
-           doc_id, div_ratio
+           doc_id, div_key
     FROM tiled
     ORDER BY stage, pos
     """,
@@ -1192,12 +1209,12 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per = persist_tracked(
         _per_doc(load_table(spark, sf_dir, "documents")).select(
-            "doc_id", "div_ratio"
+            "doc_id", "div_key"
         )
     )
     tiled = with_global_ntile(
         per,
-        [F.col("div_ratio").asc(), F.col("doc_id").asc()],
+        [F.col("div_key").asc(), F.col("doc_id").asc()],
         4,
         "stage",
     ).withColumn("stage", F.col("stage").cast("bigint"))
@@ -1215,7 +1232,7 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             F.col("pos").cast("bigint").alias("pos"),
             "doc_id",
-            "div_ratio",
+            "div_key",
         )
         .orderBy("stage", "pos")
     )
