@@ -572,11 +572,13 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY r.vec_id, r.rel
     ), s2 AS (
       SELECT vec_id, rel, ms AS max_sim_selected,
-             round(CAST(0.7 AS DOUBLE) * rel
-                   - CAST(0.3 AS DOUBLE) * ms, 9) AS mmr_score
+             (7 * CAST(round(rel * 1000000000) AS BIGINT)
+              - 3 * CAST(round(ms * 1000000000) AS BIGINT))
+               / 10000000000.0 AS mmr_score
       FROM c2
-      ORDER BY round(CAST(0.7 AS DOUBLE) * rel
-                     - CAST(0.3 AS DOUBLE) * ms, 9) DESC, vec_id ASC
+      ORDER BY 7 * CAST(round(rel * 1000000000) AS BIGINT)
+               - 3 * CAST(round(ms * 1000000000) AS BIGINT) DESC,
+               vec_id ASC
       LIMIT 1
     ), c3 AS (
       SELECT r.vec_id, r.rel, MAX(p.sim) AS ms
@@ -589,11 +591,13 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY r.vec_id, r.rel
     ), s3 AS (
       SELECT vec_id, rel, ms AS max_sim_selected,
-             round(CAST(0.7 AS DOUBLE) * rel
-                   - CAST(0.3 AS DOUBLE) * ms, 9) AS mmr_score
+             (7 * CAST(round(rel * 1000000000) AS BIGINT)
+              - 3 * CAST(round(ms * 1000000000) AS BIGINT))
+               / 10000000000.0 AS mmr_score
       FROM c3
-      ORDER BY round(CAST(0.7 AS DOUBLE) * rel
-                     - CAST(0.3 AS DOUBLE) * ms, 9) DESC, vec_id ASC
+      ORDER BY 7 * CAST(round(rel * 1000000000) AS BIGINT)
+               - 3 * CAST(round(ms * 1000000000) AS BIGINT) DESC,
+               vec_id ASC
       LIMIT 1
     )
     SELECT CAST(1 AS BIGINT) AS step, * FROM s1
@@ -611,8 +615,9 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline — no driver-side selection loop): each step is an
     argmax (orderBy+limit over the 10-row pool) joined against the
     prior selections; pairwise similarities are computed once over the
-    pruned pool (10x10, broadcast), never the corpus. Scores are
-    rounded-9 with vec_id tiebreaks, so the greedy path is
+    pruned pool (10x10, broadcast), never the corpus. The argmax key
+    is pure BIGINT (7*rel_e9 - 3*ms_e9 over the quantized grid
+    values) with vec_id tiebreaks, so the greedy path is
     engine-deterministic — and therefore fully DuckDB-oracle-checked
     despite being an iterative algorithm."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -678,21 +683,32 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("vec_id", "rel")
                 .agg(F.max("sim").alias("ms"))
             )
-            score = F.round(
-                F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("ms"), 9
+            # integer argmax key: rel/ms are 1e-9-grid values, so
+            # 0.7*rel - 0.3*ms lands on the 1e-10 grid and round(x, 9)
+            # of it is EXACTLY the half-way build hazard (r6
+            # token-budget class); 7*rel_e9 - 3*ms_e9 is pure BIGINT
+            score_key = (
+                F.lit(7)
+                * F.round(F.col("rel") * F.lit(1000000000.0)).cast(
+                    "bigint"
+                )
+                - F.lit(3)
+                * F.round(F.col("ms") * F.lit(1000000000.0)).cast(
+                    "bigint"
+                )
             )
             pick = (
-                cand.withColumn("mmr_score", score)
-                .orderBy(
-                    F.col("mmr_score").desc(), F.col("vec_id").asc()
-                )
+                cand.withColumn("_key", score_key)
+                .orderBy(F.col("_key").desc(), F.col("vec_id").asc())
                 .limit(1)
                 .select(
                     F.lit(step).cast("bigint").alias("step"),
                     "vec_id",
                     "rel",
                     F.col("ms").alias("max_sim_selected"),
-                    "mmr_score",
+                    (F.col("_key") / F.lit(10000000000.0)).alias(
+                        "mmr_score"
+                    ),
                 )
             )
         pick = persist_tracked(pick)
@@ -921,12 +937,12 @@ _NDCG_W = [
       GROUP BY t.query_id, t.cand_id
     ), scored AS (
       SELECT t.query_id, t.cand_id, t.sim,
-             round(CAST(0.8 AS DOUBLE) * t.sim
-                   + CAST(0.2 AS DOUBLE) *
-                     round(CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
-                           / CAST(sq.n_terms + sc.n_terms
-                                  - COALESCE(s.n_shared, 0) AS DOUBLE),
-                           9), 9) AS score
+             8 * CAST(round(t.sim * 1000000000) AS BIGINT)
+             + 2 * (CAST(COALESCE(s.n_shared, 0) AS BIGINT)
+                    * 1000000000
+                    // CAST(sq.n_terms + sc.n_terms
+                            - COALESCE(s.n_shared, 0) AS BIGINT))
+               AS score_key
       FROM top20 t
       LEFT JOIN shared s
         ON s.query_id = t.query_id AND s.cand_id = t.cand_id
@@ -935,7 +951,7 @@ _NDCG_W = [
     ), sys5 AS (
       SELECT query_id, sim,
              row_number() OVER (PARTITION BY query_id
-               ORDER BY score DESC, cand_id ASC) AS rnk
+               ORDER BY score_key DESC, cand_id ASC) AS rnk
       FROM scored QUALIFY rnk <= 5
     ), ideal5 AS (
       SELECT query_id, sim,
@@ -959,8 +975,8 @@ _NDCG_W = [
                            AS DECIMAL(20,9))) AS DOUBLE) AS idcg
       FROM ideal5 i JOIN w ON w.rnk = i.rnk GROUP BY i.query_id
     )
-    SELECT d.query_id, round(d.dcg, 9) AS dcg, round(i.idcg, 9) AS idcg,
-           round(d.dcg / i.idcg, 9) AS ndcg
+    SELECT d.query_id, d.dcg AS dcg, i.idcg AS idcg,
+           d.dcg / i.idcg AS ndcg
     FROM dcg d JOIN idcg i USING (query_id)
     ORDER BY query_id
     """,
@@ -1031,9 +1047,13 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         sys5.join(ideal5, "query_id")
         .select(
             "query_id",
-            F.round(F.col("dcg"), 9).alias("dcg"),
-            F.round(F.col("idcg"), 9).alias("idcg"),
-            F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+            "dcg",
+            "idcg",
+            # dcg/idcg are exact 1e-9-grid values (decimal sums), so
+            # the quotient is an integer ratio: emit the SINGLE
+            # unrounded IEEE division — round(x, 9) on it is the
+            # half-way-case build hazard (r6 token-budget class)
+            (F.col("dcg") / F.col("idcg")).alias("ndcg"),
         )
         .orderBy("query_id")
     )
@@ -1050,7 +1070,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY source
     )
     SELECT source, n, kept,
-           round(CAST(kept AS DOUBLE) / CAST(n AS DOUBLE), 9) AS rate,
+           CAST(kept AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
            round((CAST(kept AS DOUBLE) / CAST(n AS DOUBLE)
                   + CAST(3.8416 AS DOUBLE) / (2.0 * n)
                   - CAST(1.96 AS DOUBLE) * sqrt(
@@ -1095,7 +1115,10 @@ def q_wilson_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n",
         "kept",
-        F.round(p, 9).alias("rate"),
+        # kept/n is an integer ratio: single unrounded IEEE division
+        # (round(x, 9) is the half-way-case build hazard); the Wilson
+        # bound keeps round-9 — sqrt values never land on the grid
+        p.alias("rate"),
         F.round(wilson, 9).alias("wilson_lower"),
     ).orderBy(F.col("wilson_lower").desc(), F.col("source").asc())
 

@@ -45,18 +45,20 @@ _TOKENS_LOWER_SQL = r"regexp_split_to_array(trim(lower(text)), '\s+')"
     oracle="""
     WITH per AS (
       SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS s
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+                  AS HUGEINT) AS s_cents
       FROM orders GROUP BY o_orderpriority
     ), g AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS gn,
-             SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS gs
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * 100
+                  AS HUGEINT) AS gs_cents
       FROM orders
     )
     SELECT o_orderpriority, n,
-           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 9) AS target_mean,
-           round((CAST(s AS DOUBLE)
-                  + 10.0 * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
-                 / CAST(n + 10 AS DOUBLE), 9) AS target_enc
+           CAST(s_cents AS DOUBLE) / CAST(n * 100 AS DOUBLE)
+             AS target_mean,
+           CAST(s_cents * gn + 10 * gs_cents AS DOUBLE)
+             / CAST(100 * gn * (n + 10) AS DOUBLE) AS target_enc
     FROM per, g
     """,
 )
@@ -64,9 +66,13 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed mean target encoding of a categorical column (the
     classic m-estimate, m=10): enc = (sum_cat + m*global_mean) /
     (n_cat + m). The workhorse categorical featurizer for gradient
-    models. Sums are exact DECIMAL; the category frame is one partial
-    agg (map-side combine), the global mean a one-row broadcast, so
-    the fact table is scanned once and nothing wide shuffles."""
+    models. Sums are exact DECIMAL carried as integer CENTS; each
+    output is a SINGLE unrounded IEEE division of exact integer
+    numerator/denominator (enc = (s*gn + m*gs) / (100*gn*(n+m)) over
+    cents), so both engines agree bitwise with no round(x, 9)
+    half-way build hazard. The category frame is one partial agg
+    (map-side combine), the global sum a one-row broadcast, so the
+    fact table is scanned once and nothing wide shuffles."""
     ords = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice"
     )
@@ -77,18 +83,22 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ords.agg(
         F.count(F.lit(1)).alias("_gn"), F.sum(dec).alias("_gs")
     )
-    gmean = F.col("_gs").cast("double") / F.col("_gn").cast("double")
+    s_cents = (F.col("_s") * 100).cast("decimal(38,0)")
+    gs_cents = (F.col("_gs") * 100).cast("decimal(38,0)")
+    enc_num = (s_cents * F.col("_gn") + F.lit(10) * gs_cents).cast(
+        "double"
+    )
+    enc_den = (
+        F.lit(100) * F.col("_gn") * (F.col("n") + F.lit(10))
+    ).cast("double")
     return per.crossJoin(F.broadcast(g)).select(
         "o_orderpriority",
         "n",
-        F.round(
-            F.col("_s").cast("double") / F.col("n").cast("double"), 9
+        (
+            s_cents.cast("double")
+            / (F.col("n") * F.lit(100)).cast("double")
         ).alias("target_mean"),
-        F.round(
-            (F.col("_s").cast("double") + 10.0 * gmean)
-            / (F.col("n") + F.lit(10)).cast("double"),
-            9,
-        ).alias("target_enc"),
+        (enc_num / enc_den).alias("target_enc"),
     )
 
 
@@ -104,8 +114,7 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, source, n_chars,
            CASE WHEN n > 1
-                THEN round(CAST(rn - 1 AS DOUBLE)
-                           / CAST(n - 1 AS DOUBLE), 9)
+                THEN CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
                 ELSE 0.5 END AS qn
     FROM r
     """,
@@ -130,13 +139,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"rn": F.lit(1)},
     )
     cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    # single unrounded IEEE division of exact integers — bit-identical
+    # across engines; round(x, 9) would be the half-way build hazard
     qn = F.when(
         F.col("_n") > 1,
-        F.round(
-            (F.col("rn") - 1).cast("double")
-            / (F.col("_n") - 1).cast("double"),
-            9,
-        ),
+        (F.col("rn") - 1).cast("double")
+        / (F.col("_n") - 1).cast("double"),
     ).otherwise(F.lit(0.5))
     return (
         ranked.join(F.broadcast(cnt), "source")
@@ -212,8 +220,8 @@ def q_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(cents * mult) AS BIGINT) AS score_x6400,
-           round(CAST(CAST(SUM(cents * mult) AS BIGINT) AS DOUBLE)
-                 / 6400.0, 9) AS decay_score
+           CAST(CAST(SUM(cents * mult) AS BIGINT) AS DOUBLE)
+             / 6400.0 AS decay_score
     FROM w GROUP BY user_id
     """,
 )
@@ -256,9 +264,9 @@ def q_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n",
         "score_x6400",
-        F.round(
-            F.col("score_x6400").cast("double") / F.lit(6400.0), 9
-        ).alias("decay_score"),
+        (F.col("score_x6400").cast("double") / F.lit(6400.0)).alias(
+            "decay_score"
+        ),
     )
 
 
@@ -282,25 +290,20 @@ def q_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents
     ), sc AS (
       SELECT a.lang, a.term, a.a,
-             round(
-               CAST(nd.nd AS DOUBLE)
-               * (CAST(a.a AS DOUBLE)
-                    * CAST(nd.nd - nl.nl - (tf.tf - a.a) AS DOUBLE)
-                  - CAST(tf.tf - a.a AS DOUBLE)
-                    * CAST(nl.nl - a.a AS DOUBLE))
-               * (CAST(a.a AS DOUBLE)
-                    * CAST(nd.nd - nl.nl - (tf.tf - a.a) AS DOUBLE)
-                  - CAST(tf.tf - a.a AS DOUBLE)
-                    * CAST(nl.nl - a.a AS DOUBLE))
-               / ((CAST(tf.tf AS DOUBLE)
-                   * CAST(nd.nd - tf.tf AS DOUBLE))
-                  * (CAST(nl.nl AS DOUBLE)
-                     * CAST(nd.nd - nl.nl AS DOUBLE))), 9) AS chi2
+             (CAST(nd.nd AS DOUBLE)
+              * (CAST(CAST(a.a AS HUGEINT) * nd.nd
+                      - CAST(tf.tf AS HUGEINT) * nl.nl AS DOUBLE)
+                 * CAST(CAST(a.a AS HUGEINT) * nd.nd
+                        - CAST(tf.tf AS HUGEINT) * nl.nl AS DOUBLE)))
+             / ((CAST(tf.tf AS DOUBLE)
+                 * CAST(nd.nd - tf.tf AS DOUBLE))
+                * (CAST(nl.nl AS DOUBLE)
+                   * CAST(nd.nd - nl.nl AS DOUBLE))) AS chi2
       FROM a
       JOIN tf ON tf.term = a.term
       JOIN nl ON nl.lang = a.lang
       CROSS JOIN nd
-      WHERE tf.tf >= 5 AND tf.tf < nd.nd
+      WHERE tf.tf >= 5 AND tf.tf < nd.nd AND nl.nl < nd.nd
     )
     SELECT lang, term, a, chi2,
            CAST(row_number() OVER (PARTITION BY lang
@@ -316,10 +319,15 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency 2x2 contingency statistic (term-in-class vs
     term-out-of-class) that ranks vocabulary for feature selection —
     the DF-based complement of q_distinctive_terms's term-frequency
-    log-odds. All four cell counts are exact integers; chi2 is one
-    fixed-shape double expression rounded at 9, so both engines agree
-    bitwise. min-df 5 and tf < N guard the degenerate zero-margin
-    cells. The top-10-per-lang window IS rank-limit pruned
+    log-odds. The determinant AD-BC algebraically reduces to
+    a*nd - tf*nl and is computed EXACTLY in integer arithmetic
+    (DECIMAL(38,0) / HUGEINT — the centered-double form is an FMA/
+    cancellation hazard, and round(x, 9) on the quotient was the r6
+    half-way-case build hazard); chi2 itself is then only double
+    multiplies/divides of exact operands — bit-identical across
+    engines unrounded, including as the rank key. min-df 5, tf < N
+    and nl < N guard every degenerate zero-margin cell. The
+    top-10-per-lang window IS rank-limit pruned
     (WindowGroupLimit), so the few-group partition never serializes a
     full language onto one task; marginals are metadata-size
     broadcasts."""
@@ -345,16 +353,19 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(tf, "term")
         .join(F.broadcast(nl), "lang")
         .crossJoin(F.broadcast(nd))
-        .filter((F.col("tf") >= 5) & (F.col("tf") < F.col("nd")))
+        .filter(
+            (F.col("tf") >= 5)
+            & (F.col("tf") < F.col("nd"))
+            & (F.col("nl") < F.col("nd"))
+        )
     )
-    A = F.col("a").cast("double")
-    B = (F.col("tf") - F.col("a")).cast("double")
-    C = (F.col("nl") - F.col("a")).cast("double")
-    D = (
-        F.col("nd") - F.col("nl") - (F.col("tf") - F.col("a"))
+    # exact integer determinant: AD - BC == a*nd - tf*nl (expand the
+    # 2x2 cells); DECIMAL(38,0) keeps it exact at any corpus size
+    det = (
+        F.col("a").cast("decimal(38,0)") * F.col("nd")
+        - F.col("tf").cast("decimal(38,0)") * F.col("nl")
     ).cast("double")
     N = F.col("nd").cast("double")
-    det = A * D - B * C
     den = (F.col("tf").cast("double")
            * (F.col("nd") - F.col("tf")).cast("double")) * (
         F.col("nl").cast("double")
@@ -364,7 +375,7 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "term",
         "a",
-        F.round(N * det * det / den, 9).alias("chi2"),
+        ((N * (det * det)) / den).alias("chi2"),
     )
     w = Window.partitionBy("lang").orderBy(
         F.col("chi2").desc(), F.col("term").asc()

@@ -190,7 +190,8 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cl GROUP BY cluster_id
     )
     SELECT c.doc_id, c.cluster_id, s.cluster_size,
-           round(1.0 / s.cluster_size, 9) AS weight
+           CAST(1.0 AS DOUBLE) / CAST(s.cluster_size AS DOUBLE)
+             AS weight
     FROM cl c JOIN sz s ON s.cluster_id = c.cluster_id
     ORDER BY c.doc_id
     """,
@@ -201,8 +202,11 @@ def q_dup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     total weight however many times it was crawled — the keep-
     everything alternative to dropping duplicates. Cluster sizes are
     one narrow count over the components frame joined back by
-    cluster id; the weight is a single IEEE division (bit-identical
-    across engines — no accumulation)."""
+    cluster id; the weight is a single UNROUNDED IEEE division of
+    exact integers (bit-identical across engines — no accumulation,
+    and no round(x, 9), whose half-way behaviour differs across
+    engine builds when the ratio's decimal expansion terminates at
+    the boundary — the r6 token-budget hash-fail class)."""
     from babylon_data_loader_spark.operators.graph import (
         connected_components,
     )
@@ -227,7 +231,7 @@ def q_dup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "cluster_id",
             "cluster_size",
-            F.round(F.lit(1.0) / F.col("cluster_size"), 9).alias("weight"),
+            (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
         )
         .orderBy("doc_id")
     )
