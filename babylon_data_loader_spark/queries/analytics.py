@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from babylon_data_loader_spark.functions.numerics import grid_sum
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
@@ -34,10 +35,12 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
            CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
              AS sum_base_price,
-           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(25,6))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(25,8))) AS DOUBLE), 2) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(25,6))) * 1000000 AS HUGEINT)
+                AS DOUBLE) / 1000000.0 AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(25,8))) * 100000000 AS HUGEINT)
+                AS DOUBLE) / 100000000.0 AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE)
@@ -72,10 +75,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            grid_sum(disc_price, 6).alias("sum_disc_price"),
+            grid_sum(charge, 8).alias("sum_charge"),
             (F.sum(dec2("l_quantity")).cast("double") / n.cast("double")).alias(
                 "avg_qty"
             ),
@@ -97,8 +98,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3",
     oracle="""
     SELECT l.l_orderkey,
-           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(25,6))) * 1000000 AS HUGEINT)
+                AS DOUBLE) / 1000000.0 AS revenue,
            CAST(o.o_orderdate AS DATE) AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -133,7 +135,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .agg(grid_sum(revenue, 6).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -156,8 +158,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     oracle="""
     SELECT n.n_name,
-           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                         AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(25,6))) * 1000000 AS HUGEINT)
+                AS DOUBLE) / 1000000.0 AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -197,7 +200,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .agg(grid_sum(revenue, 6).alias("revenue"))
     )
 
 

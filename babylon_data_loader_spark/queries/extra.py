@@ -419,22 +419,22 @@ def _curation_stop_sql() -> str:
     ), scored AS (
       SELECT source,
              CAST(len(""" + _CURATION_TOKENS + """) AS BIGINT) AS n_tok,
-             0.5 * least(CAST(len(""" + _CURATION_TOKENS + """) AS DOUBLE)
-                         / 100.0, 1.0)
-             + 0.5 * (CAST(len(list_filter(""" + _CURATION_TOKENS + """,
-                           t -> t IN (""" + _curation_stop_sql() + """)))
-                           AS DOUBLE)
-                      / CAST(len(""" + _CURATION_TOKENS + """) AS DOUBLE))
-               AS q
+             LEAST(CAST(len(""" + _CURATION_TOKENS + """) AS BIGINT)
+                   * 5000000000, 500000000000)
+             + CAST(len(list_filter(""" + _CURATION_TOKENS + """,
+                         t -> t IN (""" + _curation_stop_sql() + """)))
+                    AS BIGINT) * 500000000000
+               // CAST(len(""" + _CURATION_TOKENS + """) AS BIGINT)
+               AS q_e12
       FROM kept
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-           round(CAST(SUM(CAST(q AS DECIMAL(25,12))) AS DOUBLE), 6)
+           CAST(SUM(q_e12) AS DOUBLE) / 1000000000000.0
              AS sum_quality
     FROM scored
-    WHERE n_tok >= 5 AND q >= 0.3
+    WHERE n_tok >= 5 AND q_e12 >= 300000000000
     GROUP BY source
     """,
 )
@@ -473,20 +473,35 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = tokens(F.col("text"))
     nt = F.size(tok)
-    q = 0.5 * F.least(
-        nt.cast("double") / 100.0, F.lit(1.0)
-    ) + 0.5 * (stopword_hits(tok).cast("double") / nt.cast("double"))
+    # quality quantized to a PURE-INTEGER e12 score (length-saturation
+    # half + stopword-density half): the double form cast to DECIMAL
+    # diverges across engines via the shortest-repr cast and its
+    # round(x, 6) output was the half-way build hazard; integer
+    # arithmetic is bit-exact everywhere, including the 0.3 gate
     scored = kept.select(
-        "source", nt.cast("long").alias("n_tok"), q.alias("q")
+        "source",
+        nt.cast("long").alias("n_tok"),
+        stopword_hits(tok).cast("long").alias("hits"),
+    ).select(
+        "source",
+        "n_tok",
+        F.expr(
+            "least(n_tok * 5000000000, 500000000000) "
+            "+ hits * 500000000000 div n_tok"
+        ).alias("q_e12"),
     )
     return (
-        scored.filter((F.col("n_tok") >= 5) & (F.col("q") >= 0.3))
+        scored.filter(
+            (F.col("n_tok") >= 5)
+            & (F.col("q_e12") >= F.lit(300000000000))
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
-            F.round(
-                F.sum(F.col("q").cast("decimal(25,12)")).cast("double"), 6
+            (
+                F.sum("q_e12").cast("double")
+                / F.lit(1000000000000.0)
             ).alias("sum_quality"),
         )
     )
@@ -637,8 +652,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN cs.members > 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_near_dup,
-           round(CAST(SUM(CASE WHEN cs.members > 1 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 9) AS dup_rate
+           CAST(SUM(CASE WHEN cs.members > 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS dup_rate
     FROM documents d
     JOIN clusters c ON c.doc_id = d.doc_id
     JOIN csize cs ON cs.cluster_id = c.cluster_id
@@ -683,8 +698,9 @@ def q_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(is_dup).alias("n_near_dup"),
-        F.round(
-            F.sum(is_dup).cast("double") / F.count(F.lit(1)), 9
+        # integer ratio: single unrounded IEEE division
+        (
+            F.sum(is_dup).cast("double") / F.count(F.lit(1))
         ).alias("dup_rate"),
     )
 

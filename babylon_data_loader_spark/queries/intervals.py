@@ -183,10 +183,14 @@ def q_windowed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 9) AS pr,
-           round(CAST(avg(value) OVER (
+           percent_rank() OVER w AS pr,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT))
+                  OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE), 9)
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(100 * COUNT(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS rolling_avg,
            first_value(event_id) OVER w AS first_event,
            last_value(event_id) OVER (
@@ -213,14 +217,20 @@ def q_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_full = w.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # pr is the structural integer ratio (rank-1)/(n-1) and the
+    # rolling average is money/count — both emitted as SINGLE
+    # unrounded IEEE divisions of exact integers (cents for the sum);
+    # round(x, 9) on either is the half-way-case build hazard.
+    cents = (F.col("value").cast("decimal(20,2)") * 100).cast("bigint")
+    roll_avg = F.sum(cents).over(w_roll).cast("double") / (
+        F.lit(100) * F.count(F.col("value")).over(w_roll)
+    ).cast("double")
     return ev.select(
         "user_id",
         "event_id",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pr"),
-        F.round(F.avg("value").over(w_roll).cast("double"), 9).alias(
-            "rolling_avg"
-        ),
+        F.percent_rank().over(w).alias("pr"),
+        roll_avg.alias("rolling_avg"),
         F.first("event_id").over(w).alias("first_event"),
         F.last("event_id").over(w_full).alias("last_event"),
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.text import tokens
 from babylon_data_loader_spark.functions.vectors import cosine
+from babylon_data_loader_spark.functions.numerics import grid_sum
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.schemas import load_table
 
@@ -89,10 +90,11 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id
     )
     SELECT c.doc_id, ANY_VALUE(t.n) AS n_tokens,
-           round(CAST(SUM(CAST(round(
+           CAST(CAST(SUM(CAST(round(
                    -(CAST(c.c AS DOUBLE) / t.n)
                      * ln(CAST(c.c AS DOUBLE) / t.n), 9)
-                 AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+                 AS DECIMAL(28,9))) * 1000000000 AS HUGEINT)
+                AS DOUBLE) / 1000000000.0 AS entropy
     FROM cnt c JOIN tot t USING (doc_id)
     GROUP BY c.doc_id
     """,
@@ -125,7 +127,7 @@ def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.max("n").cast("bigint").alias("n_tokens"),
-            F.round(F.sum(term_h).cast("double"), 6).alias("entropy"),
+            grid_sum(term_h, 9).alias("entropy"),
         )
     )
 
@@ -195,7 +197,7 @@ def q_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_totalprice >= 1
     ), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d)
     SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
-           round(COUNT(*) / ANY_VALUE(t.n), 6) AS freq,
+           COUNT(*) / ANY_VALUE(t.n) AS freq,
            round(log10(1.0 + 1.0 / digit), 6) AS benford
     FROM d, tot t
     GROUP BY digit
@@ -220,8 +222,10 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     total = d.count()
     return (
+        # n/total is a structural integer ratio: single unrounded
+        # IEEE division (round(x, 6) is the half-way build hazard)
         counts.withColumn(
-            "freq", F.round(F.col("n") / F.lit(float(total)), 6)
+            "freq", F.col("n") / F.lit(float(total))
         )
         .withColumn(
             "benford",
@@ -269,15 +273,12 @@ _SHINGLES_SQL = f"""
       JOIN sh sb ON sb.s = sa.s AND sa.doc_id < sb.doc_id
       GROUP BY sa.doc_id, sb.doc_id
     )
-    SELECT doc_a, doc_b, containment FROM (
-      SELECT i.doc_a, i.doc_b,
-             round(CAST(i.i AS DOUBLE) / least(za.sz, zb.sz), 6)
-               AS containment
-      FROM inter i
-      JOIN sizes za ON za.doc_id = i.doc_a
-      JOIN sizes zb ON zb.doc_id = i.doc_b
-    )
-    WHERE containment >= 0.8
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.i AS DOUBLE) / least(za.sz, zb.sz) AS containment
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE 5 * i.i >= 4 * least(za.sz, zb.sz)
     ORDER BY doc_a, doc_b
     """,
 )
@@ -339,13 +340,19 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             on="doc_b",
         )
+        # the >= 0.8 cut is pure-INTEGER cross-multiplication
+        # (5*i >= 4*min_size) and the emitted ratio is a single
+        # unrounded IEEE division — a rounded-double threshold is the
+        # half-way build hazard (r6 token-budget class)
+        .filter(
+            F.lit(5) * F.col("i")
+            >= F.lit(4) * F.least("sza", "szb")
+        )
         .withColumn(
             "containment",
-            F.round(
-                F.col("i").cast("double") / F.least("sza", "szb"), 6
-            ),
+            F.col("i").cast("double")
+            / F.least("sza", "szb").cast("double"),
         )
-        .filter(F.col("containment") >= 0.8)
         .select("doc_a", "doc_b", "containment")
         .orderBy("doc_a", "doc_b")
     )

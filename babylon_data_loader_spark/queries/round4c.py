@@ -140,10 +140,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), n_tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM cell)
     SELECT c.source,
            CAST(SUM(c.o) AS BIGINT) AS n_docs,
-           round(CAST(SUM(CAST(round(
+           CAST(CAST(SUM(CAST(round(
                    pow(c.o - (r.rt * t.ct / (SELECT n FROM n_tot)), 2)
                      / (r.rt * t.ct / (SELECT n FROM n_tot)), 9)
-                 AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2
+                 AS DECIMAL(28,9))) * 1000000000 AS HUGEINT)
+                AS DOUBLE) / 1000000000.0 AS chi2
     FROM cell c
     JOIN row_tot r USING (source)
     JOIN col_tot t USING (lang)
@@ -180,7 +181,16 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.sum("o").cast("bigint").alias("n_docs"),
-            F.round(F.sum(contrib).cast("double"), 6).alias("chi2"),
+            # the DECIMAL(28,9) sum sits on the 1e-9 grid, so
+            # round(x, 6) of it is a structural half-way build hazard
+            # (digits 7-9 == 500) — scale to the exact integer and
+            # divide once instead
+            (
+                (F.sum(contrib) * 1000000000)
+                .cast("decimal(38,0)")
+                .cast("double")
+                / F.lit(1000000000.0)
+            ).alias("chi2"),
         )
         .orderBy("source")
     )

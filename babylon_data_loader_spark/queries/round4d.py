@@ -384,20 +384,22 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_type, CAST(d.hour AS BIGINT) AS hour,
            CAST(d.n AS BIGINT) AS n
     FROM dense d JOIN stats t USING (event_type)
-    WHERE d.n > round(CAST(t.s1 AS DOUBLE) / t.cnt
-          + 3 * sqrt(CAST(t.s2 AS DOUBLE) / t.cnt
-                     - pow(CAST(t.s1 AS DOUBLE) / t.cnt, 2)), 9)
+    WHERE CAST(CAST(d.n AS HUGEINT) * t.cnt - t.s1 AS DOUBLE)
+          > 3 * sqrt(CAST(CAST(t.cnt AS HUGEINT) * t.s2
+                          - CAST(t.s1 AS HUGEINT) * t.s1 AS DOUBLE))
     ORDER BY d.event_type, d.hour
     """,
 )
 def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-sigma spike detection over the GAP-FILLED hourly series (the
     zero hours must be in the population or the mean is inflated and
-    spikes hide — this is why q_gap_fill exists). Moments come from
-    exact integer sums (Σn, Σn²), so mean/σ are identical doubles in
-    both engines; the threshold is rounded to 9 before the compare.
-    Two shuffles beyond the dense-series build: the per-type moment
-    aggregate (6 rows) broadcasts back over the series."""
+    spikes hide — this is why q_gap_fill exists). The 3-sigma test is
+    the exact-determinant form n*cnt - s1 > 3*sqrt(cnt*s2 - s1^2):
+    both sides derive from exact integers through single
+    correctly-rounded IEEE ops (no centered-variance cancellation, no
+    round(x, 9) build hazard). Two shuffles beyond the dense-series
+    build: the per-type moment aggregate (6 rows) broadcasts back
+    over the series."""
     ev = load_table(spark, sf_dir, "events")
     ev = (
         ev.withColumn("ts_us", event_ts_us(ev))
@@ -437,19 +439,16 @@ def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("s1"),
         F.sum(F.col("n") * F.col("n")).alias("s2"),
     )
-    mean = F.col("s1").cast("double") / F.col("cnt")
-    thr = F.round(
-        mean
-        + F.lit(3.0)
-        * F.sqrt(
-            F.col("s2").cast("double") / F.col("cnt")
-            - F.pow(mean, F.lit(2))
-        ),
-        9,
-    )
+    lhs = (
+        F.col("n").cast("decimal(38,0)") * F.col("cnt") - F.col("s1")
+    ).cast("double")
+    det = (
+        F.col("cnt").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    ).cast("double")
     return (
         dense.join(F.broadcast(stats), on="event_type")
-        .filter(F.col("n") > thr)
+        .filter(lhs > F.lit(3) * F.sqrt(det))
         .select("event_type", "hour", "n")
         .orderBy("event_type", "hour")
     )

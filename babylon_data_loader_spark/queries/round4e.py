@@ -253,23 +253,24 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM (
       SELECT 'completeness_custkey' AS constraint_name,
-             round(CAST(n_custkey AS DOUBLE) / n_rows, 9) AS metric,
+             CAST(n_custkey AS DOUBLE) / n_rows AS metric,
              n_custkey = n_rows AS passed FROM m
       UNION ALL
       SELECT 'uniqueness_orderkey',
-             round(CAST(n_distinct_key AS DOUBLE) / n_rows, 9),
+             CAST(n_distinct_key AS DOUBLE) / n_rows,
              n_distinct_key = n_rows FROM m
       UNION ALL
       SELECT 'range_totalprice_nonneg',
-             round(CAST(n_price_ok AS DOUBLE) / n_rows, 9),
+             CAST(n_price_ok AS DOUBLE) / n_rows,
              n_price_ok = n_rows FROM m
       UNION ALL
       SELECT 'accepted_values_status',
-             round(CAST(n_status_ok AS DOUBLE) / n_rows, 9),
+             CAST(n_status_ok AS DOUBLE) / n_rows,
              n_status_ok = n_rows FROM m
       UNION ALL
       SELECT 'referential_custkey',
-             round(1.0 - CAST(o.n_orphans AS DOUBLE) / m.n_rows, 9),
+             CAST(1.0 AS DOUBLE)
+               - CAST(o.n_orphans AS DOUBLE) / m.n_rows,
              o.n_orphans = 0 FROM m, orphan o
     ) ORDER BY constraint_name
     """,
@@ -309,9 +310,12 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = m.join(F.broadcast(orphans))
 
     def row(name: str, metric: F.Column, passed: F.Column) -> DataFrame:
+        # each metric is a count ratio: single unrounded IEEE division
+        # (round(x, 9) on an integer ratio is the half-way build
+        # hazard — the r6 token-budget failure class)
         return base.select(
             F.lit(name).alias("constraint_name"),
-            F.round(metric, 9).alias("metric"),
+            metric.alias("metric"),
             passed.alias("passed"),
         )
 
@@ -377,8 +381,8 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_oov,
-           round(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
-                      AS DOUBLE) / COUNT(*), 9) AS oov_rate
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS oov_rate
     FROM toks t LEFT JOIN vocab v ON v.token = t.token
     GROUP BY t.doc_id
     ORDER BY t.doc_id
@@ -430,10 +434,9 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "n_oov",
-            F.round(
+            (
                 F.col("n_oov").cast("double")
-                / F.col("n_tokens").cast("double"),
-                9,
+                / F.col("n_tokens").cast("double")
             ).alias("oov_rate"),
         )
         .orderBy("doc_id")
@@ -810,14 +813,15 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ev
     ), agg AS (
       SELECT user_id,
-             SUM(CAST(value * (next_us - ts_us) AS DECIMAL(38,6)))
-               AS weighted,
+             SUM(CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT)
+                 * (next_us - ts_us)) AS weighted_c,
              CAST(SUM(next_us - ts_us) AS BIGINT) AS span_us
       FROM seg WHERE next_us IS NOT NULL
       GROUP BY user_id
     )
     SELECT user_id,
-           round(CAST(weighted AS DOUBLE) / span_us, 9) AS twap,
+           CAST(weighted_c AS DOUBLE)
+             / (CAST(span_us AS DOUBLE) * 100.0) AS twap,
            span_us
     FROM agg WHERE span_us > 0
     ORDER BY user_id
@@ -829,8 +833,8 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     current, not once: value_i holds from its event until the next
     (LEAD over the user timeline), weight = duration in integer
     micros, TWAP = Σ value·dur / Σ dur. The per-segment products are
-    DECIMAL-summed (value × micros is exact at 6 decimal places), so
-    the one float division at the end is engine-identical. One
+    EXACT integers (cents × micros) summed as DECIMAL, so the one
+    float division at the end is engine-identical. One
     user_id shuffle serves the LEAD and the aggregate. Users with one
     event (zero span) are excluded rather than divided by zero."""
     ev_raw = load_table(spark, sf_dir, "events")
@@ -845,18 +849,25 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_us").isNotNull()
     )
     dur = F.col("next_us") - F.col("ts_us")
+    # EXACT integer weights: cents x micros per segment (a double
+    # product cast to DECIMAL diverges across engines — Spark casts
+    # double->decimal via the shortest decimal repr, DuckDB via the
+    # exact binary value, and at 1e11-scale products the 6th decimal
+    # is below one ulp)
+    cents = (F.col("value").cast("decimal(20,2)") * 100).cast("long")
     agg = seg.groupBy("user_id").agg(
-        F.sum((F.col("value") * dur).cast("decimal(38,6)")).alias(
-            "weighted"
-        ),
+        F.sum((cents * dur).cast("decimal(38,0)")).alias("weighted_c"),
         F.sum(dur).cast("long").alias("span_us"),
     )
     return (
         agg.filter(F.col("span_us") > 0)
         .select(
             "user_id",
-            F.round(
-                F.col("weighted").cast("double") / F.col("span_us"), 9
+            (
+                F.col("weighted_c").cast("double")
+                / (
+                    F.col("span_us").cast("double") * F.lit(100.0)
+                )
             ).alias("twap"),
             "span_us",
         )
@@ -886,9 +897,9 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m.n_keys, m.n_rows, m.max_key_n,
            CAST(top10.t AS BIGINT) AS top10_n,
-           round(CAST(m.max_key_n AS DOUBLE) / m.n_rows, 9) AS top1_share,
-           round(CAST(m.sum_sq AS DOUBLE)
-                 / (CAST(m.n_rows AS DOUBLE) * m.n_rows), 9) AS hhi
+           CAST(m.max_key_n AS DOUBLE) / m.n_rows AS top1_share,
+           CAST(m.sum_sq AS DOUBLE)
+             / (CAST(m.n_rows AS DOUBLE) * m.n_rows) AS hhi
     FROM m, top10
     """,
 )
@@ -923,13 +934,12 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "max_key_n",
         F.col("t").cast("long").alias("top10_n"),
-        F.round(
-            F.col("max_key_n").cast("double") / F.col("n_rows"), 9
+        (
+            F.col("max_key_n").cast("double") / F.col("n_rows")
         ).alias("top1_share"),
-        F.round(
+        (
             F.col("sum_sq").cast("double")
-            / (F.col("n_rows").cast("double") * F.col("n_rows")),
-            9,
+            / (F.col("n_rows").cast("double") * F.col("n_rows"))
         ).alias("hhi"),
     )
 
@@ -1134,10 +1144,14 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ev GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
-           round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+           CAST(CAST((n * sxy - sx * sy) * 1000000 AS HUGEINT)
+                AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0)
+             AS slope,
+           CAST(CAST((sy * sxx - sx * sxy) * 1000000 AS HUGEINT)
+                AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0)
+             AS intercept
     FROM m ORDER BY event_type
     """,
 )
@@ -1173,18 +1187,24 @@ def q_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxx"),
         F.sum(F.col("x").cast("decimal(12,0)") * F.col("y")).alias("sxy"),
     )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
-    slope_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    icpt_num = (
-        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
-    ).cast("double")
+    # determinants with fractional scale are multiplied to EXACT
+    # integers before the double conversion (scale-6 decimal->double
+    # double-rounds differently across engines); the scale-0 den
+    # converts in one rounding in both.
+    den6 = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double") * F.lit(1000000.0)
+    slope_num6 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * 1000000
+    ).cast("decimal(38,0)").cast("double")
+    icpt_num6 = (
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+        * 1000000
+    ).cast("decimal(38,0)").cast("double")
     return m.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(slope_num / den, 9).alias("slope"),
-        F.round(icpt_num / den, 6).alias("intercept"),
+        (slope_num6 / den6).alias("slope"),
+        (icpt_num6 / den6).alias("intercept"),
     ).orderBy("event_type")

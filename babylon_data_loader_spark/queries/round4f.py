@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from babylon_data_loader_spark.functions.numerics import grid_sum
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
@@ -451,7 +452,8 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN tot t
     )
     SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n,
-           round(CAST(SUM(term) AS DOUBLE), 9) AS mi_nats
+           CAST(CAST(SUM(term) * 1000000000000 AS HUGEINT) AS DOUBLE)
+             / 1000000000000.0 AS mi_nats
     FROM terms
     """,
 )
@@ -503,7 +505,7 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return terms.groupBy("n").agg(
-        F.round(F.sum("term").cast("double"), 9).alias("mi_nats")
+        grid_sum(F.col("term"), 12).alias("mi_nats")
     ).select(F.col("n").cast("long").alias("n"), "mi_nats")
 
 
@@ -826,9 +828,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
     )
     SELECT p.x, p.y, p.cxy,
-           round(CAST(p.cxy AS DOUBLE) / ix.c, 9) AS confidence,
-           round(CAST(p.cxy AS DOUBLE) * n.n_orders
-                 / (CAST(ix.c AS DOUBLE) * iy.c), 9) AS lift
+           CAST(p.cxy AS DOUBLE) / ix.c AS confidence,
+           (CAST(p.cxy AS DOUBLE) * n.n_orders)
+             / (CAST(ix.c AS DOUBLE) * iy.c) AS lift
     FROM pair p
     JOIN item ix ON ix.l_partkey = p.x
     JOIN item iy ON iy.l_partkey = p.y
@@ -876,14 +878,15 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
             "y",
             "cxy",
-            F.round(F.col("cxy").cast("double") / F.col("cx"), 9).alias(
+            # confidence/lift are ratios of exact integer counts:
+            # correctly-rounded IEEE ops only — round(x, 9) on them
+            # is the half-way build hazard (and lift is the ORDER key)
+            (F.col("cxy").cast("double") / F.col("cx")).alias(
                 "confidence"
             ),
-            F.round(
-                F.col("cxy").cast("double")
-                * F.col("n_orders")
-                / (F.col("cx").cast("double") * F.col("cy")),
-                9,
+            (
+                (F.col("cxy").cast("double") * F.col("n_orders"))
+                / (F.col("cx").cast("double") * F.col("cy"))
             ).alias("lift"),
         )
         .orderBy(F.col("lift").desc(), "x", "y")
@@ -928,7 +931,8 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN stats s
     )
     SELECT doc_id,
-           round(CAST(SUM(score_term) AS DOUBLE), 6) AS bm25
+           CAST(CAST(SUM(score_term) * 1000000000 AS HUGEINT) AS DOUBLE)
+             / 1000000000.0 AS bm25
     FROM terms GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id ASC LIMIT 20
     """,
@@ -989,7 +993,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.round(F.sum("score_term").cast("double"), 6).alias("bm25"))
+        .agg(grid_sum(F.col("score_term"), 9).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
@@ -1131,7 +1135,8 @@ def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs
     )
     SELECT src_a, src_b,
-           round(CAST(SUM(term) AS DOUBLE), 9) AS jsd_nats
+           CAST(CAST(SUM(term) * 1000000000000 AS HUGEINT) AS DOUBLE)
+             / 1000000000000.0 AS jsd_nats
     FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b
     """,
 )
@@ -1226,7 +1231,7 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.select("src_a", "src_b", term.alias("term"))
         .groupBy("src_a", "src_b")
-        .agg(F.round(F.sum("term").cast("double"), 9).alias("jsd_nats"))
+        .agg(grid_sum(F.col("term"), 12).alias("jsd_nats"))
         .orderBy("src_a", "src_b")
     )
 
@@ -1549,17 +1554,19 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), langs AS (
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY lang
     ), lang_entropy AS (
-      SELECT CAST(SUM(CAST(round(
+      SELECT CAST(CAST(SUM(CAST(round(
                -(CAST(c AS DOUBLE) / (SELECT SUM(c) FROM langs))
                * ln(CAST(c AS DOUBLE) / (SELECT SUM(c) FROM langs)), 12)
-             AS DECIMAL(28,12))) AS DOUBLE) AS h
+             AS DECIMAL(28,12))) * 1000000000000 AS HUGEINT)
+             AS DOUBLE) / 1000000000000.0 AS h
       FROM langs
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_docs,
            (SELECT CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) FROM d)
              AS n_unique,
-           round(1.0 - (SELECT COUNT(DISTINCT md5(norm)) FROM d)
-                 / CAST((SELECT COUNT(*) FROM d) AS DOUBLE), 9)
+           CAST(1.0 AS DOUBLE)
+             - (SELECT COUNT(DISTINCT md5(norm)) FROM d)
+                 / CAST((SELECT COUNT(*) FROM d) AS DOUBLE)
              AS dup_rate,
            (SELECT CAST(SUM(n_toks) AS BIGINT) FROM d) AS total_tokens,
            (SELECT CAST(MIN(n_chars) AS BIGINT) FROM d) AS min_chars,
@@ -1568,7 +1575,7 @@ def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_langs,
            (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM d)
              AS n_sources,
-           (SELECT round(h, 9) FROM lang_entropy) AS lang_entropy_nats
+           (SELECT h FROM lang_entropy) AS lang_entropy_nats
     """,
 )
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,7 +1614,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(28,12)")
             .alias("term")
         )
-        .agg(F.round(F.sum("term").cast("double"), 9).alias("h"))
+        .agg(grid_sum(F.col("term"), 12).alias("h"))
     )
     base = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1621,17 +1628,16 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(F.broadcast(lang_entropy)).select(
         "n_docs",
         "n_unique",
-        F.round(
+        (
             F.lit(1.0)
-            - F.col("n_unique").cast("double") / F.col("n_docs"),
-            9,
+            - F.col("n_unique").cast("double") / F.col("n_docs")
         ).alias("dup_rate"),
         "total_tokens",
         F.col("min_chars").cast("long").alias("min_chars"),
         F.col("max_chars").cast("long").alias("max_chars"),
         "n_langs",
         "n_sources",
-        F.round(F.col("h"), 9).alias("lang_entropy_nats"),
+        F.col("h").alias("lang_entropy_nats"),
     )
 
 
@@ -2417,7 +2423,8 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs p JOIN marg ON marg.a = p.a CROSS JOIN tot
     )
     SELECT (SELECT CAST(t AS BIGINT) FROM tot) AS n_transitions,
-           round(CAST(SUM(term) AS DOUBLE), 9) AS entropy_rate_nats
+           CAST(CAST(SUM(term) * 1000000000000 AS HUGEINT) AS DOUBLE)
+             / 1000000000000.0 AS entropy_rate_nats
     FROM terms
     """,
 )
@@ -2462,7 +2469,7 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return terms.groupBy("t").agg(
-        F.round(F.sum("term").cast("double"), 9).alias(
+        grid_sum(F.col("term"), 12).alias(
             "entropy_rate_nats"
         )
     ).select(
@@ -2744,10 +2751,10 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM paired WHERE forecast IS NOT NULL
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-           round(CAST(SUM(ae) AS DOUBLE) / COUNT(*), 6) AS mae,
-           round(CAST(SUM(CAST(round(
-                   CAST(ae AS DOUBLE) / actual, 12)
-                 AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 9) AS mape
+           CAST(SUM(ae) AS DOUBLE) / COUNT(*) AS mae,
+           CAST(SUM(CAST(ae AS HUGEINT) * 1000000000000 // actual)
+                AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0) AS mape
     FROM e
     """,
 )
@@ -2775,16 +2782,22 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("c").over(w).alias("forecast"),
     ).filter(F.col("forecast").isNotNull())
     ae = F.abs(F.col("actual") - F.col("forecast"))
-    pe = F.round(ae.cast("double") / F.col("actual"), 12).cast(
-        "decimal(28,12)"
+    # per-day percentage errors quantized by pure INTEGER division
+    # (ae*1e12 div actual), integer-summed, one final IEEE division —
+    # round(x, 12) per day was the half-way build hazard
+    pe12 = F.expr(
+        "CAST(abs(actual - forecast) AS DECIMAL(38,0)) "
+        "* 1000000000000 div actual"
     )
     return paired.agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(F.sum(ae).cast("double") / F.count(F.lit(1)), 6).alias(
-            "mae"
-        ),
-        F.round(
-            F.sum(pe).cast("double") / F.count(F.lit(1)), 9
+        (F.sum(ae).cast("double") / F.count(F.lit(1))).alias("mae"),
+        (
+            F.sum(pe12).cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * F.lit(1000000000000.0)
+            )
         ).alias("mape"),
     )
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from babylon_data_loader_spark.functions.numerics import grid_sum
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.schemas import load_table
 
@@ -27,8 +28,9 @@ def _rev_col() -> F.Column:
 @query(
     "q_tpch_q6",
     oracle="""
-    SELECT round(CAST(SUM(CAST(l_extendedprice * l_discount
-                              AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount
+                            AS DECIMAL(25,6))) * 1000000 AS HUGEINT)
+                AS DOUBLE) / 1000000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
@@ -49,13 +51,11 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
-                        "decimal(25,6)"
-                    )
-                ).cast("double"),
-                2,
+            grid_sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(25,6)"
+                ),
+                6,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -69,7 +69,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10",
     oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(CAST(SUM({_REV}) AS DOUBLE), 2) AS revenue
+           CAST(CAST(SUM({_REV}) * 1000000 AS HUGEINT) AS DOUBLE)
+             / 1000000.0 AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -99,7 +100,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+        .agg(grid_sum(_rev_col(), 6).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -149,11 +150,11 @@ def q_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q14",
     oracle=f"""
-    SELECT round(
-             100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+    SELECT (100.0 * CAST(CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
                                    THEN {_REV} ELSE CAST(0 AS DECIMAL(25,6))
-                              END) AS DOUBLE)
-             / CAST(SUM({_REV}) AS DOUBLE), 6) AS promo_revenue_pct
+                              END) * 1000000 AS HUGEINT) AS DOUBLE))
+             / CAST(CAST(SUM({_REV}) * 1000000 AS HUGEINT) AS DOUBLE)
+             AS promo_revenue_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
@@ -173,11 +174,16 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(promo).cast("double")
-                / F.sum(_rev_col()).cast("double"),
-                6,
+            (
+                (
+                    F.lit(100.0)
+                    * (F.sum(promo) * 1000000)
+                    .cast("decimal(38,0)")
+                    .cast("double")
+                )
+                / (F.sum(_rev_col()) * 1000000)
+                .cast("decimal(38,0)")
+                .cast("double")
             ).alias("promo_revenue_pct")
         )
     )
@@ -273,7 +279,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q19",
     oracle=f"""
-    SELECT round(CAST(SUM({_REV}) AS DOUBLE), 2) AS revenue,
+    SELECT CAST(CAST(SUM({_REV}) * 1000000 AS HUGEINT) AS DOUBLE)
+             / 1000000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -308,7 +315,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(cond).agg(
-        F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"),
+        grid_sum(_rev_col(), 6).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -321,7 +328,8 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           round(CAST(SUM({_REV}) AS DOUBLE), 2) AS revenue
+           CAST(CAST(SUM({_REV}) * 1000000 AS HUGEINT) AS DOUBLE)
+             / 1000000.0 AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -368,7 +376,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.round(F.sum(_rev_col()).cast("double"), 2).alias("revenue"))
+        .agg(grid_sum(_rev_col(), 6).alias("revenue"))
     )
 
 
@@ -394,9 +402,11 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE cr.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
     )
     SELECT o_year,
-           round(CAST(SUM(CASE WHEN supp_region = 'ASIA' THEN volume
-                          ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
-                 / CAST(SUM(volume) AS DOUBLE), 9) AS mkt_share
+           CAST(CAST(SUM(CASE WHEN supp_region = 'ASIA' THEN volume
+                          ELSE CAST(0 AS DECIMAL(25,6)) END)
+                     * 1000000 AS HUGEINT) AS DOUBLE)
+             / CAST(CAST(SUM(volume) * 1000000 AS HUGEINT) AS DOUBLE)
+             AS mkt_share
     FROM base GROUP BY o_year
     """,
 )
@@ -449,13 +459,20 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(25,6)")
     return base.groupBy("o_year").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("supp_region") == "ASIA", F.col("volume"))
-                .otherwise(zero)
-            ).cast("double")
-            / F.sum("volume").cast("double"),
-            9,
+        (
+            (
+                F.sum(
+                    F.when(
+                        F.col("supp_region") == "ASIA", F.col("volume")
+                    ).otherwise(zero)
+                )
+                * 1000000
+            )
+            .cast("decimal(38,0)")
+            .cast("double")
+            / (F.sum("volume") * 1000000)
+            .cast("decimal(38,0)")
+            .cast("double")
         ).alias("mkt_share")
     )
 
@@ -468,7 +485,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(CAST(SUM({_REV}) AS DOUBLE), 2) AS total_revenue
+             CAST(CAST(SUM({_REV}) * 1000000 AS HUGEINT) AS DOUBLE)
+               / 1000000.0 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
@@ -496,7 +514,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(F.sum(_rev_col()).cast("double"), 2).alias(
+            grid_sum(_rev_col(), 6).alias(
                 "total_revenue"
             )
         )
@@ -620,10 +638,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           round(CAST(SUM(
+           CAST(CAST(SUM(
              CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))
              - CAST(0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(25,6))
-           ) AS DOUBLE), 2) AS sum_profit
+           ) * 1000000 AS HUGEINT) AS DOUBLE) / 1000000.0 AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -667,7 +685,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "nation", F.year("o_orderdate").cast("long").alias("o_year")
         )
-        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+        .agg(grid_sum(profit, 6).alias("sum_profit"))
     )
 
 
@@ -693,7 +711,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey AS p_partkey, SUM(v) AS value_dec
       FROM nation_lines GROUP BY 1
     )
-    SELECT p_partkey, round(CAST(value_dec AS DOUBLE), 2) AS stock_value
+    SELECT p_partkey,
+           CAST(CAST(value_dec * 1000000 AS HUGEINT) AS DOUBLE)
+             / 1000000.0 AS stock_value
     FROM per_part
     WHERE CAST(value_dec AS DOUBLE) >
           (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM nation_lines)
@@ -741,7 +761,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value_dec").cast("double") > F.col("thr"))
         .select(
             "p_partkey",
-            F.round(F.col("value_dec").cast("double"), 2).alias("stock_value"),
+            (
+                (F.col("value_dec") * 1000000)
+                .cast("decimal(38,0)")
+                .cast("double")
+                / F.lit(1000000.0)
+            ).alias("stock_value"),
         )
         .orderBy(F.col("stock_value").desc(), "p_partkey")
     )

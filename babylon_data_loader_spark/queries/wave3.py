@@ -22,15 +22,20 @@ from babylon_data_loader_spark.schemas import load_table
     oracle="""
     WITH m AS (
       SELECT event_type,
-             CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS sx2
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000
+                  AS HUGEINT) AS sx6,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) * 1000000
+                  AS HUGEINT) AS sxx12
       FROM events GROUP BY event_type
     )
     SELECT event_type,
-           CAST(n AS BIGINT) AS n,
-           round(sx / n, 6) AS mean_value,
-           round((sx2 - sx * sx / n) / (n - 1), 6) AS var_value
+           n,
+           CAST(sx6 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000.0) AS mean_value,
+           CAST(n * sxx12 * 1000000 - sx6 * sx6 AS DOUBLE)
+             / ((1000000000000.0 * CAST(n AS DOUBLE))
+                * (CAST(n AS DOUBLE) - 1)) AS var_value
     FROM m
     """,
 )
@@ -39,22 +44,40 @@ def q_variance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     where stddev()'s float reduction is not)."""
     ev = load_table(spark, sf_dir, "events")
     m = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("value").cast("decimal(30,6)"))
-        .cast("double")
-        .alias("sx"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)"))
-        .cast("double")
-        .alias("sx2"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(30,6)")) * 1000000)
+        .cast("decimal(38,0)")
+        .alias("sx6"),
+        (
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(30,6)")
+            )
+            * 1000000
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx12"),
     )
+    # exact-determinant form: the centered sx2 - sx^2/n DOUBLE shape
+    # cancels and its last-ulp noise differs across engines, and
+    # round(x, 6) of the exact-rational quotient is the half-way
+    # build hazard — so the numerator is EXACT integer decimal and
+    # each output is correctly-rounded IEEE ops only
+    ndbl = F.col("n").cast("double")
+    var_num = (
+        F.col("n") * F.col("sxx12") * 1000000
+        - F.col("sx6") * F.col("sx6")
+    ).cast("double")
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("sx") / F.col("n"), 6).alias("mean_value"),
-        F.round(
-            (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n"))
-            / (F.col("n") - 1),
-            6,
+        (
+            F.col("sx6").cast("double") / (ndbl * F.lit(1000000.0))
+        ).alias("mean_value"),
+        (
+            var_num
+            / (
+                (F.lit(1000000000000.0) * ndbl) * (ndbl - F.lit(1))
+            )
         ).alias("var_value"),
     )
 
@@ -67,19 +90,27 @@ def q_variance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
       FROM events
     ), m AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,6))) * 1000000
+                  AS HUGEINT) AS sx6,
+             CAST(SUM(CAST(y AS DECIMAL(30,6))) * 1000000
+                  AS HUGEINT) AS sy6,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,6))) * 1000000
+                  AS HUGEINT) AS sxx12,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,6))) * 1000000
+                  AS HUGEINT) AS syy12,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,6))) * 1000000
+                  AS HUGEINT) AS sxy12
       FROM j
     )
-    SELECT CAST(n AS BIGINT) AS n,
-           round((sxy - sx * sy / n) / (n - 1), 6) AS cov_xy,
-           round((sxy - sx * sy / n)
-                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
-             AS corr_xy
+    SELECT n,
+           CAST(n * sxy12 * 1000000 - sx6 * sy6 AS DOUBLE)
+             / ((1000000000000.0 * CAST(n AS DOUBLE))
+                * (CAST(n AS DOUBLE) - 1)) AS cov_xy,
+           CAST(n * sxy12 * 1000000 - sx6 * sy6 AS DOUBLE)
+             / (sqrt(CAST(n * sxx12 * 1000000 - sx6 * sx6 AS DOUBLE))
+                * sqrt(CAST(n * syy12 * 1000000 - sy6 * sy6
+                            AS DOUBLE))) AS corr_xy
     FROM m
     """,
 )
@@ -92,25 +123,39 @@ def q_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("x"),
         F.get_json_object("props", "$.k").cast("double").alias("y"),
     )
-    dec = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    # x1e6-scaled EXACT integer moments (scale-6 decimal -> double
+    # double-rounds differently across engines), exact determinants,
+    # then correctly-rounded IEEE ops only — no centered-form
+    # cancellation, no round(x, 6) half-way build hazard
+    dec6 = lambda c: (  # noqa: E731
+        F.sum(c.cast("decimal(30,6)")) * 1000000
+    ).cast("decimal(38,0)")
     m = j.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        dec(F.col("x")).alias("sx"),
-        dec(F.col("y")).alias("sy"),
-        dec(F.col("x") * F.col("x")).alias("sxx"),
-        dec(F.col("y") * F.col("y")).alias("syy"),
-        dec(F.col("x") * F.col("y")).alias("sxy"),
+        F.count(F.lit(1)).alias("n"),
+        dec6(F.col("x")).alias("sx6"),
+        dec6(F.col("y")).alias("sy6"),
+        dec6(F.col("x") * F.col("x")).alias("sxx12"),
+        dec6(F.col("y") * F.col("y")).alias("syy12"),
+        dec6(F.col("x") * F.col("y")).alias("sxy12"),
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    n = F.col("n")
+    ndbl = n.cast("double")
+    num = (
+        n * F.col("sxy12") * 1000000 - F.col("sx6") * F.col("sy6")
+    ).cast("double")
+    dxx = (
+        n * F.col("sxx12") * 1000000 - F.col("sx6") * F.col("sx6")
+    ).cast("double")
+    dyy = (
+        n * F.col("syy12") * 1000000 - F.col("sy6") * F.col("sy6")
+    ).cast("double")
     return m.select(
         n.cast("bigint").alias("n"),
-        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("cov_xy"),
-        F.round(
-            (sxy - sx * sy / n)
-            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
-            6,
-        ).alias("corr_xy"),
+        (
+            num
+            / ((F.lit(1000000000000.0) * ndbl) * (ndbl - F.lit(1)))
+        ).alias("cov_xy"),
+        (num / (F.sqrt(dxx) * F.sqrt(dyy))).alias("corr_xy"),
     )
 
 
