@@ -167,6 +167,59 @@ def get_or_build_parquet(
     return spark.read.parquet(path)
 
 
+def recover_index(path: str) -> bool:
+    """Recover an index whose compact_index swap crashed between the
+    two renames (the live path briefly does not exist). If the staging
+    copy is COMPLETE (parquet _SUCCESS plus the post-write meta JSONs)
+    it becomes the live path; otherwise the pre-compact copy is
+    restored. Returns True when a recovery happened. Called by
+    compact_index and the index readers, so a crashed swap degrades to
+    an automatic recovery instead of requiring a rebuild."""
+    if os.path.exists(path):
+        return False
+    staging = f"{path}.compact.tmp"
+    pre = f"{path}.pre_compact.tmp"
+    if (
+        os.path.exists(os.path.join(staging, "_SUCCESS"))
+        and any(n.endswith(".json") for n in os.listdir(staging))
+    ):
+        os.rename(staging, path)
+        shutil.rmtree(pre, ignore_errors=True)
+        return True
+    if os.path.isdir(pre):
+        os.rename(pre, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        return True
+    return False
+
+
+def check_append_schema(
+    spark, path: str, new_df, exclude: tuple[str, ...]
+) -> None:
+    """Guard for incremental index appends: the appended frame's
+    column names AND types (minus the derived/partition columns in
+    ``exclude``) must match the stored index exactly — appending a
+    schema-divergent frame writes parquet files that later probes
+    surface as NULLs or dropped columns with no error. Footer-level
+    schema read only, no data scan."""
+    stored = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(path).schema
+        if f.name not in exclude
+    }
+    incoming = {
+        f.name: f.dataType.simpleString()
+        for f in new_df.schema
+        if f.name not in exclude
+    }
+    if stored != incoming:
+        raise ValueError(
+            "index append schema mismatch: stored index has "
+            f"{stored}, appended frame has {incoming} "
+            "(column set and types must match exactly)"
+        )
+
+
 def compact_index(spark, path: str, part_col: str) -> None:
     """Fold an appended index back to one file per partition — the
     index twin of tx_lake.compact(): appends trade write cost for an
@@ -175,12 +228,14 @@ def compact_index(spark, path: str, part_col: str) -> None:
     written to a sibling staging dir and swapped in (never
     collect()ed through the driver — an index can be arbitrarily
     large), preserving the JSON meta files. The swap is NOT atomic
-    for concurrent readers; like the build itself, compaction assumes
-    a single-writer maintenance window, and a crash mid-swap is
-    recovered by rebuilding the index (the at-rest stores are
-    derived data, never the source of truth)."""
+    for concurrent readers (single-writer maintenance window, like
+    the build), but a crash between the two renames is detected and
+    auto-recovered by recover_index() — from the completed staging
+    copy when it finished, else from the pre-compact copy — so no
+    crash point requires a rebuild."""
     import json
 
+    recover_index(path)
     metas = {
         name: json.load(open(os.path.join(path, name), encoding="utf-8"))
         for name in os.listdir(path)

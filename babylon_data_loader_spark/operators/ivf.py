@@ -148,6 +148,12 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     import json
     import os
 
+    from babylon_data_loader_spark.operators.index_store import (
+        recover_index,
+    )
+
+    recover_index(path)
+
     with open(
         os.path.join(path, "_centroids.json"), encoding="utf-8"
     ) as fh:
@@ -184,6 +190,13 @@ def append_ivf_index(
             f"append_ivf_index: new vectors have dim {len(first[0])}, "
             f"index was built for dim {len(centroids[0])}"
         )
+    from babylon_data_loader_spark.operators.index_store import (
+        check_append_schema,
+    )
+
+    check_append_schema(
+        new_vecs.sparkSession, path, new_vecs, exclude=("cluster_id",)
+    )
     (
         _assign(new_vecs, vec_col, centroids)
         .repartition(F.col("cluster_id"))

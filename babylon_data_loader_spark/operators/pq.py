@@ -188,6 +188,19 @@ def append_pq_index(
             f"index was built for dim {m * dsub}"
         )
     cols = [c for c in new_vecs.columns if c != vec_col]
+    from babylon_data_loader_spark.operators.index_store import (
+        check_append_schema,
+    )
+
+    # the stored index holds codes, not vectors: compare the appended
+    # frame's carried columns (everything but the encoded vec) against
+    # the store minus its code column
+    check_append_schema(
+        new_vecs.sparkSession,
+        path,
+        new_vecs.select(*cols),
+        exclude=("pq_code",),
+    )
     (
         pq_encode(new_vecs, codebooks, vec_col=vec_col)
         .select(*cols, "pq_code")
@@ -201,6 +214,11 @@ def read_pq_index(spark, path: str):
     import json
     import os
 
+    from babylon_data_loader_spark.operators.index_store import (
+        recover_index,
+    )
+
+    recover_index(path)
     with open(
         os.path.join(path, "_codebooks.json"), encoding="utf-8"
     ) as fh:

@@ -334,6 +334,12 @@ def append_lsh_index(
     import json
     import os
 
+    from babylon_data_loader_spark.operators.index_store import (
+        check_append_schema,
+        recover_index,
+    )
+
+    recover_index(path)
     meta_path = os.path.join(path, "_lsh_meta.json")
     with open(meta_path, encoding="utf-8") as fh:
         meta = json.load(fh)
@@ -347,6 +353,11 @@ def append_lsh_index(
             f"append_lsh_index: new vectors have dim {len(first[0])}, "
             f"index was built for dim {dim}"
         )
+    # column-set/type guard mirrors the dim check: schema-divergent
+    # appended files would surface as NULLs on later probes
+    check_append_schema(
+        new_vecs.sparkSession, path, new_vecs, exclude=("bucket",)
+    )
     (
         new_vecs.withColumn("bucket", sign_bucket(F.col(vec_col), planes))
         # same one-shuffle discipline as the full build: one new file
@@ -368,6 +379,11 @@ def read_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
     import json
     import os
 
+    from babylon_data_loader_spark.operators.index_store import (
+        recover_index,
+    )
+
+    recover_index(path)
     with open(
         os.path.join(path, "_lsh_meta.json"), encoding="utf-8"
     ) as fh:

@@ -539,6 +539,65 @@ class TransactionalLake:
         escapes path-special chars as %XX; unquote reverses it)."""
         return unquote(subdir.split("=", 1)[1])
 
+    def _touched_partition_values(
+        self, spark: SparkSession, manifest: dict, condition
+    ) -> set[str]:
+        """Partition values whose stored rows can match ``condition``.
+
+        Fast path (the documented GDPR purge shape — condition on the
+        partition column itself): evaluate the condition against the
+        MANIFEST's partition values, a metadata-scale probe frame with
+        no data scan at all. The probe has only the partition column,
+        so a condition referencing any other column fails analysis and
+        falls back to the discovery scan; a value that does not
+        survive the cast back to the table's partition type also falls
+        back (a silent NULL there would skip deletions). The fallback
+        scan filters then projects just the partition column, so
+        Catalyst prunes the parquet read to the columns the condition
+        needs."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        pc = self.partition_col
+        raw = sorted(
+            {self._subdir_value(s) for s in manifest["partitions"]}
+        )
+        try:
+            one = dict([next(iter(manifest["partitions"].items()))])
+            ptype = self._read_subdirs(spark, one).schema[pc].dataType
+            probe = spark.createDataFrame(
+                [
+                    (None if v == HIVE_NULL_PARTITION else v,)
+                    for v in raw
+                ],
+                StructType([StructField("__raw", StringType(), True)]),
+            ).select(
+                "__raw", F.col("__raw").cast(ptype).alias(pc)
+            )
+            rows = probe.select(
+                "__raw",
+                F.col(pc).isNull().alias("__null"),
+                F.coalesce(condition, F.lit(False)).alias("__hit"),
+            ).collect()
+            if any(
+                r["__null"] and r["__raw"] is not None for r in rows
+            ):
+                raise ValueError("partition value lost in type cast")
+            return {
+                HIVE_NULL_PARTITION if r["__raw"] is None else r["__raw"]
+                for r in rows
+                if r["__hit"]
+            }
+        except Exception:
+            full = self._read_subdirs(spark, manifest["partitions"])
+            survives = ~F.coalesce(condition, F.lit(False))
+            return {
+                HIVE_NULL_PARTITION if r[0] is None else str(r[0])
+                for r in full.where(~survives)
+                .select(pc)
+                .distinct()
+                .collect()
+            }
+
     def _next_manifest(
         self, manifest: dict, partitions: dict[str, list[str]]
     ) -> dict:
@@ -676,14 +735,9 @@ class TransactionalLake:
             manifest = self.current_manifest()
             if not manifest["partitions"]:
                 return 0
-            full = self._read_subdirs(spark, manifest["partitions"])
-            touched_values = {
-                HIVE_NULL_PARTITION if r[0] is None else str(r[0])
-                for r in full.where(~survives)
-                .select(self.partition_col)
-                .distinct()
-                .collect()
-            }
+            touched_values = self._touched_partition_values(
+                spark, manifest, condition
+            )
             if not touched_values:
                 return 0
             stored_subdirs = {
@@ -692,12 +746,45 @@ class TransactionalLake:
                 if self._subdir_value(subdir) in touched_values
             }
             stored = self._read_subdirs(spark, stored_subdirs)
-            n_before = stored.count()
+            # touched partitions may be ONLY the null-sentinel dir, in
+            # which case hive inference types the partition column
+            # VOID and the survivor write would reject it — recover
+            # the canonical type from the whole manifest (footer-level
+            # metadata, no data scan)
+            from pyspark.sql.types import NullType
+
+            if isinstance(
+                stored.schema[self.partition_col].dataType, NullType
+            ):
+                canonical = (
+                    self._read_subdirs(spark, manifest["partitions"])
+                    .schema[self.partition_col]
+                    .dataType
+                )
+                if isinstance(canonical, NullType):
+                    canonical = "string"
+                stored = stored.withColumn(
+                    self.partition_col,
+                    F.col(self.partition_col).cast(canonical),
+                )
+            # one scan for both counts (instead of count + a re-read
+            # of the freshly written survivors): n_deleted is fixed
+            # BEFORE the write
+            counts = stored.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(survives.cast("long")), F.lit(0)
+                ).alias("kept"),
+            ).first()
+            n_before, n_kept = int(counts["n"]), int(counts["kept"])
+            n_deleted = n_before - n_kept
+            if n_deleted == 0:
+                # partition-value pruning can over-approximate when it
+                # falls back to the discovery scan mid-race; nothing
+                # to delete means nothing to commit
+                return 0
             survivors = stored.where(survives)
             rel, new_subdirs = self._write_version_dir(survivors)
-            n_deleted = n_before - self._read_subdirs(
-                spark, {s: [rel] for s in new_subdirs}
-            ).count() if new_subdirs else n_before
             new_manifest = self._next_manifest(
                 manifest,
                 {

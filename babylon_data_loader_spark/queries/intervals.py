@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from babylon_data_loader_spark.functions.numerics import grid_sum
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
@@ -64,7 +65,8 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              ('high', 500.0, 1e18)
     )
     SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n,
-           round(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE), 2)
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(25,6))) * 1000000
+                     AS HUGEINT) AS DOUBLE) / 1000000.0
              AS total_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band
@@ -88,9 +90,8 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"),
-                2,
+            grid_sum(
+                F.col("value").cast("decimal(25,6)"), 6
             ).alias("total_value"),
         )
     )

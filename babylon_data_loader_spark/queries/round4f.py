@@ -527,9 +527,9 @@ def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n,
            round(CAST(sx AS DOUBLE), 2) AS total_spend,
-           round(2.0 * CAST(six AS DOUBLE)
-                 / (n * CAST(sx AS DOUBLE))
-                 - (CAST(n AS DOUBLE) + 1) / n, 9) AS gini
+           CAST(CAST((2 * six - (n + 1) * sx) * 100 AS HUGEINT)
+                AS DOUBLE)
+             / CAST(CAST(n * sx * 100 AS HUGEINT) AS DOUBLE) AS gini
     FROM m
     """,
 )
@@ -563,16 +563,23 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sx"),
         F.sum(F.col("i") * F.col("x")).alias("six"),
     )
-    nd = F.col("n").cast("double")
+    # exact-rational identity: G = (2*Σi*x - (n+1)*Σx) / (n*Σx);
+    # numerator/denominator are exact scale-2 decimals scaled to
+    # integers, one IEEE division — bit-identical across builds
+    gini_num = (
+        (
+            F.lit(2) * F.col("six")
+            - (F.col("n") + F.lit(1)) * F.col("sx")
+        )
+        * 100
+    ).cast("decimal(38,0)").cast("double")
+    gini_den = (
+        (F.col("n") * F.col("sx")) * 100
+    ).cast("decimal(38,0)").cast("double")
     return m.select(
         F.col("n").cast("long").alias("n"),
         F.round(F.col("sx").cast("double"), 2).alias("total_spend"),
-        F.round(
-            F.lit(2.0) * F.col("six").cast("double")
-            / (nd * F.col("sx").cast("double"))
-            - (nd + 1) / nd,
-            9,
-        ).alias("gini"),
+        (gini_num / gini_den).alias("gini"),
     )
 
 
@@ -650,7 +657,7 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs GROUP BY from_type
     )
     SELECT p.from_type, p.to_type, p.c,
-           round(CAST(p.c AS DOUBLE) / o.total, 9) AS p
+           CAST(p.c AS DOUBLE) / o.total AS p
     FROM pairs p JOIN outdeg o ON o.from_type = p.from_type
     ORDER BY p.from_type, p.to_type
     """,
@@ -683,9 +690,9 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "from_type",
             "to_type",
             "c",
-            F.round(
-                F.col("c").cast("double") / F.col("total"), 9
-            ).alias("p"),
+            (F.col("c").cast("double") / F.col("total")).alias(
+                "p"
+            ),
         )
         .orderBy("from_type", "to_type")
     )
@@ -1744,7 +1751,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ev GROUP BY 1
     )
     SELECT CAST(c.dow AS BIGINT) AS dow, CAST(c.hour AS BIGINT) AS hour,
-           c.n, round(CAST(c.n AS DOUBLE) / d.days, 6) AS per_day
+           c.n, CAST(c.n AS DOUBLE) / d.days AS per_day
     FROM cells c JOIN ndays d ON d.dow = c.dow
     ORDER BY dow, hour
     """,
@@ -1783,9 +1790,9 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dow").cast("long").alias("dow"),
             F.col("hour").cast("long").alias("hour"),
             "n",
-            F.round(
-                F.col("n").cast("double") / F.col("days"), 6
-            ).alias("per_day"),
+            (F.col("n").cast("double") / F.col("days")).alias(
+                "per_day"
+            ),
         )
         .orderBy("dow", "hour")
     )
@@ -1805,20 +1812,22 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS r, f
       FROM freq
     ), pts AS (
-      SELECT CAST(round(ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(28,12))
-               AS x,
-             CAST(round(ln(CAST(f AS DOUBLE)), 12) AS DECIMAL(28,12))
-               AS y
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000000000)
+                  AS BIGINT) AS x12,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000000000)
+                  AS BIGINT) AS y12
       FROM ranked
     ), m AS (
-      SELECT CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x12 AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y12 AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x12 AS HUGEINT) * x12) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x12 AS HUGEINT) * y12) AS HUGEINT) AS sxy
       FROM pts
     )
     SELECT CAST(n AS BIGINT) AS n_types,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
     FROM m
     """,
 )
@@ -1849,31 +1858,40 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_row_number(
         freq, [F.col("f").desc(), F.col("token").asc()], "r"
     ).select("r", "f")
+    # log points quantized to EXACT integer e12 units per row, so
+    # every moment and both determinants are pure integer/DECIMAL
+    # arithmetic with ONE IEEE division at the end (decimal products
+    # reduce scale differently across engines; round(x, 6) of the
+    # rational quotient was the half-way build hazard)
     pts = ranked.select(
-        F.round(F.log(F.col("r").cast("double")), 12)
-        .cast("decimal(28,12)")
-        .alias("x"),
-        F.round(F.log(F.col("f").cast("double")), 12)
-        .cast("decimal(28,12)")
-        .alias("y"),
+        F.round(F.log(F.col("r").cast("double")) * F.lit(1.0e12))
+        .cast("decimal(20,0)")
+        .alias("x12"),
+        F.round(F.log(F.col("f").cast("double")) * F.lit(1.0e12))
+        .cast("decimal(20,0)")
+        .alias("y12"),
     )
     m = pts.agg(
         F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x12").cast("decimal(38,0)").alias("sx"),
+        F.sum("y12").cast("decimal(38,0)").alias("sy"),
+        F.sum(
+            (F.col("x12") * F.col("x12")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("sxx"),
+        F.sum(
+            (F.col("x12") * F.col("y12")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("sxy"),
     )
     n = F.col("n")
+    zipf_num = (
+        n * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double")
+    zipf_den = (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
     return m.select(
         n.cast("long").alias("n_types"),
-        F.round(
-            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
-            ),
-            6,
-        ).alias("zipf_slope"),
+        (zipf_num / zipf_den).alias("zipf_slope"),
     )
 
 
@@ -2498,8 +2516,8 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_redundant,
-           round(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 9) AS dup_burden
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_burden
     FROM ranked GROUP BY source ORDER BY source
     """,
 )
@@ -2536,8 +2554,8 @@ def q_dup_burden_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_redundant",
-            F.round(
-                F.col("n_redundant").cast("double") / F.col("n_docs"), 9
+            (
+                F.col("n_redundant").cast("double") / F.col("n_docs")
             ).alias("dup_burden"),
         )
         .orderBy("source")
@@ -2561,9 +2579,9 @@ def q_dup_burden_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS within_source,
            CAST(SUM(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END)
                 AS BIGINT) AS cross_source,
-           round(CAST(SUM(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END)
-                      AS DOUBLE)
-                 / GREATEST(COUNT(*), 1), 9) AS cross_share
+           CAST(SUM(CASE WHEN src_a <> src_b THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / GREATEST(COUNT(*), 1) AS cross_share
     FROM pairs
     """,
 )
@@ -2604,10 +2622,9 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_pairs",
         "within_source",
         "cross_source",
-        F.round(
+        (
             F.col("cross_source").cast("double")
-            / F.greatest(F.col("n_dup_pairs"), F.lit(1)),
-            9,
+            / F.greatest(F.col("n_dup_pairs"), F.lit(1)).cast("double")
         ).alias("cross_share"),
     )
 
@@ -2817,9 +2834,10 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM binned GROUP BY decile
     )
     SELECT CAST(decile AS BIGINT) AS decile, n,
-           round(CAST(SUM(s) OVER (ORDER BY decile) AS DOUBLE)
-                 / CAST((SELECT SUM(s) FROM per) AS DOUBLE), 9)
-             AS cum_share
+           CAST(CAST(SUM(s) OVER (ORDER BY decile) * 100 AS HUGEINT)
+                AS DOUBLE)
+             / CAST(CAST((SELECT SUM(s) FROM per) * 100 AS HUGEINT)
+                    AS DOUBLE) AS cum_share
     FROM per ORDER BY decile
     """,
 )
@@ -2862,10 +2880,13 @@ def q_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("decile").cast("long").alias("decile"),
             "n",
-            F.round(
-                F.sum("s").over(w).cast("double")
-                / F.col("t").cast("double"),
-                9,
+            (
+                (F.sum("s").over(w) * 100)
+                .cast("decimal(38,0)")
+                .cast("double")
+                / (F.col("t") * 100)
+                .cast("decimal(38,0)")
+                .cast("double")
             ).alias("cum_share"),
         )
         .orderBy("decile")

@@ -392,8 +392,8 @@ WITH clean AS (
                         (CAST(3600000000 AS BIGINT))) s(offs)
 )
 SELECT e.window_start_us, e.event_type,
-       round(CAST(SUM(CAST(e.value AS DECIMAL(20,2))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 9) AS avg_value
+       CAST(SUM(CAST(e.value AS DECIMAL(20,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_value
 FROM ex e, wm
 WHERE ((e.window_start_us + 7200000000) // 1000) <= wm.wm_ms
 GROUP BY 1, 2
@@ -462,7 +462,9 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = emitted.select(
             F.unix_micros(F.col("window_start")).alias("window_start_us"),
             "event_type",
-            F.round(F.col("avg_value"), 9).alias("avg_value"),
+            # exact decimal window sum / count: single IEEE
+            # division, no round(x, 9) half-way build hazard
+            F.col("avg_value").alias("avg_value"),
         )
         rows = final.collect()
         out_schema = final.schema

@@ -685,10 +685,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(CAST(SUM(CAST(round(
+           CAST(CAST(SUM(CAST(round(
                    -ln((CAST(vo.cnt AS DOUBLE) + 1.0) / (c.n + c.v)), 9)
-                 AS DECIMAL(28,9))) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_nll
+                 AS DECIMAL(28,9))) * 1000000000 AS HUGEINT) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS avg_nll
     FROM tok t JOIN vocab vo USING (term), consts c
     GROUP BY t.doc_id
     """,
@@ -721,10 +721,17 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum(term_nll).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
+            # grid-9 decimal sum / integer count: scale the sum to
+            # an exact integer and divide once (round(x, 6) of the
+            # rational was the half-way build hazard)
+            (
+                (F.sum(term_nll) * 1000000000)
+                .cast("decimal(38,0)")
+                .cast("double")
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.lit(1000000000.0)
+                )
             ).alias("avg_nll"),
         )
     )

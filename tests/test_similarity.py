@@ -568,3 +568,67 @@ def test_ivfpq_encode_increment_equals_full(spark):
         ]
 
     assert topk(inc) == topk(codes_full)
+
+
+def test_append_schema_guard_and_crashed_swap_recovery(spark, tmp_path):
+    """r6 ADVICE lows: (1) appending a frame whose non-derived column
+    set/types diverge from the stored index raises instead of writing
+    schema-divergent parquet that later probes surface as NULLs;
+    (2) a compact_index swap crashed between its two renames (live
+    path missing) is auto-recovered by the readers/next compact
+    instead of requiring a rebuild."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as _F
+    import pytest as _pytest
+
+    from babylon_data_loader_spark.operators.index_store import (
+        recover_index,
+    )
+    from babylon_data_loader_spark.operators.similarity import (
+        append_lsh_index,
+        read_lsh_index,
+        write_lsh_index,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "lsh")
+    write_lsh_index(emb.filter("vec_id % 2 = 0"), path, n_planes=6)
+    extra = emb.filter("vec_id % 2 = 1")
+
+    # extra column refused
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        append_lsh_index(extra.withColumn("junk", _F.lit(1)), path)
+    # missing column refused
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        append_lsh_index(extra.drop("label"), path)
+    # renamed column refused
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        append_lsh_index(
+            extra.withColumnRenamed("label", "lbl"), path
+        )
+    # changed type refused
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        append_lsh_index(
+            extra.withColumn("label", _F.col("label").cast("string")),
+            path,
+        )
+    # matching schema still appends
+    append_lsh_index(extra, path)
+    n_all = spark.read.parquet(path).count()
+    assert n_all == emb.count()
+
+    # crashed swap window: live -> .pre_compact.tmp, staging absent
+    os.rename(path, f"{path}.pre_compact.tmp")
+    assert recover_index(path) is True
+    idx, meta = read_lsh_index(spark, path)
+    assert idx.count() == n_all
+
+    # crashed swap with a COMPLETE staging copy: staging wins
+    shutil.copytree(path, f"{path}.compact.tmp")
+    os.rename(path, f"{path}.pre_compact.tmp")
+    idx, meta = read_lsh_index(spark, path)  # reader self-recovers
+    assert idx.count() == n_all
+    assert not os.path.exists(f"{path}.pre_compact.tmp")

@@ -797,3 +797,43 @@ def test_delete_where_semantics(spark, tmp_path):
 
     # pre-delete snapshot still has all 4 rows
     assert lake.read(spark, version=v1).count() == 4
+
+
+def test_delete_where_partition_pruning_metadata_only(spark, tmp_path):
+    """The r7 delete_where fast path: a condition on the partition
+    column itself resolves touched partitions from the MANIFEST's
+    values (metadata-scale probe), while a condition on any other
+    column falls back to the column-pruned discovery scan — both
+    produce the same touched set the old full-scan discovery did."""
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    rows = [
+        (0, "a", "chase"),
+        (1, "b", "synthetic"),
+        (2, "c", None),  # NULL partition value
+    ]
+    lake.merge(spark, frame(spark, rows), KEY)
+    manifest = lake.current_manifest()
+
+    # partition-col condition: resolved without a data scan
+    hit = lake._touched_partition_values(
+        spark, manifest, F.col("data_source") == "chase"
+    )
+    assert hit == {"chase"}
+
+    # IS NULL on the partition col finds the null sentinel partition
+    hit = lake._touched_partition_values(
+        spark, manifest, F.col("data_source").isNull()
+    )
+    assert hit == {"__HIVE_DEFAULT_PARTITION__"}
+
+    # non-partition column: the probe can't resolve it; fallback scan
+    hit = lake._touched_partition_values(
+        spark, manifest, F.col("v") == "b"
+    )
+    assert hit == {"synthetic"}
+
+    # and the end-to-end delete over the fast path is still exact
+    assert lake.delete_where(spark, F.col("data_source").isNull()) == 1
+    assert sorted(
+        r["k"] for r in lake.read(spark).collect()
+    ) == [0, 1]
