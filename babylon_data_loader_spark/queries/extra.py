@@ -343,21 +343,15 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on LSH candidates (never all-pairs). Distinct shingles via
     explode + join — set intersection as a join, no UDFs."""
     from babylon_data_loader_spark.operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs,
-        stored_doc_shingles,
-        stored_minhash_signatures,
+        stored_verified_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # Signatures and shingles come from the at-rest stores (computed
-    # once per dataset version); persist the reads that feed
-    # self-joins so each parquet scans once instead of per side.
-    sig = persist_tracked(stored_minhash_signatures(docs))
-    pairs = persist_tracked(lsh_candidate_pairs(sig, max_bucket_size=1000))
-    return jaccard_verify(
-        docs, pairs, threshold=0.5, shingles_df=stored_doc_shingles(docs)
-    )
+    # the whole candidate+verify chain comes from the at-rest
+    # verified-pairs store (built once per dataset version, shared
+    # with q_dedup_clusters / q_near_dup_rate / q_dup_weight /
+    # q_split_leakage)
+    return stored_verified_pairs(docs)
 
 
 # Flagship corpus curation: the full training-data pipeline ------------------------
@@ -569,21 +563,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same transitive closure with a RECURSIVE CTE: an exact cross-engine
     check of an iterative distributed algorithm."""
     from babylon_data_loader_spark.operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs,
-        stored_doc_shingles,
-        stored_minhash_signatures,
+        stored_verified_pairs,
     )
     from babylon_data_loader_spark.operators.graph import (
         connected_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = persist_tracked(stored_minhash_signatures(docs))
-    pairs = persist_tracked(lsh_candidate_pairs(sig, max_bucket_size=1000))
-    dup = jaccard_verify(
-        docs, pairs, threshold=0.5, shingles_df=stored_doc_shingles(docs)
-    ).select("doc_a", "doc_b")
+    # verified pairs from the shared at-rest store (r6 VERDICT ask
+    # #5): the candidate+verify chain runs once per dataset version
+    dup = stored_verified_pairs(docs).select("doc_a", "doc_b")
     labels = connected_components(
         docs.select("doc_id"),
         dup,
@@ -667,21 +656,16 @@ def q_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built on the same components machinery as q_dedup_clusters; the
     oracle recomputes the full closure with a RECURSIVE CTE."""
     from babylon_data_loader_spark.operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs,
-        stored_doc_shingles,
-        stored_minhash_signatures,
+        stored_verified_pairs,
     )
     from babylon_data_loader_spark.operators.graph import (
         connected_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = persist_tracked(stored_minhash_signatures(docs))
-    pairs = persist_tracked(lsh_candidate_pairs(sig, max_bucket_size=1000))
-    dup = jaccard_verify(
-        docs, pairs, threshold=0.5, shingles_df=stored_doc_shingles(docs)
-    ).select("doc_a", "doc_b")
+    # verified pairs from the shared at-rest store (r6 VERDICT ask
+    # #5): the candidate+verify chain runs once per dataset version
+    dup = stored_verified_pairs(docs).select("doc_a", "doc_b")
     clusters = connected_components(
         docs.select("doc_id"), dup,
         id_col="doc_id", src_col="doc_a", dst_col="doc_b",

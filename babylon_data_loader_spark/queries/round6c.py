@@ -104,18 +104,16 @@ def _split_col(id_col) -> F.Column:
 
 
 def _verified_pairs(docs: DataFrame) -> DataFrame:
+    """Verified near-dup pair set via the shared at-rest store
+    (operators/dedup.py::stored_verified_pairs — r6 VERDICT ask #5):
+    the candidate+verify chain is built once per dataset version and
+    q_split_leakage / q_dup_weight / q_dedup_clusters /
+    q_near_dup_rate / q_jaccard_pairs all read the same parquet."""
     from babylon_data_loader_spark.operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs,
-        stored_doc_shingles,
-        stored_minhash_signatures,
+        stored_verified_pairs,
     )
 
-    sig = persist_tracked(stored_minhash_signatures(docs))
-    cand = persist_tracked(lsh_candidate_pairs(sig, max_bucket_size=1000))
-    return jaccard_verify(
-        docs, cand, threshold=0.5, shingles_df=stored_doc_shingles(docs)
-    ).select("doc_a", "doc_b")
+    return stored_verified_pairs(docs).select("doc_a", "doc_b")
 
 
 @query(
