@@ -85,6 +85,18 @@ PRIORITY: list[str] = [
     "q_split_leakage",
     "q_dedup_clusters",
     "q_chi2_terms",
+    # Slots 10-17: the 8 queries ADDED this round (queries/round7.py),
+    # all pre-flighted exact-match at sf0.001/0.01/0.1 and written
+    # under the integer-key discipline (no rounded-double ordering or
+    # membership keys anywhere in the wave).
+    "q_vocab_coverage",
+    "q_boilerplate_ngrams",
+    "q_length_histogram",
+    "q_normalization_impact",
+    "q_bigram_nll",
+    "q_rrf_fusion",
+    "q_source_overlap",
+    "q_dedup_threshold_sweep",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -157,6 +169,7 @@ def load_all() -> None:
         round6,
         round6b,
         round6c,
+        round7,
         streaming_dedup,
         streaming_replay,
         streaming_window,

@@ -94,6 +94,13 @@ HEADLINE = [
     # near-dup pairs -> connected components -> per-cluster weight
     # join, the deepest reuse of the shared at-rest shingle store.
     "q_dup_weight",
+    # round 7 additions: the wave's two heavy shapes — the bigram-LM
+    # NLL (position self-join + two count-model joins back onto the
+    # bigram stream) and pairwise source-content overlap (grouped
+    # distinct over the at-rest shingle store + shingle-keyed pair
+    # intersection).
+    "q_bigram_nll",
+    "q_source_overlap",
 ]
 
 
@@ -345,6 +352,114 @@ def _lake_multiversion_supplement(spark, sf_dir: str, reps: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _skewed_dedup_supplement(spark, sf_dir: str, reps: int) -> dict:
+    """The near-dup pair-generation lane under REAL key skew (r6
+    VERDICT ask #8): ONE document duplicated 5,000× sends all of its
+    LSH band buckets hot (≥5,001 members — 4 buckets × ~12.5M would-be
+    pairs each). The ≤1000 hot-bucket guard must DROP those buckets
+    (their content is exact-dedup's job, not pairwise LSH's) while the
+    rest of the corpus pairs normally, and the skewed lane's wall time
+    must stay in the un-skewed lane's ballpark instead of going
+    quadratic. Records both lanes' times plus the guard's observable
+    footprint (dropped-bucket count, pair counts)."""
+    import shutil
+    import tempfile
+
+    from babylon_data_loader_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    root = tempfile.mkdtemp(
+        prefix="_bench_skew_",
+        dir=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+        ),
+    )
+    skew_dir = os.path.join(root, "documents.parquet")
+    try:
+        base = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        max_id = base.agg(F.max("doc_id")).collect()[0][0]
+        hot = (
+            base.orderBy("doc_id")
+            .limit(1)
+            .crossJoin(
+                spark.range(5000).select(F.col("id").alias("_i"))
+            )
+            .select(
+                (F.lit(max_id) + 1 + F.col("_i")).alias("doc_id"),
+                *[c for c in base.columns if c != "doc_id"],
+            )
+        )
+        base.unionByName(hot.select(*base.columns)).repartition(
+            32
+        ).write.parquet(skew_dir)
+        skewed = spark.read.parquet(skew_dir)
+
+        def _lane(frame) -> tuple[float, int, int]:
+            t0 = time.time()
+            sig = minhash_signatures(frame)
+            cand = lsh_candidate_pairs(sig)
+            n_pairs = jaccard_verify(
+                frame, cand, threshold=0.5
+            ).count()
+            dt = time.time() - t0
+            n_cand = lsh_candidate_pairs(sig).count()
+            return dt, n_cand, n_pairs
+
+        base_t, skew_t = [], []
+        base_cand = base_pairs = skew_cand = skew_pairs = 0
+        for _ in range(max(1, reps)):
+            dt, base_cand, base_pairs = _lane(base)
+            base_t.append(dt)
+            dt, skew_cand, skew_pairs = _lane(skewed)
+            skew_t.append(dt)
+        # the guard's footprint: hot (band_idx, band_val) buckets in
+        # the skewed corpus (metadata-scale aggregate)
+        sig = minhash_signatures(skewed)
+        bands = sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            F.col(f"b{i}").alias("band_val"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("b"),
+        ).select("b.band_idx", "b.band_val")
+        n_hot = (
+            bands.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1000)
+            .count()
+        )
+        return {
+            "note": (
+                "one doc duplicated 5000x -> every one of its band "
+                "buckets is hot; guard drops them (quadratic-blowup "
+                "bound), rest of the corpus pairs normally"
+            ),
+            "n_docs_base": base.count(),
+            "n_docs_skewed": skewed.count(),
+            "hot_buckets_dropped": n_hot,
+            "base_lane_sec": round(_median(base_t), 3),
+            "skew_lane_sec": round(_median(skew_t), 3),
+            "base_candidates": base_cand,
+            "skew_candidates": skew_cand,
+            "base_pairs_j05": base_pairs,
+            "skew_pairs_j05": skew_pairs,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -452,6 +567,15 @@ def main() -> None:
         )
     except Exception as exc:
         result["lake_multiversion_error"] = str(exc)[:200]
+    # Supplementary: the dedup pair-generation lane under an injected
+    # hot key (one doc duplicated 5000x) — witnesses the hot-bucket
+    # guard bounding the quadratic blowup under real skew.
+    try:
+        result["skewed_dedup"] = _skewed_dedup_supplement(
+            spark, sf_dir, reps
+        )
+    except Exception as exc:
+        result["skewed_dedup_error"] = str(exc)[:200]
     # Round-over-round comparison against the last recorded run at the
     # same sf: per-query regressions beyond 1.5x are named explicitly
     # so a slowdown is a diff in the output, not archaeology.

@@ -72,6 +72,11 @@ BNLJ_ALLOWED = {
     "q_class_rebalance",     # one-row min-class-size scalar
     "q_decay_weighted",      # one-row reference-timestamp scalar
     "q_chi2_terms",          # one-row corpus-size scalar
+    "q_vocab_coverage",      # one-row token-total x 3-row level dim
+    "q_boilerplate_ngrams",  # one-row corpus-size scalar (the 25% bar)
+    "q_bigram_nll",          # one-row vocabulary-size scalar
+    "q_rrf_fusion",          # single-row query vector broadcast
+    "q_dedup_threshold_sweep",  # 4-row threshold dimension broadcast
 }
 
 # A Window with NO partition spec moves the entire input to one task
