@@ -97,6 +97,14 @@ PRIORITY: list[str] = [
     "q_rrf_fusion",
     "q_source_overlap",
     "q_dedup_threshold_sweep",
+    # Slots 18-22: wave 2 (queries/round7b.py) — the TPC-H pair that
+    # completes the 22-query suite plus the sub-document dedup /
+    # novelty / cluster-histogram family, same pre-flight discipline.
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_chunk_dedup_rate",
+    "q_ngram_novelty",
+    "q_cluster_size_histogram",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -170,6 +178,7 @@ def load_all() -> None:
         round6b,
         round6c,
         round7,
+        round7b,
         streaming_dedup,
         streaming_replay,
         streaming_window,
