@@ -87,6 +87,7 @@ class TransactionalLake:
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
         bloom_cols: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         self.lake_path = lake_path
         self.partition_col = partition_col
@@ -112,6 +113,18 @@ class TransactionalLake:
         self.cluster_by = _cols(cluster_by)
         self.cluster_files = cluster_files
         self.bloom_cols = _cols(bloom_cols)
+        # Multi-dimension layout (operators/zorder.py): zorder_by
+        # Morton-interleaves the quantized ranks of SEVERAL columns
+        # into the write's range-partitioning key, so min/max sidecar
+        # pruning works for predicates on ANY of them — use instead of
+        # cluster_by when the table is probed along more than one
+        # dimension.
+        self.zorder_by = _cols(zorder_by)
+        if self.zorder_by and self.cluster_by:
+            raise ValueError(
+                "zorder_by and cluster_by are mutually exclusive: "
+                "both define the version write's file arrangement"
+            )
         self._versions_dir = os.path.join(lake_path, "_versions")
         self._manifest_dir = os.path.join(lake_path, "_manifest")
         self._current_path = os.path.join(lake_path, "_CURRENT")
@@ -465,6 +478,16 @@ class TransactionalLake:
             df = df.repartitionByRange(*args).sortWithinPartitions(
                 *self.cluster_by
             )
+        elif self.zorder_by:
+            # Morton layout: one range shuffle on the interleaved
+            # z-value, then drop it — each file covers a compact
+            # hyper-rectangle of the combined key space, so the
+            # min/max sidecar prunes on every z-ordered column.
+            from babylon_data_loader_spark.operators.zorder import (
+                zorder_arrange,
+            )
+
+            df = zorder_arrange(df, self.zorder_by, self.cluster_files)
         # zstd over the default snappy: a standing lake is
         # storage/scan-bound, and zstd's ~30% smaller files repay the
         # slightly higher encode cost on every later read.

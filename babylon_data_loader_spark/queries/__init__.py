@@ -105,6 +105,10 @@ PRIORITY: list[str] = [
     "q_chunk_dedup_rate",
     "q_ngram_novelty",
     "q_cluster_size_histogram",
+    # Slot 23: multi-dimension Z-ORDER layout witness (wave 3) — the
+    # lake's Morton-interleaved write arrangement, with in-query
+    # RAISE unless BOTH single-dimension probes skipped files.
+    "q_lake_zorder",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,

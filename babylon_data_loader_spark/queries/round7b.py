@@ -39,6 +39,10 @@ SURVEY.md §2's analytics growth track.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -420,3 +424,116 @@ def q_cluster_size_histogram(
         .agg(F.count(F.lit(1)).alias("n_clusters"))
         .orderBy("cluster_size")
     )
+
+
+@query(
+    "q_lake_zorder",
+    oracle="""
+    WITH th AS (
+      SELECT MAX(o_custkey) // 10 AS hi FROM orders
+    ), price AS (
+      SELECT 'price' AS probe, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+               AS total
+      FROM orders
+      WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
+      GROUP BY o_orderpriority
+    ), cust AS (
+      SELECT 'custkey' AS probe, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE)
+               AS total
+      FROM orders, th
+      WHERE o_custkey >= 0 AND o_custkey <= th.hi
+      GROUP BY o_orderpriority
+    )
+    SELECT * FROM price
+    UNION ALL
+    SELECT * FROM cust
+    ORDER BY probe, o_orderpriority
+    """,
+)
+def q_lake_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimension data skipping via Z-ORDER layout
+    (operators/zorder.py): orders are merged into a transactional
+    lake whose version writes Morton-interleave o_totalprice and
+    o_custkey into the range-partitioning key (8 files per hive
+    subdir), so each file covers a compact hyper-rectangle of the
+    2-D key space and the min/max sidecar prunes files for a
+    selective band on EITHER column — the layout single-column
+    clustering cannot give (clustering by price leaves custkey
+    scattered across every file). The query probes a 10% price band
+    AND a 10% custkey band through read_pruned and RAISES unless
+    BOTH probes opened strictly fewer files than the table holds;
+    both aggregates must still equal plain filters over the source
+    (the oracle). Skipping is arrangement-only: the z-value orders
+    rows and disappears, so no result depends on its arithmetic."""
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    # integer threshold scalar (one metadata-scale aggregate) so the
+    # custkey band is 10% of the key domain at EVERY scale factor
+    cust_hi = int(
+        orders.agg(
+            (F.max("o_custkey").cast("long") / 10)
+            .cast("long")
+            .alias("hi")
+        ).collect()[0]["hi"]
+    )
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_lake_zorder_{uuid.uuid4().hex[:12]}")
+    try:
+        lake = TransactionalLake(
+            work,
+            partition_col="o_orderpriority",
+            stats_cols=["o_totalprice", "o_custkey"],
+            zorder_by=["o_totalprice", "o_custkey"],
+            cluster_files=8,
+        )
+        lake.merge(spark, orders, key=["o_orderkey"])
+        total_files = len(lake.read(spark).inputFiles())
+
+        def _probe(label: str, preds) -> tuple[DataFrame, int]:
+            pruned = lake.read_pruned(spark, preds)
+            out = pruned.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+                .cast("double")
+                .alias("total"),
+            ).select(
+                F.lit(label).alias("probe"),
+                "o_orderpriority",
+                "n",
+                "total",
+            )
+            return out, len(pruned.inputFiles())
+
+        price_df, price_files = _probe(
+            "price", [("o_totalprice", 100000.0, 150000.0)]
+        )
+        cust_df, cust_files = _probe(
+            "custkey", [("o_custkey", 0, cust_hi)]
+        )
+        for label, touched in (
+            ("price", price_files),
+            ("custkey", cust_files),
+        ):
+            if touched >= total_files:
+                raise AssertionError(
+                    f"z-order skipping did not engage on {label}: "
+                    f"opened {touched} of {total_files} files for a "
+                    "10% band"
+                )
+        out = price_df.unionByName(cust_df).orderBy(
+            "probe", "o_orderpriority"
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, schema=schema)
