@@ -109,6 +109,12 @@ PRIORITY: list[str] = [
     # lake's Morton-interleaved write arrangement, with in-query
     # RAISE unless BOTH single-dimension probes skipped files.
     "q_lake_zorder",
+    # Slots 24-26: wave 3 analytics (queries/round7c.py) — tokenizer
+    # fertility, dedup-vs-labels confusion audit, per-label embedding
+    # cohesion; same pre-flight discipline.
+    "q_tokenizer_fertility",
+    "q_pair_label_confusion",
+    "q_label_cohesion",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
@@ -183,6 +189,7 @@ def load_all() -> None:
         round6c,
         round7,
         round7b,
+        round7c,
         streaming_dedup,
         streaming_replay,
         streaming_window,
