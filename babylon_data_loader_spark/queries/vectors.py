@@ -181,9 +181,13 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-decimal rounding — only bit-identical vectors reach it, so the
     oracle can never contain a natural near-pair that banded LSH is
     merely LIKELY to recall.) (`q_embedding_dup_pairs_exact` keeps the all-pairs form
-    as the small-N verification baseline.)"""
+    as the small-N verification baseline.)
+
+    The pair chain comes from the at-rest embedding-pair store
+    (stored_embedding_pairs): bucketing + verification run once per
+    dataset version and q_semantic_dedup reads the same parquet."""
     from babylon_data_loader_spark.operators.similarity import (
-        embedding_dup_pairs,
+        stored_embedding_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -193,7 +197,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
     corpus = emb.unionByName(copies)
-    return embedding_dup_pairs(corpus, threshold=1.0, exact=False)
+    return stored_embedding_pairs(corpus, threshold=1.0)
 
 
 @query(
@@ -373,12 +377,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-inserted under vec_id+1000000) make LSH recall provably 100%
     at the rounded-cosine-1.0 threshold (only bit-identical vectors
     reach it), so the exact all-pairs + RECURSIVE-CTE oracle checks
-    the whole approximate pipeline exactly."""
+    the whole approximate pipeline exactly. Pairs come from the
+    shared at-rest embedding-pair store (same parquet
+    q_embedding_dup_pairs reads — built once per dataset version)."""
     from babylon_data_loader_spark.operators.graph import (
         connected_components,
     )
     from babylon_data_loader_spark.operators.similarity import (
-        embedding_dup_pairs,
+        stored_embedding_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -388,7 +394,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
     corpus = emb.unionByName(copies)
-    pairs = embedding_dup_pairs(corpus, threshold=1.0, exact=False)
+    pairs = stored_embedding_pairs(corpus, threshold=1.0)
     comp = connected_components(
         corpus.select(F.col("vec_id").alias("id")),
         pairs.select(

@@ -632,3 +632,58 @@ def test_append_schema_guard_and_crashed_swap_recovery(spark, tmp_path):
     idx, meta = read_lsh_index(spark, path)  # reader self-recovers
     assert idx.count() == n_all
     assert not os.path.exists(f"{path}.pre_compact.tmp")
+
+
+def test_stored_embedding_pairs_reuse(spark, tmp_path):
+    """The embedding-side pair store (r6 ask-#5 pattern): first call
+    builds and writes, second call returns identical pairs without a
+    rewrite; q_semantic_dedup and q_embedding_dup_pairs share the
+    entry."""
+    import os
+    import shutil
+
+    from babylon_data_loader_spark.operators.index_store import (
+        df_fingerprint,
+        store_path,
+    )
+    from babylon_data_loader_spark.operators.similarity import (
+        stored_embedding_pairs,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    data = tmp_path / "ds"
+    data.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        data / "embeddings.parquet",
+    )
+    emb = load_table(spark, str(data), "embeddings").select(
+        "vec_id", "embedding"
+    )
+    from pyspark.sql import functions as F
+
+    copies = emb.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    corpus = emb.unionByName(copies)
+
+    out1 = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in stored_embedding_pairs(corpus, threshold=1.0).collect()
+    )
+    # every planted copy pairs with its original at cosine exactly 1.0
+    planted = {(i, i + 1000000) for i in range(0, 100, 5)}
+    got = {(a, b) for a, b, _ in out1}
+    assert planted <= got
+    assert all(s == 1.0 for _, _, s in out1)
+
+    fp = df_fingerprint(corpus)
+    path = store_path(spark, "emb_pairs", fp, "t1000p8b4m1000")
+    assert os.path.isdir(path)
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    out2 = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in stored_embedding_pairs(corpus, threshold=1.0).collect()
+    )
+    assert out2 == out1
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
