@@ -115,6 +115,7 @@ PRIORITY: list[str] = [
     "q_tokenizer_fertility",
     "q_pair_label_confusion",
     "q_label_cohesion",
+    "q_dedup_savings",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,

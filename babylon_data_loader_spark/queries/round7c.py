@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from babylon_data_loader_spark.functions.cache import persist_tracked
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.queries.round7 import _PAIRS_WITH_J_CTE
+from babylon_data_loader_spark.queries.round7b import _CLUSTERS_CTE
 from babylon_data_loader_spark.schemas import load_table
 
 #: the q_bpe_token_count tokenizer: letter runs, digit runs, single
@@ -288,4 +289,88 @@ def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_cohesion"),
         )
         .orderBy("label")
+    )
+
+
+@query(
+    "q_dedup_savings",
+    oracle=_CLUSTERS_CTE
+    + """
+    , tok AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.cluster_id <> t.doc_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(t.n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN c.cluster_id <> t.doc_id
+                    THEN t.n_tok ELSE 0 END) AS BIGINT)
+             AS saved_tokens,
+           CAST(SUM(CASE WHEN c.cluster_id <> t.doc_id
+                    THEN t.n_tok ELSE 0 END) AS DOUBLE)
+             / SUM(t.n_tok) AS saved_rate
+    FROM tok t JOIN clusters c ON c.doc_id = t.doc_id
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What near-dedup actually BUYS per source: cluster-collapse
+    keeps the min-id representative of every near-dup cluster, so the
+    dropped documents' token mass is the training/storage cost the
+    dedup knob saves. Clusters come from the shared at-rest
+    verified-pairs store + connected components (the q_dedup_clusters
+    machinery); token counts are one integer aggregate; savings is
+    exact integers with one unrounded division per source."""
+    from babylon_data_loader_spark.functions.text import tokens
+    from babylon_data_loader_spark.operators.dedup import (
+        stored_verified_pairs,
+    )
+    from babylon_data_loader_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup = stored_verified_pairs(docs).select("doc_a", "doc_b")
+    labels = connected_components(
+        docs.select("doc_id"),
+        dup,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    )
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.lower(F.col("text")))).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    dropped = F.when(
+        F.col("cluster_id") != F.col("doc_id"), 1
+    ).otherwise(0)
+    saved = F.when(
+        F.col("cluster_id") != F.col("doc_id"), F.col("n_tok")
+    ).otherwise(F.lit(0))
+    return (
+        tok.join(labels, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dropped).alias("n_dropped"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(saved).alias("saved_tokens"),
+            (
+                F.sum(saved).cast("double")
+                / F.sum("n_tok").cast("double")
+            ).alias("saved_rate"),
+        )
+        .orderBy("source")
     )

@@ -116,3 +116,32 @@ def test_label_cohesion_parallel_vs_spread(spark, tmp_path):
     assert out[1]["mean_cohesion"] == pytest.approx(
         math.cos(math.pi / 4), abs=1e-6
     )
+
+
+def test_dedup_savings_drops_non_representatives(spark, tmp_path):
+    # cluster {0,1,2} (4 tokens each): keeps 0, drops 1+2 -> saves 8
+    # of 12 tokens in s1; singleton 3 (6 tokens) saves nothing in s2
+    trio = "one two three four"
+    solo = "alpha beta gamma delta epsilon zeta"
+    sf = _write(
+        spark,
+        tmp_path,
+        docs=[
+            (0, trio, "s1"),
+            (1, trio, "s1"),
+            (2, trio, "s1"),
+            (3, solo, "s2"),
+        ],
+    )
+    out = {
+        r["source"]: r
+        for r in Q.QUERIES["q_dedup_savings"](spark, sf).collect()
+    }
+    assert out["s1"]["n_docs"] == 3
+    assert out["s1"]["n_dropped"] == 2
+    assert out["s1"]["total_tokens"] == 12
+    assert out["s1"]["saved_tokens"] == 8
+    assert out["s1"]["saved_rate"] == pytest.approx(8 / 12)
+    assert out["s2"]["n_dropped"] == 0
+    assert out["s2"]["saved_tokens"] == 0
+    assert out["s2"]["saved_rate"] == 0.0
