@@ -50,13 +50,24 @@ def zorder_column(
     OPTIMIZE ... ZORDER exists. Linear (not quantile) bucketing keeps
     the key a pure projection; heavy skew in a column degrades its
     share of the selectivity but never correctness (skipping is an
-    optimization on top of an always-applied row filter)."""
+    optimization on top of an always-applied row filter).
+
+    The quantize/interleave primitives live in operators/zorder.py —
+    ONE Morton implementation serves both this plain-parquet layout
+    rewrite and the transactional lake's ``zorder_by`` version writes;
+    this wrapper keeps the layout contract (numeric columns only,
+    raise on an all-NULL dimension rather than silently degrading
+    it)."""
+    from babylon_data_loader_spark.operators.zorder import (
+        interleave,
+        quantize,
+    )
+
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
     ).collect()[0]
-    cells = (1 << bits_per_col) - 1
-    bucket_exprs = []
+    cells = []
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
         if mn is None or mx is None:
@@ -65,30 +76,10 @@ def zorder_column(
                 "(all-NULL or not castable to double) — it cannot "
                 "contribute to a Z-order key"
             )
-        span = (mx - mn) or 1.0
-        b = F.least(
-            F.lit(cells),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col(c).cast("double") - F.lit(mn))
-                    / F.lit(span)
-                    * F.lit(cells + 1)
-                ).cast("long"),
-            ),
+        cells.append(
+            quantize(F.col(c).cast("double"), mn, mx, bits_per_col)
         )
-        bucket_exprs.append(b)
-    k = len(cols)
-    z = F.lit(0).cast("long")
-    for bit in range(bits_per_col):
-        for j, b in enumerate(bucket_exprs):
-            z = z.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
-                    bit * k + j,
-                )
-            )
-    return z
+    return interleave(cells, bits_per_col)
 
 
 def optimize_layout(
