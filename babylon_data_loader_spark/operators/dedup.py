@@ -212,7 +212,12 @@ def stored_verified_pairs(
         sig = stored_minhash_signatures(
             docs, text_col, id_col, n_bands, shingle_k
         )
-        cand = lsh_candidate_pairs(sig, max_bucket_size=max_bucket_size)
+        cand = lsh_candidate_pairs(
+            sig,
+            id_col=id_col,
+            n_bands=n_bands,
+            max_bucket_size=max_bucket_size,
+        )
         return jaccard_verify(
             docs,
             cand,

@@ -171,7 +171,7 @@ def stored_embedding_pairs(
         emb,
         "emb_pairs",
         f"t{int(threshold * 1000)}p{n_planes}b{n_bands}"
-        f"m{max_bucket_size}",
+        f"m{max_bucket_size}_{id_col}_{vec_col}",
         lambda: embedding_dup_pairs(
             emb,
             threshold=threshold,

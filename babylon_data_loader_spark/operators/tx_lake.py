@@ -596,6 +596,16 @@ class TransactionalLake:
             ).select(
                 "__raw", F.col("__raw").cast(ptype).alias(pc)
             )
+            # The condition must reference ONLY the partition column
+            # for the metadata probe to be sound. Analyzing it against
+            # a pc-only projection proves that: a condition naming any
+            # data column — including one literally named "__raw",
+            # which would otherwise capture the probe's helper column
+            # and mis-scope the delete — raises here and falls back to
+            # the discovery scan.
+            _ = probe.select(pc).select(
+                F.coalesce(condition, F.lit(False))
+            ).schema
             rows = probe.select(
                 "__raw",
                 F.col(pc).isNull().alias("__null"),
@@ -612,10 +622,12 @@ class TransactionalLake:
             }
         except Exception:
             full = self._read_subdirs(spark, manifest["partitions"])
-            survives = ~F.coalesce(condition, F.lit(False))
+            # rows the delete will REMOVE (TRUE-condition rows, SQL
+            # DELETE semantics — NULL keeps the row)
+            deletes = F.coalesce(condition, F.lit(False))
             return {
                 HIVE_NULL_PARTITION if r[0] is None else str(r[0])
-                for r in full.where(~survives)
+                for r in full.where(deletes)
                 .select(pc)
                 .distinct()
                 .collect()

@@ -98,20 +98,26 @@ def zorder_frame(
     values, which is what point-predicate skipping needs)."""
     if out in df.columns:
         raise ValueError(f"z-value column {out!r} collides with input")
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
     numeric = {
-        f.name
-        for f in df.schema.fields
-        if f.dataType.typeName()
-        in {
-            "byte", "short", "integer", "long",
-            "float", "double", "decimal", "date",
-            "timestamp", "timestamp_ntz",
-        }
+        "byte", "short", "integer", "long",
+        "float", "double", "decimal",
     }
     exprs: dict[str, Column] = {}
     for c in cols:
-        if c in numeric:
+        t = types.get(c)
+        if t in numeric:
             exprs[c] = F.col(c).cast("double")
+        elif t == "date":
+            # DATE/TIMESTAMP cannot cast to double directly — rank on
+            # their integer epoch forms (range predicates on time are
+            # the canonical skipping probe, so they must get a LINEAR
+            # rank, not the hash branch)
+            exprs[c] = F.unix_date(F.col(c)).cast("double")
+        elif t in ("timestamp", "timestamp_ntz"):
+            exprs[c] = F.unix_micros(
+                F.col(c).cast("timestamp")
+            ).cast("double")
         else:
             # stable non-negative 31-bit hash: xxhash64 folded
             exprs[c] = (

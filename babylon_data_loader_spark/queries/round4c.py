@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from babylon_data_loader_spark.functions.numerics import grid_sum
 from babylon_data_loader_spark.functions.text import tokens
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.schemas import load_table
@@ -183,14 +184,8 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o").cast("bigint").alias("n_docs"),
             # the DECIMAL(28,9) sum sits on the 1e-9 grid, so
             # round(x, 6) of it is a structural half-way build hazard
-            # (digits 7-9 == 500) — scale to the exact integer and
-            # divide once instead
-            (
-                (F.sum(contrib) * 1000000000)
-                .cast("decimal(38,0)")
-                .cast("double")
-                / F.lit(1000000000.0)
-            ).alias("chi2"),
+            # (digits 7-9 == 500) — emit via the exact grid helper
+            grid_sum(contrib, 9).alias("chi2"),
         )
         .orderBy("source")
     )

@@ -1812,17 +1812,17 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS r, f
       FROM freq
     ), pts AS (
-      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000000000)
-                  AS BIGINT) AS x12,
-             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000000000)
-                  AS BIGINT) AS y12
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS x6,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS y6
       FROM ranked
     ), m AS (
       SELECT CAST(COUNT(*) AS HUGEINT) AS n,
-             CAST(SUM(CAST(x12 AS HUGEINT)) AS HUGEINT) AS sx,
-             CAST(SUM(CAST(y12 AS HUGEINT)) AS HUGEINT) AS sy,
-             CAST(SUM(CAST(x12 AS HUGEINT) * x12) AS HUGEINT) AS sxx,
-             CAST(SUM(CAST(x12 AS HUGEINT) * y12) AS HUGEINT) AS sxy
+             CAST(SUM(CAST(x6 AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y6 AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x6 AS HUGEINT) * x6) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x6 AS HUGEINT) * y6) AS HUGEINT) AS sxy
       FROM pts
     )
     SELECT CAST(n AS BIGINT) AS n_types,
@@ -1858,28 +1858,32 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_row_number(
         freq, [F.col("f").desc(), F.col("token").asc()], "r"
     ).select("r", "f")
-    # log points quantized to EXACT integer e12 units per row, so
+    # log points quantized to EXACT integer e6 units per row, so
     # every moment and both determinants are pure integer/DECIMAL
     # arithmetic with ONE IEEE division at the end (decimal products
     # reduce scale differently across engines; round(x, 6) of the
-    # rational quotient was the half-way build hazard)
+    # rational quotient was the half-way build hazard). The e6 grid —
+    # not e12 — keeps the cross determinants inside 38 digits out to
+    # ~1e9 vocabulary types: at e12 the sx*sy product crosses 1e38
+    # (DECIMAL(38,0)/HUGEINT overflow) near a 1e6-type vocabulary,
+    # i.e. well inside the design scale.
     pts = ranked.select(
-        F.round(F.log(F.col("r").cast("double")) * F.lit(1.0e12))
+        F.round(F.log(F.col("r").cast("double")) * F.lit(1.0e6))
         .cast("decimal(20,0)")
-        .alias("x12"),
-        F.round(F.log(F.col("f").cast("double")) * F.lit(1.0e12))
+        .alias("x6"),
+        F.round(F.log(F.col("f").cast("double")) * F.lit(1.0e6))
         .cast("decimal(20,0)")
-        .alias("y12"),
+        .alias("y6"),
     )
     m = pts.agg(
         F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
-        F.sum("x12").cast("decimal(38,0)").alias("sx"),
-        F.sum("y12").cast("decimal(38,0)").alias("sy"),
+        F.sum("x6").cast("decimal(38,0)").alias("sx"),
+        F.sum("y6").cast("decimal(38,0)").alias("sy"),
         F.sum(
-            (F.col("x12") * F.col("x12")).cast("decimal(38,0)")
+            (F.col("x6") * F.col("x6")).cast("decimal(38,0)")
         ).cast("decimal(38,0)").alias("sxx"),
         F.sum(
-            (F.col("x12") * F.col("y12")).cast("decimal(38,0)")
+            (F.col("x6") * F.col("y6")).cast("decimal(38,0)")
         ).cast("decimal(38,0)").alias("sxy"),
     )
     n = F.col("n")

@@ -483,10 +483,13 @@ def q_lake_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hi")
         ).collect()[0]["hi"]
     )
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    work = os.path.join(wh, f"_lake_zorder_{uuid.uuid4().hex[:12]}")
+    from babylon_data_loader_spark.operators.index_store import (
+        warehouse_dir,
+    )
+
+    work = os.path.join(
+        warehouse_dir(spark), f"_lake_zorder_{uuid.uuid4().hex[:12]}"
+    )
     try:
         lake = TransactionalLake(
             work,

@@ -23,18 +23,18 @@ from babylon_data_loader_spark.schemas import load_table
     WITH m AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000
-                  AS HUGEINT) AS sx6,
-             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) * 1000000
-                  AS HUGEINT) AS sxx12
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) * 100
+                  AS HUGEINT) AS sx2,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,4))) * 10000
+                  AS HUGEINT) AS sxx4
       FROM events GROUP BY event_type
     )
     SELECT event_type,
            n,
-           CAST(sx6 AS DOUBLE)
-             / (CAST(n AS DOUBLE) * 1000000.0) AS mean_value,
-           CAST(n * sxx12 * 1000000 - sx6 * sx6 AS DOUBLE)
-             / ((1000000000000.0 * CAST(n AS DOUBLE))
+           CAST(sx2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 100.0) AS mean_value,
+           CAST(n * sxx4 - sx2 * sx2 AS DOUBLE)
+             / ((10000.0 * CAST(n AS DOUBLE))
                 * (CAST(n AS DOUBLE) - 1)) AS var_value
     FROM m
     """,
@@ -45,38 +45,41 @@ def q_variance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(F.col("value").cast("decimal(30,6)")) * 1000000)
+        (F.sum(F.col("value").cast("decimal(30,2)")) * 100)
         .cast("decimal(38,0)")
-        .alias("sx6"),
+        .alias("sx2"),
         (
             F.sum(
-                (F.col("value") * F.col("value")).cast("decimal(30,6)")
+                (F.col("value") * F.col("value")).cast("decimal(30,4)")
             )
-            * 1000000
+            * 10000
         )
         .cast("decimal(38,0)")
-        .alias("sxx12"),
+        .alias("sxx4"),
     )
     # exact-determinant form: the centered sx2 - sx^2/n DOUBLE shape
     # cancels and its last-ulp noise differs across engines, and
     # round(x, 6) of the exact-rational quotient is the half-way
     # build hazard — so the numerator is EXACT integer decimal and
-    # each output is correctly-rounded IEEE ops only
+    # each output is correctly-rounded IEEE ops only. The e2/e4 grid
+    # (value at cents, value^2 at 1e-4) — not e6/e12 — keeps
+    # n*sxx - sx*sx inside 38 digits out to ~1e13 rows per group;
+    # at e6 the sx*sx product crosses 1e38 near 1e12 rows.
     ndbl = F.col("n").cast("double")
     var_num = (
-        F.col("n") * F.col("sxx12") * 1000000
-        - F.col("sx6") * F.col("sx6")
+        F.col("n") * F.col("sxx4")
+        - F.col("sx2") * F.col("sx2")
     ).cast("double")
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
         (
-            F.col("sx6").cast("double") / (ndbl * F.lit(1000000.0))
+            F.col("sx2").cast("double") / (ndbl * F.lit(100.0))
         ).alias("mean_value"),
         (
             var_num
             / (
-                (F.lit(1000000000000.0) * ndbl) * (ndbl - F.lit(1))
+                (F.lit(10000.0) * ndbl) * (ndbl - F.lit(1))
             )
         ).alias("var_value"),
     )
@@ -91,25 +94,25 @@ def q_variance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(30,6))) * 1000000
-                  AS HUGEINT) AS sx6,
-             CAST(SUM(CAST(y AS DECIMAL(30,6))) * 1000000
-                  AS HUGEINT) AS sy6,
-             CAST(SUM(CAST(x * x AS DECIMAL(30,6))) * 1000000
-                  AS HUGEINT) AS sxx12,
-             CAST(SUM(CAST(y * y AS DECIMAL(30,6))) * 1000000
-                  AS HUGEINT) AS syy12,
-             CAST(SUM(CAST(x * y AS DECIMAL(30,6))) * 1000000
-                  AS HUGEINT) AS sxy12
+             CAST(SUM(CAST(x AS DECIMAL(30,2))) * 100
+                  AS HUGEINT) AS sx2,
+             CAST(SUM(CAST(y AS DECIMAL(30,2))) * 100
+                  AS HUGEINT) AS sy2,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,4))) * 10000
+                  AS HUGEINT) AS sxx4,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,4))) * 10000
+                  AS HUGEINT) AS syy4,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,4))) * 10000
+                  AS HUGEINT) AS sxy4
       FROM j
     )
     SELECT n,
-           CAST(n * sxy12 * 1000000 - sx6 * sy6 AS DOUBLE)
-             / ((1000000000000.0 * CAST(n AS DOUBLE))
+           CAST(n * sxy4 - sx2 * sy2 AS DOUBLE)
+             / ((10000.0 * CAST(n AS DOUBLE))
                 * (CAST(n AS DOUBLE) - 1)) AS cov_xy,
-           CAST(n * sxy12 * 1000000 - sx6 * sy6 AS DOUBLE)
-             / (sqrt(CAST(n * sxx12 * 1000000 - sx6 * sx6 AS DOUBLE))
-                * sqrt(CAST(n * syy12 * 1000000 - sy6 * sy6
+           CAST(n * sxy4 - sx2 * sy2 AS DOUBLE)
+             / (sqrt(CAST(n * sxx4 - sx2 * sx2 AS DOUBLE))
+                * sqrt(CAST(n * syy4 - sy2 * sy2
                             AS DOUBLE))) AS corr_xy
     FROM m
     """,
@@ -127,33 +130,39 @@ def q_correlation_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double-rounds differently across engines), exact determinants,
     # then correctly-rounded IEEE ops only — no centered-form
     # cancellation, no round(x, 6) half-way build hazard
-    dec6 = lambda c: (  # noqa: E731
-        F.sum(c.cast("decimal(30,6)")) * 1000000
+    # e2/e4 grid (see q_variance_moments): first moments at cents,
+    # second moments at 1e-4 — determinants stay inside 38 digits out
+    # to ~1e13 rows, where the former e6/e12 grid overflowed near 1e12
+    dec2 = lambda c: (  # noqa: E731
+        F.sum(c.cast("decimal(30,2)")) * 100
+    ).cast("decimal(38,0)")
+    dec4 = lambda c: (  # noqa: E731
+        F.sum(c.cast("decimal(30,4)")) * 10000
     ).cast("decimal(38,0)")
     m = j.agg(
         F.count(F.lit(1)).alias("n"),
-        dec6(F.col("x")).alias("sx6"),
-        dec6(F.col("y")).alias("sy6"),
-        dec6(F.col("x") * F.col("x")).alias("sxx12"),
-        dec6(F.col("y") * F.col("y")).alias("syy12"),
-        dec6(F.col("x") * F.col("y")).alias("sxy12"),
+        dec2(F.col("x")).alias("sx2"),
+        dec2(F.col("y")).alias("sy2"),
+        dec4(F.col("x") * F.col("x")).alias("sxx4"),
+        dec4(F.col("y") * F.col("y")).alias("syy4"),
+        dec4(F.col("x") * F.col("y")).alias("sxy4"),
     )
     n = F.col("n")
     ndbl = n.cast("double")
     num = (
-        n * F.col("sxy12") * 1000000 - F.col("sx6") * F.col("sy6")
+        n * F.col("sxy4") - F.col("sx2") * F.col("sy2")
     ).cast("double")
     dxx = (
-        n * F.col("sxx12") * 1000000 - F.col("sx6") * F.col("sx6")
+        n * F.col("sxx4") - F.col("sx2") * F.col("sx2")
     ).cast("double")
     dyy = (
-        n * F.col("syy12") * 1000000 - F.col("sy6") * F.col("sy6")
+        n * F.col("syy4") - F.col("sy2") * F.col("sy2")
     ).cast("double")
     return m.select(
         n.cast("bigint").alias("n"),
         (
             num
-            / ((F.lit(1000000000000.0) * ndbl) * (ndbl - F.lit(1)))
+            / ((F.lit(10000.0) * ndbl) * (ndbl - F.lit(1)))
         ).alias("cov_xy"),
         (num / (F.sqrt(dxx) * F.sqrt(dyy))).alias("corr_xy"),
     )

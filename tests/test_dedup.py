@@ -66,3 +66,28 @@ def test_dedup_near_pipeline(spark, docs):
         r["doc_id"] for r in dedup_near(docs, threshold=0.6).collect()
     )
     assert strict == [1, 4, 5]  # 0.75 ≥ 0.6 ⇒ 3 dropped too
+
+
+def test_stored_verified_pairs_forwards_id_col_and_bands(spark, tmp_path):
+    """Non-default id_col/n_bands must reach candidate generation:
+    before the r7 fix, an 8-band build scanned only b0..b3 and a
+    renamed id column crashed resolution."""
+    import os
+
+    A = "the quick brown fox jumps over the lazy dog again"
+    from babylon_data_loader_spark.operators.dedup import (
+        stored_verified_pairs,
+    )
+
+    sf = os.path.join(str(tmp_path), "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, A), (2, A), (3, "totally unrelated text content here")],
+        "id BIGINT, text STRING",
+    ).write.parquet(os.path.join(sf, "docs.parquet"))
+    docs = spark.read.parquet(os.path.join(sf, "docs.parquet"))
+    pairs = stored_verified_pairs(
+        docs, id_col="id", n_bands=8
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["jaccard"] == 1.0

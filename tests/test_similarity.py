@@ -678,7 +678,9 @@ def test_stored_embedding_pairs_reuse(spark, tmp_path):
     assert all(s == 1.0 for _, _, s in out1)
 
     fp = df_fingerprint(corpus)
-    path = store_path(spark, "emb_pairs", fp, "t1000p8b4m1000")
+    path = store_path(
+        spark, "emb_pairs", fp, "t1000p8b4m1000_vec_id_embedding"
+    )
     assert os.path.isdir(path)
     mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
     out2 = sorted(

@@ -837,3 +837,30 @@ def test_delete_where_partition_pruning_metadata_only(spark, tmp_path):
     assert sorted(
         r["k"] for r in lake.read(spark).collect()
     ) == [0, 1]
+
+
+def test_delete_where_data_column_named_raw(spark, tmp_path):
+    """A data column literally named __raw must not capture the
+    metadata probe's helper column: the condition references a
+    non-partition column, so the fast path must fall back to the
+    discovery scan and the delete must remove the matching rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    lake = TransactionalLake(
+        os.path.join(str(tmp_path), "rawlake"), partition_col="part"
+    )
+    df = spark.createDataFrame(
+        [(1, "P", "x"), (2, "P", "y"), (3, "Q", "x")],
+        "id LONG, part STRING, __raw STRING",
+    )
+    lake.merge(spark, df, key=["id"])
+    n = lake.delete_where(spark, F.col("__raw") == "x")
+    assert n == 2
+    left = {r["id"] for r in lake.read(spark).collect()}
+    assert left == {2}

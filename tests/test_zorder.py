@@ -147,3 +147,26 @@ def test_lake_zorder_cluster_by_mutually_exclusive(tmp_path):
             cluster_by=["a"],
             zorder_by=["b"],
         )
+
+
+def test_zorder_frame_temporal_columns(spark):
+    """DATE/TIMESTAMP(_NTZ) cannot cast to double; they must get a
+    LINEAR rank via their integer epoch forms (range predicates on
+    time are the canonical skipping probe) instead of crashing or
+    falling into the hash branch."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.date(2020, 1, 1 + i), dt.datetime(2020, 1, 1, i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "id LONG, d DATE, ts TIMESTAMP_NTZ"
+    )
+    out = zorder_frame(df, ["d", "ts"], bits=4)
+    got = out.orderBy("id").collect()
+    assert len(got) == 10
+    # linear rank: z-values must be strictly ordered with the dates
+    # (both dims increase together, so the Morton key does too)
+    zs = [r["_z"] for r in got]
+    assert zs == sorted(zs) and zs[0] < zs[-1]
