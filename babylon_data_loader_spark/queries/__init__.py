@@ -116,6 +116,15 @@ PRIORITY: list[str] = [
     "q_pair_label_confusion",
     "q_label_cohesion",
     "q_dedup_savings",
+    # Slots 28-31: queries whose determinant grids were RESCALED this
+    # round (review finding: e12/e6 moment grids overflowed
+    # DECIMAL(38,0)/HUGEINT near 1e6 vocab types / 1e12 rows — now e6
+    # and e2/e4). Output values changed, so they re-verify at the
+    # window head; all re-pre-flighted exact at sf0.001/0.01/0.1.
+    "q_zipf_slope",
+    "q_variance_moments",
+    "q_correlation_moments",
+    "q_source_drift",
     # Remaining slots: strongest already-verified queries so a driver
     # re-run on fresh testdata still re-checks real signal — ordered
     # to cover every operator family (dedup, ANN, lake, streaming,
