@@ -366,33 +366,35 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram model scores as normal. Per-occurrence log terms are
     rounded-12 then DECIMAL-summed (partition-order-proof) and the
     mean is the grid-scale integer division — no coarser-than-grid
-    round anywhere. Bigrams come from one position self-join (the
-    q_skipgram_pairs shape at window 1); count models are
+    round anywhere. Bigrams are an IN-ARRAY adjacent zip (one
+    projection, no position self-join — adjacency is a property of
+    the token array, so deriving it relationally would pay two
+    id-keyed shuffles for nothing); count models are
     vocabulary-scale aggregates joined back by key."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = persist_tracked(
+    tok_arr = persist_tracked(
         docs.select(
-            "doc_id",
-            F.posexplode(tokens(F.lower(F.col("text")))).alias(
-                "pos0", "term"
-            ),
-        ).select(
-            "doc_id", (F.col("pos0") + 1).alias("pos"), "term"
+            "doc_id", tokens(F.lower(F.col("text"))).alias("_t")
         )
     )
-    a = tok.select(
-        "doc_id", F.col("pos").alias("pa"), F.col("term").alias("w1")
-    )
-    b = tok.select(
-        "doc_id", F.col("pos").alias("pb"), F.col("term").alias("w2")
-    )
     big = persist_tracked(
-        a.join(b, "doc_id").where(F.col("pb") == F.col("pa") + 1)
-        .select("doc_id", "w1", "w2")
+        tok_arr.where(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(_t)), "
+                    "i -> struct(_t[i-2] AS w1, _t[i-1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
     )
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = tok.agg(F.countDistinct("term").alias("v"))
+    v = tok_arr.select(
+        F.explode("_t").alias("term")
+    ).agg(F.countDistinct("term").alias("v"))
     term_nll = F.round(
         -F.log(
             (F.col("c12").cast("double") + F.lit(1.0))
