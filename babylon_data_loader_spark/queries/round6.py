@@ -753,39 +753,29 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence counts (word2vec context windows):
     ordered token pairs within a +/-2 position window, counted over
-    the corpus, support >= 5, top-50. The positional self-join is
-    keyed on doc_id — pairs never cross documents, so the join is
-    document-local (shuffles by doc_id, each task windows its own
-    docs; the per-doc pair fanout is bounded by 2 per token). Counts
-    are exact integers; ordering ties break lexicographically."""
+    the corpus, support >= 5, top-50. The window is a property of the
+    token ARRAY, so pairs come from one in-array transform+flatten
+    projection (per-token fanout bounded by the window size) — the
+    former position self-join shuffled the tokenized corpus twice by
+    doc_id for the same document-local pairs. Counts are exact
+    integers; ordering ties break lexicographically."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = persist_tracked(
-        docs.select(
-            "doc_id",
-            F.posexplode(tokens(F.lower(F.col("text")))).alias(
-                "pos", "term"
-            ),
-        ).select(
-            "doc_id", "term", (F.col("pos") + 1).cast("bigint").alias("pos")
-        )
-    )
-    a = tok.select(
-        "doc_id",
-        F.col("term").alias("w1"),
-        F.col("pos").alias("pos_a"),
-    )
-    b = tok.select(
-        "doc_id",
-        F.col("term").alias("w2"),
-        F.col("pos").alias("pos_b"),
-    )
+    # outer i stops at size-1 and the where() guards 1-token docs:
+    # Spark's sequence(a, b) DESCENDS when a > b, so an unguarded
+    # empty range would fabricate reversed pairs
+    pairs = docs.select(
+        tokens(F.lower(F.col("text"))).alias("_t")
+    ).where(F.size("_t") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(_t) - 1), i -> "
+                "transform(sequence(i + 1, least(i + 2, size(_t))), "
+                "j -> struct(_t[i-1] AS w1, _t[j-1] AS w2))))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
     return (
-        a.join(b, "doc_id")
-        .where(
-            (F.col("pos_b") > F.col("pos_a"))
-            & (F.col("pos_b") <= F.col("pos_a") + 2)
-        )
-        .groupBy("w1", "w2")
+        pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_cooc"))
         .where(F.col("n_cooc") >= 5)
         .orderBy(
