@@ -170,3 +170,26 @@ def test_zorder_frame_temporal_columns(spark):
     # (both dims increase together, so the Morton key does too)
     zs = [r["_z"] for r in got]
     assert zs == sorted(zs) and zs[0] < zs[-1]
+
+
+def test_zorder_arrange_preserves_multiset(spark):
+    """Arrangement-only contract: whatever the column mix (numeric,
+    string, NULLs, duplicates), zorder_arrange returns exactly the
+    input rows — nothing dropped, nothing duplicated, helper column
+    gone."""
+    rows = [
+        (0, None, "a"),
+        (1, 5.0, None),
+        (1, 5.0, None),          # exact duplicate row
+        (2, -3.5, "b"),
+        (3, 1e9, ""),
+        (None, 0.0, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k LONG, v DOUBLE, s STRING")
+    out = zorder_arrange(df, ["v", "s"], n_files=3)
+    assert out.columns == ["k", "v", "s"]
+    got = sorted(
+        ((r["k"], r["v"], r["s"]) for r in out.collect()),
+        key=str,
+    )
+    assert got == sorted(rows, key=str)
