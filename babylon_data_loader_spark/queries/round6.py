@@ -280,10 +280,10 @@ def _per_doc(docs: DataFrame) -> DataFrame:
     WITH per AS ({_PER_DOC_SQL}
     ), cum AS (
       SELECT doc_id, nt, div_key,
-             SUM(nt) OVER (
+             CAST(SUM(nt) OVER (
                ORDER BY div_key DESC, doc_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cum_tokens
+             ) AS BIGINT) AS cum_tokens
       FROM per
     ), tot AS (SELECT SUM(nt) AS total FROM per)
     SELECT doc_id, nt AS n_tokens, div_key, cum_tokens
@@ -336,14 +336,15 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS ({_PER_DOC_SQL}
     ), cum AS (
       SELECT source, doc_id, nt, div_key,
-             SUM(nt) OVER (
+             CAST(SUM(nt) OVER (
                PARTITION BY source
                ORDER BY div_key DESC, doc_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS cum_tokens
+             ) AS BIGINT) AS cum_tokens
       FROM per
     ), tot AS (
-      SELECT source, SUM(nt) AS source_total FROM per GROUP BY source
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS source_total
+      FROM per GROUP BY source
     )
     SELECT c.source, c.doc_id, c.nt AS n_tokens, c.cum_tokens,
            t.source_total

@@ -36,6 +36,41 @@ class CompareResult:
     detail: str = ""
 
 
+# The driver's order-insensitive value hash is TYPE-SENSITIVE at
+# serialization: DuckDB widening BIGINT SUM() to HUGEINT (int128) made
+# numerically equal values hash differently (the r6/r7 token-budget
+# pair — two rounds of misdiagnosis because _normalize_cell collapses
+# int128→int locally and can never witness the divergence). Every
+# oracle output column must therefore stay inside this driver-safe
+# set; anything else (HUGEINT, DECIMAL, FLOAT, TINYINT…) must be CAST
+# in the oracle SQL itself.
+ALLOWED_ORACLE_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "BOOLEAN",
+    "TIMESTAMP",
+}
+
+
+def oracle_type_violations(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> list[tuple[str, str]]:
+    """(column, duckdb_type) pairs outside ALLOWED_ORACLE_TYPES.
+
+    Uses ``con.sql`` (bind/plan only, no execution) so the full
+    246-oracle sweep stays cheap enough for a unit test.
+    """
+    rel = con.sql(sql)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) not in ALLOWED_ORACLE_TYPES
+    ]
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -87,6 +122,14 @@ def compare_query(spark, sf_dir: str, name: str, fn, sql: str | None) -> Compare
         return CompareResult(name, ok, f"rows-only: {len(s_rows)} rows")
     con = duck_connection(sf_dir)
     try:
+        bad_types = oracle_type_violations(con, sql)
+        if bad_types:
+            return CompareResult(
+                name,
+                False,
+                f"oracle output types outside driver-safe set: {bad_types}"
+                " (CAST in the oracle SQL)",
+            )
         res = con.execute(sql)
         d_cols = [d[0] for d in res.description]
         d_rows = res.fetchall()

@@ -1,0 +1,86 @@
+"""Oracle output-type gate (r7 VERDICT ask #2).
+
+The driver's value hash is type-sensitive at serialization: a DuckDB
+oracle whose output column widens to HUGEINT (int128) hash-mismatches
+a numerically identical Spark BIGINT column — the exact failure that
+cost the token-budget pair two rounds (r6+r7). The local exact-compare
+harness can never witness this (it normalizes through Python ints), so
+this gate asserts it at the TYPE level instead: every oracle result
+column must plan to a driver-safe DuckDB type.
+
+Bind-only (``con.sql``): no query executes, so the full registry sweep
+is fast enough to run on every pytest invocation.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import babylon_data_loader_spark.queries as q
+from tests.oracle_harness import (
+    ALLOWED_ORACLE_TYPES,
+    TABLES,
+    oracle_type_violations,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield c
+    c.close()
+
+
+def test_seeded_hugeint_fixture_fails_gate(con):
+    """An uncast SUM(BIGINT) widens to HUGEINT and must be flagged —
+    the exact shape that broke q_token_budget_sample at the driver."""
+    bad_sql = "SELECT source, SUM(doc_id) AS s FROM documents GROUP BY source"
+    violations = oracle_type_violations(con, bad_sql)
+    assert violations == [("s", "HUGEINT")]
+    # and the one-line CAST fix clears it
+    fixed = (
+        "SELECT source, CAST(SUM(doc_id) AS BIGINT) AS s "
+        "FROM documents GROUP BY source"
+    )
+    assert oracle_type_violations(con, fixed) == []
+
+
+def test_seeded_decimal_fixture_fails_gate(con):
+    violations = oracle_type_violations(
+        con, "SELECT CAST(1.5 AS DECIMAL(10,2)) AS d"
+    )
+    assert violations == [("d", "DECIMAL(10,2)")]
+
+
+def test_every_registered_oracle_is_driver_type_safe(con):
+    q.load_all()
+    assert len(q.ORACLES) >= 246
+    bad = {}
+    for name, sql in sorted(q.ORACLES.items()):
+        violations = oracle_type_violations(con, sql)
+        if violations:
+            bad[name] = violations
+    assert not bad, (
+        "oracle output columns outside the driver-safe type set "
+        f"{sorted(ALLOWED_ORACLE_TYPES)}: {bad} — add a CAST in the "
+        "oracle SQL (see tests/oracle_harness.py docs)"
+    )
+
+
+def test_priority_window_is_well_formed():
+    """The driver verifies exactly the first 50 PRIORITY entries; the
+    list must cover a full window, name only registered queries, and
+    contain no duplicates (r7 VERDICT ask #6)."""
+    q.load_all()
+    assert len(q.PRIORITY) >= 50
+    assert len(set(q.PRIORITY)) == len(q.PRIORITY), "duplicate PRIORITY entry"
+    unknown = [n for n in q.PRIORITY if n not in q.QUERIES]
+    assert not unknown, f"PRIORITY names not in registry: {unknown}"
