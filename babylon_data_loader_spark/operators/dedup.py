@@ -141,6 +141,23 @@ def stored_doc_shingles(
     )
 
 
+def doc_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term) DISTINCT lower-cased unigram table — the
+    inverted-index set representation lexical-overlap scorers join
+    on (k=1 analogue of :func:`doc_shingles`)."""
+    return (
+        docs.select(
+            id_col,
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -116,66 +116,131 @@ def q_rerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     text is joined AFTER candidate pruning, so the wide text column
     never rides a corpus-scale shuffle. Ranking uses rounded-9 scores
     with cand_id tiebreaks — no float boundary can flip the top-k."""
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    anchors = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
+
+    def _retrieve_top20() -> DataFrame:
+        anchors = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        sim = F.round(
+            cosine(F.col("embedding"), F.col("q_embedding")), 9
+        )
+        cand = (
+            emb.crossJoin(F.broadcast(anchors))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("cand_id"),
+                sim.alias("sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("cand_id").asc()
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 20)
+            .drop("rn")
+        )
+
+    # At-rest retrieval stage (r7 VERDICT ask #4): the corpus-scale
+    # scan (brute-force cosine vs 3 anchors + per-query top-20) runs
+    # ONCE per dataset version; re-runs read a ≤ |queries|·20-row
+    # parquet. Keyed by the embeddings-table content fingerprint like
+    # every other store, so regenerated data rebuilds. The ANN twin
+    # (q_rerank_ann) already reads its stored LSH index; this gives
+    # the exact-retrieval twin the same amortization.
+    top20 = get_or_build_parquet(
+        emb, "rerank_top20", "q012k20", _retrieve_top20
     )
-    sim = F.round(cosine(F.col("embedding"), F.col("q_embedding")), 9)
-    cand = (
-        emb.crossJoin(F.broadcast(anchors))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("cand_id"), sim.alias("sim"))
+    # At-rest tokenization stage: the in-play docs' distinct-term
+    # table is fixed per corpus version (the candidate set is), so it
+    # is stored too. The store key's lineage covers BOTH inputs —
+    # documents.parquet AND the top20 store files — so regenerating
+    # either rebuilds it; the ANN twin keeps live tokenization (its
+    # candidate frame is in-memory, whose canonicalized plan is not a
+    # stable fingerprint) and therefore can never alias onto this
+    # store.
+    from babylon_data_loader_spark.operators.dedup import doc_terms
+
+    terms_plan = doc_terms(
+        docs.join(
+            F.broadcast(_rerank_ids_in_play(top20)),
+            "doc_id",
+            "left_semi",
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("cand_id").asc()
+    terms = get_or_build_parquet(
+        terms_plan, "rerank_terms", "q012k20", lambda: terms_plan
     )
-    top20 = persist_tracked(
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .drop("rn")
-    )
-    return _cross_encoder_rerank(docs, top20)
+    return _cross_encoder_rerank(docs, top20, terms=terms)
 
 
-def _cross_encoder_rerank(docs: DataFrame, top20: DataFrame) -> DataFrame:
+def _rerank_ids_in_play(top20: DataFrame) -> DataFrame:
+    """The ≤ |queries|·(k+1) distinct doc ids a candidate frame puts
+    in play for cross-encoder scoring."""
+    return (
+        top20.select(F.col("query_id").alias("doc_id"))
+        .union(top20.select(F.col("cand_id").alias("doc_id")))
+        .distinct()
+    )
+
+
+def _cross_encoder_rerank(
+    docs: DataFrame, top20: DataFrame, terms: DataFrame | None = None
+) -> DataFrame:
     """The second (expensive) stage shared by the exact- and
     ANN-retrieval re-rankers: score each (query_id, cand_id, sim)
     candidate pair with 0.8*cosine + 0.2*lexical-token-Jaccard of the
     two documents and keep the top-5 per query. Document text is
-    joined only for the pruned candidate set."""
+    joined only for the pruned candidate set. Pass ``terms`` to reuse
+    an at-rest (doc_id, term) table for the in-play docs; by default
+    they are tokenized live after candidate pruning."""
+    from babylon_data_loader_spark.operators.dedup import doc_terms
+
     # expensive stage: token sets for EXACTLY the docs in play — the
     # ≤ |queries|·(k+1) ids from the candidate frame semi-join the
     # corpus (broadcast: the id list is candidate-sized by
     # construction) BEFORE tokenization, so the explode+distinct
     # shuffle carries a candidate-scale frame, never the corpus.
-    ids_in_play = (
-        top20.select(F.col("query_id").alias("doc_id"))
-        .union(top20.select(F.col("cand_id").alias("doc_id")))
-        .distinct()
-    )
-    in_play = docs.join(F.broadcast(ids_in_play), "doc_id", "left_semi")
-    terms = (
-        in_play.select(
-            "doc_id",
-            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    # The pruned term frame is CANDIDATE-scale by construction
+    # (≤ |queries|·(k+1) docs' distinct terms) and is BROADCAST into
+    # every downstream join: the whole scoring stage runs shuffle-free
+    # broadcast-hash-joins no matter how large the corpus grows. A
+    # live-tokenized frame is persisted so the three consumers don't
+    # re-tokenize; an at-rest frame is already a tiny parquet read.
+    if terms is None:
+        ids_in_play = _rerank_ids_in_play(top20)
+        terms = persist_tracked(
+            doc_terms(
+                docs.join(
+                    F.broadcast(ids_in_play), "doc_id", "left_semi"
+                )
+            )
         )
-        .distinct()
-    )
     sizes = terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_terms")
     )
     shared = (
         top20.join(
-            terms.withColumnsRenamed(
-                {"doc_id": "query_id", "term": "q_term"}
+            F.broadcast(
+                terms.withColumnsRenamed(
+                    {"doc_id": "query_id", "term": "q_term"}
+                )
             ),
             "query_id",
         )
         .join(
-            terms.withColumnsRenamed(
-                {"doc_id": "cand_id", "term": "c_term"}
+            F.broadcast(
+                terms.withColumnsRenamed(
+                    {"doc_id": "cand_id", "term": "c_term"}
+                )
             ),
             ["cand_id"],
         )
@@ -184,16 +249,20 @@ def _cross_encoder_rerank(docs: DataFrame, top20: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     scored = (
-        top20.join(shared, ["query_id", "cand_id"], "left")
+        top20.join(F.broadcast(shared), ["query_id", "cand_id"], "left")
         .join(
-            sizes.withColumnsRenamed(
-                {"doc_id": "query_id", "n_terms": "nq"}
+            F.broadcast(
+                sizes.withColumnsRenamed(
+                    {"doc_id": "query_id", "n_terms": "nq"}
+                )
             ),
             "query_id",
         )
         .join(
-            sizes.withColumnsRenamed(
-                {"doc_id": "cand_id", "n_terms": "nc"}
+            F.broadcast(
+                sizes.withColumnsRenamed(
+                    {"doc_id": "cand_id", "n_terms": "nc"}
+                )
             ),
             "cand_id",
         )

@@ -147,6 +147,89 @@ def _git_commit() -> str:
         return "unknown"
 
 
+# Isolated-rerun set (r7 VERDICT ask #3): the queries that drifted
+# +17-40% at equal calibration between the r6 and r7 clean runs with
+# UNCHANGED plan digests. Each runs in a FRESH process (fresh JVM,
+# fresh session, nothing else run before it) so suite-position /
+# JVM-state effects are separated from real per-query cost: if the
+# isolated medians match the r6 numbers, the drift was suite-state;
+# if they match the r7 in-suite numbers, it localizes a regression.
+ISOLATED_SET = [
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_rfm_segments",
+    "q_rerank_candidates",
+]
+
+
+def _isolated_one(name: str, sf_dir: str, reps: int) -> None:
+    """Subprocess entry: time ONE query in a fresh session and print
+    one JSON line. Session startup and the warmup job are excluded
+    from the timing — the isolation experiment varies only what ran
+    BEFORE the query, not what the query itself costs."""
+    spark = build_session(app_name=f"bench-isolated-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    samples = []
+    for _ in range(max(1, reps)):
+        t0 = time.time()
+        qmap[name](spark, sf_dir).count()
+        samples.append(time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "q": name,
+                "sec": round(_median(samples), 3),
+                "samples": [round(s, 3) for s in samples],
+            }
+        )
+    )
+    spark.stop()
+
+
+def _isolated_supplement(
+    sf_dir: str, reps: int, in_suite: dict[str, float]
+) -> dict:
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    timings: dict[str, dict] = {}
+    for name in ISOLATED_SET:
+        proc = subprocess.run(
+            [sys.executable, here, "--isolated-one", name, sf_dir,
+             str(reps)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(here),
+            timeout=900,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+        try:
+            rec = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            timings[name] = {"error": (proc.stderr or "no output")[-200:]}
+            continue
+        entry = {"isolated_sec": rec["sec"], "samples": rec["samples"]}
+        if name in in_suite:
+            entry["in_suite_sec"] = in_suite[name]
+            entry["ratio_in_suite_over_isolated"] = round(
+                in_suite[name] / rec["sec"], 2
+            ) if rec["sec"] > 0 else None
+        timings[name] = entry
+    return {
+        "note": (
+            "each query re-timed in a FRESH process (fresh JVM + "
+            "session, warmup excluded) to separate suite-state drift "
+            "from real per-query cost (r7 VERDICT ask #3)"
+        ),
+        "queries": timings,
+    }
+
+
 # Scan-bound subset for the optimized-layout supplement.
 OPTIMIZED_SUBSET = [
     "q_tpch_q1",
@@ -460,7 +543,104 @@ def _skewed_dedup_supplement(spark, sf_dir: str, reps: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _zorder_layout_supplement(spark, sf_dir: str, reps: int) -> dict:
+    """Layout-quality tracking for the Z-ORDER lake (r7 VERDICT ask
+    #8): writes the orders table into a z-ordered transactional lake
+    (Morton interleave of o_totalprice x o_custkey) and records, for a
+    10% band probe on EACH dimension, how many files the min/max
+    sidecar left open vs the table total — plus the pruned probe time
+    against the same predicate as a full-scan filter. Skipped-file
+    ratios are the round-over-round layout signal; q_lake_zorder only
+    asserts they engage."""
+    import shutil
+    import tempfile
+
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    root = tempfile.mkdtemp(
+        prefix="_bench_zorder_",
+        dir=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+        ),
+    )
+    try:
+        orders = spark.read.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        )
+        cust_hi = int(
+            orders.agg(
+                (F.max("o_custkey").cast("long") / 10).cast("long")
+            ).collect()[0][0]
+        )
+        lake = TransactionalLake(
+            os.path.join(root, "orders_lake"),
+            partition_col="o_orderpriority",
+            stats_cols=["o_totalprice", "o_custkey"],
+            zorder_by=["o_totalprice", "o_custkey"],
+            cluster_files=8,
+        )
+        t0 = time.time()
+        lake.merge(spark, orders, key=["o_orderkey"])
+        stage_s = round(time.time() - t0, 3)
+        total_files = len(lake.read(spark).inputFiles())
+
+        def _probe(preds, full_pred) -> dict:
+            pruned = lake.read_pruned(spark, preds)
+            opened = len(pruned.inputFiles())
+            pruned_t, full_t = [], []
+            for _ in range(max(1, reps)):
+                t0 = time.time()
+                lake.read_pruned(spark, preds).where(full_pred).agg(
+                    F.sum("o_totalprice")
+                ).collect()
+                pruned_t.append(time.time() - t0)
+                t0 = time.time()
+                lake.read(spark).where(full_pred).agg(
+                    F.sum("o_totalprice")
+                ).collect()
+                full_t.append(time.time() - t0)
+            return {
+                "files_opened": opened,
+                "files_total": total_files,
+                "skip_ratio": round(1 - opened / total_files, 3)
+                if total_files
+                else None,
+                "pruned_probe_sec": round(_median(pruned_t), 3),
+                "full_scan_sec": round(_median(full_t), 3),
+            }
+
+        price = _probe(
+            [("o_totalprice", 100000.0, 150000.0)],
+            F.col("o_totalprice").between(100000.0, 150000.0),
+        )
+        cust = _probe(
+            [("o_custkey", 0, cust_hi)],
+            F.col("o_custkey").between(0, cust_hi),
+        )
+        return {
+            "note": (
+                "orders z-ordered on (o_totalprice, o_custkey); 10% "
+                "band probe per dimension — files_opened/files_total "
+                "is the layout-quality signal tracked per round"
+            ),
+            "stage_sec": stage_s,
+            "price_band": price,
+            "custkey_band": cust,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--isolated-one":
+        _isolated_one(
+            sys.argv[2],
+            sys.argv[3],
+            int(sys.argv[4]) if len(sys.argv) > 4 else 3,
+        )
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = build_session(app_name="babylon-bench")
@@ -576,6 +756,21 @@ def main() -> None:
         )
     except Exception as exc:
         result["skewed_dedup_error"] = str(exc)[:200]
+    # Supplementary: z-order layout quality — skipped-file ratios for
+    # one 10% band probe per z-ordered dimension, tracked per round.
+    try:
+        result["zorder_layout"] = _zorder_layout_supplement(
+            spark, sf_dir, reps
+        )
+    except Exception as exc:
+        result["zorder_layout_error"] = str(exc)[:200]
+    # Supplementary: fresh-process isolated reruns of the queries that
+    # drifted between r6 and r7 with unchanged plans — separates
+    # suite-state (JVM heap/codegen-cache position) from real cost.
+    try:
+        result["isolated"] = _isolated_supplement(sf_dir, reps, timings)
+    except Exception as exc:
+        result["isolated_error"] = str(exc)[:200]
     # Round-over-round comparison against the last recorded run at the
     # same sf: per-query regressions beyond 1.5x are named explicitly
     # so a slowdown is a diff in the output, not archaeology.
