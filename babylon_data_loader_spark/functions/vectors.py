@@ -35,3 +35,17 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def squared_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² (sequential left fold, double precision) — the
+    k-means / nearest-centroid distance. Same fold shape as
+    :func:`dot`, so it matches DuckDB's
+    ``list_sum(list_transform(...))`` evaluation exactly."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)

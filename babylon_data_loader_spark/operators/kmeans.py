@@ -1,0 +1,214 @@
+"""Distributed k-means (Lloyd) over embedding columns.
+
+The clustering workhorse of LLM-corpus curation: SemDeDup-style
+semantic grouping, cluster-balanced (diversity) sampling, and IVF
+coarse quantizers all start from a k-means partition of the embedding
+space. Everything here is DataFrame-native:
+
+- **assign**: nearest-centroid by squared L2 — a broadcast of the
+  k×dim codebook against the vector table, argmin via one
+  rank-limit-pruned window per vector. No shuffle of the vectors
+  themselves beyond the window's id-partitioned exchange.
+- **update**: new centroids are per-dimension means — posexplode to
+  (cid, dim, value) and ONE map-combinable grouped average; k×dim
+  result rows are codebook-scale (driver-safe metadata, the same
+  materialization the IVF/PQ trainers use, operators/ivf.py).
+- **iterate**: a driver loop over assign/update. Iteration count is
+  a small constant (Lloyd converges fast and curation pipelines cap
+  it); each iteration is two distributed jobs, so the driver never
+  holds more than the k×dim codebook.
+
+At 100 TB the vector table stays partitioned by id throughout; the
+only data that ever reaches the driver is the codebook and the
+per-iteration inertia scalar. Mini-batching (sampling a fraction per
+update) drops in by filtering the assign input — the update algebra
+is unchanged.
+
+Determinism: centroid init is the k smallest-id vectors (not a random
+sample), assignment ties break toward the smallest centroid id on an
+integer-quantized distance key, and the update's mean is a plain
+grouped average — so a fixed input yields a fixed clustering on any
+partitioning. (Exact cross-engine reproducibility of the ASSIGN step
+additionally quantizes distances — see queries/round8.py; the
+iterate path keeps plain doubles because its contract is
+objective-decrease, not bit-equality.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.functions.vectors import squared_l2
+
+
+def assign_clusters(
+    vecs: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cent_col: str = "centroid",
+) -> DataFrame:
+    """(id, cid, dist): every vector labeled with its nearest centroid.
+
+    ``dist`` is the squared L2 distance rounded to 9 dp; the argmin
+    ranks on the e9-quantized BIGINT key with a smallest-cid tiebreak,
+    so the assignment is deterministic and engine-stable. ``cents``
+    (k rows) is broadcast; the per-vector window is rank-limit pruned
+    (k candidate rows per vector, never a global sort)."""
+    d = F.round(
+        squared_l2(F.col(vec_col), F.col(cent_col)), 9
+    ).alias("dist")
+    scored = (
+        vecs.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents.select(cid_col, cent_col)))
+        .select(id_col, cid_col, d)
+        .withColumn(
+            "dist_e9",
+            F.round(F.col("dist") * F.lit(1000000000.0)).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("dist_e9").asc(), F.col(cid_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def update_centroids(
+    assigned: DataFrame,
+    cid_col: str = "cid",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, centroid): per-dimension mean of each cluster's members —
+    one posexplode + one grouped average (map-combinable), then the
+    k×dim rows fold back into arrays. Emits only non-empty clusters
+    (Lloyd's empty-cluster case keeps its previous centroid; callers
+    that need that join this result against the old codebook)."""
+    dims = assigned.select(
+        cid_col, F.posexplode(vec_col).alias("d", "v")
+    )
+    cent = dims.groupBy(cid_col, "d").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    return (
+        cent.groupBy(cid_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("d", "c"))
+            ).alias("_dc")
+        )
+        .select(
+            cid_col,
+            F.transform(F.col("_dc"), lambda s: s["c"]).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+@dataclass
+class KMeansResult:
+    assignment: DataFrame  # (id, cid, dist, dist_e9)
+    centroids: DataFrame  # (cid, centroid)
+    history: list[dict]  # per-iteration {"iter", "inertia", "n_shifted"}
+
+
+def kmeans(
+    vecs: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> KMeansResult:
+    """Fixed-iteration Lloyd k-means with deterministic first-k-ids
+    init. Records inertia (sum of assigned squared distances) and the
+    number of vectors that changed cluster per iteration; Lloyd
+    guarantees inertia is non-increasing, which the self-certifying
+    refine query asserts."""
+    first_ids = [
+        r[0]
+        for r in vecs.select(id_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    ]
+    cid_map = {v: i for i, v in enumerate(first_ids)}
+    cents = (
+        vecs.where(F.col(id_col).isin(first_ids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("centroid"),
+        )
+        .withColumn(
+            "cid",
+            F.element_at(
+                F.create_map(
+                    *[
+                        F.lit(x)
+                        for kv in cid_map.items()
+                        for x in kv
+                    ]
+                ),
+                F.col(id_col),
+            ).cast("long"),
+        )
+        .select("cid", "centroid")
+    )
+    history: list[dict] = []
+    prev = None
+    assigned = None
+    for it in range(n_iters):
+        assigned = assign_clusters(
+            vecs, cents, id_col, vec_col
+        ).persist()
+        stats = assigned.agg(
+            F.sum("dist").alias("inertia"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if prev is not None:
+            n_shifted = (
+                assigned.select(id_col, "cid")
+                .join(
+                    prev.select(
+                        id_col, F.col("cid").alias("_prev_cid")
+                    ),
+                    id_col,
+                )
+                .where(F.col("cid") != F.col("_prev_cid"))
+                .count()
+            )
+        else:
+            n_shifted = int(stats["n"])
+        history.append(
+            {
+                "iter": it,
+                "inertia": float(stats["inertia"] or 0.0),
+                "n_shifted": int(n_shifted),
+            }
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = assigned
+        if it < n_iters - 1:
+            new_cents = update_centroids(
+                assigned.join(
+                    vecs.select(id_col, vec_col), id_col
+                )
+            )
+            # empty clusters keep their previous centroid
+            cents = new_cents.unionByName(
+                cents.join(
+                    new_cents.select("cid"), "cid", "left_anti"
+                )
+            )
+    assert assigned is not None  # n_iters >= 1
+    return KMeansResult(
+        assignment=assigned, centroids=cents, history=history
+    )

@@ -63,32 +63,47 @@ def query(name: str, oracle: str | None = None):
 # until every query has a driver row. Already-verified strong queries
 # fill the tail so re-runs on fresh testdata still re-check signal.
 PRIORITY: list[str] = [
-    # ROUND-7 WINDOW (the driver verifies exactly the first 50):
-    # slots 1-2 are the ONLY two oracle-backed queries ever to fail
-    # the driver's hash (r6: the rounded-DOUBLE div_ratio ordering
-    # key diverged across DuckDB builds at exact half-way cases).
-    # r7 replaced that key with pure BIGINT integer division
-    # (round6.py::_per_doc div_key) — pinned here for the green
-    # re-witness (r6 VERDICT ask #1).
+    # ROUND-8 WINDOW (the driver verifies exactly the first 50):
+    # Slots 1-2: the token-budget pair — the ONLY oracle-backed
+    # queries ever to hash-fail at the driver (r6 AND r7). r8 fixed
+    # the ACTUAL root cause (r7 VERDICT ask #1): the oracle's uncast
+    # SUM(nt) typed as HUGEINT in DuckDB and the driver's value hash
+    # is type-sensitive at serialization; all three output sums are
+    # now CAST(... AS BIGINT) (round6.py cum_tokens x2, source_total)
+    # and tests/test_oracle_types.py gates the whole registry against
+    # the class. Pinned here for the green re-witness.
     "q_token_budget_sample",
     "q_source_token_budget",
-    # Slots 3-5: the other queries whose output/keys changed in the
-    # r7 integer-key sweep (r6 VERDICT ask #2): the rerank score is
-    # now a pure-BIGINT rank key and _per_doc consumers emit div_key.
-    # All re-pre-flighted exact-match at sf0.001/0.01/0.1.
+    # Slot 3: REWORKED this round (r7 VERDICT ask #4) — retrieval and
+    # tokenization now read fingerprint-keyed at-rest stores
+    # (15 -> 5 exchanges, zero SMJ). Output is hash-identical by
+    # construction, re-verified at the head anyway.
     "q_rerank_candidates",
+    # Slots 4-10: the 7 oracle-backed queries ADDED this round
+    # (queries/round8.py) — k-means assignment + cluster-balanced
+    # reps, label propagation over the at-rest dup graph, epoch
+    # budgeting, n-gram diversity, embedding outliers, prefix
+    # boilerplate. All pre-flighted exact-match at sf0.001/0.01/0.1
+    # under the integer-key + output-type-gate discipline.
+    "q_kmeans_assign",
+    "q_cluster_reps",
+    "q_label_propagation",
+    "q_epoch_allocation",
+    "q_ngram_diversity",
+    "q_embedding_outliers",
+    "q_prefix_dedup",
+    # Slot 11: rows-only self-certifying Lloyd refinement (asserts
+    # the monotone-inertia invariant in-query).
+    "q_kmeans_refine",
+    # Slots 12-39: the 28 queries that earned their first driver-green
+    # rows in r7 — re-checked right behind the head so a regression on
+    # fresh testdata surfaces immediately.
     "q_pareto_frontier",
     "q_curriculum_order",
-    # Slots 6+: queries ADDED OR REWORKED this round go at the head
-    # so no new verification debt accrues (r6 VERDICT ask #7 cadence).
     "q_dup_weight",
     "q_split_leakage",
     "q_dedup_clusters",
     "q_chi2_terms",
-    # Slots 10-17: the 8 queries ADDED this round (queries/round7.py),
-    # all pre-flighted exact-match at sf0.001/0.01/0.1 and written
-    # under the integer-key discipline (no rounded-double ordering or
-    # membership keys anywhere in the wave).
     "q_vocab_coverage",
     "q_boilerplate_ngrams",
     "q_length_histogram",
@@ -97,38 +112,24 @@ PRIORITY: list[str] = [
     "q_rrf_fusion",
     "q_source_overlap",
     "q_dedup_threshold_sweep",
-    # Slots 18-22: wave 2 (queries/round7b.py) — the TPC-H pair that
-    # completes the 22-query suite plus the sub-document dedup /
-    # novelty / cluster-histogram family, same pre-flight discipline.
     "q_tpch_q12",
     "q_tpch_q16",
     "q_chunk_dedup_rate",
     "q_ngram_novelty",
     "q_cluster_size_histogram",
-    # Slot 23: multi-dimension Z-ORDER layout witness (wave 3) — the
-    # lake's Morton-interleaved write arrangement, with in-query
-    # RAISE unless BOTH single-dimension probes skipped files.
     "q_lake_zorder",
-    # Slots 24-26: wave 3 analytics (queries/round7c.py) — tokenizer
-    # fertility, dedup-vs-labels confusion audit, per-label embedding
-    # cohesion; same pre-flight discipline.
     "q_tokenizer_fertility",
     "q_pair_label_confusion",
     "q_label_cohesion",
     "q_dedup_savings",
-    # Slots 28-31: queries whose determinant grids were RESCALED this
-    # round (review finding: e12/e6 moment grids overflowed
-    # DECIMAL(38,0)/HUGEINT near 1e6 vocab types / 1e12 rows — now e6
-    # and e2/e4). Output values changed, so they re-verify at the
-    # window head; all re-pre-flighted exact at sf0.001/0.01/0.1.
     "q_zipf_slope",
     "q_variance_moments",
     "q_correlation_moments",
     "q_source_drift",
-    # Remaining slots: strongest already-verified queries so a driver
-    # re-run on fresh testdata still re-checks real signal — ordered
-    # to cover every operator family (dedup, ANN, lake, streaming,
-    # stats, text, media, TPC-H).
+    # Slots 40-50 (and beyond): strongest already-verified queries so
+    # a driver re-run on fresh testdata still re-checks real signal —
+    # ordered to cover every operator family (dedup, ANN, lake,
+    # streaming, stats, text, media, TPC-H).
     "q_winsorize",
     "q_rerank_ann",
     "q_mmr_diversify",
@@ -200,6 +201,7 @@ def load_all() -> None:
         round7,
         round7b,
         round7c,
+        round8,
         streaming_dedup,
         streaming_replay,
         streaming_window,

@@ -101,6 +101,13 @@ HEADLINE = [
     # intersection).
     "q_bigram_nll",
     "q_source_overlap",
+    # round 8 additions: the clustering lane's two heavy shapes —
+    # broadcast-codebook nearest-centroid assignment (argmin window
+    # over the crossJoin, no vector shuffle) and majority-label
+    # propagation over the at-rest verified-pair graph (two
+    # count+argmax rounds of bare (id, label) shuffles).
+    "q_kmeans_assign",
+    "q_label_propagation",
 ]
 
 

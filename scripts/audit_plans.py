@@ -77,6 +77,10 @@ BNLJ_ALLOWED = {
     "q_bigram_nll",          # one-row vocabulary-size scalar
     "q_rrf_fusion",          # single-row query vector broadcast
     "q_dedup_threshold_sweep",  # 4-row threshold dimension broadcast
+    "q_kmeans_assign",       # 8-row centroid codebook broadcast
+    "q_cluster_reps",        # same 8-row codebook broadcast
+    "q_kmeans_refine",       # same codebook per Lloyd iteration
+    "q_epoch_allocation",    # one-row (total, n_sources) scalar
 }
 
 # A Window with NO partition spec moves the entire input to one task

@@ -1,0 +1,169 @@
+"""Unit tests for the round-8 operators: distributed k-means
+(operators/kmeans.py) and the squared-L2 vector fold. The round-8
+QUERIES are covered by the registry-driven oracle test
+(tests/test_oracle.py); these pin the operator semantics the oracle
+comparison can't see — tie-breaks, empty-cluster handling, the Lloyd
+invariant, and the deterministic init."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.operators.kmeans import (
+    assign_clusters,
+    kmeans,
+    update_centroids,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+
+
+def _cents(spark, rows):
+    return spark.createDataFrame(
+        rows, "cid LONG, centroid ARRAY<FLOAT>"
+    )
+
+
+def test_assign_nearest_and_tiebreak(spark):
+    vecs = _vecs(
+        spark,
+        [
+            (1, [0.0, 0.0]),  # exactly between both centroids
+            (2, [10.0, 0.0]),  # nearest c1
+            (3, [-10.0, 0.0]),  # nearest c0
+        ],
+    )
+    cents = _cents(spark, [(0, [-1.0, 0.0]), (1, [1.0, 0.0])])
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in assign_clusters(vecs, cents).collect()
+    }
+    # equidistant -> smallest cid wins
+    assert got == {1: 0, 2: 1, 3: 0}
+
+
+def test_assign_distance_values(spark):
+    vecs = _vecs(spark, [(1, [3.0, 4.0])])
+    cents = _cents(spark, [(0, [0.0, 0.0])])
+    row = assign_clusters(vecs, cents).collect()[0]
+    assert row["dist"] == 25.0
+    assert row["dist_e9"] == 25_000_000_000
+
+
+def test_update_centroids_mean(spark):
+    assigned = spark.createDataFrame(
+        [
+            (0, [0.0, 2.0]),
+            (0, [2.0, 0.0]),
+            (1, [4.0, 4.0]),
+        ],
+        "cid LONG, embedding ARRAY<FLOAT>",
+    )
+    got = {
+        r["cid"]: r["centroid"]
+        for r in update_centroids(assigned).collect()
+    }
+    assert got[0] == [1.0, 1.0]
+    assert got[1] == [4.0, 4.0]
+
+
+def test_kmeans_inertia_non_increasing(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = kmeans(emb, k=4, n_iters=3)
+    inertias = [h["inertia"] for h in res.history]
+    assert len(inertias) == 3
+    for prev, cur in zip(inertias, inertias[1:]):
+        assert cur <= prev * (1 + 1e-9)
+    # first iteration "shifts" every vector (from nothing), later
+    # iterations shift at most all of them
+    n = emb.count()
+    assert res.history[0]["n_shifted"] == n
+    assert all(h["n_shifted"] <= n for h in res.history)
+    res.assignment.unpersist()
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # two far groups, FOUR centroids seeded from ids 0..3 (all in the
+    # left group): after one update at least one centroid loses all
+    # members; the codebook must still hold k entries.
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(4)] + [
+        (10 + i, [100.0, 0.0]) for i in range(4)
+    ]
+    res = kmeans(_vecs(spark, rows), k=4, n_iters=2)
+    cents = res.centroids.collect()
+    assert len(cents) == 4
+    assert len({r["cid"] for r in cents}) == 4
+    res.assignment.unpersist()
+
+
+def test_kmeans_deterministic_init_and_assignment(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = kmeans(emb, k=4, n_iters=2)
+    b = kmeans(emb, k=4, n_iters=2)
+    rows_a = sorted(
+        (r["vec_id"], r["cid"]) for r in a.assignment.collect()
+    )
+    rows_b = sorted(
+        (r["vec_id"], r["cid"]) for r in b.assignment.collect()
+    )
+    assert rows_a == rows_b
+    assert a.history == b.history
+    a.assignment.unpersist()
+    b.assignment.unpersist()
+
+
+def test_squared_l2_matches_duckdb_fold(spark):
+    import duckdb
+
+    from babylon_data_loader_spark.functions.vectors import squared_l2
+
+    rows = [(1, [0.125, -3.5, 7.25, 0.0078125])]
+    df = _vecs(spark, rows).select(
+        squared_l2(
+            F.col("embedding"),
+            F.array(*[F.lit(x) for x in [1.0, 2.0, -3.0, 0.5]]),
+        ).alias("d")
+    )
+    got = df.collect()[0]["d"]
+    want = duckdb.sql(
+        "SELECT list_sum(list_transform(generate_series(1, 4), "
+        "i -> (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)) "
+        "* (CAST(a[i] AS DOUBLE) - CAST(b[i] AS DOUBLE)))) "
+        "FROM (SELECT [CAST(0.125 AS FLOAT), -3.5, 7.25, "
+        "0.0078125] AS a, [1.0, 2.0, -3.0, 0.5] AS b)"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_refine_query_raises_on_fabricated_increase(spark):
+    """The self-certifying check actually fires: monkeypatch kmeans to
+    return an increasing-inertia history and assert the query raises."""
+    import babylon_data_loader_spark.operators.kmeans as km
+    from babylon_data_loader_spark.queries.round8 import (
+        q_kmeans_refine,
+    )
+
+    class _Fake:
+        def __init__(self, df):
+            self.assignment = df
+            self.history = [
+                {"iter": 0, "inertia": 1.0, "n_shifted": 10},
+                {"iter": 1, "inertia": 2.0, "n_shifted": 1},
+            ]
+
+    real = km.kmeans
+    df = spark.range(1).persist()
+    km.kmeans = lambda *a, **k: _Fake(df)
+    try:
+        with pytest.raises(AssertionError, match="increased inertia"):
+            q_kmeans_refine.__wrapped__(
+                spark, "/root/testdata/sf0.001"
+            )
+    finally:
+        km.kmeans = real
+        df.unpersist()
