@@ -95,7 +95,18 @@ PRIORITY: list[str] = [
     # Slot 11: rows-only self-certifying Lloyd refinement (asserts
     # the monotone-inertia invariant in-query).
     "q_kmeans_refine",
-    # Slots 12-39: the 28 queries that earned their first driver-green
+    # Slots 12-15: wave 2 oracle-backed additions (queries/round8b.py)
+    # — cross-lingual dup buckets, term burstiness, leave-one-source-
+    # out n-gram coverage, quality-vs-label calibration deciles. Same
+    # pre-flight discipline as slots 4-10.
+    "q_cross_lingual_dup",
+    "q_burstiness",
+    "q_heldout_coverage",
+    "q_quality_calibration",
+    # Slot 16: rows-only self-certifying IVF recall curve (asserts
+    # monotone recall in nprobe and exhaustive-probe identity).
+    "q_ivf_nprobe_curve",
+    # Slots 17-44: the 28 queries that earned their first driver-green
     # rows in r7 — re-checked right behind the head so a regression on
     # fresh testdata surfaces immediately.
     "q_pareto_frontier",
@@ -126,7 +137,7 @@ PRIORITY: list[str] = [
     "q_variance_moments",
     "q_correlation_moments",
     "q_source_drift",
-    # Slots 40-50 (and beyond): strongest already-verified queries so
+    # Slots 45-50 (and beyond): strongest already-verified queries so
     # a driver re-run on fresh testdata still re-checks real signal —
     # ordered to cover every operator family (dedup, ANN, lake,
     # streaming, stats, text, media, TPC-H).
@@ -202,6 +213,7 @@ def load_all() -> None:
         round7b,
         round7c,
         round8,
+        round8b,
         streaming_dedup,
         streaming_replay,
         streaming_window,

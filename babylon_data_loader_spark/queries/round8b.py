@@ -1,0 +1,468 @@
+"""Round-8 wave 2: cross-corpus generalization, dup-graph
+composition, term statistics, and the IVF quality curve.
+
+- ``q_cross_lingual_dup``: verified near-dup pairs bucketed by the
+  language pair of their members — cross-language rows flag machine
+  translation / template reuse across locales.
+- ``q_burstiness``: Church-Gale burstiness (cf/df) per term — bursty
+  terms concentrate in few documents (topical or boilerplate), flat
+  terms spread evenly (function words).
+- ``q_heldout_coverage``: leave-one-source-out n-gram coverage — the
+  share of each source's unigram/bigram tokens whose type also
+  appears OUTSIDE the source. Low coverage = the source is
+  linguistically isolated; near-1 coverage = redundant with the rest
+  of the corpus. Pure integer counts (the c_total − c_source > 0
+  test needs no per-source model rebuild).
+- ``q_quality_calibration``: lexical-quality deciles (distinct-token
+  ratio, the corpus's quality proxy) × embedding labels — does the
+  cheap text signal align with the semantic labeling? Majority-label
+  share per decile.
+- ``q_ivf_nprobe_curve``: rows-only self-certifying recall@10 curve
+  over nprobe ∈ {1,2,4,8,16} for the IVF index — recall is PROVABLY
+  non-decreasing in nprobe (candidate supersets) and exactly 1.0
+  when every list is probed; the query RAISES if the implementation
+  violates either.
+
+Scale notes: pair compositions read the at-rest verified-pair store
+and shuffle bare ids + small dimension values; coverage and
+burstiness are (token, source)-keyed aggregates with map-side
+combine; the calibration decile comes from the distributed two-pass
+prefix scan (operators/rank.py), never a global window; the IVF
+curve probes a pushable cluster_id IN (...) filter per nprobe.
+
+Reference analogue: none (CSV->Mongo ETL loader) — LLM-pipeline
+track extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.functions.cache import persist_tracked
+from babylon_data_loader_spark.functions.text import tokens
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.queries.round7 import _PAIRS_WITH_J_CTE
+from babylon_data_loader_spark.schemas import load_table
+
+_TOK = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+@query(
+    "q_cross_lingual_dup",
+    oracle=_PAIRS_WITH_J_CTE
+    + """
+    , lp AS (
+      SELECT LEAST(da.lang, db.lang) AS lang_lo,
+             GREATEST(da.lang, db.lang) AS lang_hi
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT lang_lo, lang_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lp GROUP BY lang_lo, lang_hi
+    ORDER BY lang_lo, lang_hi
+    """,
+)
+def q_cross_lingual_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs bucketed by their members' language pair: a
+    same-language bucket is ordinary re-crawl; a CROSS-language
+    bucket is translated or template-localized content — the signal
+    that decides whether dedup may collapse across locales. One read
+    of the at-rest verified-pair store plus two id-keyed joins onto a
+    two-column (doc_id, lang) projection — the pair stream is the
+    small side, ids and 2-char langs are all that shuffle."""
+    from babylon_data_loader_spark.operators.dedup import (
+        stored_verified_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = docs.select("doc_id", "lang")
+    pairs = stored_verified_pairs(docs).select("doc_a", "doc_b")
+    return (
+        pairs.join(
+            lang.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("lang").alias("_la"),
+            ),
+            "doc_a",
+        )
+        .join(
+            lang.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("lang").alias("_lb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("_la", "_lb").alias("lang_lo"),
+            F.greatest("_la", "_lb").alias("lang_hi"),
+        )
+        .groupBy("lang_lo", "lang_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("lang_lo", "lang_hi")
+    )
+
+
+@query(
+    "q_burstiness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS w FROM documents
+    ), per AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY w
+    )
+    SELECT w AS term, cf, df,
+           CAST(cf AS DOUBLE) / df AS burstiness
+    FROM per
+    WHERE df >= 5
+    ORDER BY cf * 1000000 // df DESC, term ASC
+    LIMIT 20
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness per term: collection frequency over
+    document frequency — how many times a term repeats inside the
+    documents it appears in at all. High burstiness identifies
+    topical/boilerplate vocabulary (repeats heavily where present);
+    function words sit near cf/df ≈ uniform. One (term)-keyed
+    aggregate with exact grouped distinct; the top-20 ranks on the
+    pure-BIGINT e6 cross-ratio with a term tiebreak, the ratio itself
+    is the single unrounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+    )
+    return (
+        tok.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .where(F.col("df") >= 5)
+        .select(
+            F.col("w").alias("term"),
+            "cf",
+            "df",
+            (F.col("cf").cast("double") / F.col("df").cast("double"))
+            .alias("burstiness"),
+            F.expr("cf * CAST(1000000 AS BIGINT) div df").alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), F.col("term").asc())
+        .limit(20)
+        .drop("_k")
+    )
+
+
+@query(
+    "q_heldout_coverage",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, source, {_TOK} AS tok FROM documents
+    ), uni AS (
+      SELECT source, unnest(tok) AS w FROM tokd
+    ), ucnt AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM uni GROUP BY source, w
+    ), utot AS (
+      SELECT w, CAST(SUM(c) AS BIGINT) AS ct FROM ucnt GROUP BY w
+    ), ucov AS (
+      SELECT u.source,
+             CAST(SUM(u.c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN t.ct > u.c THEN u.c ELSE 0 END)
+                  AS BIGINT) AS covered_tokens
+      FROM ucnt u JOIN utot t ON t.w = u.w
+      GROUP BY u.source
+    ), big AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(tok) - 1),
+                      j -> concat_ws(' ', tok[j], tok[j+1]))) AS b
+      FROM tokd WHERE len(tok) >= 2
+    ), bcnt AS (
+      SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM big GROUP BY source, b
+    ), btot AS (
+      SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM bcnt GROUP BY b
+    ), bcov AS (
+      SELECT u.source,
+             CAST(SUM(u.c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN t.ct > u.c THEN u.c ELSE 0 END)
+                  AS BIGINT) AS covered_bigrams
+      FROM bcnt u JOIN btot t ON t.b = u.b
+      GROUP BY u.source
+    )
+    SELECT u.source, u.n_tokens, u.covered_tokens,
+           CAST(u.covered_tokens AS DOUBLE) / u.n_tokens
+             AS unigram_coverage,
+           b.n_bigrams, b.covered_bigrams,
+           CAST(b.covered_bigrams AS DOUBLE) / b.n_bigrams
+             AS bigram_coverage
+    FROM ucov u JOIN bcov b ON b.source = u.source
+    ORDER BY u.source
+    """,
+)
+def q_heldout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out n-gram coverage: for each source, the
+    share of its unigram/bigram TOKENS whose type also occurs outside
+    the source. The cross-source generalization probe (would a model
+    trained without this source still have seen its vocabulary?) —
+    and it needs NO per-source model rebuild: a token is covered iff
+    corpus_count > source_count, so one (type, source) count plus one
+    (type) total answers every source at once. Two grouped aggregates
+    per n-gram order, bigrams via the in-array adjacent zip (no
+    position self-join), all-integer until the final divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = persist_tracked(
+        docs.select(
+            "source", tokens(F.lower(F.col("text"))).alias("_t")
+        )
+    )
+
+    def _cov(grams: DataFrame, gcol: str, n_name: str, c_name: str):
+        cnt = grams.groupBy("source", gcol).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        tot = cnt.groupBy(gcol).agg(F.sum("c").cast("long").alias("ct"))
+        return (
+            cnt.join(tot, gcol)
+            .groupBy("source")
+            .agg(
+                F.sum("c").cast("long").alias(n_name),
+                F.sum(
+                    F.when(F.col("ct") > F.col("c"), F.col("c"))
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias(c_name),
+            )
+        )
+
+    uni = tokd.select("source", F.explode("_t").alias("w"))
+    big = tokd.select(
+        "source",
+        F.explode(
+            # Spark [] is 0-based (DuckDB's is 1-based): i runs
+            # 2..size, pairing elements (i-2, i-1) — same adjacent
+            # zip as the oracle's tok[j], tok[j+1] with j = i-1.
+            F.expr(
+                "transform(sequence(2, size(_t)), "
+                "i -> concat_ws(' ', _t[i-2], _t[i-1]))"
+            )
+        ).alias("b"),
+    )
+    ucov = _cov(uni, "w", "n_tokens", "covered_tokens")
+    bcov = _cov(big, "b", "n_bigrams", "covered_bigrams")
+    return (
+        ucov.join(bcov, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "covered_tokens",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("unigram_coverage"),
+            "n_bigrams",
+            "covered_bigrams",
+            (
+                F.col("covered_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("bigram_coverage"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_quality_calibration",
+    oracle=f"""
+    WITH lab AS (
+      SELECT d.doc_id, e.label,
+             CAST(len(list_distinct({_TOK})) AS BIGINT) * 1000000000
+               // CAST(len({_TOK}) AS BIGINT) AS score
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), rk AS (
+      SELECT doc_id, label,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_tot
+      FROM lab
+    ), dec AS (
+      SELECT label, (rn - 1) * 10 // n_tot AS decile FROM rk
+    ), cnt AS (
+      SELECT decile, label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dec GROUP BY decile, label
+    ), tot AS (
+      SELECT decile, CAST(SUM(c) AS BIGINT) AS n
+      FROM cnt GROUP BY decile
+    ), top AS (
+      SELECT decile, label, c FROM cnt
+      QUALIFY row_number() OVER (
+        PARTITION BY decile ORDER BY c DESC, label ASC) = 1
+    )
+    SELECT t.decile, o.n, t.label AS top_label, t.c AS top_label_n,
+           CAST(t.c AS DOUBLE) / o.n AS top_share
+    FROM top t JOIN tot o ON o.decile = t.decile
+    ORDER BY t.decile
+    """,
+)
+def q_quality_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does the cheap lexical quality signal agree with the semantic
+    labeling? Labeled documents are deciled by distinct-token ratio
+    (the corpus's quality proxy, the same pure-BIGINT div key the
+    token-budget samplers rank on) and each decile reports its
+    majority embedding label and that label's share — flat shares
+    mean the text heuristic is label-blind, skewed shares mean it
+    encodes semantics. The decile comes from the distributed two-pass
+    prefix scan (operators/rank.py::running_totals — never a global
+    window); the per-decile argmax window is rank-limit pruned; the
+    labeled-row total is one metadata-scale driver scalar."""
+    from babylon_data_loader_spark.operators.rank import (
+        running_totals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = tokens(F.lower(F.col("text")))
+    lab = persist_tracked(
+        docs.join(
+            emb.select(
+                F.col("vec_id").alias("doc_id"), "label"
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "label",
+            F.size(toks).cast("bigint").alias("_nt"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("_nd"),
+        )
+        .select(
+            "doc_id",
+            "label",
+            F.expr(
+                "_nd * CAST(1000000000 AS BIGINT) div _nt"
+            ).alias("score"),
+        )
+    )
+    n_tot = lab.count()
+    ranked = running_totals(
+        lab,
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        {"rn": F.lit(1)},
+    )
+    dec = ranked.select(
+        "label",
+        F.expr(f"(rn - 1) * 10 div CAST({n_tot} AS BIGINT)").alias(
+            "decile"
+        ),
+    )
+    cnt = persist_tracked(
+        dec.groupBy("decile", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    tot = cnt.groupBy("decile").agg(F.sum("c").cast("long").alias("n"))
+    w = Window.partitionBy("decile").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    top = (
+        cnt.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "decile", F.col("label").alias("top_label"),
+            F.col("c").alias("top_label_n"),
+        )
+    )
+    return (
+        top.join(F.broadcast(tot), "decile")
+        .select(
+            "decile",
+            "n",
+            "top_label",
+            "top_label_n",
+            (
+                F.col("top_label_n").cast("double")
+                / F.col("n").cast("double")
+            ).alias("top_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query("q_ivf_nprobe_curve")  # rows-only: k-means float averaging is
+# not SQL-reproducible. Self-certifying: recall@10 vs the exact
+# baseline is PROVABLY non-decreasing in nprobe (larger nprobe probes
+# a candidate superset, and any true top-10 member in the candidate
+# set always survives the exact-cosine re-rank) and must reach
+# exactly 1.0 when every list is probed — the query RAISES otherwise.
+def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF quality/cost curve a deployment actually tunes:
+    recall@10 of the IVF index at nprobe ∈ {1, 2, 4, 8, 16} (k=16
+    lists, so nprobe=16 scans everything and MUST recall 1.0). Each
+    probe is a pushable cluster_id IN (...) filter + TakeOrdered —
+    the curve never shuffles the vector table; the exact baseline is
+    one brute-force TakeOrdered. Emitted rows witness the measured
+    curve; monotonicity and the exhaustive-probe identity are
+    asserted in-query."""
+    from babylon_data_loader_spark.functions.vectors import cosine
+    from babylon_data_loader_spark.operators.ivf import (
+        ivf_index,
+        ivf_search,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=16, n_iters=2)
+    indexed = persist_tracked(ivf_index(emb, centroids))
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qcol = F.array(*[F.lit(x) for x in qvec])
+    exact = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), qcol), 9).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    }
+    rows = []
+    prev = -1.0
+    for nprobe in (1, 2, 4, 8, 16):
+        got = {
+            r["vec_id"]
+            for r in ivf_search(
+                indexed.filter(F.col("vec_id") != 0),
+                centroids,
+                qvec,
+                k=10,
+                nprobe=nprobe,
+            ).collect()
+        }
+        hits = len(got & exact)
+        recall = hits / 10.0
+        if recall < prev:
+            raise AssertionError(
+                f"IVF recall decreased with nprobe: {rows} -> "
+                f"nprobe={nprobe} recall={recall}"
+            )
+        prev = recall
+        rows.append((nprobe, hits, recall))
+    if rows[-1][2] != 1.0:
+        raise AssertionError(
+            f"exhaustive probe (nprobe=16) missed the exact top-10: "
+            f"{rows[-1]}"
+        )
+    return spark.createDataFrame(
+        rows, "nprobe BIGINT, hits BIGINT, recall DOUBLE"
+    )
