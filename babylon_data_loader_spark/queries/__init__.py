@@ -103,10 +103,14 @@ PRIORITY: list[str] = [
     "q_burstiness",
     "q_heldout_coverage",
     "q_quality_calibration",
-    # Slot 16: rows-only self-certifying IVF recall curve (asserts
-    # monotone recall in nprobe and exhaustive-probe identity).
+    # Slots 16-17: rows-only self-certifying additions — the IVF
+    # recall curve (asserts monotone recall in nprobe and
+    # exhaustive-probe identity) and the lake VACUUM contract
+    # (asserts retention removal, snapshot/tag stability,
+    # pre-retention travel raise, idempotence).
     "q_ivf_nprobe_curve",
-    # Slots 17-44: the 28 queries that earned their first driver-green
+    "q_lake_vacuum",
+    # Slots 18-45: the 28 queries that earned their first driver-green
     # rows in r7 — re-checked right behind the head so a regression on
     # fresh testdata surfaces immediately.
     "q_pareto_frontier",
@@ -137,7 +141,7 @@ PRIORITY: list[str] = [
     "q_variance_moments",
     "q_correlation_moments",
     "q_source_drift",
-    # Slots 45-50 (and beyond): strongest already-verified queries so
+    # Slots 46-50 (and beyond): strongest already-verified queries so
     # a driver re-run on fresh testdata still re-checks real signal —
     # ordered to cover every operator family (dedup, ANN, lake,
     # streaming, stats, text, media, TPC-H).

@@ -395,6 +395,103 @@ def q_quality_calibration(
     )
 
 
+@query("q_lake_vacuum")  # rows-only: file-retention layout is not
+# SQL-expressible. Self-certifying: asserts IN-QUERY that vacuum
+# removed pre-retention version dirs, left the current snapshot and
+# every retained/tagged version bit-identical, made pre-retention
+# time travel raise, and is idempotent — the emitted rows witness
+# each check.
+def q_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-hygiene half of time travel (Delta's VACUUM
+    contract): three merges build versions v1..v3, v2 is TAGGED as a
+    training-run snapshot, then vacuum(keep_versions=1) must delete
+    v1's exclusive dirs + manifest while v3 (retention) and v2
+    (tag pin outside the window) survive byte-identically;
+    time-traveling to the vacuumed v1 must raise; a second vacuum is
+    a no-op. All file operations are driver-side metadata
+    (O(#versions) stats + unlinks) — the data plane is only touched
+    to prove reads are unchanged."""
+    import os
+    import shutil
+    import uuid
+
+    from babylon_data_loader_spark.operators.index_store import (
+        warehouse_dir,
+    )
+    from babylon_data_loader_spark.operators.merge import dedup_latest
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 20 == 0
+    )
+    work = os.path.join(
+        warehouse_dir(spark), f"_lake_vac_{uuid.uuid4().hex[:12]}"
+    )
+    try:
+        lake = TransactionalLake(
+            work, partition_col="event_type", stale_claim_s=0.0
+        )
+        for i in (1, 2, 3):
+            batch = dedup_latest(
+                ev.withColumn(
+                    "value", F.col("value") * F.lit(float(i))
+                ),
+                ["event_id"],
+            )
+            lake.merge(spark, batch, ["event_id"])
+
+        def _digest(df) -> tuple:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("value").cast("decimal(28,6)")
+                ).alias("s"),
+            ).collect()[0]
+            return (int(row["n"]), str(row["s"]))
+
+        lake.tag("train-snap", 2)
+        cur_before = _digest(lake.read(spark))
+        v2_before = _digest(lake.read(spark, version=2))
+        report = lake.vacuum(keep_versions=1)
+        n_removed = len(report["removed_dirs"])
+        cur_after = _digest(lake.read(spark))
+        v2_after = _digest(lake.read(spark, tag="train-snap"))
+        v1_raises = False
+        try:
+            lake.read(spark, version=1).count()
+        except Exception:
+            v1_raises = True
+        report2 = lake.vacuum(keep_versions=1)
+        n_removed2 = len(report2["removed_dirs"])
+        rows = [
+            ("vacuum_removed_dirs", n_removed, n_removed >= 1),
+            (
+                "current_snapshot_stable",
+                cur_after[0],
+                cur_after == cur_before,
+            ),
+            (
+                "tagged_snapshot_stable",
+                v2_after[0],
+                v2_after == v2_before,
+            ),
+            ("pre_retention_travel_raises", 1, v1_raises),
+            ("revacuum_noop", n_removed2, n_removed2 == 0),
+        ]
+        bad = [r for r in rows if not r[2]]
+        if bad:
+            raise AssertionError(
+                f"vacuum contract violated: {bad}; report={report}"
+            )
+        return spark.createDataFrame(
+            rows, "check STRING, value BIGINT, ok BOOLEAN"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("q_ivf_nprobe_curve")  # rows-only: k-means float averaging is
 # not SQL-reproducible. Self-certifying: recall@10 vs the exact
 # baseline is PROVABLY non-decreasing in nprobe (larger nprobe probes
