@@ -95,22 +95,24 @@ PRIORITY: list[str] = [
     # Slot 11: rows-only self-certifying Lloyd refinement (asserts
     # the monotone-inertia invariant in-query).
     "q_kmeans_refine",
-    # Slots 12-15: wave 2 oracle-backed additions (queries/round8b.py)
+    # Slots 12-16: wave 2 oracle-backed additions (queries/round8b.py)
     # — cross-lingual dup buckets, term burstiness, leave-one-source-
-    # out n-gram coverage, quality-vs-label calibration deciles. Same
-    # pre-flight discipline as slots 4-10.
+    # out n-gram coverage, quality-vs-label calibration deciles, and
+    # the directional source-copy matrix. Same pre-flight discipline
+    # as slots 4-10.
     "q_cross_lingual_dup",
     "q_burstiness",
     "q_heldout_coverage",
     "q_quality_calibration",
-    # Slots 16-17: rows-only self-certifying additions — the IVF
+    "q_source_dedup_matrix",
+    # Slots 17-18: rows-only self-certifying additions — the IVF
     # recall curve (asserts monotone recall in nprobe and
     # exhaustive-probe identity) and the lake VACUUM contract
     # (asserts retention removal, snapshot/tag stability,
     # pre-retention travel raise, idempotence).
     "q_ivf_nprobe_curve",
     "q_lake_vacuum",
-    # Slots 18-45: the 28 queries that earned their first driver-green
+    # Slots 19-46: the 28 queries that earned their first driver-green
     # rows in r7 — re-checked right behind the head so a regression on
     # fresh testdata surfaces immediately.
     "q_pareto_frontier",
@@ -141,7 +143,7 @@ PRIORITY: list[str] = [
     "q_variance_moments",
     "q_correlation_moments",
     "q_source_drift",
-    # Slots 46-50 (and beyond): strongest already-verified queries so
+    # Slots 47-50 (and beyond): strongest already-verified queries so
     # a driver re-run on fresh testdata still re-checks real signal —
     # ordered to cover every operator family (dedup, ANN, lake,
     # streaming, stats, text, media, TPC-H).

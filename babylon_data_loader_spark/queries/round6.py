@@ -376,6 +376,12 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented scalar pattern)."""
     from babylon_data_loader_spark.operators.rank import running_totals
 
+    # r8 note: the r6/r7 driver hash-fails were NOT this function —
+    # the ORACLE's uncast SUM(nt) typed as HUGEINT in DuckDB and the
+    # driver's value hash is type-sensitive at serialization; the
+    # oracle now CASTs every output sum to BIGINT, and
+    # tests/test_oracle_types.py gates the whole registry against the
+    # class.
     per = persist_tracked(
         _per_doc(load_table(spark, sf_dir, "documents")).select(
             "doc_id", "nt", "div_key"

@@ -395,6 +395,73 @@ def q_quality_calibration(
     )
 
 
+@query(
+    "q_source_dedup_matrix",
+    oracle=_PAIRS_WITH_J_CTE
+    + """
+    , lp AS (
+      SELECT CASE WHEN p.doc_a < p.doc_b THEN da.source
+                  ELSE db.source END AS owner_source,
+             CASE WHEN p.doc_a < p.doc_b THEN db.source
+                  ELSE da.source END AS copier_source
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT owner_source, copier_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM lp GROUP BY owner_source, copier_source
+    ORDER BY owner_source, copier_source
+    """,
+)
+def q_source_dedup_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHO copies WHOM: every verified near-dup pair attributed
+    directionally — the smaller doc_id (earlier acquisition, the same
+    ownership convention as q_ngram_novelty) is the owner, the other
+    member the copier — and counted into a source×source matrix.
+    Off-diagonal rows are cross-source republication flows; the
+    diagonal is within-source re-crawl. One read of the at-rest pair
+    store plus two id-keyed joins onto a (doc_id, source) projection;
+    the matrix is |sources|² metadata-scale output."""
+    from babylon_data_loader_spark.operators.dedup import (
+        stored_verified_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = stored_verified_pairs(docs).select("doc_a", "doc_b")
+    lo_is_a = F.col("doc_a") < F.col("doc_b")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("_sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("_sb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.when(lo_is_a, F.col("_sa"))
+            .otherwise(F.col("_sb"))
+            .alias("owner_source"),
+            F.when(lo_is_a, F.col("_sb"))
+            .otherwise(F.col("_sa"))
+            .alias("copier_source"),
+        )
+        .groupBy("owner_source", "copier_source")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("owner_source", "copier_source")
+    )
+
+
 @query("q_lake_vacuum")  # rows-only: file-retention layout is not
 # SQL-expressible. Self-certifying: asserts IN-QUERY that vacuum
 # removed pre-retention version dirs, left the current snapshot and
