@@ -105,14 +105,18 @@ PRIORITY: list[str] = [
     "q_heldout_coverage",
     "q_quality_calibration",
     "q_source_dedup_matrix",
-    # Slots 17-18: rows-only self-certifying additions — the IVF
+    # Slot 17: the capstone composition — semantic-cluster-balanced
+    # token-budget sampling (kmeans assignment x grouped prefix scan),
+    # exact-matched at sf0.001/0.01/0.1.
+    "q_cluster_token_budget",
+    # Slots 18-19: rows-only self-certifying additions — the IVF
     # recall curve (asserts monotone recall in nprobe and
     # exhaustive-probe identity) and the lake VACUUM contract
     # (asserts retention removal, snapshot/tag stability,
     # pre-retention travel raise, idempotence).
     "q_ivf_nprobe_curve",
     "q_lake_vacuum",
-    # Slots 19-46: the 28 queries that earned their first driver-green
+    # Slots 20-47: the 28 queries that earned their first driver-green
     # rows in r7 — re-checked right behind the head so a regression on
     # fresh testdata surfaces immediately.
     "q_pareto_frontier",
@@ -143,7 +147,7 @@ PRIORITY: list[str] = [
     "q_variance_moments",
     "q_correlation_moments",
     "q_source_drift",
-    # Slots 47-50 (and beyond): strongest already-verified queries so
+    # Slots 48-50 (and beyond): strongest already-verified queries so
     # a driver re-run on fresh testdata still re-checks real signal —
     # ordered to cover every operator family (dedup, ANN, lake,
     # streaming, stats, text, media, TPC-H).

@@ -462,6 +462,104 @@ def q_source_dedup_matrix(
     )
 
 
+def _cluster_budget_oracle() -> str:
+    from babylon_data_loader_spark.queries.round6 import _PER_DOC_SQL
+    from babylon_data_loader_spark.queries.round8 import _ASSIGN_CTE
+
+    return (
+        _ASSIGN_CTE
+        + f"""
+    , per AS ({_PER_DOC_SQL}
+    ), j AS (
+      SELECT b.cid, p.doc_id, p.nt, p.div_key
+      FROM best b JOIN per p ON p.doc_id = b.vec_id
+    ), cum AS (
+      SELECT cid, doc_id, nt,
+             CAST(SUM(nt) OVER (
+               PARTITION BY cid
+               ORDER BY div_key DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM j
+    ), tot AS (
+      SELECT cid, CAST(SUM(nt) AS BIGINT) AS cluster_total
+      FROM j GROUP BY cid
+    )
+    SELECT c.cid, c.doc_id, c.nt AS n_tokens, c.cum_tokens,
+           t.cluster_total
+    FROM cum c JOIN tot t USING (cid)
+    WHERE c.cum_tokens * 10 <= t.cluster_total * 3
+    ORDER BY c.cid, c.cum_tokens
+    """
+    )
+
+
+@query("q_cluster_token_budget", oracle=_cluster_budget_oracle())
+def q_cluster_token_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The capstone curation composition: semantic-cluster-balanced
+    token-budget sampling. Every embedded document is k-means-assigned
+    to a semantic region (operators/kmeans.py, the fixed deterministic
+    codebook), and each CLUSTER independently spends 30% of its own
+    token mass on its highest-diversity documents — so no semantic
+    region crowds out the rest (the cluster-balanced analogue of the
+    per-source budget, and the shape DoReMi/DSIR-style mixture
+    pipelines sample from at 100 TB). Assignment broadcasts the
+    codebook (no vector shuffle); per-doc token counts and the
+    BIGINT diversity key come from the shared _per_doc projection;
+    the per-cluster running sum is the grouped distributed prefix
+    scan (k groups spanning many range partitions — a plain
+    partitionBy window would sort each cluster's share of the corpus
+    in one task); the budget test is pure integer arithmetic, and
+    every oracle output sum is CAST to BIGINT (the r8 type-gate
+    discipline)."""
+    from babylon_data_loader_spark.operators.kmeans import (
+        assign_clusters,
+    )
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+    from babylon_data_loader_spark.queries.round6 import _per_doc
+    from babylon_data_loader_spark.queries.round8 import (
+        _fixed_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = assign_clusters(emb, _fixed_centroids(emb)).select(
+        F.col("vec_id").alias("doc_id"), "cid"
+    )
+    per = persist_tracked(
+        _per_doc(docs)
+        .select("doc_id", "nt", "div_key")
+        .join(assigned, "doc_id")
+    )
+    cum = grouped_running_totals(
+        per,
+        ["cid"],
+        [F.col("div_key").desc(), F.col("doc_id").asc()],
+        {"cum_tokens": F.col("nt")},
+    ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
+    totals = per.groupBy("cid").agg(
+        F.sum("nt").cast("long").alias("cluster_total")
+    )
+    return (
+        cum.join(F.broadcast(totals), "cid")
+        .where(
+            F.col("cum_tokens") * 10 <= F.col("cluster_total") * 3
+        )
+        .select(
+            "cid",
+            "doc_id",
+            F.col("nt").alias("n_tokens"),
+            "cum_tokens",
+            "cluster_total",
+        )
+        .orderBy("cid", "cum_tokens")
+    )
+
+
 @query("q_lake_vacuum")  # rows-only: file-retention layout is not
 # SQL-expressible. Self-certifying: asserts IN-QUERY that vacuum
 # removed pre-retention version dirs, left the current snapshot and

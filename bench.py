@@ -108,6 +108,9 @@ HEADLINE = [
     # count+argmax rounds of bare (id, label) shuffles).
     "q_kmeans_assign",
     "q_label_propagation",
+    # the capstone composition: kmeans assignment x grouped prefix
+    # scan — per-semantic-cluster token-budget sampling.
+    "q_cluster_token_budget",
 ]
 
 

@@ -81,6 +81,7 @@ BNLJ_ALLOWED = {
     "q_cluster_reps",        # same 8-row codebook broadcast
     "q_kmeans_refine",       # same codebook per Lloyd iteration
     "q_epoch_allocation",    # one-row (total, n_sources) scalar
+    "q_cluster_token_budget",  # same 8-row codebook broadcast
 }
 
 # A Window with NO partition spec moves the entire input to one task

@@ -140,6 +140,37 @@ def test_squared_l2_matches_duckdb_fold(spark):
     assert got == want
 
 
+def test_assign_matches_bruteforce_argmin(spark):
+    """Randomized cross-check: for seeded random vectors/centroids,
+    the distributed assignment equals the numpy argmin under the same
+    (round-9 quantized distance, cid) total order — one row per
+    vector, no ties mishandled."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    vec = rng.normal(size=(50, 6)).astype(np.float32)
+    cen = rng.normal(size=(5, 6)).astype(np.float32)
+    vecs = _vecs(
+        spark, [(i, [float(x) for x in vec[i]]) for i in range(50)]
+    )
+    cents = _cents(
+        spark, [(j, [float(x) for x in cen[j]]) for j in range(5)]
+    )
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in assign_clusters(vecs, cents).collect()
+    }
+    assert len(got) == 50
+    v64 = vec.astype(np.float64)
+    c64 = cen.astype(np.float64)
+    for i in range(50):
+        d = np.round(((v64[i] - c64) ** 2).sum(axis=1), 9)
+        keys = sorted(
+            (int(round(d[j] * 1e9)), j) for j in range(5)
+        )
+        assert got[i] == keys[0][1], (i, keys[:2], got[i])
+
+
 def test_refine_query_raises_on_fabricated_increase(spark):
     """The self-certifying check actually fires: monkeypatch kmeans to
     return an increasing-inertia history and assert the query raises."""
