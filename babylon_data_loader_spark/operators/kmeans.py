@@ -26,12 +26,11 @@ is unchanged.
 
 Determinism: centroid init is the k smallest-id vectors (not a random
 sample), assignment ties break toward the smallest centroid id on an
-integer-quantized distance key, and the update's mean is a plain
-grouped average — so a fixed input yields a fixed clustering on any
-partitioning. (Exact cross-engine reproducibility of the ASSIGN step
-additionally quantizes distances — see queries/round8.py; the
-iterate path keeps plain doubles because its contract is
-objective-decrease, not bit-equality.)
+integer-quantized distance key, and the update's mean and the
+recorded inertia route their cross-row sums through DECIMAL on a
+rounded grid (the repo's float-sum rule) — so a fixed input yields a
+fixed clustering and a fixed trajectory on any partitioning and
+executor count.
 """
 
 from __future__ import annotations
@@ -94,8 +93,21 @@ def update_centroids(
     dims = assigned.select(
         cid_col, F.posexplode(vec_col).alias("d", "v")
     )
+    # round-to-grid-then-DECIMAL (the repo's cross-row float-sum
+    # rule): a plain double avg's summation order depends on the
+    # partition layout, so iteration-2+ centroids — and therefore
+    # assignments near a quantization boundary — could differ between
+    # environments. The DECIMAL numerator makes the mean a function
+    # of the data alone.
     cent = dims.groupBy(cid_col, "d").agg(
-        F.avg(F.col("v").cast("double")).alias("c")
+        (
+            F.sum(
+                F.round(F.col("v").cast("double"), 9).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("c")
     )
     return (
         cent.groupBy(cid_col)
@@ -168,8 +180,12 @@ def kmeans(
         assigned = assign_clusters(
             vecs, cents, id_col, vec_col
         ).persist()
+        # dist is already round-9, so the DECIMAL sum is exact and
+        # the recorded inertia is partition-order-proof
         stats = assigned.agg(
-            F.sum("dist").alias("inertia"),
+            F.sum(F.col("dist").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("inertia"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         if prev is not None:
@@ -200,7 +216,8 @@ def kmeans(
             new_cents = update_centroids(
                 assigned.join(
                     vecs.select(id_col, vec_col), id_col
-                )
+                ),
+                vec_col=vec_col,
             )
             # empty clusters keep their previous centroid
             cents = new_cents.unionByName(

@@ -247,10 +247,18 @@ def q_heldout_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Spark [] is 0-based (DuckDB's is 1-based): i runs
             # 2..size, pairing elements (i-2, i-1) — same adjacent
             # zip as the oracle's tok[j], tok[j+1] with j = i-1.
-            F.expr(
-                "transform(sequence(2, size(_t)), "
-                "i -> concat_ws(' ', _t[i-2], _t[i-1]))"
-            )
+            # The size >= 2 guard mirrors the oracle's WHERE len >= 2
+            # and is LOAD-BEARING: sequence(2, 1) DESCENDS, so an
+            # unguarded transform evaluates _t[1] on a 1-token doc —
+            # an ANSI INVALID_ARRAY_INDEX crash (or phantom bigrams
+            # with ANSI off).
+            F.when(
+                F.size("_t") >= 2,
+                F.expr(
+                    "transform(sequence(2, size(_t)), "
+                    "i -> concat_ws(' ', _t[i-2], _t[i-1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("b"),
     )
     ucov = _cov(uni, "w", "n_tokens", "covered_tokens")
@@ -319,11 +327,12 @@ def q_quality_calibration(
     majority embedding label and that label's share — flat shares
     mean the text heuristic is label-blind, skewed shares mean it
     encodes semantics. The decile comes from the distributed two-pass
-    prefix scan (operators/rank.py::running_totals — never a global
-    window); the per-decile argmax window is rank-limit pruned; the
-    labeled-row total is one metadata-scale driver scalar."""
+    prefix scan (operators/rank.py::global_row_number_with_total —
+    never a global window, and the row total rides the offsets
+    collect instead of a second count job); the per-decile argmax
+    window is rank-limit pruned."""
     from babylon_data_loader_spark.operators.rank import (
-        running_totals,
+        global_row_number_with_total,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -350,11 +359,10 @@ def q_quality_calibration(
             ).alias("score"),
         )
     )
-    n_tot = lab.count()
-    ranked = running_totals(
-        lab,
-        [F.col("score").desc(), F.col("doc_id").asc()],
-        {"rn": F.lit(1)},
+    # one scan: row numbers AND the total (from the offsets collect —
+    # O(#partitions) metadata, not a second count job)
+    ranked, n_tot = global_row_number_with_total(
+        lab, [F.col("score").desc(), F.col("doc_id").asc()]
     )
     dec = ranked.select(
         "label",

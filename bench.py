@@ -217,7 +217,8 @@ def _isolated_supplement(
             cwd=os.path.dirname(here),
             timeout=900,
         )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+        out_lines = (proc.stdout or "").strip().splitlines()
+        line = out_lines[-1] if out_lines else ""
         try:
             rec = json.loads(line)
         except (json.JSONDecodeError, ValueError):

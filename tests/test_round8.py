@@ -140,6 +140,19 @@ def test_squared_l2_matches_duckdb_fold(spark):
     assert got == want
 
 
+def test_kmeans_custom_column_names(spark):
+    """kmeans() must forward id/vec column names into the update step
+    (regression: iteration 2 resolved the default 'embedding' column
+    on a frame that didn't have one)."""
+    rows = [(i, [float(i % 3), float(i % 5)]) for i in range(12)]
+    vecs = spark.createDataFrame(rows, "rid LONG, vec ARRAY<FLOAT>")
+    res = kmeans(vecs, k=2, n_iters=3, id_col="rid", vec_col="vec")
+    assert len(res.history) == 3
+    assert res.assignment.count() == 12
+    assert set(res.assignment.columns) >= {"rid", "cid", "dist"}
+    res.assignment.unpersist()
+
+
 def test_assign_matches_bruteforce_argmin(spark):
     """Randomized cross-check: for seeded random vectors/centroids,
     the distributed assignment equals the numpy argmin under the same

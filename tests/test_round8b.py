@@ -126,6 +126,34 @@ def test_heldout_coverage_hand_computed(spark, tmp_path):
         assert rows[s]["bigram_coverage"] == 0.0
 
 
+def test_heldout_coverage_one_token_docs(spark, tmp_path):
+    """Sub-2-token docs must contribute NO bigrams (regression: an
+    unguarded sequence(2, size) DESCENDS for size < 2, evaluating an
+    out-of-range element — an ANSI crash or phantom bigrams). Source
+    C is all one-token docs, so it has no bigram row at all and drops
+    from the inner-joined output, exactly like the oracle."""
+    sf = _write(
+        spark,
+        tmp_path,
+        docs=[
+            (0, "a b", "en", "A"),
+            (1, "b c", "en", "B"),
+            (2, "a", "en", "C"),
+            (3, "b", "en", "C"),
+        ],
+    )
+    rows = {
+        r["source"]: r
+        for r in Q.QUERIES["q_heldout_coverage"](spark, sf).collect()
+    }
+    assert set(rows) == {"A", "B"}
+    assert rows["A"]["n_bigrams"] == 1
+    assert rows["B"]["n_bigrams"] == 1
+    # C's one-token docs still count in A/B's unigram totals: "a" and
+    # "b" now occur outside A, so both of A's tokens are covered
+    assert rows["A"]["covered_tokens"] == 2
+
+
 def test_epoch_allocation_hand_computed(spark, tmp_path):
     # A: 10 tokens, B: 2 tokens. total=12, budget=2*12=24, 2 sources
     # -> fair_share=12. A: alloc=min(12, 40)=12, epochs=1200//10=120%.
