@@ -24,12 +24,28 @@ which is exactly what the fingerprint is.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Sidecar written into every store dir at build time: the store's
+# source files with size+mtime_ns, so sweep_stale can tell "this
+# sibling indexes data that was regenerated in place" (sweep) from
+# "this sibling indexes OTHER live data — e.g. the same table at a
+# different scale-factor dir" (keep). Before r9 the sweep removed
+# every different-fingerprint sibling, so a serial sf0.01 correctness
+# run evicted the sf0.1 bench stores and vice versa (r8 VERDICT).
+META_NAME = "_store_meta.json"
+
+# Per-process access trail appended by get_or_build_parquet:
+# {"kind", "params", "hit"} per store access. bench.py drains it to
+# report whether each store-backed query ran warm (hit) or paid a
+# build — a cold first rep is the usual cause of a bench-box "diff".
+ACCESS_LOG: list[dict] = []
 
 
 def files_fingerprint(paths: Iterable[str]) -> str:
@@ -54,21 +70,15 @@ def files_fingerprint(paths: Iterable[str]) -> str:
     return h.hexdigest()[:12]
 
 
-def df_fingerprint(df: DataFrame) -> str | None:
-    """Content fingerprint of a DataFrame's source files, or None when
-    the frame has no file lineage (in-memory / shuffled input).
+def lineage_files(df: DataFrame) -> list[str]:
+    """The source files behind a DataFrame's plan, or [] when the
+    frame has no file lineage (in-memory / shuffled input).
 
     `df.inputFiles()` runs on the plan WITH cached data substituted, so
     a sibling `.cache()` of the same scan makes it return [] — the
     fallback walks the ANALYZED plan's leaves (pre-substitution) for
-    file-source relations, which keeps fingerprinting stable whether or
-    not the table happens to be cached this session.
-
-    The digest also folds in the CANONICALIZED logical plan (expr ids
-    normalized): two frames over the same files but different logic —
-    a table and a filtered subset of it — must never alias onto the
-    same store. A plan-string change only costs a rebuild (cache
-    miss); it can never serve stale data."""
+    file-source relations, which keeps lineage stable whether or not
+    the table happens to be cached this session."""
     try:
         files = list(df.inputFiles())
     except Exception:
@@ -87,7 +97,20 @@ def df_fingerprint(df: DataFrame) -> str | None:
                 if rel.getClass().getName().endswith("HadoopFsRelation"):
                     files.extend(rel.location().inputFiles())
         except Exception:
-            return None
+            return []
+    return files
+
+
+def df_fingerprint(df: DataFrame) -> str | None:
+    """Content fingerprint of a DataFrame's source files, or None when
+    the frame has no file lineage (in-memory / shuffled input).
+
+    The digest also folds in the CANONICALIZED logical plan (expr ids
+    normalized): two frames over the same files but different logic —
+    a table and a filtered subset of it — must never alias onto the
+    same store. A plan-string change only costs a rebuild (cache
+    miss); it can never serve stale data."""
+    files = lineage_files(df)
     if not files:
         return None
     try:
@@ -120,13 +143,83 @@ def store_path(
     )
 
 
+def write_store_meta(path: str, files: Iterable[str]) -> None:
+    """Record the store's source files (path + size + mtime_ns) in the
+    sidecar. Written once at build time; read by sweep_stale to decide
+    whether a sibling store's data is still live."""
+    recs = []
+    for p in files:
+        local = p.removeprefix("file://").removeprefix("file:")
+        try:
+            st = os.stat(local)
+            recs.append(
+                {
+                    "path": local,
+                    "size": st.st_size,
+                    "mtime_ns": st.st_mtime_ns,
+                }
+            )
+        except OSError:
+            # Non-local (hdfs/s3): path only — liveness then degrades
+            # to "path still listed", the best a local stat can do.
+            recs.append({"path": local})
+    if not os.path.isdir(path):
+        return
+    with open(os.path.join(path, META_NAME), "w", encoding="utf-8") as fh:
+        json.dump({"files": recs}, fh)
+
+
+def ensure_store_meta(path: str, source: DataFrame) -> None:
+    """Backfill the sidecar on a store built before it existed (or by
+    an explicit-path writer): safe because reaching an existing store
+    through its content fingerprint proves it indexes exactly this
+    source's current files."""
+    if os.path.isdir(path) and not os.path.exists(
+        os.path.join(path, META_NAME)
+    ):
+        files = lineage_files(source)
+        if files:
+            write_store_meta(path, files)
+
+
+def store_meta_live(path: str) -> bool:
+    """True when the store's sidecar exists and every recorded source
+    file still matches its recorded size+mtime_ns — i.e. the data this
+    store indexes still exists unchanged on disk."""
+    try:
+        with open(
+            os.path.join(path, META_NAME), encoding="utf-8"
+        ) as fh:
+            recs = json.load(fh)["files"]
+    except (OSError, ValueError, KeyError):
+        return False
+    if not recs:
+        return False
+    for r in recs:
+        try:
+            st = os.stat(r["path"])
+        except OSError:
+            return False
+        if "size" in r and (
+            st.st_size != r["size"]
+            or st.st_mtime_ns != r.get("mtime_ns")
+        ):
+            return False
+    return True
+
+
 def sweep_stale(
     spark: SparkSession, kind: str, params: str, keep: str
 ) -> int:
-    """Remove sibling stores of the same (kind, params) whose
-    fingerprint differs from the live one — they index data that no
-    longer exists. Also removes legacy `_<kind>_*` dirs from older
-    store layouts. Returns how many were removed."""
+    """Remove sibling stores of the same (kind, params) whose source
+    data no longer exists unchanged on disk. Siblings whose sidecar
+    meta proves their data is still live are KEPT: a different
+    fingerprint does not mean dead data — the same table at a
+    different scale-factor dir fingerprints differently too, and
+    evicting it forced silent rebuilds when a correctness run at
+    sf0.01 and a bench run at sf0.1 alternated (r8 VERDICT finding).
+    Sidecar-less dirs (legacy layouts, interrupted builds) are swept.
+    Returns how many were removed."""
     wh = warehouse_dir(spark)
     if not os.path.isdir(wh):
         return 0
@@ -139,7 +232,10 @@ def sweep_stale(
             and entry.endswith(suffix)
             and entry != keep_base
         ):
-            shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
+            full = os.path.join(wh, entry)
+            if store_meta_live(full):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
             n += 1
     return n
 
@@ -162,8 +258,13 @@ def get_or_build_parquet(
         return build()
     path = store_path(spark, kind, fp, params)
     sweep_stale(spark, kind, params, keep=path)
-    if not os.path.exists(os.path.join(path, marker)):
+    hit = os.path.exists(os.path.join(path, marker))
+    ACCESS_LOG.append({"kind": kind, "params": params, "hit": hit})
+    if not hit:
         build().write.mode("overwrite").parquet(path)
+        write_store_meta(path, lineage_files(source))
+    else:
+        ensure_store_meta(path, source)
     return spark.read.parquet(path)
 
 

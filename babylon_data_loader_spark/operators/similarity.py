@@ -501,9 +501,12 @@ def knn_lsh(
 
     from babylon_data_loader_spark.operators.index_store import (
         df_fingerprint,
+        ensure_store_meta,
+        lineage_files,
         store_path,
         sweep_stale,
         warehouse_dir,
+        write_store_meta,
     )
 
     spark = emb.sparkSession
@@ -561,6 +564,11 @@ def knn_lsh(
             vec_col=vec_col,
             fingerprint=fp,
         )
+        write_store_meta(index_path, lineage_files(emb))
+    else:
+        # legacy stores predate the source-file sidecar; backfill it
+        # so the next sweep_stale doesn't evict this live index
+        ensure_store_meta(index_path, emb)
     indexed, meta = read_lsh_index(spark, index_path)
     qvec = [
         float(x)

@@ -290,8 +290,11 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from babylon_data_loader_spark.operators.index_store import (
         df_fingerprint,
+        ensure_store_meta,
+        lineage_files,
         store_path,
         sweep_stale,
+        write_store_meta,
     )
     from babylon_data_loader_spark.operators.pq import (
         pq_encode,
@@ -317,6 +320,9 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_path = store_path(spark, "pq_index", fp, "m8k16")
         sweep_stale(spark, "pq_index", "m8k16", keep=index_path)
         if _os.path.exists(_os.path.join(index_path, "_codebooks.json")):
+            # legacy stores predate the source-file sidecar; backfill
+            # so the next sweep_stale doesn't evict this live index
+            ensure_store_meta(index_path, emb)
             codes, books = read_pq_index(spark, index_path)
         else:
             books = pq_fit(emb, m=8, ksub=16, n_iters=2)
@@ -325,6 +331,7 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 index_path,
                 books,
             )
+            write_store_meta(index_path, lineage_files(emb))
             codes, books = read_pq_index(spark, index_path)
     qvec = [
         float(x)

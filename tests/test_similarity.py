@@ -340,6 +340,77 @@ def test_index_store_fingerprint_and_reuse(spark, tmp_path):
     assert len(got) <= 5
 
 
+def test_store_sweep_keeps_live_cross_sf_siblings(spark, tmp_path):
+    """Alternating store access across two scale-factor dirs of the
+    same table must NOT evict each other's stores (r8 VERDICT: the
+    serial sf0.01 correctness run evicted the sf0.1 bench stores and
+    paid silent rebuilds). Each store's sidecar meta records its
+    source files; sweep_stale keeps siblings whose data is still live
+    and only removes stores whose data was regenerated or deleted."""
+    import os
+    import shutil
+
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    dirs = []
+    for i, src in enumerate(("sf0.001", "sf0.001")):
+        d = tmp_path / f"sf_{i}"
+        d.mkdir()
+        shutil.copy(
+            f"/root/testdata/{src}/embeddings.parquet",
+            d / "embeddings.parquet",
+        )
+        dirs.append(str(d))
+    # distinct mtimes so the two dirs fingerprint differently (two
+    # live generations, like sf0.01 vs sf0.1 on the driver box)
+    t = os.path.getmtime(os.path.join(dirs[1], "embeddings.parquet"))
+    os.utime(
+        os.path.join(dirs[1], "embeddings.parquet"), (t + 10, t + 10)
+    )
+
+    builds = {"n": 0}
+
+    def access(d: str):
+        emb = load_table(spark, d, "embeddings")
+
+        def build():
+            builds["n"] += 1
+            return emb.select("vec_id").limit(5)
+
+        return get_or_build_parquet(
+            emb, "swtest", "p1", build
+        ).count()
+
+    # build each once, then alternate: no further builds may happen
+    access(dirs[0])
+    access(dirs[1])
+    assert builds["n"] == 2
+    for d in (dirs[0], dirs[1], dirs[0], dirs[1]):
+        access(d)
+    assert builds["n"] == 2, "live cross-sf sibling store was evicted"
+
+    # deleting one dir's data makes its store sweepable again
+    os.remove(os.path.join(dirs[1], "embeddings.parquet"))
+    access(dirs[0])
+    from babylon_data_loader_spark.operators.index_store import (
+        warehouse_dir,
+    )
+
+    left = [
+        e
+        for e in os.listdir(warehouse_dir(spark))
+        if e.startswith("idx_swtest_")
+    ]
+    assert len(left) == 1, left
+    for e in left:
+        shutil.rmtree(
+            os.path.join(warehouse_dir(spark), e), ignore_errors=True
+        )
+
+
 def test_append_lsh_index_equals_full_build(spark, tmp_path):
     """Incremental index maintenance: build over half the vectors,
     append the other half — every probe must return EXACTLY what a
