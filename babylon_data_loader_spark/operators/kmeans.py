@@ -5,10 +5,14 @@ semantic grouping, cluster-balanced (diversity) sampling, and IVF
 coarse quantizers all start from a k-means partition of the embedding
 space. Everything here is DataFrame-native:
 
-- **assign**: nearest-centroid by squared L2 — a broadcast of the
-  k×dim codebook against the vector table, argmin via one
-  rank-limit-pruned window per vector. No shuffle of the vectors
-  themselves beyond the window's id-partitioned exchange.
+- **assign**: nearest-centroid by squared L2 — the k×dim codebook
+  collapses to ONE broadcast row holding an array of (cid, centroid)
+  structs, and each vector's argmin is an `F.aggregate` fold over
+  that array: a zero-exchange projection, so assignment shuffles
+  NOTHING — the property that matters when the codebook is an IVF
+  coarse quantizer with thousands of centroids. (The r8 version
+  ranked N×k scored rows through an id-partitioned window: an
+  N×k-row shuffle.)
 - **update**: new centroids are per-dimension means — posexplode to
   (cid, dim, value) and ONE map-combinable grouped average; k×dim
   result rows are codebook-scale (driver-safe metadata, the same
@@ -37,7 +41,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.vectors import squared_l2
@@ -54,29 +58,112 @@ def assign_clusters(
     """(id, cid, dist): every vector labeled with its nearest centroid.
 
     ``dist`` is the squared L2 distance rounded to 9 dp; the argmin
-    ranks on the e9-quantized BIGINT key with a smallest-cid tiebreak,
-    so the assignment is deterministic and engine-stable. ``cents``
-    (k rows) is broadcast; the per-vector window is rank-limit pruned
-    (k candidate rows per vector, never a global sort)."""
-    d = F.round(
-        squared_l2(F.col(vec_col), F.col(cent_col)), 9
-    ).alias("dist")
-    scored = (
-        vecs.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents.select(cid_col, cent_col)))
-        .select(id_col, cid_col, d)
-        .withColumn(
-            "dist_e9",
-            F.round(F.col("dist") * F.lit(1000000000.0)).cast("bigint"),
+    minimizes (dist_e9, cid) lexicographically — e9-quantized BIGINT
+    key first, smallest-cid tiebreak — so the assignment is
+    deterministic and engine-stable. The codebook collapses to ONE
+    broadcast row holding an array of (cid, centroid) structs and the
+    argmin is a per-row ``F.aggregate`` fold over that array: a pure
+    projection, ZERO exchanges, no per-vector grouping — shuffle
+    volume is independent of both N and k, which is what matters when
+    the codebook is an IVF coarse quantizer with thousands of
+    centroids. (The r8 version ranked N×k scored rows through an
+    id-partitioned window: an N×k-row shuffle.) The fold's total
+    order makes the result independent of the codebook array's
+    collect order.
+
+    Magnitude precondition: the e9 grid is exact only while dist·1e9
+    stays within the double-integer range (2^53), i.e. squared
+    distances below ~9.0e6 (‖x−c‖ below ~3000 — far above any
+    normalized-embedding geometry). Larger distances would lose
+    integrality and could flip the deterministic argmin, so the
+    quantizer raises instead of silently degrading."""
+    cid_dt = cents.schema[cid_col].dataType.simpleString()
+    # The codebook is driver-held metadata by design (k×dim scalars —
+    # the same materialization the IVF/PQ trainers make). Collecting
+    # it lets the argmin run over a LITERAL array: no broadcast join
+    # build job, no collect_list exchange — the assign plan is scan →
+    # project. Codebooks past the literal-plan comfort zone (IVF
+    # coarse quantizers with k in the thousands) fall back to a
+    # one-row collect_list broadcast: still a zero-shuffle projection
+    # per vector, plus one O(k)-row exchange to form the array.
+    cb_rows = cents.select(cid_col, cent_col).limit(1025).collect()
+    if 0 < len(cb_rows) <= 1024:
+        codebook_col = F.array(
+            *[
+                F.struct(
+                    F.lit(r[0]).cast(cid_dt).alias("cid"),
+                    F.lit([float(x) for x in r[1]]).alias(
+                        "centroid"
+                    ),
+                )
+                for r in sorted(cb_rows, key=lambda r: r[0])
+            ]
         )
+        with_codebook = vecs.select(id_col, vec_col).withColumn(
+            "_codebook", codebook_col
+        )
+    else:
+        codebook = cents.agg(
+            F.collect_list(
+                F.struct(
+                    F.col(cid_col).alias("cid"),
+                    F.col(cent_col).alias("centroid"),
+                )
+            ).alias("_codebook")
+        )
+        with_codebook = vecs.select(id_col, vec_col).crossJoin(
+            F.broadcast(codebook)
+        )
+    init = F.struct(
+        F.lit(None).cast("bigint").alias("dist_e9"),
+        F.lit(None).cast(cid_dt).alias("cid"),
+        F.lit(None).cast("double").alias("dist"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("dist_e9").asc(), F.col(cid_col).asc()
+
+    def _quantize(d):
+        return F.when(
+            d < F.lit(9.0e6),
+            F.round(d * F.lit(1000000000.0)).cast("bigint"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "assign_clusters: squared distance exceeds "
+                        "the exact e9 quantization grid (>= 9.0e6): "
+                    ),
+                    d.cast("string"),
+                )
+            ).cast("bigint")
+        )
+
+    def _step(acc, cent):
+        d = F.round(
+            squared_l2(F.col(vec_col), cent["centroid"]), 9
+        )
+        cand = F.struct(
+            _quantize(d).alias("dist_e9"),
+            cent["cid"].alias("cid"),
+            d.alias("dist"),
+        )
+        better = (
+            acc["dist_e9"].isNull()
+            | (cand["dist_e9"] < acc["dist_e9"])
+            | (
+                (cand["dist_e9"] == acc["dist_e9"])
+                & (cand["cid"] < acc["cid"])
+            )
+        )
+        return F.when(better, cand).otherwise(acc)
+
+    best = with_codebook.select(
+        id_col,
+        F.aggregate(F.col("_codebook"), init, _step).alias("_best"),
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    return best.select(
+        id_col,
+        F.col("_best")["cid"].alias(cid_col),
+        F.col("_best")["dist"].alias("dist"),
+        F.col("_best")["dist_e9"].alias("dist_e9"),
     )
 
 
