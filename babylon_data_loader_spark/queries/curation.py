@@ -174,7 +174,7 @@ _GRAMS5_SQL = """
        THEN list_transform(generate_series(1, len(toks) - 4),
               j -> md5(concat_ws(' ', toks[j], toks[j+1], toks[j+2],
                                  toks[j+3], toks[j+4])))
-       ELSE [md5(concat_ws(' ', toks))] END
+       ELSE [md5(array_to_string(toks, ' '))] END
 """
 
 

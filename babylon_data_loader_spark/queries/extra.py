@@ -284,7 +284,7 @@ _JACCARD_SHINGLES = f"""
               generate_series(1, len({_JACCARD_TOKENS}) - 2),
               j -> concat_ws(' ', {_JACCARD_TOKENS}[j],
                              {_JACCARD_TOKENS}[j+1], {_JACCARD_TOKENS}[j+2])))
-       ELSE [concat_ws(' ', {_JACCARD_TOKENS})] END
+       ELSE [array_to_string({_JACCARD_TOKENS}, ' ')] END
 """
 
 

@@ -249,7 +249,7 @@ _SHINGLES_SQL = f"""
               j -> concat_ws(' ', {_TOKENS_LOWER_SQL}[j],
                              {_TOKENS_LOWER_SQL}[j+1],
                              {_TOKENS_LOWER_SQL}[j+2]))
-       ELSE [concat_ws(' ', {_TOKENS_LOWER_SQL})] END
+       ELSE [array_to_string({_TOKENS_LOWER_SQL}, ' ')] END
 """
 
 

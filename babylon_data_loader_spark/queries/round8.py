@@ -442,14 +442,14 @@ def q_epoch_allocation(
              unnest(CASE WHEN len(tok) >= 2
                THEN list_transform(generate_series(1, len(tok) - 1),
                       j -> concat_ws(' ', tok[j], tok[j+1]))
-               ELSE [concat_ws(' ', tok)] END) AS g
+               ELSE [array_to_string(tok, ' ')] END) AS g
       FROM tokd
       UNION ALL
       SELECT source, 3 AS n,
              unnest(CASE WHEN len(tok) >= 3
                THEN list_transform(generate_series(1, len(tok) - 2),
                       j -> concat_ws(' ', tok[j], tok[j+1], tok[j+2]))
-               ELSE [concat_ws(' ', tok)] END) AS g
+               ELSE [array_to_string(tok, ' ')] END) AS g
       FROM tokd
     )
     SELECT source, CAST(n AS BIGINT) AS n,

@@ -36,7 +36,7 @@ _SHINGLES_SQL = f"""
        THEN list_transform(generate_series(1, len({_TOKENS_LOWER_SQL}) - 2),
               j -> concat_ws(' ', {_TOKENS_LOWER_SQL}[j], {_TOKENS_LOWER_SQL}[j+1],
                              {_TOKENS_LOWER_SQL}[j+2]))
-       ELSE [concat_ws(' ', {_TOKENS_LOWER_SQL})] END
+       ELSE [array_to_string({_TOKENS_LOWER_SQL}, ' ')] END
 """
 
 
