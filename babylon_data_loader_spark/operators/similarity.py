@@ -555,6 +555,17 @@ def knn_lsh(
             and meta.get("fingerprint") is not None
             and meta["fingerprint"] != fp
         )
+    from babylon_data_loader_spark.operators.index_store import (
+        ACCESS_LOG,
+    )
+
+    ACCESS_LOG.append(
+        {
+            "kind": "lsh_index",
+            "params": params,
+            "hit": not stale and os.path.exists(meta_file),
+        }
+    )
     if stale or not os.path.exists(meta_file):
         write_lsh_index(
             emb,

@@ -319,6 +319,19 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         index_path = store_path(spark, "pq_index", fp, "m8k16")
         sweep_stale(spark, "pq_index", "m8k16", keep=index_path)
+        from babylon_data_loader_spark.operators.index_store import (
+            ACCESS_LOG,
+        )
+
+        ACCESS_LOG.append(
+            {
+                "kind": "pq_index",
+                "params": "m8k16",
+                "hit": _os.path.exists(
+                    _os.path.join(index_path, "_codebooks.json")
+                ),
+            }
+        )
         if _os.path.exists(_os.path.join(index_path, "_codebooks.json")):
             # legacy stores predate the source-file sidecar; backfill
             # so the next sweep_stale doesn't evict this live index

@@ -120,6 +120,55 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _regression_report(
+    timings: dict[str, float],
+    prev: dict,
+    probe_now: float,
+    store_hit: dict[str, bool] | None = None,
+) -> tuple[dict, dict | None]:
+    """Calibration-normalized round-over-round regression gate.
+
+    The raw 1.5x per-query threshold cried wolf whenever the driver
+    box was contended (the r8 run named 10 "regressions" on a doc-only
+    commit while its own spark_probe ran +33%), so the threshold is
+    scaled by the machine-calibration drift: probe_now / probe_prev,
+    floored at 1.0 (a FASTER box must not hide real slowdowns). When
+    the probe moved more than 15% a calibration_drift note is
+    returned alongside, so a contended run is self-evident in the
+    JSON. Queries whose first rep paid an at-rest store build are
+    annotated cold_store — a one-time layout cost, not a plan
+    regression. Pure function of its inputs so the gate is unit-
+    testable against injected load (r8 VERDICT ask #3)."""
+    prev_q = prev.get("queries", {})
+    prev_probe = (prev.get("calibration") or {}).get(
+        "spark_probe_s"
+    ) or 0.0
+    drift = probe_now / prev_probe if prev_probe > 0 else 1.0
+    threshold = 1.5 * max(1.0, drift)
+    regs = {}
+    for q, t in timings.items():
+        if q in prev_q and prev_q[q] > 0.2 and t > prev_q[q] * threshold:
+            entry = {"prev": prev_q[q], "now": t}
+            if store_hit is not None and store_hit.get(q) is False:
+                entry["cold_store"] = True
+            regs[q] = entry
+    note = None
+    if abs(drift - 1.0) > 0.15:
+        note = {
+            "prev_spark_probe_s": prev_probe,
+            "now_spark_probe_s": probe_now,
+            "ratio": round(drift, 3),
+            "note": (
+                "machine calibration moved >15% between runs; the "
+                "regression threshold was scaled accordingly"
+                if drift > 1.0
+                else "machine calibration moved >15% between runs "
+                "(faster box); threshold NOT relaxed"
+            ),
+        }
+    return regs, note
+
+
 def _testdata_fingerprint(sf_dir: str) -> dict:
     """Per-table size+mtime plus one digest — BENCH_HISTORY carries it
     so a cross-round drift can be attributed to data regeneration (new
@@ -684,14 +733,26 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    # Warm/cold store attribution: index_store logs every at-rest
+    # store access; a query whose FIRST rep paid a build is "cold"
+    # and its elevated median is layout state, not a code regression.
+    from babylon_data_loader_spark.operators.index_store import (
+        ACCESS_LOG,
+    )
+
+    store_hit: dict[str, bool] = {}
     for name in HEADLINE:
         fn = qmap[name]
         samples = []
-        for _ in range(max(1, reps)):
+        for rep_i in range(max(1, reps)):
+            if rep_i == 0:
+                del ACCESS_LOG[:]
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             samples.append(time.time() - t0)
+            if rep_i == 0 and ACCESS_LOG:
+                store_hit[name] = all(a["hit"] for a in ACCESS_LOG)
         timings[name] = round(_median(samples), 3)
         spread[name] = [round(s, 3) for s in samples]
         print(
@@ -722,6 +783,10 @@ def main() -> None:
             ),
         },
         "testdata_fingerprint": _testdata_fingerprint(sf_dir),
+        # Per store-backed query: did the FIRST rep find all its
+        # at-rest stores warm? A false here marks the median as
+        # carrying a one-time index build, not a plan regression.
+        "store_hit": store_hit,
     }
 
     # Supplementary: end-to-end ingest throughput (CSV → validated →
@@ -797,13 +862,12 @@ def main() -> None:
                     prev = rec
         if prev:
             result["prev_commit"] = prev.get("commit")
-            result["regressions"] = {
-                q: {"prev": prev["queries"][q], "now": t}
-                for q, t in timings.items()
-                if q in prev.get("queries", {})
-                and prev["queries"][q] > 0.2
-                and t > prev["queries"][q] * 1.5
-            }
+            regs, drift_note = _regression_report(
+                timings, prev, spark_probe_s, store_hit
+            )
+            result["regressions"] = regs
+            if drift_note:
+                result["calibration_drift"] = drift_note
     except OSError:
         pass
     print(json.dumps(result))
