@@ -141,6 +141,67 @@ def stored_doc_shingles(
     )
 
 
+def token_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+) -> DataFrame:
+    """(_id, _h) stride-1 k-token window hashes — the ExactSubstr
+    representation (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every k-token window is md5'd, so
+    any repeated span of >= k tokens anywhere in the corpus yields
+    equal hashes, catching copied passages that document-level exact
+    and near dedup both miss (the suffix-array method's signal,
+    re-expressed as a hash-keyed DataFrame the engine can shuffle).
+    Documents shorter than k contribute one whole-document window.
+    The table is corpus-token-scale (one row per token position),
+    which is why it lives behind the at-rest store and every consumer
+    is a map-combinable hash-keyed aggregate — nothing wider than
+    (id, 32-hex hash) ever shuffles."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.lower(F.col(text_col))).alias("_t"),
+    )
+    win = F.when(
+        F.size("_t") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - k),
+            lambda j: F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("_t"), j + F.lit(1), k)
+                ).cast("binary")
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.md5(F.concat_ws(" ", F.col("_t")).cast("binary"))
+        )
+    )
+    return tok.select("_id", F.explode(win).alias("_h"))
+
+
+def stored_token_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+) -> DataFrame:
+    """:func:`token_windows` through the at-rest store — the window
+    hashing runs once per dataset version; the substring-dedup family
+    (rates, per-doc spans, provenance breadth) reads the parquet."""
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
+
+    return get_or_build_parquet(
+        docs,
+        "tokwin",
+        f"k{k}",
+        lambda: token_windows(docs, text_col, id_col, k),
+    )
+
+
 def doc_terms(
     docs: DataFrame,
     text_col: str = "text",

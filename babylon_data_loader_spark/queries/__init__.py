@@ -224,6 +224,7 @@ def load_all() -> None:
         round7c,
         round8,
         round8b,
+        round9,
         streaming_dedup,
         streaming_replay,
         streaming_window,

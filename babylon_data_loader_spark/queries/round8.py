@@ -24,8 +24,8 @@ epoch budgeting, and n-gram diversity.
   groups — crawl header/footer detection by md5 group keys.
 
 Scale notes: the codebook is k x dim driver scalars (the IVF/PQ
-pattern); assignment is a broadcast crossJoin + rank-limit-pruned
-per-id window (no vector shuffle); centroid updates are one
+pattern); assignment is a literal-codebook argmin fold — a
+zero-exchange projection, nothing shuffles; centroid updates are one
 map-combinable grouped average; label propagation shuffles bare
 (id, label) pairs over the at-rest pair store; everything else is
 single-aggregate scans. Numerics follow the cross-engine rules:
@@ -105,10 +105,10 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic codebook — per-cluster membership counts and
     inertia, the partition SemDeDup / IVF training reads first.
     Assignment is operators/kmeans.py::assign_clusters: the k x dim
-    codebook broadcasts, distances are rounded-9 doubles ranked by
-    their e9 BIGINT quantization with a smallest-cid tiebreak, and
-    the per-vector argmin window is rank-limit pruned — vectors
-    themselves never shuffle. Inertia follows the
+    codebook embeds as a literal struct array, distances are
+    rounded-9 doubles minimized on their e9 BIGINT quantization with
+    a smallest-cid tiebreak in a per-row fold — a zero-exchange
+    projection, nothing shuffles. Inertia follows the
     round-to-grid-then-DECIMAL rule, so every output value is
     bit-stable across engines and partitionings."""
     from babylon_data_loader_spark.operators.kmeans import (

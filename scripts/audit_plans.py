@@ -77,12 +77,19 @@ BNLJ_ALLOWED = {
     "q_bigram_nll",          # one-row vocabulary-size scalar
     "q_rrf_fusion",          # single-row query vector broadcast
     "q_dedup_threshold_sweep",  # 4-row threshold dimension broadcast
-    "q_kmeans_assign",       # 8-row centroid codebook broadcast
-    "q_cluster_reps",        # same 8-row codebook broadcast
-    "q_kmeans_refine",       # same codebook per Lloyd iteration
     "q_epoch_allocation",    # one-row (total, n_sources) scalar
-    "q_cluster_token_budget",  # same 8-row codebook broadcast
+    # (the k-means family left this list in r9: assignment became a
+    # literal-codebook projection, no join at all)
 }
+
+# Every BNLJ build side must be metadata-scale: the largest sanctioned
+# shapes are dense day/hour spines and |dims|^2 pair grids (q_gap_fill,
+# q_rolling_median, q_js_divergence) — thousands of rows at most,
+# never data-scale. Queries whose plans trip BNLJ are EXECUTED by the
+# audit and the actual broadcast row counts asserted under this bound,
+# so the "all build sides are bounded" claim in PLANS.md is enforced,
+# not prose (r8 VERDICT: the footnote had gone stale).
+BNLJ_BUILD_MAX = 20_000
 
 # A Window with NO partition spec moves the entire input to one task
 # (WindowExec logs "No Partition Defined"). Allowed ONLY over frames
@@ -243,6 +250,46 @@ def _global_window_count(plan: str) -> int:
     return n
 
 
+def bnlj_build_rows(df) -> list[int]:
+    """Execute ``df`` and return numOutputRows for every
+    BroadcastExchange feeding a BroadcastNestedLoopJoin in the final
+    adaptive plan. Exchange metrics only populate on a real run, so
+    this collects the (small, by query design) result first."""
+    df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+    rows: list[int] = []
+
+    def walk(node, under_bnlj: bool) -> None:
+        name = node.getClass().getSimpleName()
+        if name.startswith("AdaptiveSparkPlanExec"):
+            walk(node.executedPlan(), under_bnlj)
+            return
+        if "QueryStageExec" in name:
+            walk(node.plan(), under_bnlj)
+            return
+        if name.startswith("ReusedExchangeExec"):
+            walk(node.child(), under_bnlj)
+            return
+        if name.startswith("BroadcastExchangeExec") and under_bnlj:
+            try:
+                rows.append(
+                    node.metrics().apply("numOutputRows").value()
+                )
+            except Exception:  # noqa: BLE001 — metric absent: skip
+                pass
+            return
+        is_bnlj = name.startswith("BroadcastNestedLoopJoin")
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(
+                ch.apply(i),
+                is_bnlj or (under_bnlj and "Join" not in name),
+            )
+
+    walk(root, False)
+    return rows
+
+
 def explain_formatted(df) -> str:
     """The formatted physical plan for a DataFrame."""
     return df._sc._jvm.PythonSQLUtils.explainString(
@@ -285,14 +332,34 @@ def main() -> int:
     spark = build_session(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     findings = []
+    n_bnlj_checked = 0
     for name, fn in sorted(entrymod.queries().items()):
         try:
-            plan = explain_formatted(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            plan = explain_formatted(df)
         except Exception as exc:  # noqa: BLE001
             findings.append(f"{name}: failed to plan: {exc}")
             continue
         findings.extend(audit_plan(name, plan))
-        print(f"ok {name}")
+        # Enforce the bounded-build-side contract on every plan that
+        # trips a BNLJ (allowlisted or not): execute and measure.
+        if "BroadcastNestedLoopJoin" in plan:
+            try:
+                built = bnlj_build_rows(df)
+            except Exception as exc:  # noqa: BLE001
+                findings.append(f"{name}: BNLJ verify failed: {exc}")
+                built = []
+            n_bnlj_checked += 1
+            for r in built:
+                if r > BNLJ_BUILD_MAX:
+                    findings.append(
+                        f"{name}: BNLJ build side {r} rows exceeds "
+                        f"the metadata-scale bound {BNLJ_BUILD_MAX}"
+                    )
+            print(f"ok {name} (bnlj build sides: {built})")
+        else:
+            print(f"ok {name}")
+    print(f"# {n_bnlj_checked} BNLJ plans executed and bound-checked")
     spark.stop()
     if findings:
         print("\nFINDINGS:")

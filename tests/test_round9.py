@@ -1,0 +1,171 @@
+"""Planted-fixture semantics for the round-9 queries: hand-computable
+inputs pin the substring-dedup window arithmetic (stride-1 16-token
+hashing, whole-doc fallback), provenance breadth, the cross-lingual
+split's loser convention, and the language budget's integer
+arithmetic — independently of the DuckDB oracle comparison that
+tests/test_oracle.py runs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import babylon_data_loader_spark.queries as Q
+
+DOC_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+    "n_chars BIGINT"
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    Q.load_all()
+
+
+def _write(spark, tmp_path, docs):
+    sf = os.path.join(str(tmp_path), "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs], DOC_SCHEMA
+    ).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+_SPAN = " ".join(f"w{i}" for i in range(16))  # the shared 16-gram
+
+
+def test_substring_dedup_window_arithmetic(spark, tmp_path):
+    # docs 0 and 1 share exactly ONE 16-token span then diverge:
+    # each has 20 tokens -> 5 windows, of which only the window at
+    # position 1 (the span itself) repeats corpus-wide. doc 2 is all
+    # unique: 18 tokens -> 3 windows, none duplicated.
+    docs = [
+        (0, _SPAN + " a1 a2 a3 a4", "en", "s1"),
+        (1, _SPAN + " b1 b2 b3 b4", "en", "s2"),
+        (2, " ".join(f"u{i}" for i in range(18)), "en", "s3"),
+    ]
+    sf = _write(spark, tmp_path, docs)
+    rows = {
+        r["source"]: r
+        for r in Q.QUERIES["q_substring_dedup"](spark, sf).collect()
+    }
+    assert rows["s1"]["n_windows"] == 5
+    assert rows["s1"]["n_dup_windows"] == 1
+    assert rows["s1"]["dup_rate"] == pytest.approx(0.2)
+    assert rows["s2"]["n_dup_windows"] == 1
+    assert rows["s3"]["n_windows"] == 3
+    assert rows["s3"]["n_dup_windows"] == 0
+
+
+def test_substring_short_doc_fallback_and_span_docs(spark, tmp_path):
+    # sub-16-token twins dedup via the whole-doc fallback window and
+    # rank FIRST in the span worklist (frac 1.0, doc_id tiebreak)
+    docs = [
+        (0, "tiny shared document body", "en", "s1"),
+        (1, "tiny shared document body", "en", "s2"),
+        (2, _SPAN + " x1 x2 x3 x4", "en", "s1"),
+        (3, _SPAN + " y1 y2 y3 y4", "en", "s2"),
+    ]
+    sf = _write(spark, tmp_path, docs)
+    out = Q.QUERIES["q_dup_span_docs"](spark, sf).collect()
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3]
+    assert out[0]["dup_frac"] == pytest.approx(1.0)
+    assert out[1]["n_windows"] == 1  # fallback: one whole-doc window
+    assert out[2]["dup_frac"] == pytest.approx(0.2)
+
+
+def test_substring_provenance_breadth(spark, tmp_path):
+    # one span shared ACROSS sources (breadth 2) and one span
+    # repeated twice WITHIN a single doc (breadth 1)
+    rep = " ".join(f"r{i}" for i in range(16))
+    docs = [
+        (0, _SPAN + " a1 a2 a3 a4", "en", "s1"),
+        (1, _SPAN + " b1 b2 b3 b4", "en", "s2"),
+        # rep twice separated by 16 unique tokens: the two rep
+        # windows are the only repeated hashes in this doc
+        (
+            2,
+            rep + " " + " ".join(f"m{i}" for i in range(16)) + " " + rep,
+            "en",
+            "s3",
+        ),
+    ]
+    sf = _write(spark, tmp_path, docs)
+    rows = {
+        r["n_sources"]: r
+        for r in Q.QUERIES["q_substring_provenance"](
+            spark, sf
+        ).collect()
+    }
+    assert rows[2]["n_windows"] == 1  # the cross-source span
+    assert rows[2]["n_occurrences"] == 2
+    assert rows[1]["n_windows"] == 1  # the within-doc repeat
+    assert rows[1]["n_occurrences"] == 2
+
+
+_DUP = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def test_lang_split_loser_convention(spark, tmp_path):
+    # (0 en, 1 de) exact near-dup pair across languages: the loser is
+    # doc 1 (greater id), so de loses its 10 tokens and en keeps all
+    docs = [
+        (0, _DUP, "en", "s1"),
+        (1, _DUP, "de", "s2"),
+        (2, "completely different content about engines", "en", "s1"),
+    ]
+    sf = _write(spark, tmp_path, docs)
+    rows = {
+        r["lang"]: r
+        for r in Q.QUERIES["q_lang_split"](spark, sf).collect()
+    }
+    assert rows["en"]["n_docs"] == 2
+    assert rows["en"]["n_docs_lost"] == 0
+    assert rows["en"]["tokens_retained"] == rows["en"]["n_tokens"]
+    assert rows["de"]["n_docs_lost"] == 1
+    assert rows["de"]["tokens_lost"] == 10
+    assert rows["de"]["tokens_retained"] == 0
+
+
+def test_lang_dup_matrix_direction(spark, tmp_path):
+    docs = [
+        (0, _DUP, "en", "s1"),
+        (1, _DUP, "de", "s2"),
+        (2, _DUP, "de", "s3"),
+    ]
+    sf = _write(spark, tmp_path, docs)
+    rows = {
+        (r["owner_lang"], r["loser_lang"]): r
+        for r in Q.QUERIES["q_lang_dup_matrix"](spark, sf).collect()
+    }
+    # pairs: (0,1) en->de, (0,2) en->de, (1,2) de->de
+    assert rows[("en", "de")]["n_pairs"] == 2
+    assert rows[("en", "de")]["n_losers"] == 2
+    assert rows[("de", "de")]["n_pairs"] == 1
+    assert rows[("de", "de")]["n_losers"] == 1
+
+
+def test_token_budget_by_lang_integer_arithmetic(spark, tmp_path):
+    # en 90 tokens, de 10 -> total 100, cap = 2*100 div 5 = 40;
+    # en: least(40, 360) = 40 (capped), de: least(40, 40) = 40
+    # (exactly 4 epochs) -> both 40% of budget
+    docs = [
+        (0, " ".join(f"e{i}" for i in range(90)), "en", "s1"),
+        (1, " ".join(f"d{i}" for i in range(10)), "de", "s2"),
+    ]
+    sf = _write(spark, tmp_path, docs)
+    rows = {
+        r["lang"]: r
+        for r in Q.QUERIES["q_token_budget_by_lang"](
+            spark, sf
+        ).collect()
+    }
+    assert rows["en"]["lang_cap"] == 40
+    assert rows["en"]["allocated"] == 40
+    assert rows["en"]["budget_pct"] == 40
+    assert rows["de"]["allocated"] == 40
+    assert rows["de"]["n_tokens"] == 10
