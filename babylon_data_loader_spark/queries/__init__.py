@@ -55,146 +55,156 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Verification priority: the driver's correctness harness samples a
-# ~50-entry prefix of this registry each round, so queries that have
-# not yet received a driver-side correctness row are listed first,
-# OLDEST first (the r3 judge's explicit ask), then newer never-checked
-# queries in registration order — the window rotates across rounds
-# until every query has a driver row. Already-verified strong queries
-# fill the tail so re-runs on fresh testdata still re-check signal.
+# Verification priority: the driver's correctness harness verifies
+# exactly the FIRST 50 entries of this registry each round. Window
+# policy (r8 VERDICT asks #1 and #6):
+# - every window slot holds an ORACLE-BACKED query — rows-only
+#   self-certifying queries (they raise in-query on invariant
+#   violations and are pytest-verified) live strictly BELOW slot 50,
+#   because a `no_oracle` row can never turn green and wastes the one
+#   hard external signal;
+# - new queries enter at the head for their first driver row;
+# - the remaining slots ROTATE through the queries whose last driver
+#   green is OLDEST (evidence ages as the driver regenerates testdata
+#   between rounds), so over successive rounds every family gets
+#   re-witnessed on current data. The r9 window backfills the r1/r2
+#   era (text analysis + the SURVEY §2 core); the r10 rotation
+#   continues with the remaining r2 set and the r3-r5 families (the
+#   ordered queue right after slot 50).
 PRIORITY: list[str] = [
-    # ROUND-8 WINDOW (the driver verifies exactly the first 50):
-    # Slots 1-2: the token-budget pair — the ONLY oracle-backed
-    # queries ever to hash-fail at the driver (r6 AND r7). r8 fixed
-    # the ACTUAL root cause (r7 VERDICT ask #1): the oracle's uncast
-    # SUM(nt) typed as HUGEINT in DuckDB and the driver's value hash
-    # is type-sensitive at serialization; all three output sums are
-    # now CAST(... AS BIGINT) (round6.py cum_tokens x2, source_total)
-    # and tests/test_oracle_types.py gates the whole registry against
-    # the class. Pinned here for the green re-witness.
+    # ROUND-9 WINDOW — 50 oracle-backed slots, zero rows-only rows.
+    # Slots 1-4: the r1-era SURVEY §2 core (scan/projection, 5-key
+    # dedup-upsert, strict date parse, point lookup) — their only
+    # driver greens date to r1/r2-era testdata; fresh greens here
+    # renew the §2 operator-table evidence on CURRENT data.
+    "q_scan_project",
+    "q_dedup_key",
+    "q_strict_date_parse",
+    "q_point_lookup",
+    # Slots 5-10: the 6 queries ADDED this round (queries/round9.py)
+    # — substring-level exact dedup over the stride-1 16-token window
+    # store (Lee et al. ExactSubstr signal: per-source rates, the
+    # strip-or-drop doc worklist, provenance breadth) and the
+    # language-axis split (cross-lingual dedup impact, the
+    # directional lang matrix, the 40%-capped language token budget).
+    # Pre-flighted exact-match at sf0.001/0.01/0.1 under the
+    # integer-key + output-type-gate discipline.
+    "q_substring_dedup",
+    "q_dup_span_docs",
+    "q_substring_provenance",
+    "q_lang_split",
+    "q_lang_dup_matrix",
+    "q_token_budget_by_lang",
+    # Slots 11-20: the r1 text-analysis family — the OLDEST driver
+    # evidence in the registry (round 1) — re-witnessed on current
+    # testdata.
+    "q_text_stats",
+    "q_token_count",
+    "q_bpe_token_count",
+    "q_lang_id",
+    "q_lang_confusion",
+    "q_quality_score",
+    "q_doc_fingerprint",
+    "q_simhash",
+    "q_dedup_exact_text",
+    "q_tpch_q6",
+    # Slots 21-50: thirty r2-era queries (sources/casting/normalize
+    # pipeline surface, API query twins, window + aggregation
+    # breadth) — the §2 S/P/Q/A/O rows' correctness column refreshed
+    # on current data.
+    "q_source_file_count",
+    "q_regex_extract",
+    "q_string_predicates",
+    "q_filter_nonnull",
+    "q_coalesce_date",
+    "q_cast_default",
+    "q_filter_cast",
+    "q_type_classify",
+    "q_json_extract",
+    "q_range_ts",
+    "q_sessionize",
+    "q_echo",
+    "q_partition_counts",
+    "q_sync_log_agg",
+    "q_stats_agg",
+    "q_merge_upsert",
+    "q_flagship_pipeline",
+    "q_topk_per_group",
+    "q_lag_lead",
+    "q_running_balance",
+    "q_windowed_dedup",
+    "q_union_dedup",
+    "q_semi_anti_join",
+    "q_set_ops",
+    "q_histogram",
+    "q_pivot",
+    "q_unpivot",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    # --- end of the 50-slot driver window ---
+    # Slots 51+: the r10 rotation queue, oldest evidence first — the
+    # remaining r2 set, then the r3 families. The driver does not
+    # read past slot 50; this ordering just makes the next round's
+    # backfill a head-truncation instead of a rewrite.
+    "q_asof_join",
+    "q_asof_tolerance",
+    "q_attribution_join",
+    "q_distinct_agg",
+    "q_having",
+    "q_interval_join",
+    "q_jaccard_pairs",
+    "q_knn_batch",
+    "q_near_dup_rate",
+    "q_range_band_join",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_window_breadth",
+    "q_bucketed_join",
+    "q_chunk_documents",
+    "q_contamination",
+    "q_domain_mix",
+    "q_embedding_quantize",
+    "q_lake_point_lookup",
+    "q_layout_skipping",
+    "q_media_audio_features",
+    "q_media_dedup",
+    "q_media_video_features",
+    "q_median",
+    "q_part_supplier_diversity",
+    "q_pii_scrub",
+    "q_repetition_filter",
+    "q_robust_zscore",
+    "q_scalar_subquery",
+    "q_schema_evolution",
+    "q_ship_delay",
+    "q_stratified_sample",
+    "q_stream_replay",
+    "q_stream_session",
+    "q_stream_window",
+    "q_udtf_ngrams",
+    "q_unigram_nll",
+    # Rows-only self-certifying queries (in-query invariant raises,
+    # pytest-verified) — deliberately BELOW the window: a no_oracle
+    # driver row carries no signal.
+    "q_kmeans_refine",
+    "q_ivf_nprobe_curve",
+    "q_lake_vacuum",
+    "q_rerank_ann",
+    # Strong recent greens (r7/r8 heads), kept next for re-checks
+    # once the stale-evidence rotation completes.
     "q_token_budget_sample",
     "q_source_token_budget",
-    # Slot 3: REWORKED this round (r7 VERDICT ask #4) — retrieval and
-    # tokenization now read fingerprint-keyed at-rest stores
-    # (15 -> 5 exchanges, zero SMJ). Output is hash-identical by
-    # construction, re-verified at the head anyway.
     "q_rerank_candidates",
-    # Slots 4-10: the 7 oracle-backed queries ADDED this round
-    # (queries/round8.py) — k-means assignment + cluster-balanced
-    # reps, label propagation over the at-rest dup graph, epoch
-    # budgeting, n-gram diversity, embedding outliers, prefix
-    # boilerplate. All pre-flighted exact-match at sf0.001/0.01/0.1
-    # under the integer-key + output-type-gate discipline.
     "q_kmeans_assign",
     "q_cluster_reps",
     "q_label_propagation",
     "q_epoch_allocation",
-    "q_ngram_diversity",
-    "q_embedding_outliers",
-    "q_prefix_dedup",
-    # Slot 11: rows-only self-certifying Lloyd refinement (asserts
-    # the monotone-inertia invariant in-query).
-    "q_kmeans_refine",
-    # Slots 12-16: wave 2 oracle-backed additions (queries/round8b.py)
-    # — cross-lingual dup buckets, term burstiness, leave-one-source-
-    # out n-gram coverage, quality-vs-label calibration deciles, and
-    # the directional source-copy matrix. Same pre-flight discipline
-    # as slots 4-10.
-    "q_cross_lingual_dup",
-    "q_burstiness",
-    "q_heldout_coverage",
-    "q_quality_calibration",
-    "q_source_dedup_matrix",
-    # Slot 17: the capstone composition — semantic-cluster-balanced
-    # token-budget sampling (kmeans assignment x grouped prefix scan),
-    # exact-matched at sf0.001/0.01/0.1.
     "q_cluster_token_budget",
-    # Slots 18-19: rows-only self-certifying additions — the IVF
-    # recall curve (asserts monotone recall in nprobe and
-    # exhaustive-probe identity) and the lake VACUUM contract
-    # (asserts retention removal, snapshot/tag stability,
-    # pre-retention travel raise, idempotence).
-    "q_ivf_nprobe_curve",
-    "q_lake_vacuum",
-    # Slots 20-47: the 28 queries that earned their first driver-green
-    # rows in r7 — re-checked right behind the head so a regression on
-    # fresh testdata surfaces immediately.
-    "q_pareto_frontier",
-    "q_curriculum_order",
-    "q_dup_weight",
-    "q_split_leakage",
-    "q_dedup_clusters",
-    "q_chi2_terms",
-    "q_vocab_coverage",
-    "q_boilerplate_ngrams",
-    "q_length_histogram",
-    "q_normalization_impact",
-    "q_bigram_nll",
-    "q_rrf_fusion",
-    "q_source_overlap",
-    "q_dedup_threshold_sweep",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_chunk_dedup_rate",
-    "q_ngram_novelty",
-    "q_cluster_size_histogram",
-    "q_lake_zorder",
-    "q_tokenizer_fertility",
-    "q_pair_label_confusion",
-    "q_label_cohesion",
-    "q_dedup_savings",
-    "q_zipf_slope",
-    "q_variance_moments",
-    "q_correlation_moments",
-    "q_source_drift",
-    # Slots 48-50 (and beyond): strongest already-verified queries so
-    # a driver re-run on fresh testdata still re-checks real signal —
-    # ordered to cover every operator family (dedup, ANN, lake,
-    # streaming, stats, text, media, TPC-H).
+    "q_cross_lingual_dup",
+    "q_source_dedup_matrix",
     "q_winsorize",
-    "q_rerank_ann",
     "q_mmr_diversify",
-    "q_skipgram_pairs",
-    "q_stream_sliding",
-    "q_ann_index_maintenance",
-    "q_ndcg_eval",
-    "q_wilson_quality",
-    "q_lake_delete",
-    "q_target_encode",
-    "q_quantile_normalize",
-    "q_class_rebalance",
-    "q_decay_weighted",
-    "q_semantic_dedup",
-    "q_near_dup_pairs",
-    "q_corpus_curation",
-    "q_minhash_bands",
-    "q_embedding_dup_pairs",
-    "q_media_image_features",
-    "q_tfidf_top_terms",
-    "q_heavy_hitters",
-    "q_lake_skipping",
-    "q_time_travel",
-    "q_incremental_agg",
-    "q_stream_stateful",
-    "q_knn_cosine",
-    "q_pack_sequences",
-    "q_tpch_q1",
-    "q_delta_export",
-    "q_incremental_dedup",
-    "q_event_funnel",
-    "q_retention_cohorts",
-    "q_rfm_segments",
-    "q_gini",
-    "q_sketch_distinct",
-    "q_mv_rewrite",
-    "q_scd2_dimension",
-    "q_stream_left_join",
-    "q_sketch_quantiles",
-    "q_compression_ratio",
-    "q_interarrival_dist",
-    "q_changepoint",
-    "q_kaplan_meier",
-    "q_lorenz_points",
 ]
 
 

@@ -78,9 +78,21 @@ def test_every_registered_oracle_is_driver_type_safe(con):
 def test_priority_window_is_well_formed():
     """The driver verifies exactly the first 50 PRIORITY entries; the
     list must cover a full window, name only registered queries, and
-    contain no duplicates (r7 VERDICT ask #6)."""
+    contain no duplicates (r7 VERDICT ask #6). Since r9 every WINDOW
+    slot must also be oracle-backed (r8 VERDICT ask #1): a rows-only
+    query in the window can only ever produce a `no_oracle` driver
+    row, wasting the round's one hard external signal — rows-only
+    queries belong below slot 50 (their invariants raise in-query and
+    pytest runs them)."""
     q.load_all()
     assert len(q.PRIORITY) >= 50
     assert len(set(q.PRIORITY)) == len(q.PRIORITY), "duplicate PRIORITY entry"
     unknown = [n for n in q.PRIORITY if n not in q.QUERIES]
     assert not unknown, f"PRIORITY names not in registry: {unknown}"
+    window = list(q.QUERIES)[:50]
+    assert window == q.PRIORITY[:50]
+    rows_only = [n for n in window if n not in q.ORACLES]
+    assert not rows_only, (
+        f"rows-only queries inside the 50-slot driver window: "
+        f"{rows_only}"
+    )
