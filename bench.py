@@ -111,6 +111,12 @@ HEADLINE = [
     # the capstone composition: kmeans assignment x grouped prefix
     # scan — per-semantic-cluster token-budget sampling.
     "q_cluster_token_budget",
+    # round 9 additions: the substring-dedup lane's heavy shape (the
+    # stride-1 16-token window store: corpus-token-scale build on
+    # rep 1, hash-keyed aggregates after) and the language split over
+    # the at-rest verified-pair store.
+    "q_substring_dedup",
+    "q_lang_split",
 ]
 
 
