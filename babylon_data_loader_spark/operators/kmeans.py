@@ -46,6 +46,12 @@ from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.vectors import squared_l2
 
+#: codebooks up to this size embed as a literal array in the plan
+#: (zero-exchange assignment); larger ones (IVF coarse quantizers)
+#: fall back to a one-row collect_list broadcast so plan size stays
+#: bounded. Tests monkeypatch this to exercise the fallback.
+LITERAL_CODEBOOK_MAX = 1024
+
 
 def assign_clusters(
     vecs: DataFrame,
@@ -86,8 +92,12 @@ def assign_clusters(
     # coarse quantizers with k in the thousands) fall back to a
     # one-row collect_list broadcast: still a zero-shuffle projection
     # per vector, plus one O(k)-row exchange to form the array.
-    cb_rows = cents.select(cid_col, cent_col).limit(1025).collect()
-    if 0 < len(cb_rows) <= 1024:
+    cb_rows = (
+        cents.select(cid_col, cent_col)
+        .limit(LITERAL_CODEBOOK_MAX + 1)
+        .collect()
+    )
+    if 0 < len(cb_rows) <= LITERAL_CODEBOOK_MAX:
         codebook_col = F.array(
             *[
                 F.struct(
