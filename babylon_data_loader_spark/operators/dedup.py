@@ -154,11 +154,12 @@ def token_windows(
     equal hashes, catching copied passages that document-level exact
     and near dedup both miss (the suffix-array method's signal,
     re-expressed as a hash-keyed DataFrame the engine can shuffle).
-    Documents shorter than k contribute one whole-document window.
-    The table is corpus-token-scale (one row per token position),
-    which is why it lives behind the at-rest store and every consumer
-    is a map-combinable hash-keyed aggregate — nothing wider than
-    (id, 32-hex hash) ever shuffles."""
+    Documents shorter than k contribute one whole-document window at
+    sentinel position -1 (so span consumers can exclude them while
+    rate consumers keep them). The table is corpus-token-scale (one
+    row per token position), which is why it lives behind the at-rest
+    store and every consumer is a map-combinable hash-keyed aggregate
+    — nothing wider than (id, pos, 32-hex hash) ever shuffles."""
     tok = docs.select(
         F.col(id_col).alias("_id"),
         tokens(F.lower(F.col(text_col))).alias("_t"),
@@ -167,18 +168,31 @@ def token_windows(
         F.size("_t") >= k,
         F.transform(
             F.sequence(F.lit(0), F.size("_t") - k),
-            lambda j: F.md5(
-                F.concat_ws(
-                    " ", F.slice(F.col("_t"), j + F.lit(1), k)
-                ).cast("binary")
+            lambda j: F.struct(
+                j.cast("long").alias("_pos"),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("_t"), j + F.lit(1), k)
+                    ).cast("binary")
+                ).alias("_h"),
             ),
         ),
     ).otherwise(
         F.array(
-            F.md5(F.concat_ws(" ", F.col("_t")).cast("binary"))
+            F.struct(
+                F.lit(-1).cast("long").alias("_pos"),
+                F.md5(
+                    F.concat_ws(" ", F.col("_t")).cast("binary")
+                ).alias("_h"),
+            )
         )
     )
-    return tok.select("_id", F.explode(win).alias("_h"))
+    ex = tok.select("_id", F.explode(win).alias("_w"))
+    return ex.select(
+        "_id",
+        F.col("_w")["_pos"].alias("_pos"),
+        F.col("_w")["_h"].alias("_h"),
+    )
 
 
 def stored_token_windows(
@@ -197,7 +211,8 @@ def stored_token_windows(
     return get_or_build_parquet(
         docs,
         "tokwin",
-        f"k{k}",
+        # p1 = positioned layout (the pos-less k16 layout predates it)
+        f"k{k}p1",
         lambda: token_windows(docs, text_col, id_col, k),
     )
 

@@ -15,6 +15,13 @@ families the r8 review named as the remaining dedup/curation gaps.
   DISTINCT sources share them — breadth 1 is within-source re-crawl /
   internal repetition, breadth 2+ is cross-source republication or
   shared boilerplate.
+- ``q_dup_span_lengths``: histogram of MAXIMAL duplicated-span
+  lengths — consecutive duplicated window positions merged by
+  gaps-and-islands, recovering true span lengths from the 16-token
+  lower bound.
+- ``q_dup_span_coverage``: per-source fraction of token positions
+  inside some duplicated span (span union, no double counting) — the
+  headline "X% of the corpus is duplicated substring" statistic.
 - ``q_lang_split``: the per-language corpus split with cross-lingual
   dedup impact — for each language: docs, tokens, and what collapsing
   verified cross-language near-dup pairs (translation / template
@@ -79,9 +86,11 @@ _WIN_CTE = f"""
 
 
 def _windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h) window-hash table through the at-rest store,
+    """(doc_id, pos, h) window-hash table through the at-rest store,
     persisted for the query's duration (every consumer reads it at
-    least twice: once for the duplicate set, once for attribution)."""
+    least twice: once for the duplicate set, once for attribution).
+    pos is -1 for the whole-doc fallback window of sub-16-token
+    documents — span consumers filter it, rate consumers keep it."""
     from babylon_data_loader_spark.operators.dedup import (
         stored_token_windows,
     )
@@ -89,7 +98,9 @@ def _windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return persist_tracked(
         stored_token_windows(docs).select(
-            F.col("_id").alias("doc_id"), F.col("_h").alias("h")
+            F.col("_id").alias("doc_id"),
+            F.col("_pos").alias("pos"),
+            F.col("_h").alias("h"),
         )
     )
 
@@ -251,6 +262,170 @@ def q_substring_provenance(
             F.sum("occ").cast("long").alias("n_occurrences"),
         )
         .orderBy("n_sources")
+    )
+
+
+#: positioned windows over >=16-token documents plus their maximal
+#: duplicated-span islands (classic gaps-and-islands: consecutive
+#: duplicated positions grouped by pos - row_number). Span consumers
+#: exclude the whole-doc fallback windows (pos = -1) by construction.
+_WIN_POS_ISLANDS_CTE = f"""
+    WITH tokd AS (
+      SELECT doc_id, source, {_TOK} AS t FROM documents
+    ), w AS (
+      SELECT doc_id, source, u['pos'] AS pos, u['h'] AS h FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(t) - 15),
+                 j -> {{'pos': j - 1,
+                        'h': md5(array_to_string(t[j:j+15], ' '))}}))
+                 AS u
+        FROM tokd WHERE len(t) >= 16
+      )
+    ), dup AS (
+      SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1
+    ), isl AS (
+      SELECT doc_id, source,
+             CAST(MIN(pos) AS BIGINT) AS lo,
+             CAST(MAX(pos) AS BIGINT) AS hi
+      FROM (
+        SELECT w.doc_id, w.source, w.pos,
+               w.pos - ROW_NUMBER() OVER (
+                 PARTITION BY w.doc_id ORDER BY w.pos) AS g
+        FROM w JOIN dup d ON d.h = w.h
+      ) GROUP BY doc_id, source, g
+    )
+"""
+
+
+def _dup_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lo, hi) maximal duplicated-span islands per document
+    (>=16-token docs only): consecutive duplicated window positions
+    merged, so [lo, hi+15] is a maximal token span every piece of
+    which repeats corpus-wide. The per-doc Window is partitioned by
+    doc_id (data-scale cardinality — one task never sees more than
+    one document's positions)."""
+    from pyspark.sql import Window
+
+    win = _windows(spark, sf_dir).where(F.col("pos") >= 0)
+    dup = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        win.join(dup, "h")
+        .select("doc_id", "pos")
+        .withColumn("_g", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").cast("long").alias("lo"),
+            F.max("pos").cast("long").alias("hi"),
+        )
+        .drop("_g")
+    )
+
+
+@query(
+    "q_dup_span_lengths",
+    oracle=_WIN_POS_ISLANDS_CTE
+    + """
+    SELECT CAST(hi - lo + 16 AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM isl GROUP BY hi - lo + 16 ORDER BY span_len
+    """,
+)
+def q_dup_span_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of MAXIMAL duplicated-span lengths (tokens): window
+    hashes only lower-bound duplication at 16 tokens; merging
+    consecutive duplicated positions (gaps-and-islands over the
+    positioned window store) recovers the true span lengths — the
+    distribution Lee et al. report for ExactSubstr dedup. A 200-token
+    span shows up here as one 200-token island, not 185 anonymous
+    windows. Islands are per-doc-partitioned window arithmetic plus
+    one grouped min/max; output is O(distinct lengths)."""
+    isl = _dup_span_islands(spark, sf_dir)
+    return (
+        isl.select(
+            (F.col("hi") - F.col("lo") + F.lit(16))
+            .cast("long")
+            .alias("span_len"),
+            "doc_id",
+        )
+        .groupBy("span_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("span_len")
+    )
+
+
+@query(
+    "q_dup_span_coverage",
+    oracle=_WIN_POS_ISLANDS_CTE
+    + """
+    , per AS (
+      SELECT doc_id, source,
+             CAST(SUM(hi - lo + 16) AS BIGINT) AS covered
+      FROM isl GROUP BY doc_id, source
+    ), tot AS (
+      SELECT source,
+             CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM tokd WHERE len(t) >= 16 GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.total_tokens,
+           CAST(COALESCE(SUM(p.covered), 0) AS BIGINT)
+             AS covered_tokens,
+           CAST(COALESCE(SUM(p.covered), 0) AS DOUBLE)
+             / t.total_tokens AS coverage
+    FROM tot t LEFT JOIN per p ON p.source = t.source
+    GROUP BY t.source, t.n_docs, t.total_tokens
+    ORDER BY t.source
+    """,
+)
+def q_dup_span_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source duplicated-substring COVERAGE: the fraction of
+    token positions lying inside some maximal duplicated span — the
+    headline "X% of the corpus is duplicated substring" number of
+    ExactSubstr dedup (span UNION per doc, so overlapping windows
+    never double-count). Restricted to >=16-token documents on both
+    sides of the ratio. Reuses the island frame; the denominator is
+    one token-count aggregate over the documents scan."""
+    from babylon_data_loader_spark.functions.text import tokens as _tk
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tk(F.lower(F.col("text")))).cast("long").alias("_nt"),
+    ).where(F.col("_nt") >= 16)
+    isl = _dup_span_islands(spark, sf_dir)
+    per = isl.groupBy("doc_id").agg(
+        F.sum(F.col("hi") - F.col("lo") + F.lit(16))
+        .cast("long")
+        .alias("covered")
+    )
+    return (
+        sized.join(per, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("total_tokens"),
+            F.coalesce(F.sum("covered"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            (
+                F.coalesce(F.sum("covered"), F.lit(0)).cast("double")
+                / F.sum("_nt").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("source")
     )
 
 

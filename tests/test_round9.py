@@ -107,6 +107,41 @@ def test_substring_provenance_breadth(spark, tmp_path):
     assert rows[1]["n_occurrences"] == 2
 
 
+def test_dup_span_islands_merge_and_coverage(spark, tmp_path):
+    # docs 0 and 1 share a 20-token span then diverge (4 unique
+    # tokens each): windows at positions 0..4 are duplicated, the
+    # island merges them into ONE maximal 20-token span. doc 2 is a
+    # 10-token exact twin of doc 3 — substring-visible via the
+    # fallback window but EXCLUDED from span metrics (< 16 tokens).
+    span20 = " ".join(f"w{i}" for i in range(20))
+    tiny = "tiny twin body of ten whitespace tokens exactly here now"
+    docs = [
+        (0, span20 + " a1 a2 a3 a4", "s1", "s1"),
+        (1, span20 + " b1 b2 b3 b4", "s1", "s2"),
+        (2, tiny, "en", "s3"),
+        (3, tiny, "en", "s3"),
+    ]
+    sf = _write(spark, tmp_path, [(i, t, "en", s) for i, t, _, s in docs])
+    lengths = {
+        r["span_len"]: r
+        for r in Q.QUERIES["q_dup_span_lengths"](spark, sf).collect()
+    }
+    assert set(lengths) == {20}
+    assert lengths[20]["n_spans"] == 2
+    assert lengths[20]["n_docs"] == 2
+    cov = {
+        r["source"]: r
+        for r in Q.QUERIES["q_dup_span_coverage"](spark, sf).collect()
+    }
+    # 20 of 24 tokens covered in each long doc; the tiny twins are
+    # absent from the coverage universe entirely
+    assert cov["s1"]["total_tokens"] == 24
+    assert cov["s1"]["covered_tokens"] == 20
+    assert cov["s1"]["coverage"] == pytest.approx(20 / 24)
+    assert cov["s2"]["covered_tokens"] == 20
+    assert "s3" not in cov
+
+
 _DUP = "the quick brown fox jumps over the lazy dog tonight"
 
 
