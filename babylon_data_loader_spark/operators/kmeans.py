@@ -7,12 +7,13 @@ space. Everything here is DataFrame-native:
 
 - **assign**: nearest-centroid by squared L2 — the k×dim codebook
   collapses to ONE broadcast row holding an array of (cid, centroid)
-  structs, and each vector's argmin is an `F.aggregate` fold over
-  that array: a zero-exchange projection, so assignment shuffles
-  NOTHING — the property that matters when the codebook is an IVF
-  coarse quantizer with thousands of centroids. (The r8 version
-  ranked N×k scored rows through an id-partitioned window: an
-  N×k-row shuffle.)
+  structs, and each vector's argmin is `array_min` over a scored
+  copy of that array: a per-row projection, so per-vector work
+  shuffles NOTHING (the only exchange is the O(k)-row collect_list
+  feeding the broadcast) — the property that matters when the
+  codebook is an IVF coarse quantizer with thousands of centroids.
+  (The r8 version ranked N×k scored rows through an id-partitioned
+  window: an N×k-row shuffle.)
 - **update**: new centroids are per-dimension means — posexplode to
   (cid, dim, value) and ONE map-combinable grouped average; k×dim
   result rows are codebook-scale (driver-safe metadata, the same
@@ -46,12 +47,6 @@ from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.vectors import squared_l2
 
-#: codebooks up to this size embed as a literal array in the plan
-#: (zero-exchange assignment); larger ones (IVF coarse quantizers)
-#: fall back to a one-row collect_list broadcast so plan size stays
-#: bounded. Tests monkeypatch this to exercise the fallback.
-LITERAL_CODEBOOK_MAX = 1024
-
 
 def assign_clusters(
     vecs: DataFrame,
@@ -67,15 +62,23 @@ def assign_clusters(
     minimizes (dist_e9, cid) lexicographically — e9-quantized BIGINT
     key first, smallest-cid tiebreak — so the assignment is
     deterministic and engine-stable. The codebook collapses to ONE
-    broadcast row holding an array of (cid, centroid) structs and the
-    argmin is a per-row ``F.aggregate`` fold over that array: a pure
-    projection, ZERO exchanges, no per-vector grouping — shuffle
-    volume is independent of both N and k, which is what matters when
-    the codebook is an IVF coarse quantizer with thousands of
+    broadcast row holding an array of (cid, centroid) structs, and
+    each vector's argmin is ``array_min`` over a scored copy of that
+    array (struct ordering IS the tiebreak): a per-row projection, no
+    per-vector grouping — the only exchange anywhere is the O(k)-row
+    collect_list feeding the broadcast, so shuffle volume is
+    independent of N and constant-bounded in k, which is what matters
+    when the codebook is an IVF coarse quantizer with thousands of
     centroids. (The r8 version ranked N×k scored rows through an
-    id-partitioned window: an N×k-row shuffle.) The fold's total
-    order makes the result independent of the codebook array's
-    collect order.
+    id-partitioned window: an N×k-row shuffle.)
+
+    The scoring runs as TWO nested transforms so the distance
+    aggregate is materialized once per centroid before the ranking
+    struct references it — Catalyst does no common-subexpression
+    elimination inside lambda bodies, and a single-pass formulation
+    that mentions ``dist`` several times re-expands the whole
+    zip_with/aggregate tree per mention (measured ~2× slower plus a
+    much larger plan to compile per call).
 
     Magnitude precondition: the e9 grid is exact only while dist·1e9
     stays within the double-integer range (2^53), i.e. squared
@@ -83,51 +86,13 @@ def assign_clusters(
     normalized-embedding geometry). Larger distances would lose
     integrality and could flip the deterministic argmin, so the
     quantizer raises instead of silently degrading."""
-    cid_dt = cents.schema[cid_col].dataType.simpleString()
-    # The codebook is driver-held metadata by design (k×dim scalars —
-    # the same materialization the IVF/PQ trainers make). Collecting
-    # it lets the argmin run over a LITERAL array: no broadcast join
-    # build job, no collect_list exchange — the assign plan is scan →
-    # project. Codebooks past the literal-plan comfort zone (IVF
-    # coarse quantizers with k in the thousands) fall back to a
-    # one-row collect_list broadcast: still a zero-shuffle projection
-    # per vector, plus one O(k)-row exchange to form the array.
-    cb_rows = (
-        cents.select(cid_col, cent_col)
-        .limit(LITERAL_CODEBOOK_MAX + 1)
-        .collect()
-    )
-    if 0 < len(cb_rows) <= LITERAL_CODEBOOK_MAX:
-        codebook_col = F.array(
-            *[
-                F.struct(
-                    F.lit(r[0]).cast(cid_dt).alias("cid"),
-                    F.lit([float(x) for x in r[1]]).alias(
-                        "centroid"
-                    ),
-                )
-                for r in sorted(cb_rows, key=lambda r: r[0])
-            ]
-        )
-        with_codebook = vecs.select(id_col, vec_col).withColumn(
-            "_codebook", codebook_col
-        )
-    else:
-        codebook = cents.agg(
-            F.collect_list(
-                F.struct(
-                    F.col(cid_col).alias("cid"),
-                    F.col(cent_col).alias("centroid"),
-                )
-            ).alias("_codebook")
-        )
-        with_codebook = vecs.select(id_col, vec_col).crossJoin(
-            F.broadcast(codebook)
-        )
-    init = F.struct(
-        F.lit(None).cast("bigint").alias("dist_e9"),
-        F.lit(None).cast(cid_dt).alias("cid"),
-        F.lit(None).cast("double").alias("dist"),
+    codebook = cents.agg(
+        F.collect_list(
+            F.struct(
+                F.col(cid_col).alias("cid"),
+                F.col(cent_col).alias("centroid"),
+            )
+        ).alias("_codebook")
     )
 
     def _quantize(d):
@@ -146,28 +111,27 @@ def assign_clusters(
             ).cast("bigint")
         )
 
-    def _step(acc, cent):
-        d = F.round(
-            squared_l2(F.col(vec_col), cent["centroid"]), 9
-        )
-        cand = F.struct(
-            _quantize(d).alias("dist_e9"),
-            cent["cid"].alias("cid"),
-            d.alias("dist"),
-        )
-        better = (
-            acc["dist_e9"].isNull()
-            | (cand["dist_e9"] < acc["dist_e9"])
-            | (
-                (cand["dist_e9"] == acc["dist_e9"])
-                & (cand["cid"] < acc["cid"])
-            )
-        )
-        return F.when(better, cand).otherwise(acc)
-
-    best = with_codebook.select(
-        id_col,
-        F.aggregate(F.col("_codebook"), init, _step).alias("_best"),
+    scored = F.transform(
+        F.col("_codebook"),
+        lambda c: F.struct(
+            F.round(
+                squared_l2(F.col(vec_col), c["centroid"]), 9
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    ranked = F.transform(
+        scored,
+        lambda s: F.struct(
+            _quantize(s["dist"]).alias("dist_e9"),
+            s["cid"].alias("cid"),
+            s["dist"].alias("dist"),
+        ),
+    )
+    best = (
+        vecs.select(id_col, vec_col)
+        .crossJoin(F.broadcast(codebook))
+        .select(id_col, F.array_min(ranked).alias("_best"))
     )
     return best.select(
         id_col,

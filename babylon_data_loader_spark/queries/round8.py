@@ -23,9 +23,10 @@ epoch budgeting, and n-gram diversity.
 - ``q_prefix_dedup``: shared-prefix (first-8-token) boilerplate
   groups — crawl header/footer detection by md5 group keys.
 
-Scale notes: the codebook is k x dim driver scalars (the IVF/PQ
-pattern); assignment is a literal-codebook argmin fold — a
-zero-exchange projection, nothing shuffles; centroid updates are one
+Scale notes: the codebook collapses to one broadcast collect_list row
+(k x dim); assignment is a per-row array_min over a scored copy of
+that array — no per-vector shuffle, only the O(k)-row codebook
+exchange; centroid updates are one
 map-combinable grouped average; label propagation shuffles bare
 (id, label) pairs over the at-rest pair store; everything else is
 single-aggregate scans. Numerics follow the cross-engine rules:
@@ -105,10 +106,10 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic codebook — per-cluster membership counts and
     inertia, the partition SemDeDup / IVF training reads first.
     Assignment is operators/kmeans.py::assign_clusters: the k x dim
-    codebook embeds as a literal struct array, distances are
+    codebook broadcasts as ONE collect_list row, distances are
     rounded-9 doubles minimized on their e9 BIGINT quantization with
-    a smallest-cid tiebreak in a per-row fold — a zero-exchange
-    projection, nothing shuffles. Inertia follows the
+    a smallest-cid tiebreak via per-row array_min — no per-vector
+    shuffle, only the O(k)-row codebook exchange. Inertia follows the
     round-to-grid-then-DECIMAL rule, so every output value is
     bit-stable across engines and partitionings."""
     from babylon_data_loader_spark.operators.kmeans import (

@@ -78,8 +78,15 @@ BNLJ_ALLOWED = {
     "q_rrf_fusion",          # single-row query vector broadcast
     "q_dedup_threshold_sweep",  # 4-row threshold dimension broadcast
     "q_epoch_allocation",    # one-row (total, n_sources) scalar
-    # (the k-means family left this list in r9: assignment became a
-    # literal-codebook projection, no join at all)
+    # k-means family: assignment broadcasts the codebook as ONE
+    # collect_list row (array of k structs) — the literal-codebook
+    # alternative was measured slower per fresh plan (512-literal
+    # plan compile + a per-call driver collect job)
+    "q_kmeans_assign",       # one-row collected codebook
+    "q_cluster_reps",        # same one-row codebook
+    "q_kmeans_refine",       # same codebook per Lloyd iteration
+    "q_cluster_token_budget",  # same one-row codebook
+    "q_token_budget_by_lang",  # one-row token-total scalar
 }
 
 # Every BNLJ build side must be metadata-scale: the largest sanctioned

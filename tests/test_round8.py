@@ -55,32 +55,6 @@ def test_assign_distance_values(spark):
     assert row["dist_e9"] == 25_000_000_000
 
 
-def test_assign_broadcast_fallback_matches_literal_path(
-    spark, monkeypatch
-):
-    """Codebooks past LITERAL_CODEBOOK_MAX take the one-row
-    collect_list broadcast path; it must produce exactly the literal
-    path's assignment (same fold, same tiebreaks)."""
-    import babylon_data_loader_spark.operators.kmeans as km
-
-    vecs = _vecs(
-        spark,
-        [(i, [float(i % 7), float(i % 3)]) for i in range(40)],
-    )
-    cents = _cents(
-        spark,
-        [(0, [-1.0, 0.0]), (1, [1.0, 0.0]), (2, [5.0, 2.0])],
-    )
-    lit_rows = sorted(
-        tuple(r) for r in assign_clusters(vecs, cents).collect()
-    )
-    monkeypatch.setattr(km, "LITERAL_CODEBOOK_MAX", 0)
-    fb_rows = sorted(
-        tuple(r) for r in km.assign_clusters(vecs, cents).collect()
-    )
-    assert fb_rows == lit_rows
-
-
 def test_assign_raises_beyond_e9_grid(spark):
     """Squared distances past the exact e9 quantization grid must
     raise instead of silently degrading the deterministic argmin
