@@ -81,14 +81,15 @@ PRIORITY: list[str] = [
     "q_dedup_key",
     "q_strict_date_parse",
     "q_point_lookup",
-    # Slots 5-12: the 8 queries ADDED this round (queries/round9.py)
+    # Slots 5-14: the 10 queries ADDED this round (queries/round9.py)
     # — substring-level exact dedup over the stride-1 16-token window
     # store (Lee et al. ExactSubstr signal: per-source rates, the
     # strip-or-drop doc worklist, provenance breadth) and the
     # language-axis split (cross-lingual dedup impact, the
     # directional lang matrix, the 40%-capped language token budget),
     # plus the gaps-and-islands span metrics (maximal duplicated-span
-    # length histogram, per-source duplicated-substring coverage).
+    # length histogram, per-source duplicated-substring coverage),
+    # the ExactSubstr STRIP step, and dedup-adjusted token budgeting.
     # Pre-flighted exact-match at sf0.001/0.01/0.1 under the
     # integer-key + output-type-gate discipline.
     "q_substring_dedup",
@@ -99,7 +100,9 @@ PRIORITY: list[str] = [
     "q_lang_split",
     "q_lang_dup_matrix",
     "q_token_budget_by_lang",
-    # Slots 13-22: the r1 text-analysis family — the OLDEST driver
+    "q_substring_strip",
+    "q_dedup_adjusted_budget",
+    # Slots 15-24: the r1 text-analysis family — the OLDEST driver
     # evidence in the registry (round 1) — re-witnessed on current
     # testdata.
     "q_text_stats",
@@ -112,7 +115,7 @@ PRIORITY: list[str] = [
     "q_simhash",
     "q_dedup_exact_text",
     "q_tpch_q6",
-    # Slots 23-50: twenty-eight r2-era queries (sources/casting/normalize
+    # Slots 25-50: twenty-six r2-era queries (sources/casting/normalize
     # pipeline surface, API query twins, window + aggregation
     # breadth) — the §2 S/P/Q/A/O rows' correctness column refreshed
     # on current data.
@@ -142,13 +145,13 @@ PRIORITY: list[str] = [
     "q_set_ops",
     "q_histogram",
     "q_pivot",
-    "q_unpivot",
-    "q_rollup",
     # --- end of the 50-slot driver window ---
     # Slots 51+: the r10 rotation queue, oldest evidence first — the
     # remaining r2 set, then the r3 families. The driver does not
     # read past slot 50; this ordering just makes the next round's
     # backfill a head-truncation instead of a rewrite.
+    "q_unpivot",
+    "q_rollup",
     "q_cube",
     "q_grouping_sets",
     "q_asof_join",

@@ -22,6 +22,12 @@ families the r8 review named as the remaining dedup/curation gaps.
 - ``q_dup_span_coverage``: per-source fraction of token positions
   inside some duplicated span (span union, no double counting) — the
   headline "X% of the corpus is duplicated substring" statistic.
+- ``q_substring_strip``: the STRIP step itself — duplicated-span
+  token positions removed per document, digests + before/after
+  counts (the aggressive both-copies preview).
+- ``q_dedup_adjusted_budget``: token budgeting on deduplicated
+  masses — effective tokens = raw − span-covered, so boilerplate
+  volume cannot buy epochs.
 - ``q_lang_split``: the per-language corpus split with cross-lingual
   dedup impact — for each language: docs, tokens, and what collapsing
   verified cross-language near-dup pairs (translation / template
@@ -424,6 +430,178 @@ def q_dup_span_coverage(
                 F.coalesce(F.sum("covered"), F.lit(0)).cast("double")
                 / F.sum("_nt").cast("double")
             ).alias("coverage"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_substring_strip",
+    oracle=_WIN_POS_ISLANDS_CTE
+    + """
+    , sp AS (
+      SELECT doc_id, list({'lo': lo, 'hi': hi}) AS spans
+      FROM isl GROUP BY doc_id
+    ), joined AS (
+      SELECT b.doc_id, b.t,
+             COALESCE(s.spans,
+                      CAST([] AS STRUCT(lo BIGINT, hi BIGINT)[]))
+               AS spans
+      FROM (SELECT doc_id, t FROM tokd WHERE len(t) >= 16) b
+      LEFT JOIN sp s USING (doc_id)
+    ), stripped AS (
+      SELECT doc_id, t,
+             list_filter(t, (x, i) ->
+               len(list_filter(spans, s ->
+                 s.lo <= i - 1 AND i - 1 <= s.hi + 15)) = 0) AS kept
+      FROM joined
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_before,
+           CAST(len(kept) AS BIGINT) AS n_after,
+           CASE WHEN len(kept) = 0 THEN NULL
+                ELSE md5(array_to_string(kept, ' ')) END AS digest
+    FROM stripped ORDER BY doc_id
+    """,
+)
+def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STRIP step of ExactSubstr dedup: remove every token
+    position lying inside a maximal duplicated span and emit the
+    per-document before/after token counts plus an md5 digest of the
+    stripped text (digest, not the text itself, so output width stays
+    constant at any document size). This is the aggressive both-copies
+    preview — an upper bound on removal; production pipelines keep one
+    owner copy per span, which composes from q_lang_dup_matrix-style
+    ownership. Token filtering is one indexed-lambda projection per
+    doc against its own O(islands) span list (broadcast-free: the
+    span list rides a doc_id-keyed join); >=16-token docs only."""
+    from babylon_data_loader_spark.functions.text import tokens as _tk
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", _tk(F.lower(F.col("text"))).alias("_t")
+    ).where(F.size("_t") >= 16)
+    spans = (
+        _dup_span_islands(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("lo", "hi")).alias("_spans"))
+    )
+    empty = F.array().cast("array<struct<lo:bigint,hi:bigint>>")
+    joined = base.join(spans, "doc_id", "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), empty)
+    )
+    kept = F.filter(
+        F.col("_t"),
+        lambda x, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (s["lo"] <= i) & (i <= s["hi"] + F.lit(15)),
+        ),
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.size("_t").cast("long").alias("n_before"),
+            F.size(kept).cast("long").alias("n_after"),
+            # a fully-stripped doc has NO digest (NULL on both
+            # engines) rather than md5("")
+            F.when(
+                F.size(kept) > 0,
+                F.md5(F.concat_ws(" ", kept).cast("binary")),
+            ).alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_dedup_adjusted_budget",
+    oracle=_WIN_POS_ISLANDS_CTE
+    + """
+    , cov AS (
+      SELECT source, CAST(SUM(hi - lo + 16) AS BIGINT) AS covered
+      FROM isl GROUP BY source
+    ), per AS (
+      SELECT source, CAST(SUM(len(t)) AS BIGINT) AS nt
+      FROM tokd GROUP BY source
+    ), eff AS (
+      SELECT p.source, p.nt,
+             COALESCE(c.covered, 0) AS covered,
+             p.nt - COALESCE(c.covered, 0) AS effective
+      FROM per p LEFT JOIN cov c USING (source)
+    ), tot AS (
+      SELECT CAST(SUM(effective) AS BIGINT) AS budget FROM eff
+    )
+    SELECT e.source, e.nt AS n_tokens,
+           CAST(e.covered AS BIGINT) AS covered_tokens,
+           CAST(e.effective AS BIGINT) AS effective_tokens,
+           CAST(2 * t.budget // 5 AS BIGINT) AS source_cap,
+           CAST(LEAST(2 * t.budget // 5, 4 * e.effective)
+                AS BIGINT) AS allocated
+    FROM eff e, tot t ORDER BY e.source
+    """,
+)
+def q_dedup_adjusted_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token budgeting on DEDUP-ADJUSTED masses: each source's
+    effective tokens are its raw count minus the positions covered by
+    duplicated spans (q_dup_span_coverage's numerator), so a source
+    whose volume is mostly republished boilerplate cannot buy epochs
+    with it. Budget = the deduped corpus (1x), per-source cap = 40%
+    anti-dominance, up to 4 epochs of effective tokens — the
+    composition a curation pipeline actually schedules from. Pure
+    BIGINT floor arithmetic over the island frame + one single-row
+    broadcast."""
+    from babylon_data_loader_spark.functions.text import tokens as _tk
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    cov = (
+        _dup_span_islands(spark, sf_dir)
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("hi") - F.col("lo") + F.lit(16))
+            .cast("long")
+            .alias("covered")
+        )
+    )
+    per = (
+        docs.select(
+            "source",
+            F.size(_tk(F.lower(F.col("text"))))
+            .cast("long")
+            .alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_nt").cast("long").alias("nt"))
+    )
+    eff = persist_tracked(
+        per.join(cov, "source", "left").select(
+            "source",
+            "nt",
+            F.coalesce("covered", F.lit(0))
+            .cast("long")
+            .alias("covered"),
+            (
+                F.col("nt")
+                - F.coalesce("covered", F.lit(0)).cast("long")
+            ).alias("effective"),
+        )
+    )
+    tot = eff.agg(F.sum("effective").cast("long").alias("budget"))
+    cap = F.expr("2 * budget div 5")
+    return (
+        eff.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("nt").alias("n_tokens"),
+            F.col("covered").alias("covered_tokens"),
+            F.col("effective").alias("effective_tokens"),
+            cap.alias("source_cap"),
+            F.least(cap, F.lit(4) * F.col("effective")).alias(
+                "allocated"
+            ),
         )
         .orderBy("source")
     )

@@ -87,6 +87,7 @@ BNLJ_ALLOWED = {
     "q_kmeans_refine",       # same codebook per Lloyd iteration
     "q_cluster_token_budget",  # same one-row codebook
     "q_token_budget_by_lang",  # one-row token-total scalar
+    "q_dedup_adjusted_budget",  # one-row deduped-budget scalar
 }
 
 # Every BNLJ build side must be metadata-scale: the largest sanctioned

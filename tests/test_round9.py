@@ -142,6 +142,57 @@ def test_dup_span_islands_merge_and_coverage(spark, tmp_path):
     assert "s3" not in cov
 
 
+def test_substring_strip_and_adjusted_budget(spark, tmp_path):
+    # docs 0/1 share a 20-token span (covered 20 of 24); doc 2 is 40
+    # unique tokens. Strip keeps exactly the unique suffixes; the
+    # dedup-adjusted budget allocates from effective masses:
+    # eff = (4, 4, 40), budget 48, cap = 2*48 div 5 = 19,
+    # s1 alloc = min(19, 16) = 16 (UNcapped), s3 = min(19, 160) = 19.
+    span20 = " ".join(f"w{i}" for i in range(20))
+    docs = [
+        (0, span20 + " a1 a2 a3 a4", "en", "s1"),
+        (1, span20 + " b1 b2 b3 b4", "en", "s2"),
+        (2, " ".join(f"u{i}" for i in range(40)), "en", "s3"),
+    ]
+    sf = _write(spark, tmp_path, docs)
+    strip = {
+        r["doc_id"]: r
+        for r in Q.QUERIES["q_substring_strip"](spark, sf).collect()
+    }
+    import hashlib
+
+    assert strip[0]["n_before"] == 24 and strip[0]["n_after"] == 4
+    assert (
+        strip[0]["digest"]
+        == hashlib.md5(b"a1 a2 a3 a4").hexdigest()
+    )
+    assert strip[2]["n_after"] == 40  # untouched
+
+    bud = {
+        r["source"]: r
+        for r in Q.QUERIES["q_dedup_adjusted_budget"](
+            spark, sf
+        ).collect()
+    }
+    assert bud["s1"]["covered_tokens"] == 20
+    assert bud["s1"]["effective_tokens"] == 4
+    assert bud["s1"]["source_cap"] == 19
+    assert bud["s1"]["allocated"] == 16
+    assert bud["s3"]["allocated"] == 19
+
+
+def test_strip_fully_duplicated_doc_has_null_digest(spark, tmp_path):
+    twin = " ".join(f"t{i}" for i in range(16))
+    docs = [(0, twin, "en", "s1"), (1, twin, "en", "s2")]
+    sf = _write(spark, tmp_path, docs)
+    rows = {
+        r["doc_id"]: r
+        for r in Q.QUERIES["q_substring_strip"](spark, sf).collect()
+    }
+    assert rows[0]["n_after"] == 0
+    assert rows[0]["digest"] is None
+
+
 _DUP = "the quick brown fox jumps over the lazy dog tonight"
 
 
