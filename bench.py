@@ -117,6 +117,9 @@ HEADLINE = [
     # the at-rest verified-pair store.
     "q_substring_dedup",
     "q_lang_split",
+    # the strip lane: per-doc indexed-lambda span removal over the
+    # island frame — the round's third distinct new shape.
+    "q_substring_strip",
 ]
 
 
