@@ -126,3 +126,16 @@ def test_headline_plans_clean(spark):
         plan = AP.explain_formatted(queries[name](spark, sf_dir))
         findings.extend(AP.audit_plan(name, plan))
     assert findings == []
+
+
+def test_bnlj_build_rows_measures_broadcast_side(spark):
+    """The runtime BNLJ bound check must report the actual broadcast
+    build-side row count: a 1-row scalar crossJoin measures 1; a plan
+    with no BNLJ measures nothing."""
+    big = spark.range(100).toDF("id")
+    one = spark.range(49, 50).selectExpr("id as threshold")
+    df = big.crossJoin(F.broadcast(one)).where("id > threshold")
+    rows = AP.bnlj_build_rows(df)
+    assert rows == [1], rows
+    plain = big.selectExpr("sum(id) as s")
+    assert AP.bnlj_build_rows(plain) == []
