@@ -20,8 +20,11 @@ families the r8 review named as the remaining dedup/curation gaps.
   gaps-and-islands, recovering true span lengths from the 16-token
   lower bound.
 - ``q_dup_span_coverage``: per-source fraction of token positions
-  inside some duplicated span (span union, no double counting) — the
-  headline "X% of the corpus is duplicated substring" statistic.
+  inside some duplicated span — the exact interval UNION: islands
+  whose token extents [lo, hi+15] overlap are merged before summing
+  (``_merged_token_spans``), so no double counting and coverage
+  <= 1.0 — the headline "X% of the corpus is duplicated substring"
+  statistic.
 - ``q_substring_strip``: the STRIP step itself — duplicated-span
   token positions removed per document, digests + before/after
   counts (the aggressive both-copies preview).
@@ -333,6 +336,71 @@ def _dup_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: islands re-merged on TOKEN-extent overlap. An island's token
+#: extent is [lo, hi+15], so two islands whose WINDOW positions are
+#: 1-15 apart still overlap in tokens (dup windows at positions 0 and
+#: 10 only cover 26 tokens, not 32). Classic interval merge: per doc,
+#: in lo order, a new group starts when lo clears the running max hi
+#: by more than 15; the merged intervals are pairwise token-disjoint,
+#: so SUM(hi - lo + 16) is the exact interval-union length.
+_MERGED_CTE = """
+    , mrg AS (
+      SELECT doc_id, source,
+             CAST(MIN(lo) AS BIGINT) AS lo,
+             CAST(MAX(hi) AS BIGINT) AS hi
+      FROM (
+        SELECT doc_id, source, lo, hi,
+               SUM(CASE WHEN prev_hi IS NULL OR lo > prev_hi + 15
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY lo) AS mg
+        FROM (
+          SELECT doc_id, source, lo, hi,
+                 MAX(hi) OVER (PARTITION BY doc_id ORDER BY lo
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING) AS prev_hi
+          FROM isl
+        )
+      ) GROUP BY doc_id, source, mg
+    )
+"""
+
+
+def _merged_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lo, hi) islands merged wherever their TOKEN extents
+    [lo, hi+15] overlap (next.lo <= prev.hi + 15): the output
+    intervals are pairwise token-disjoint per doc, so summing
+    hi - lo + 16 computes the exact union of duplicated token
+    positions — never double-counting windows 1-15 positions apart.
+    Same per-doc Window partitioning as the islands themselves (the
+    running-max + cumulative-flag interval merge reuses the one
+    doc_id sort)."""
+    from pyspark.sql import Window
+
+    isl = _dup_span_islands(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("lo")
+    prev_hi = F.max("hi").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        isl.withColumn("_ph", prev_hi)
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_ph").isNull()
+                | (F.col("lo") > F.col("_ph") + F.lit(15)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("_mg", F.sum("_new").over(w))
+        .groupBy("doc_id", "_mg")
+        .agg(
+            F.min("lo").cast("long").alias("lo"),
+            F.max("hi").cast("long").alias("hi"),
+        )
+        .drop("_mg")
+    )
+
+
 @query(
     "q_dup_span_lengths",
     oracle=_WIN_POS_ISLANDS_CTE
@@ -372,11 +440,12 @@ def q_dup_span_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dup_span_coverage",
     oracle=_WIN_POS_ISLANDS_CTE
+    + _MERGED_CTE
     + """
     , per AS (
       SELECT doc_id, source,
              CAST(SUM(hi - lo + 16) AS BIGINT) AS covered
-      FROM isl GROUP BY doc_id, source
+      FROM mrg GROUP BY doc_id, source
     ), tot AS (
       SELECT source,
              CAST(SUM(len(t)) AS BIGINT) AS total_tokens,
@@ -399,10 +468,15 @@ def q_dup_span_coverage(
     """Per-source duplicated-substring COVERAGE: the fraction of
     token positions lying inside some maximal duplicated span — the
     headline "X% of the corpus is duplicated substring" number of
-    ExactSubstr dedup (span UNION per doc, so overlapping windows
-    never double-count). Restricted to >=16-token documents on both
-    sides of the ratio. Reuses the island frame; the denominator is
-    one token-count aggregate over the documents scan."""
+    ExactSubstr dedup. Islands are first re-merged on TOKEN-extent
+    overlap (_merged_token_spans), so two islands 1-15 window
+    positions apart — whose [lo, hi+15] token extents intersect —
+    count their union once, never twice: covered_tokens is the exact
+    interval-union size and coverage can never exceed 1.0 (it equals
+    q_substring_strip's per-position removal count by construction).
+    Restricted to >=16-token documents on both sides of the ratio.
+    The denominator is one token-count aggregate over the documents
+    scan."""
     from babylon_data_loader_spark.functions.text import tokens as _tk
 
     docs = load_table(spark, sf_dir, "documents")
@@ -411,7 +485,7 @@ def q_dup_span_coverage(
         "source",
         F.size(_tk(F.lower(F.col("text")))).cast("long").alias("_nt"),
     ).where(F.col("_nt") >= 16)
-    isl = _dup_span_islands(spark, sf_dir)
+    isl = _merged_token_spans(spark, sf_dir)
     per = isl.groupBy("doc_id").agg(
         F.sum(F.col("hi") - F.col("lo") + F.lit(16))
         .cast("long")
@@ -516,10 +590,11 @@ def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_adjusted_budget",
     oracle=_WIN_POS_ISLANDS_CTE
+    + _MERGED_CTE
     + """
     , cov AS (
       SELECT source, CAST(SUM(hi - lo + 16) AS BIGINT) AS covered
-      FROM isl GROUP BY source
+      FROM mrg GROUP BY source
     ), per AS (
       SELECT source, CAST(SUM(len(t)) AS BIGINT) AS nt
       FROM tokd GROUP BY source
@@ -545,19 +620,20 @@ def q_dedup_adjusted_budget(
 ) -> DataFrame:
     """Token budgeting on DEDUP-ADJUSTED masses: each source's
     effective tokens are its raw count minus the positions covered by
-    duplicated spans (q_dup_span_coverage's numerator), so a source
-    whose volume is mostly republished boilerplate cannot buy epochs
-    with it. Budget = the deduped corpus (1x), per-source cap = 40%
-    anti-dominance, up to 4 epochs of effective tokens — the
-    composition a curation pipeline actually schedules from. Pure
-    BIGINT floor arithmetic over the island frame + one single-row
-    broadcast."""
+    duplicated spans (q_dup_span_coverage's numerator — the merged
+    interval-UNION, so overlapping token extents never double-count
+    and effective can never go negative), so a source whose volume is
+    mostly republished boilerplate cannot buy epochs with it. Budget =
+    the deduped corpus (1x), per-source cap = 40% anti-dominance, up
+    to 4 epochs of effective tokens — the composition a curation
+    pipeline actually schedules from. Pure BIGINT floor arithmetic
+    over the merged-span frame + one single-row broadcast."""
     from babylon_data_loader_spark.functions.text import tokens as _tk
 
     docs = load_table(spark, sf_dir, "documents")
     src = docs.select("doc_id", "source")
     cov = (
-        _dup_span_islands(spark, sf_dir)
+        _merged_token_spans(spark, sf_dir)
         .join(src, "doc_id")
         .groupBy("source")
         .agg(

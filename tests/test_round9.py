@@ -142,6 +142,49 @@ def test_dup_span_islands_merge_and_coverage(spark, tmp_path):
     assert "s3" not in cov
 
 
+def test_coverage_interval_union_no_double_count(spark, tmp_path):
+    # THE r9-advice planted case: dup windows at positions 0 and 10
+    # ONLY. Doc 0 is a0..a25 (26 tokens, windows 0..10); doc 1 is
+    # a0..a15 + sep + a10..a25, so exactly doc-0 windows 0 and 10
+    # repeat. Their token extents [0,15] and [10,25] OVERLAP: the
+    # interval union is 26 tokens — per-island summing would claim
+    # 32 and put coverage above 1.0.
+    a = [f"a{i}" for i in range(26)]
+    docs = [
+        (0, " ".join(a), "en", "s1"),
+        (1, " ".join(a[0:16] + ["sep"] + a[10:26]), "en", "s2"),
+    ]
+    sf = _write(spark, tmp_path, docs)
+    cov = {
+        r["source"]: r
+        for r in Q.QUERIES["q_dup_span_coverage"](spark, sf).collect()
+    }
+    assert cov["s1"]["total_tokens"] == 26
+    assert cov["s1"]["covered_tokens"] == 26  # union, not 32
+    assert cov["s1"]["coverage"] == pytest.approx(1.0)
+    # doc 1: dup windows at 0 and 17 -> extents [0,15] and [17,32]
+    # are disjoint -> 32 of 33 covered (only "sep" survives)
+    assert cov["s2"]["total_tokens"] == 33
+    assert cov["s2"]["covered_tokens"] == 32
+    # coverage == strip removal, per construction
+    strip = {
+        r["doc_id"]: r
+        for r in Q.QUERIES["q_substring_strip"](spark, sf).collect()
+    }
+    assert strip[0]["n_before"] - strip[0]["n_after"] == 26
+    assert strip[0]["digest"] is None  # fully stripped
+    assert strip[1]["n_before"] - strip[1]["n_after"] == 32
+    # dedup-adjusted budget: effective = nt - union-covered >= 0
+    bud = {
+        r["source"]: r
+        for r in Q.QUERIES["q_dedup_adjusted_budget"](
+            spark, sf
+        ).collect()
+    }
+    assert bud["s1"]["effective_tokens"] == 0
+    assert bud["s2"]["effective_tokens"] == 1
+
+
 def test_substring_strip_and_adjusted_budget(spark, tmp_path):
     # docs 0/1 share a 20-token span (covered 20 of 24); doc 2 is 40
     # unique tokens. Strip keeps exactly the unique suffixes; the
