@@ -85,7 +85,17 @@ def assign_clusters(
     distances below ~9.0e6 (‖x−c‖ below ~3000 — far above any
     normalized-embedding geometry). Larger distances would lose
     integrality and could flip the deterministic argmin, so the
-    quantizer raises instead of silently degrading."""
+    quantizer raises instead of silently degrading.
+
+    Degenerate inputs RAISE rather than mislabel (r9 advice): an
+    empty centroid table would otherwise make ``array_min`` over the
+    empty codebook emit N rows of NULL cid (where the pre-r9
+    crossJoin formulation returned an empty frame) — the first
+    assigned row now raises "empty centroid table"; a NULL or NaN
+    squared distance (NULL/NaN embedding or centroid component)
+    raises its own named error instead of falling into the
+    grid-overflow branch. Empty ``vecs`` still yields an empty
+    result — no rows, nothing to mislabel."""
     codebook = cents.agg(
         F.collect_list(
             F.struct(
@@ -96,19 +106,34 @@ def assign_clusters(
     )
 
     def _quantize(d):
-        return F.when(
-            d < F.lit(9.0e6),
-            F.round(d * F.lit(1000000000.0)).cast("bigint"),
-        ).otherwise(
-            F.raise_error(
-                F.concat(
+        # hot path unchanged: one comparison per element; only
+        # degenerate rows (NaN false-compare / NULL) fall through to
+        # the classification branches below
+        return (
+            F.when(
+                d < F.lit(9.0e6),
+                F.round(d * F.lit(1000000000.0)).cast("bigint"),
+            )
+            .when(
+                d.isNull() | F.isnan(d),
+                F.raise_error(
                     F.lit(
-                        "assign_clusters: squared distance exceeds "
-                        "the exact e9 quantization grid (>= 9.0e6): "
-                    ),
-                    d.cast("string"),
-                )
-            ).cast("bigint")
+                        "assign_clusters: NULL/NaN squared distance "
+                        "(NULL or NaN embedding/centroid component)"
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "assign_clusters: squared distance exceeds "
+                            "the exact e9 quantization grid (>= 9.0e6): "
+                        ),
+                        d.cast("string"),
+                    )
+                ).cast("bigint")
+            )
         )
 
     scored = F.transform(
@@ -133,11 +158,24 @@ def assign_clusters(
         .crossJoin(F.broadcast(codebook))
         .select(id_col, F.array_min(ranked).alias("_best"))
     )
+    # array_min over an EMPTY codebook is NULL — raise (plan-side, no
+    # extra driver job) instead of emitting NULL-cid assignments; a
+    # non-empty codebook's minimum struct is never NULL.
+    dist_e9 = F.when(
+        F.col("_best").isNotNull(), F.col("_best")["dist_e9"]
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "assign_clusters: empty centroid table (no codebook "
+                "to assign against)"
+            )
+        ).cast("bigint")
+    )
     return best.select(
         id_col,
         F.col("_best")["cid"].alias(cid_col),
         F.col("_best")["dist"].alias("dist"),
-        F.col("_best")["dist_e9"].alias("dist_e9"),
+        dist_e9.alias("dist_e9"),
     )
 
 

@@ -65,6 +65,38 @@ def test_assign_raises_beyond_e9_grid(spark):
         assign_clusters(vecs, cents).collect()
 
 
+def test_assign_raises_on_empty_centroids(spark):
+    """An empty codebook must RAISE, not emit N NULL-cid rows
+    (array_min over an empty array is NULL — r9 advice); empty vecs
+    against a real codebook stay an empty result."""
+    vecs = _vecs(spark, [(1, [1.0, 0.0])])
+    cents = _cents(spark, [(0, [0.0, 0.0])]).where("cid < 0")
+    with pytest.raises(Exception, match="empty centroid table"):
+        assign_clusters(vecs, cents).collect()
+    assert (
+        assign_clusters(vecs.where("vec_id < 0"), cents).collect()
+        == []
+    )
+
+
+def test_assign_raises_on_null_or_nan_distance(spark):
+    """NULL/NaN embedding or centroid components must raise the
+    named degenerate-distance error, not rank or fall into the
+    grid-overflow branch (r9 advice)."""
+    cents = _cents(spark, [(0, [0.0, 0.0])])
+    nan_vec = _vecs(spark, [(1, [float("nan"), 0.0])])
+    with pytest.raises(Exception, match="NULL/NaN squared distance"):
+        assign_clusters(nan_vec, cents).collect()
+    null_vec = _vecs(spark, [(1, [1.0, 0.0])]).select(
+        "vec_id",
+        F.when(F.col("vec_id") < 0, F.col("embedding")).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(Exception, match="NULL/NaN squared distance"):
+        assign_clusters(null_vec, cents).collect()
+
+
 def test_update_centroids_mean(spark):
     assigned = spark.createDataFrame(
         [

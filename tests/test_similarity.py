@@ -411,6 +411,50 @@ def test_store_sweep_keeps_live_cross_sf_siblings(spark, tmp_path):
         )
 
 
+def test_store_meta_live_remote_records(tmp_path):
+    """A sidecar recording a NON-LOCAL source (hdfs://, s3://) carries
+    a path-only record (no size — os.stat could not reach it at write
+    time). Liveness must not stat such records (it would always raise
+    and sweep every remote-backed sibling, r9 advice); they count as
+    live. A local record still dies with its file."""
+    import json
+    import os
+
+    from babylon_data_loader_spark.operators.index_store import (
+        META_NAME,
+        store_meta_live,
+    )
+
+    store = tmp_path / "idx_fake_p1"
+    store.mkdir()
+    local = tmp_path / "data.parquet"
+    local.write_bytes(b"x")
+    st = os.stat(local)
+
+    def write_meta(recs):
+        with open(store / META_NAME, "w", encoding="utf-8") as fh:
+            json.dump({"files": recs}, fh)
+
+    # remote-only store: live purely on "path still listed"
+    write_meta([{"path": "hdfs://nn/warehouse/docs/part-0.parquet"}])
+    assert store_meta_live(str(store))
+    # mixed: remote record skipped, live local record passes
+    write_meta(
+        [
+            {"path": "s3://bucket/docs/part-0.parquet"},
+            {
+                "path": str(local),
+                "size": st.st_size,
+                "mtime_ns": st.st_mtime_ns,
+            },
+        ]
+    )
+    assert store_meta_live(str(store))
+    # a dead LOCAL record still kills liveness even next to remotes
+    os.remove(local)
+    assert not store_meta_live(str(store))
+
+
 def test_append_lsh_index_equals_full_build(spark, tmp_path):
     """Incremental index maintenance: build over half the vectors,
     append the other half — every probe must return EXACTLY what a
