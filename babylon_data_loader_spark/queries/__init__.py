@@ -57,99 +57,45 @@ def query(name: str, oracle: str | None = None):
 
 # Verification priority: the driver's correctness harness verifies
 # exactly the FIRST 50 entries of this registry each round. Window
-# policy (r8 VERDICT asks #1 and #6):
+# policy (r8 VERDICT asks #1 and #6, executed as staged rotations
+# since):
 # - every window slot holds an ORACLE-BACKED query — rows-only
 #   self-certifying queries (they raise in-query on invariant
 #   violations and are pytest-verified) live strictly BELOW slot 50,
 #   because a `no_oracle` row can never turn green and wastes the one
 #   hard external signal;
-# - new queries enter at the head for their first driver row;
+# - new AND code-changed queries enter at the head for a fresh
+#   driver row on the code that will actually ship;
 # - the remaining slots ROTATE through the queries whose last driver
 #   green is OLDEST (evidence ages as the driver regenerates testdata
 #   between rounds), so over successive rounds every family gets
-#   re-witnessed on current data. The r9 window backfills the r1/r2
-#   era (text analysis + the SURVEY §2 core); the r10 rotation
-#   continues with the remaining r2 set and the r3-r5 families (the
-#   ordered queue right after slot 50).
+#   re-witnessed on current data. r9 backfilled the r1/r2 era (text
+#   analysis + the SURVEY §2 core, 50/50 green); the r10 window below
+#   is the pre-certified queue r9 staged (the remaining r2 set + the
+#   r3-r5 families); the r11 queue (r4b/c/d/e, wave3, lake_cdc,
+#   round4f — the then-stalest evidence) is staged right behind
+#   slot 50 so next round's backfill is again a head-truncation.
 PRIORITY: list[str] = [
-    # ROUND-9 WINDOW — 50 oracle-backed slots, zero rows-only rows.
-    # Slots 1-4: the r1-era SURVEY §2 core (scan/projection, 5-key
-    # dedup-upsert, strict date parse, point lookup) — their only
-    # driver greens date to r1/r2-era testdata; fresh greens here
-    # renew the §2 operator-table evidence on CURRENT data.
-    "q_scan_project",
-    "q_dedup_key",
-    "q_strict_date_parse",
-    "q_point_lookup",
-    # Slots 5-14: the 10 queries ADDED this round (queries/round9.py)
-    # — substring-level exact dedup over the stride-1 16-token window
-    # store (Lee et al. ExactSubstr signal: per-source rates, the
-    # strip-or-drop doc worklist, provenance breadth) and the
-    # language-axis split (cross-lingual dedup impact, the
-    # directional lang matrix, the 40%-capped language token budget),
-    # plus the gaps-and-islands span metrics (maximal duplicated-span
-    # length histogram, per-source duplicated-substring coverage),
-    # the ExactSubstr STRIP step, and dedup-adjusted token budgeting.
-    # Pre-flighted exact-match at sf0.001/0.01/0.1 under the
-    # integer-key + output-type-gate discipline.
-    "q_substring_dedup",
-    "q_dup_span_docs",
-    "q_substring_provenance",
-    "q_dup_span_lengths",
+    # ROUND-10 WINDOW — 50 oracle-backed slots, zero rows-only rows.
+    # Slots 1-3: the queries ADDED this round (queries/round10.py) —
+    # the production OWNER-KEEP ExactSubstr strip (one owner copy per
+    # duplicated span survives), the incremental appended-batch probe
+    # against the at-rest window store, and the end-to-end
+    # dedup->budget composition over stripped masses. Pre-flighted
+    # exact-match at sf0.001/0.01.
+    "q_substring_strip_owner",
+    "q_incremental_substring",
+    "q_dedup_budget_e2e",
+    # Slots 4-6: queries whose CODE changed this round — the r9
+    # advice interval-union fix (coverage/budget no longer
+    # double-count overlapping token extents) and the kmeans
+    # degenerate-input guards — re-witnessed on the shipped code.
     "q_dup_span_coverage",
-    "q_lang_split",
-    "q_lang_dup_matrix",
-    "q_token_budget_by_lang",
-    "q_substring_strip",
     "q_dedup_adjusted_budget",
-    # Slots 15-24: the r1 text-analysis family — the OLDEST driver
-    # evidence in the registry (round 1) — re-witnessed on current
-    # testdata.
-    "q_text_stats",
-    "q_token_count",
-    "q_bpe_token_count",
-    "q_lang_id",
-    "q_lang_confusion",
-    "q_quality_score",
-    "q_doc_fingerprint",
-    "q_simhash",
-    "q_dedup_exact_text",
-    "q_tpch_q6",
-    # Slots 25-50: twenty-six r2-era queries (sources/casting/normalize
-    # pipeline surface, API query twins, window + aggregation
-    # breadth) — the §2 S/P/Q/A/O rows' correctness column refreshed
-    # on current data.
-    "q_source_file_count",
-    "q_regex_extract",
-    "q_string_predicates",
-    "q_filter_nonnull",
-    "q_coalesce_date",
-    "q_cast_default",
-    "q_filter_cast",
-    "q_type_classify",
-    "q_json_extract",
-    "q_range_ts",
-    "q_sessionize",
-    "q_echo",
-    "q_partition_counts",
-    "q_sync_log_agg",
-    "q_stats_agg",
-    "q_merge_upsert",
-    "q_flagship_pipeline",
-    "q_topk_per_group",
-    "q_lag_lead",
-    "q_running_balance",
-    "q_windowed_dedup",
-    "q_union_dedup",
-    "q_semi_anti_join",
-    "q_set_ops",
-    "q_histogram",
-    "q_pivot",
-    # --- end of the 50-slot driver window ---
-    # Slots 51+: the r10 rotation queue, oldest evidence first — the
-    # remaining r2 set, then the r3 families. The driver does not
-    # read past slot 50; this ordering just makes the next round's
-    # backfill a head-truncation instead of a rewrite.
+    "q_kmeans_assign",
+    # Slots 7-47: the pre-certified r10 rotation queue staged by r9
+    # (remaining r2 set, then the r3-r5 families) — the stalest
+    # driver evidence in the registry, re-witnessed on current data.
     "q_unpivot",
     "q_rollup",
     "q_cube",
@@ -191,6 +137,68 @@ PRIORITY: list[str] = [
     "q_stream_window",
     "q_udtf_ngrams",
     "q_unigram_nll",
+    # Slots 48-50: kmeans-lane dependent (q_cluster_token_budget
+    # inherits this round's operator change) + the two r6 token-
+    # budget heads whose last green predates r7.
+    "q_cluster_token_budget",
+    "q_token_budget_sample",
+    "q_source_token_budget",
+    # --- end of the 50-slot driver window ---
+    # Slots 51-100: the r11 rotation queue, oldest evidence first —
+    # the r4b/c/d/e waves, wave3, the lake CDC family, and the head
+    # of the round4f text-statistics family. The driver does not read
+    # past slot 50; this ordering just makes the next round's
+    # backfill a head-truncation instead of a rewrite.
+    "q_column_profile",
+    "q_word_entropy",
+    "q_radius_search",
+    "q_benford_digits",
+    "q_containment_pairs",
+    "q_length_band",
+    "q_salted_agg",
+    "q_incremental_dedup",
+    "q_file_provenance",
+    "q_pmi_collocations",
+    "q_source_drift",
+    "q_export_shards",
+    "q_event_funnel",
+    "q_retention_cohorts",
+    "q_copurchase_pagerank",
+    "q_gap_fill",
+    "q_sliding_window",
+    "q_anomaly_hours",
+    "q_fuzzy_join",
+    "q_scd2_dimension",
+    "q_triangle_count",
+    "q_data_quality",
+    "q_oov_rate",
+    "q_equal_freq_binning",
+    "q_spearman_corr",
+    "q_weighted_sample",
+    "q_boolean_search",
+    "q_bfs_hops",
+    "q_twap",
+    "q_key_skew",
+    "q_unicode_normalize",
+    "q_ewma",
+    "q_linreg_by_group",
+    "q_variance_moments",
+    "q_correlation_moments",
+    "q_array_ops",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_hash_split",
+    "q_incremental_agg",
+    "q_time_travel",
+    "q_write_expectations",
+    "q_mv_rewrite",
+    "q_rank_sum_test",
+    "q_ks_statistic",
+    "q_welch_ttest",
+    "q_acf",
+    "q_feature_mi",
+    "q_gini",
+    "q_sequence_pattern",
     # Rows-only self-certifying queries (in-query invariant raises,
     # pytest-verified) — deliberately BELOW the window: a no_oracle
     # driver row carries no signal.
@@ -198,16 +206,12 @@ PRIORITY: list[str] = [
     "q_ivf_nprobe_curve",
     "q_lake_vacuum",
     "q_rerank_ann",
-    # Strong recent greens (r7/r8 heads), kept next for re-checks
+    # Strong recent greens (r7-r9 heads), kept next for re-checks
     # once the stale-evidence rotation completes.
-    "q_token_budget_sample",
-    "q_source_token_budget",
     "q_rerank_candidates",
-    "q_kmeans_assign",
     "q_cluster_reps",
     "q_label_propagation",
     "q_epoch_allocation",
-    "q_cluster_token_budget",
     "q_cross_lingual_dup",
     "q_source_dedup_matrix",
     "q_winsorize",
@@ -242,6 +246,7 @@ def load_all() -> None:
         round8,
         round8b,
         round9,
+        round10,
         streaming_dedup,
         streaming_replay,
         streaming_window,

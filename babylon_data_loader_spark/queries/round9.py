@@ -336,15 +336,18 @@ def _dup_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: islands re-merged on TOKEN-extent overlap. An island's token
-#: extent is [lo, hi+15], so two islands whose WINDOW positions are
-#: 1-15 apart still overlap in tokens (dup windows at positions 0 and
-#: 10 only cover 26 tokens, not 32). Classic interval merge: per doc,
-#: in lo order, a new group starts when lo clears the running max hi
-#: by more than 15; the merged intervals are pairwise token-disjoint,
-#: so SUM(hi - lo + 16) is the exact interval-union length.
-_MERGED_CTE = """
-    , mrg AS (
+def _merged_cte_sql(src: str, name: str) -> str:
+    """Interval-merge CTE over a (doc_id, source, lo, hi) island
+    table. An island's token extent is [lo, hi+15], so two islands
+    whose WINDOW positions are 1-15 apart still overlap in tokens
+    (dup windows at positions 0 and 10 only cover 26 tokens, not 32).
+    Classic interval merge: per doc, in lo order, a new group starts
+    when lo clears the running max hi by more than 15; the merged
+    intervals are pairwise token-disjoint, so SUM(hi - lo + 16) is
+    the exact interval-union length. Shared with round10's
+    loser-island variant."""
+    return f"""
+    , {name} AS (
       SELECT doc_id, source,
              CAST(MIN(lo) AS BIGINT) AS lo,
              CAST(MAX(hi) AS BIGINT) AS hi
@@ -358,14 +361,17 @@ _MERGED_CTE = """
                  MAX(hi) OVER (PARTITION BY doc_id ORDER BY lo
                    ROWS BETWEEN UNBOUNDED PRECEDING
                    AND 1 PRECEDING) AS prev_hi
-          FROM isl
+          FROM {src}
         )
       ) GROUP BY doc_id, source, mg
     )
 """
 
 
-def _merged_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+_MERGED_CTE = _merged_cte_sql("isl", "mrg")
+
+
+def merge_token_extents(isl: DataFrame) -> DataFrame:
     """(doc_id, lo, hi) islands merged wherever their TOKEN extents
     [lo, hi+15] overlap (next.lo <= prev.hi + 15): the output
     intervals are pairwise token-disjoint per doc, so summing
@@ -376,7 +382,6 @@ def _merged_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id sort)."""
     from pyspark.sql import Window
 
-    isl = _dup_span_islands(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("lo")
     prev_hi = F.max("hi").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -399,6 +404,13 @@ def _merged_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_mg")
     )
+
+
+def _merged_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span islands through the token-extent
+    interval merge — the exact-union frame coverage and budget
+    consumers sum."""
+    return merge_token_extents(_dup_span_islands(spark, sf_dir))
 
 
 @query(
@@ -549,16 +561,28 @@ def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ownership. Token filtering is one indexed-lambda projection per
     doc against its own O(islands) span list (broadcast-free: the
     span list rides a doc_id-keyed join); >=16-token docs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_by_islands(
+        docs, _dup_span_islands(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+def strip_by_islands(docs: DataFrame, isl: DataFrame) -> DataFrame:
+    """(doc_id, n_before, n_after, digest): remove every token
+    position of each >=16-token document lying inside some island's
+    token extent [lo, hi+15] and digest what survives. The membership
+    test is a per-position union over the doc's own O(islands) span
+    list (broadcast-free: the list rides a doc_id-keyed join), so
+    overlapping extents never double-remove. Shared by the both-copies
+    preview (q_substring_strip) and round10's owner-keep strip — the
+    policies differ only in WHICH islands they pass in."""
     from babylon_data_loader_spark.functions.text import tokens as _tk
 
-    docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", _tk(F.lower(F.col("text"))).alias("_t")
     ).where(F.size("_t") >= 16)
-    spans = (
-        _dup_span_islands(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("lo", "hi")).alias("_spans"))
+    spans = isl.groupBy("doc_id").agg(
+        F.collect_list(F.struct("lo", "hi")).alias("_spans")
     )
     empty = F.array().cast("array<struct<lo:bigint,hi:bigint>>")
     joined = base.join(spans, "doc_id", "left").withColumn(
@@ -571,19 +595,16 @@ def q_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: (s["lo"] <= i) & (i <= s["hi"] + F.lit(15)),
         ),
     )
-    return (
-        joined.select(
-            "doc_id",
-            F.size("_t").cast("long").alias("n_before"),
-            F.size(kept).cast("long").alias("n_after"),
-            # a fully-stripped doc has NO digest (NULL on both
-            # engines) rather than md5("")
-            F.when(
-                F.size(kept) > 0,
-                F.md5(F.concat_ws(" ", kept).cast("binary")),
-            ).alias("digest"),
-        )
-        .orderBy("doc_id")
+    return joined.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_before"),
+        F.size(kept).cast("long").alias("n_after"),
+        # a fully-stripped doc has NO digest (NULL on both
+        # engines) rather than md5("")
+        F.when(
+            F.size(kept) > 0,
+            F.md5(F.concat_ws(" ", kept).cast("binary")),
+        ).alias("digest"),
     )
 
 

@@ -120,6 +120,12 @@ HEADLINE = [
     # the strip lane: per-doc indexed-lambda span removal over the
     # island frame — the round's third distinct new shape.
     "q_substring_strip",
+    # round 10 additions: the production owner-keep strip (adds the
+    # hash-keyed min(struct) ownership aggregate to the strip shape)
+    # and the incremental batch probe against the at-rest window
+    # store (in-flight hashing semi-joined onto stored hashes).
+    "q_substring_strip_owner",
+    "q_incremental_substring",
 ]
 
 
@@ -702,6 +708,115 @@ def _zorder_layout_supplement(spark, sf_dir: str, reps: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _tokwin_layout_supplement(spark, sf_dir: str, reps: int) -> dict:
+    """Window-store layout probe (r9 VERDICT ask #5): the tokwin
+    store is the engine's largest at-rest structure (one row per
+    corpus token position), and its consumers are hash-keyed probes.
+    Writes the store twice — flat (hash-agnostic file split) and
+    hive-partitioned by the first hex char of the window hash (16
+    dirs) — then probes a fixed set of duplicated hashes against
+    both. With the prefix layout, partition pruning opens only the
+    prefix dirs the probe hashes live in; files_opened/files_total is
+    the skip signal tracked per round. At 100 TB the same prefix
+    (widened to 2-3 chars) bounds a dup-hash lookup to 1/256-1/4096
+    of the store's files."""
+    import shutil
+    import tempfile
+
+    from babylon_data_loader_spark.operators.dedup import token_windows
+
+    root = tempfile.mkdtemp(
+        prefix="_bench_tokwin_",
+        dir=os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "spark-warehouse"
+        ),
+    )
+    try:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        win = token_windows(docs)
+        flat_p = os.path.join(root, "flat")
+        pref_p = os.path.join(root, "by_prefix")
+        t0 = time.time()
+        win.repartition(16).write.parquet(flat_p)
+        flat_write = round(time.time() - t0, 3)
+        t0 = time.time()
+        (
+            win.withColumn("hp", F.substring("_h", 1, 1))
+            .repartition("hp")
+            .write.partitionBy("hp")
+            .parquet(pref_p)
+        )
+        pref_write = round(time.time() - t0, 3)
+
+        # fixed probe: the 8 smallest duplicated hashes (hash order is
+        # content-deterministic) — the "where else does this span
+        # occur" lookup the strip worklist issues
+        dup = (
+            spark.read.parquet(flat_p)
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .orderBy("_h")
+            .limit(8)
+        )
+        hashes = [r["_h"] for r in dup.collect()]
+        prefixes = sorted({h[0] for h in hashes})
+
+        def _count_files(path: str, only_prefixes=None) -> int:
+            n = 0
+            for dirpath, _dirs, files in os.walk(path):
+                if only_prefixes is not None:
+                    base = os.path.basename(dirpath)
+                    if not (
+                        base.startswith("hp=")
+                        and base[3:] in only_prefixes
+                    ):
+                        continue
+                n += sum(f.endswith(".parquet") for f in files)
+            return n
+
+        flat_total = _count_files(flat_p)
+        pref_total = _count_files(pref_p)
+        pref_opened = _count_files(pref_p, set(prefixes))
+
+        flat_t, pref_t = [], []
+        for _ in range(max(1, reps)):
+            t0 = time.time()
+            spark.read.parquet(flat_p).where(
+                F.col("_h").isin(hashes)
+            ).agg(F.count(F.lit(1))).collect()
+            flat_t.append(time.time() - t0)
+            t0 = time.time()
+            spark.read.parquet(pref_p).where(
+                F.col("hp").isin(prefixes)
+                & F.col("_h").isin(hashes)
+            ).agg(F.count(F.lit(1))).collect()
+            pref_t.append(time.time() - t0)
+        return {
+            "note": (
+                "token-window store written flat vs hive-partitioned "
+                "by 1-hex-char hash prefix; 8-hash dup probe — "
+                "files_opened/files_total is the skip signal"
+            ),
+            "write_sec_flat": flat_write,
+            "write_sec_prefix": pref_write,
+            "files_total_flat": flat_total,
+            "files_total_prefix": pref_total,
+            "files_opened_prefix": pref_opened,
+            "skip_ratio": round(1 - pref_opened / pref_total, 3)
+            if pref_total
+            else None,
+            "probe_sec_flat": round(_median(flat_t), 3),
+            "probe_sec_prefix": round(_median(pref_t), 3),
+            "n_probe_hashes": len(hashes),
+            "n_probe_prefixes": len(prefixes),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--isolated-one":
         _isolated_one(
@@ -849,6 +964,14 @@ def main() -> None:
         )
     except Exception as exc:
         result["zorder_layout_error"] = str(exc)[:200]
+    # Supplementary: token-window store layout — hash-prefix
+    # partitioning vs flat, dup-hash probe file-skipping (r9 ask #5).
+    try:
+        result["tokwin_layout"] = _tokwin_layout_supplement(
+            spark, sf_dir, reps
+        )
+    except Exception as exc:
+        result["tokwin_layout_error"] = str(exc)[:200]
     # Supplementary: fresh-process isolated reruns of the queries that
     # drifted between r6 and r7 with unchanged plans — separates
     # suite-state (JVM heap/codegen-cache position) from real cost.
