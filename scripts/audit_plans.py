@@ -88,6 +88,8 @@ BNLJ_ALLOWED = {
     "q_cluster_token_budget",  # same one-row codebook
     "q_token_budget_by_lang",  # one-row token-total scalar
     "q_dedup_adjusted_budget",  # one-row deduped-budget scalar
+    "q_dedup_budget_e2e",    # one-row stripped-budget scalar (same
+    # shape as q_dedup_adjusted_budget over the owner-keep masses)
 }
 
 # Every BNLJ build side must be metadata-scale: the largest sanctioned
