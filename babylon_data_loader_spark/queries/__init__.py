@@ -77,16 +77,18 @@ def query(name: str, oracle: str | None = None):
 #   slot 50 so next round's backfill is again a head-truncation.
 PRIORITY: list[str] = [
     # ROUND-10 WINDOW — 50 oracle-backed slots, zero rows-only rows.
-    # Slots 1-3: the queries ADDED this round (queries/round10.py) —
+    # Slots 1-4: the queries ADDED this round (queries/round10.py) —
     # the production OWNER-KEEP ExactSubstr strip (one owner copy per
     # duplicated span survives), the incremental appended-batch probe
-    # against the at-rest window store, and the end-to-end
-    # dedup->budget composition over stripped masses. Pre-flighted
-    # exact-match at sf0.001/0.01.
+    # against the at-rest window store (plus its streaming twin:
+    # stream-static join of in-flight batch windows against the
+    # store), and the end-to-end dedup->budget composition over
+    # stripped masses. Pre-flighted exact-match at sf0.001/0.01.
     "q_substring_strip_owner",
     "q_incremental_substring",
+    "q_stream_incremental_dedup",
     "q_dedup_budget_e2e",
-    # Slots 4-6: queries whose CODE changed this round — the r9
+    # Slots 5-7: queries whose CODE changed this round — the r9
     # advice interval-union fix (coverage/budget no longer
     # double-count overlapping token extents) and the kmeans
     # degenerate-input guards — re-witnessed on the shipped code.
@@ -137,18 +139,19 @@ PRIORITY: list[str] = [
     "q_stream_window",
     "q_udtf_ngrams",
     "q_unigram_nll",
-    # Slots 48-50: kmeans-lane dependent (q_cluster_token_budget
-    # inherits this round's operator change) + the two r6 token-
-    # budget heads whose last green predates r7.
+    # Slots 49-50: kmeans-lane dependent (q_cluster_token_budget
+    # inherits this round's operator change) + an r6 token-budget
+    # head whose last green predates r7.
     "q_cluster_token_budget",
     "q_token_budget_sample",
-    "q_source_token_budget",
     # --- end of the 50-slot driver window ---
     # Slots 51-100: the r11 rotation queue, oldest evidence first —
-    # the r4b/c/d/e waves, wave3, the lake CDC family, and the head
-    # of the round4f text-statistics family. The driver does not read
-    # past slot 50; this ordering just makes the next round's
-    # backfill a head-truncation instead of a rewrite.
+    # the other r6 token-budget head, then the r4b/c/d/e waves,
+    # wave3, the lake CDC family, and the head of the round4f
+    # text-statistics family. The driver does not read past slot 50;
+    # this ordering just makes the next round's backfill a
+    # head-truncation instead of a rewrite.
+    "q_source_token_budget",
     "q_column_profile",
     "q_word_entropy",
     "q_radius_search",

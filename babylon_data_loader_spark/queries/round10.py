@@ -292,9 +292,9 @@ _BATCH_PRED = "doc_id % 23 = 0"
 _CORPUS_PRED = "doc_id % 23 <> 0"
 
 
-@query(
-    "q_incremental_substring",
-    oracle=f"""
+#: shared by the batch probe and its streaming twin — both must equal
+#: the plain "batch windows vs distinct corpus hashes" aggregate.
+_INCR_ORACLE = f"""
     WITH tokd AS (
       SELECT doc_id, source, {_TOK} AS t FROM documents
     ), cw AS (
@@ -328,8 +328,10 @@ _CORPUS_PRED = "doc_id % 23 <> 0"
                 AS BIGINT) AS n_docs_flagged
     FROM hit JOIN documents d USING (doc_id)
     GROUP BY d.source ORDER BY d.source
-    """,
-)
+    """
+
+
+@query("q_incremental_substring", oracle=_INCR_ORACLE)
 def q_incremental_substring(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -395,3 +397,105 @@ def q_incremental_substring(
         )
         .orderBy("source")
     )
+
+
+@query("q_stream_incremental_dedup", oracle=_INCR_ORACLE)
+def q_stream_incremental_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q_incremental_substring's STREAMING twin: the appended batch
+    arrives as a file STREAM (several micro-batches under
+    AvailableNow) and each micro-batch's documents are window-hashed
+    in flight and stream-STATIC left-joined against the at-rest
+    corpus window store — the landing-zone shape where new corpus
+    files are probed for duplication as they arrive, before
+    admission. The join is stateless (static side is the stored hash
+    set), so the sink is plain append parquet carrying one row per
+    batch window with its hit flag; the per-source rates aggregate
+    the sink afterwards and must equal the batch twin's oracle
+    exactly, independent of micro-batch boundaries. State discipline
+    at 100 TB: NO stream state at all — the corpus store is the
+    state, at rest, refreshed per dataset version; a watermark-bound
+    stateful formulation would cap what the probe can remember, which
+    is exactly wrong for dedup against the full corpus."""
+    import os
+    import shutil
+    import uuid
+
+    from babylon_data_loader_spark.operators.dedup import (
+        stored_token_windows,
+        token_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_hashes = (
+        stored_token_windows(docs.where(_CORPUS_PRED))
+        .select(F.col("_h").alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(
+        wh, f"_stream_incr_{uuid.uuid4().hex[:12]}"
+    )
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    docs.where(_BATCH_PRED).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    swin = token_windows(stream).select(
+        F.col("_id").alias("doc_id"), F.col("_h").alias("h")
+    )
+    probed = swin.join(corpus_hashes, "h", "left").select(
+        "doc_id", F.coalesce("_hit", F.lit(0)).alias("hit")
+    )
+    (
+        probed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    try:
+        sunk = spark.read.parquet(out_dir)
+        per_doc = sunk.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_w"),
+            F.sum("hit").cast("long").alias("n_hit"),
+        )
+        final = (
+            per_doc.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_batch_docs"),
+                F.sum("n_w").cast("long").alias("n_windows"),
+                F.sum("n_hit").cast("long").alias("n_hit_windows"),
+                (
+                    F.sum("n_hit").cast("double")
+                    / F.sum("n_w").cast("double")
+                ).alias("hit_rate"),
+                F.sum(
+                    F.when(
+                        F.lit(2) * F.col("n_hit") >= F.col("n_w"),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("n_docs_flagged"),
+            )
+            .orderBy("source")
+        )
+        rows = final.collect()
+        out_schema = final.schema
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)

@@ -167,3 +167,23 @@ def test_incremental_probe_hits_and_flags(spark, tmp_path):
     assert rows["s3"]["n_hit_windows"] == 0
     assert rows["s3"]["n_docs_flagged"] == 0
     assert rows["s0"]["n_hit_windows"] == 0
+    # the streaming twin (stream-static join, several micro-batches)
+    # must produce EXACTLY the batch probe's rows — micro-batch
+    # boundaries cannot leak into the result
+    stream_rows = sorted(
+        (
+            tuple(r)
+            for r in Q.QUERIES["q_stream_incremental_dedup"](
+                spark, sf
+            ).collect()
+        )
+    )
+    batch_rows = sorted(
+        (
+            tuple(r)
+            for r in Q.QUERIES["q_incremental_substring"](
+                spark, sf
+            ).collect()
+        )
+    )
+    assert stream_rows == batch_rows
