@@ -14,7 +14,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.text import (
@@ -451,3 +451,118 @@ def dedup_clustered(
         F.col("id").alias(id_col)
     )
     return docs.join(keepers, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Caller-owned token-window store (the ExactSubstr structure as a
+# maintained index): write once, APPEND per ingest batch, probe by
+# hash with partition pruning. The session-fingerprint store
+# (stored_token_windows) is invalidated by ANY source change — right
+# for a derived cache, wrong for a 100 TB structure that must absorb
+# appends at O(batch) cost; this explicit-path API is the same
+# economics split write_lsh_index/append_lsh_index make for ANN.
+# ---------------------------------------------------------------------------
+
+TOKWIN_META = "_tokwin_meta.json"
+
+
+def write_token_window_store(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    prefix_chars: int = 1,
+) -> None:
+    """Persist :func:`token_windows` hive-partitioned by the first
+    ``prefix_chars`` hex chars of the window hash (`hp`). Dup-hash
+    probes then prune to 1/16^prefix_chars of the files (the bench
+    `tokwin_layout` supplement measures the ratio); full-scan
+    consumers union the partition dirs at no extra cost. One
+    build-time shuffle on hp so each prefix lives in one task's
+    files, not #tasks x #prefixes fragments (the write_lsh_index
+    discipline). Meta records (k, prefix_chars, cols) so appends hash
+    and partition identically. Locally 1 char (16 dirs); at 100 TB
+    use 2-3 (256-4096 dirs — SCALING.md round-10 notes)."""
+    import json
+    import os
+
+    win = token_windows(docs, text_col, id_col, k)
+    (
+        win.withColumn("hp", F.substring("_h", 1, prefix_chars))
+        .repartition(F.col("hp"))
+        .write.mode("overwrite")
+        .partitionBy("hp")
+        .parquet(path)
+    )
+    meta = {
+        "k": k,
+        "prefix_chars": prefix_chars,
+        "text_col": text_col,
+        "id_col": id_col,
+    }
+    tmp = os.path.join(path, f"{TOKWIN_META}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, TOKWIN_META))
+
+
+def append_token_windows(new_docs: DataFrame, path: str) -> None:
+    """Extend an existing window store with an ingest batch's windows
+    — O(batch tokens) hashing + an append of one file per TOUCHED
+    prefix, never a rebuild (window hashes of already-stored docs
+    never change under document-append workloads, so the store is
+    append-only by construction). Consumers over (base ++ appended)
+    see EXACTLY a fresh full build's content — hashing is
+    deterministic per document and consumers are hash/doc-keyed
+    aggregates, so file layout is invisible (pinned by
+    tests/test_dedup.py). Caller-owned semantics: the caller routes
+    each document into exactly one write/append — re-appending a doc
+    duplicates its windows, the same contract as append_lsh_index."""
+    import json
+    import os
+
+    with open(os.path.join(path, TOKWIN_META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    if new_docs.select(meta["id_col"]).first() is None:
+        return  # empty append: nothing to write
+    win = token_windows(
+        new_docs, meta["text_col"], meta["id_col"], int(meta["k"])
+    )
+    (
+        win.withColumn(
+            "hp", F.substring("_h", 1, int(meta["prefix_chars"]))
+        )
+        .repartition(F.col("hp"))
+        .write.mode("append")
+        .partitionBy("hp")
+        .parquet(path)
+    )
+
+
+def read_token_window_store(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """(window DataFrame with its `hp` partition column, meta)."""
+    import json
+    import os
+
+    with open(os.path.join(path, TOKWIN_META), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(path), meta
+
+
+def probe_token_windows(
+    spark: SparkSession, path: str, hashes: list[str]
+) -> DataFrame:
+    """All stored occurrences of the given window hashes — the strip
+    worklist's "where else does this span occur" lookup. The hp
+    equality list makes the probe PARTITION-PRUNED (only the probed
+    prefixes' directories are listed/read); the `_h` filter then
+    pushes to parquet row groups within them."""
+    win, meta = read_token_window_store(spark, path)
+    p = int(meta["prefix_chars"])
+    prefixes = sorted({h[:p] for h in hashes})
+    return win.where(
+        F.col("hp").isin(prefixes) & F.col("_h").isin(list(hashes))
+    )

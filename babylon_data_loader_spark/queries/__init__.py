@@ -209,6 +209,7 @@ PRIORITY: list[str] = [
     "q_ivf_nprobe_curve",
     "q_lake_vacuum",
     "q_rerank_ann",
+    "q_tokwin_maintenance",
     # Strong recent greens (r7-r9 heads), kept next for re-checks
     # once the stale-evidence rotation completes.
     "q_rerank_candidates",

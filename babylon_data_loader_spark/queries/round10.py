@@ -499,3 +499,124 @@ def q_stream_incremental_dedup(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out_schema)
+
+
+@query("q_tokwin_maintenance")  # rows-only: store file layout is not
+# SQL-expressible. Self-certifying: asserts IN-QUERY that the
+# incrementally-appended window store holds exactly a fresh full
+# build's content and that the dup-hash probe partition-prunes.
+def q_tokwin_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-store lifecycle a 100 TB corpus actually runs:
+    write (the existing corpus, hash-prefix-partitioned) → APPEND (an
+    ingest batch — O(batch tokens), one file per touched prefix, no
+    rebuild: operators/dedup.py::append_token_windows) → probe (the
+    strip worklist's by-hash lookup, partition-pruned to the probed
+    prefixes). The query RAISES unless (a) the maintained store's
+    content equals a fresh full build's content EXACTLY (per-doc
+    window counts and per-doc xor-free hash checksums compared
+    distributed-side, never collected), (b) the probe's physical plan
+    carries a non-empty hp PartitionFilter, and (c) an empty append
+    is a content no-op. Emits the metadata-scale lifecycle summary
+    (one row per step). q_incremental_substring is this structure's
+    read-side consumer; this witnesses the write side."""
+    import os
+    import shutil
+    import uuid
+
+    from babylon_data_loader_spark.operators.dedup import (
+        append_token_windows,
+        probe_token_windows,
+        read_token_window_store,
+        token_windows,
+        write_token_window_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    work = os.path.join(wh, f"_tokwin_maint_{uuid.uuid4().hex[:12]}")
+    store = os.path.join(work, "store")
+    try:
+        write_token_window_store(docs.where(_CORPUS_PRED), store)
+        append_token_windows(docs.where(_BATCH_PRED), store)
+
+        def _digest(win) -> tuple[int, int]:
+            # (n_rows, order-free checksum): sum over rows of the
+            # first 15 hex chars (60 bits) of md5(doc||pos||hash),
+            # DECIMAL(38,0)-summed so it is exact at any row count
+            # and partitioning (a BIGINT sum would overflow/ANSI-throw
+            # near 2^63/2^60 rows); no data row is ever collected
+            row = win.select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|", "_id", "_pos", "_h"
+                                ).cast("binary")
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .cast("decimal(38,0)")
+                ).alias("chk"),
+            ).first()
+            return int(row["n"]), int(row["chk"] or 0)
+
+        maintained, meta = read_token_window_store(spark, store)
+        got = _digest(maintained.select("_id", "_pos", "_h"))
+        want = _digest(token_windows(docs))
+        if got != want:
+            raise AssertionError(
+                f"append != rebuild: maintained {got} vs full {want}"
+            )
+
+        # probe the batch's first >=16-token doc's pos-0 window
+        probe_h = [
+            r["_h"]
+            for r in token_windows(docs.where(_BATCH_PRED))
+            .where("_pos = 0")
+            .orderBy("_id")
+            .limit(1)
+            .collect()
+        ]
+        probed = probe_token_windows(spark, store, probe_h)
+        n_hits = probed.count()
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        if (
+            "PartitionFilters: [" not in plan
+            or "PartitionFilters: []" in plan
+        ):
+            raise AssertionError(
+                "probe scan carries no hp PartitionFilter"
+            )
+
+        append_token_windows(docs.where("doc_id < 0"), store)
+        if _digest(
+            read_token_window_store(spark, store)[0].select(
+                "_id", "_pos", "_h"
+            )
+        ) != got:
+            raise AssertionError("empty append changed store content")
+
+        n_files = sum(
+            f.endswith(".parquet")
+            for _d, _s, fs in os.walk(store)
+            for f in fs
+        )
+        rows = [
+            ("append_equals_rebuild", True, got[0], n_files),
+            ("probe_partition_pruned", True, n_hits, n_files),
+            ("empty_append_noop", True, got[0], n_files),
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "step STRING, ok BOOLEAN, n BIGINT, store_files BIGINT"
+    ).orderBy("step")
