@@ -175,11 +175,14 @@ def q_substring_strip_owner(
     q_lang_dup_matrix smaller-doc_id-owns convention, extended by pos
     for within-doc repeats); only LOSER occurrences' token extents
     are removed. The r9 q_substring_strip is this query's upper
-    bound — it removes every copy; here a corpus re-run over the
-    stripped output would find no cross-copy to strip. Emits per-doc
-    before/after token counts + digest of the kept text (constant
-    output width at any document size); >=16-token docs only, same
-    universe as the preview."""
+    bound — it removes every copy. Token-level caveat (inherent to
+    interval-union stripping, shared with the Lee et al. pipeline):
+    a kept owner span can still lose tokens where a DIFFERENT hash's
+    loser extent overlaps it in the same document — ownership is per
+    window hash, removal is the per-doc union of loser extents.
+    Emits per-doc before/after token counts + digest of the kept
+    text (constant output width at any document size); >=16-token
+    docs only, same universe as the preview."""
     docs = load_table(spark, sf_dir, "documents")
     return strip_by_islands(
         docs, _loser_islands(spark, sf_dir)

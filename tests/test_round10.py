@@ -86,6 +86,44 @@ def test_strip_owner_within_doc_repeat(spark, tmp_path):
     )
 
 
+def test_strip_owner_cross_span_overlap_semantics(spark, tmp_path):
+    # the documented token-level caveat: ownership is per window
+    # hash, removal is the per-doc UNION of loser extents — so a kept
+    # owner span loses tokens where a DIFFERENT hash's loser extent
+    # overlaps it. doc 1 owns H1 (window at pos 0, re-shared by
+    # doc 2) but is the LOSER of H2 (doc 0's whole text, reappearing
+    # at doc 1 pos 10): stripping [10,25] cuts the owner span's tail.
+    a = [f"a{i}" for i in range(10)]
+    m = [f"m{i}" for i in range(16)]
+    u = [f"u{i}" for i in range(10)]
+    docs = [
+        (0, " ".join(m), "en", "s0"),
+        (1, " ".join(a + m), "en", "s1"),
+        (2, " ".join(a + m[:6] + u), "en", "s2"),
+    ]
+    sf = _write(spark, tmp_path, docs)
+    own = {
+        r["doc_id"]: r
+        for r in Q.QUERIES["q_substring_strip_owner"](
+            spark, sf
+        ).collect()
+    }
+    assert own[0]["n_after"] == 16  # H2's owner copy, untouched
+    # doc 1: loser extent [10,25] removed; tokens 10-15 were ALSO
+    # part of doc 1's owned H1 span [0,15] — they go anyway
+    assert own[1]["n_after"] == 10
+    assert (
+        own[1]["digest"]
+        == hashlib.md5(" ".join(a).encode()).hexdigest()
+    )
+    # doc 2: loser of H1 -> [0,15] removed, unique suffix kept
+    assert own[2]["n_after"] == 10
+    assert (
+        own[2]["digest"]
+        == hashlib.md5(" ".join(u).encode()).hexdigest()
+    )
+
+
 def test_e2e_budget_matches_strip_owner_removal(spark, tmp_path):
     # stripped_tokens per source must equal what strip_owner actually
     # deletes (the interval-union of loser extents), and the
