@@ -524,8 +524,9 @@ def append_token_windows(new_docs: DataFrame, path: str) -> None:
 
     with open(os.path.join(path, TOKWIN_META), encoding="utf-8") as fh:
         meta = json.load(fh)
-    if new_docs.select(meta["id_col"]).first() is None:
-        return  # empty append: nothing to write
+    # no up-front emptiness probe: it would evaluate the batch plan
+    # twice per append (r10 review); appending zero rows writes no
+    # data files, so an empty batch is a content no-op anyway
     win = token_windows(
         new_docs, meta["text_col"], meta["id_col"], int(meta["k"])
     )

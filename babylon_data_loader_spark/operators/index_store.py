@@ -196,19 +196,22 @@ def store_meta_live(path: str) -> bool:
     if not recs:
         return False
     for r in recs:
-        if "size" not in r:
-            # Non-local source (hdfs://, s3://): recorded path-only at
+        if "://" in r.get("path", ""):
+            # Non-local scheme (hdfs://, s3://): recorded path-only at
             # write time because os.stat cannot reach it — and it
             # cannot reach it here either, so statting would ALWAYS
             # raise and sweep every remote-backed sibling (r9 advice).
             # Treat as live: "path still listed" is the strongest
-            # local check available for a remote scheme.
+            # local check available for a remote scheme. Keyed on the
+            # SCHEME, not on a missing size: a LOCAL record written
+            # size-less (its file vanished mid-build / transient stat
+            # failure) must stay sweepable, not live forever.
             continue
         try:
             st = os.stat(r["path"])
         except OSError:
             return False
-        if (
+        if "size" not in r or (
             st.st_size != r["size"]
             or st.st_mtime_ns != r.get("mtime_ns")
         ):

@@ -90,19 +90,38 @@ def assign_clusters(
     Degenerate inputs RAISE rather than mislabel (r9 advice): an
     empty centroid table would otherwise make ``array_min`` over the
     empty codebook emit N rows of NULL cid (where the pre-r9
-    crossJoin formulation returned an empty frame) — the first
-    assigned row now raises "empty centroid table"; a NULL or NaN
-    squared distance (NULL/NaN embedding or centroid component)
-    raises its own named error instead of falling into the
-    grid-overflow branch. Empty ``vecs`` still yields an empty
-    result — no rows, nothing to mislabel."""
+    crossJoin formulation returned an empty frame) — the raise is
+    attached to the codebook column itself so no caller projection
+    can prune it away (and it fires even when ``vecs`` is also empty —
+    the broadcast side is built first, and a codebook-less assignment
+    is an error regardless); a NULL or NaN squared distance (NULL/NaN
+    embedding or centroid component) raises its own named error
+    instead of falling into the grid-overflow branch. Empty ``vecs``
+    against a real codebook still yield an empty result."""
+    # The empty-table raise rides the CODEBOOK column itself (not any
+    # one output column): a guard attached to e.g. dist_e9 is silently
+    # column-pruned away when a caller selects only (id, cid) — the
+    # r10 review caught exactly that — whereas every output column
+    # derives from _codebook, so this expression survives any caller
+    # projection. raise_error's NullType coerces to the array type.
     codebook = cents.agg(
         F.collect_list(
             F.struct(
                 F.col(cid_col).alias("cid"),
                 F.col(cent_col).alias("centroid"),
             )
-        ).alias("_codebook")
+        ).alias("_cb_raw")
+    ).select(
+        F.when(F.size("_cb_raw") > 0, F.col("_cb_raw"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "assign_clusters: empty centroid table (no "
+                    "codebook to assign against)"
+                )
+            )
+        )
+        .alias("_codebook")
     )
 
     def _quantize(d):
@@ -158,24 +177,11 @@ def assign_clusters(
         .crossJoin(F.broadcast(codebook))
         .select(id_col, F.array_min(ranked).alias("_best"))
     )
-    # array_min over an EMPTY codebook is NULL — raise (plan-side, no
-    # extra driver job) instead of emitting NULL-cid assignments; a
-    # non-empty codebook's minimum struct is never NULL.
-    dist_e9 = F.when(
-        F.col("_best").isNotNull(), F.col("_best")["dist_e9"]
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "assign_clusters: empty centroid table (no codebook "
-                "to assign against)"
-            )
-        ).cast("bigint")
-    )
     return best.select(
         id_col,
         F.col("_best")["cid"].alias(cid_col),
         F.col("_best")["dist"].alias("dist"),
-        dist_e9.alias("dist_e9"),
+        F.col("_best")["dist_e9"].alias("dist_e9"),
     )
 
 

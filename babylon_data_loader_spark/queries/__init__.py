@@ -95,7 +95,7 @@ PRIORITY: list[str] = [
     "q_dup_span_coverage",
     "q_dedup_adjusted_budget",
     "q_kmeans_assign",
-    # Slots 7-47: the pre-certified r10 rotation queue staged by r9
+    # Slots 8-48: the pre-certified r10 rotation queue staged by r9
     # (remaining r2 set, then the r3-r5 families) — the stalest
     # driver evidence in the registry, re-witnessed on current data.
     "q_unpivot",
@@ -145,7 +145,7 @@ PRIORITY: list[str] = [
     "q_cluster_token_budget",
     "q_token_budget_sample",
     # --- end of the 50-slot driver window ---
-    # Slots 51-100: the r11 rotation queue, oldest evidence first —
+    # Slots 51-101: the r11 rotation queue, oldest evidence first —
     # the other r6 token-budget head, then the r4b/c/d/e waves,
     # wave3, the lake CDC family, and the head of the round4f
     # text-statistics family. The driver does not read past slot 50;

@@ -437,11 +437,12 @@ def q_stream_incremental_dedup(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
+    from babylon_data_loader_spark.operators.index_store import (
+        warehouse_dir,
+    )
+
     work = os.path.join(
-        wh, f"_stream_incr_{uuid.uuid4().hex[:12]}"
+        warehouse_dir(spark), f"_stream_incr_{uuid.uuid4().hex[:12]}"
     )
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")
@@ -535,10 +536,13 @@ def q_tokwin_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    work = os.path.join(wh, f"_tokwin_maint_{uuid.uuid4().hex[:12]}")
+    from babylon_data_loader_spark.operators.index_store import (
+        warehouse_dir,
+    )
+
+    work = os.path.join(
+        warehouse_dir(spark), f"_tokwin_maint_{uuid.uuid4().hex[:12]}"
+    )
     store = os.path.join(work, "store")
     try:
         write_token_window_store(docs.where(_CORPUS_PRED), store)
@@ -580,7 +584,11 @@ def q_tokwin_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"append != rebuild: maintained {got} vs full {want}"
             )
 
-        # probe the batch's first >=16-token doc's pos-0 window
+        # probe the batch's first >=16-token doc's pos-0 window;
+        # if the batch happens to hold none (all sub-16 docs), fall
+        # back to the store's smallest hash — isin([]) would fold the
+        # scan to an empty LocalRelation and spuriously fail the
+        # PartitionFilters check (r10 review)
         probe_h = [
             r["_h"]
             for r in token_windows(docs.where(_BATCH_PRED))
@@ -588,17 +596,25 @@ def q_tokwin_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("_id")
             .limit(1)
             .collect()
+        ] or [
+            r["_h"]
+            for r in maintained.select("_h").orderBy("_h").limit(1).collect()
         ]
-        probed = probe_token_windows(spark, store, probe_h)
-        n_hits = probed.count()
-        plan = probed._jdf.queryExecution().executedPlan().toString()
-        if (
-            "PartitionFilters: [" not in plan
-            or "PartitionFilters: []" in plan
-        ):
-            raise AssertionError(
-                "probe scan carries no hp PartitionFilter"
+        if probe_h:
+            probed = probe_token_windows(spark, store, probe_h)
+            n_hits = probed.count()
+            plan = (
+                probed._jdf.queryExecution().executedPlan().toString()
             )
+            if (
+                "PartitionFilters: [" not in plan
+                or "PartitionFilters: []" in plan
+            ):
+                raise AssertionError(
+                    "probe scan carries no hp PartitionFilter"
+                )
+        else:  # empty documents table: nothing to probe
+            n_hits = 0
 
         append_token_windows(docs.where("doc_id < 0"), store)
         if _digest(

@@ -67,14 +67,27 @@ def test_assign_raises_beyond_e9_grid(spark):
 
 def test_assign_raises_on_empty_centroids(spark):
     """An empty codebook must RAISE, not emit N NULL-cid rows
-    (array_min over an empty array is NULL — r9 advice); empty vecs
-    against a real codebook stay an empty result."""
+    (array_min over an empty array is NULL — r9 advice) — INCLUDING
+    under a pruned caller projection like select(id, cid), where a
+    guard attached to an unselected column would be optimized away
+    (r10 review); empty vecs against a real codebook stay an empty
+    result."""
     vecs = _vecs(spark, [(1, [1.0, 0.0])])
     cents = _cents(spark, [(0, [0.0, 0.0])]).where("cid < 0")
     with pytest.raises(Exception, match="empty centroid table"):
         assign_clusters(vecs, cents).collect()
-    assert (
+    with pytest.raises(Exception, match="empty centroid table"):
+        # the column-pruning path: only (vec_id, cid) survive
+        assign_clusters(vecs, cents).select("vec_id", "cid").collect()
+    # an empty centroid table raises even under empty vecs (the
+    # broadcast codebook is built before the stream side is known
+    # empty — and a codebook-less assignment is an error regardless)
+    with pytest.raises(Exception, match="empty centroid table"):
         assign_clusters(vecs.where("vec_id < 0"), cents).collect()
+    # empty VECS against a real codebook stay an empty result
+    real = _cents(spark, [(0, [0.0, 0.0])])
+    assert (
+        assign_clusters(vecs.where("vec_id < 0"), real).collect()
         == []
     )
 

@@ -450,7 +450,21 @@ def test_store_meta_live_remote_records(tmp_path):
         ]
     )
     assert store_meta_live(str(store))
+    # a LOCAL path-only record (stat failed mid-build) is NOT the
+    # remote escape hatch: the store must stay sweepable
+    write_meta([{"path": str(local)}])
+    assert not store_meta_live(str(store))
     # a dead LOCAL record still kills liveness even next to remotes
+    write_meta(
+        [
+            {"path": "s3://bucket/docs/part-0.parquet"},
+            {
+                "path": str(local),
+                "size": st.st_size,
+                "mtime_ns": st.st_mtime_ns,
+            },
+        ]
+    )
     os.remove(local)
     assert not store_meta_live(str(store))
 
