@@ -298,3 +298,49 @@ def test_token_budget_by_lang_integer_arithmetic(spark, tmp_path):
     assert rows["en"]["budget_pct"] == 40
     assert rows["de"]["allocated"] == 40
     assert rows["de"]["n_tokens"] == 10
+
+
+def test_merge_token_extents_matches_bruteforce_union(spark):
+    """Randomized pin of the interval-union merge (r9 advice fix):
+    for 40 seeded-random island sets (disjoint, gap>=1 window runs —
+    exactly what gaps-and-islands emits), the merged-interval sum
+    hi-lo+16 must equal the brute-force size of the union of token
+    extents [lo, hi+15]. All cases ride ONE DataFrame/job."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from babylon_data_loader_spark.queries.round9 import (
+        merge_token_extents,
+    )
+
+    rng = random.Random(4217)
+    rows, want = [], {}
+    for doc in range(40):
+        pos, islands = 0, []
+        for _ in range(rng.randint(1, 8)):
+            pos += rng.randint(1, 30)  # gap >= 1 window position
+            lo = pos
+            hi = lo + rng.randint(0, 25)
+            islands.append((lo, hi))
+            pos = hi + 1
+        covered = set()
+        for lo, hi in islands:
+            covered.update(range(lo, hi + 16))
+        want[doc] = len(covered)
+        rows += [(doc, lo, hi) for lo, hi in islands]
+    isl = spark.createDataFrame(
+        rows, "doc_id BIGINT, lo BIGINT, hi BIGINT"
+    )
+    got = {
+        r["doc_id"]: r["covered"]
+        for r in merge_token_extents(isl)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("hi") - F.col("lo") + F.lit(16)).alias(
+                "covered"
+            )
+        )
+        .collect()
+    }
+    assert got == want
