@@ -8,7 +8,7 @@ SHELL := /bin/bash
 SF_DIR ?= /root/testdata/sf0.01
 PY ?= python
 
-.PHONY: all build test test-ci check-quality audit oracle bench \
+.PHONY: all build test test-ci check-quality audit oracle oracle-window bench \
         run-ingest run-generate clean help
 
 all: check-quality test ## quality gates + full test suite
@@ -28,6 +28,13 @@ audit: ## explain all registered queries; fail on scale anti-patterns
 
 oracle: ## Spark vs DuckDB exact-match over the whole registry
 	$(PY) scripts/check_oracle.py $(SF_DIR)
+
+oracle-window: ## exact-match sweep of the 50-slot driver window only
+	$(PY) -c "import sys; sys.path.insert(0,'.'); \
+	import babylon_data_loader_spark.queries as Q; Q.load_all(); \
+	print('\n'.join(Q.PRIORITY[:50]))" > .window50.txt
+	$(PY) scripts/check_oracle.py $(SF_DIR) $$(tr '\n' ' ' < .window50.txt)
+	rm -f .window50.txt
 
 bench: ## headline benchmark (one JSON line on stdout)
 	$(PY) bench.py
