@@ -624,15 +624,46 @@ def q_tokwin_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) != got:
             raise AssertionError("empty append changed store content")
 
-        n_files = sum(
-            f.endswith(".parquet")
-            for _d, _s, fs in os.walk(store)
-            for f in fs
+        def _count_files() -> int:
+            return sum(
+                f.endswith(".parquet")
+                for _d, _s, fs in os.walk(store)
+                for f in fs
+            )
+
+        n_files = _count_files()
+        # COMPACT (the generic index compactor, operators/
+        # index_store.py — the tokwin store is an hp-partitioned
+        # index like any other): appends leave one extra file per
+        # touched prefix per batch; compaction folds back to one file
+        # per prefix with content and meta byte-identical
+        from babylon_data_loader_spark.operators.index_store import (
+            compact_index,
         )
+
+        compact_index(spark, store, "hp")
+        if _digest(
+            read_token_window_store(spark, store)[0].select(
+                "_id", "_pos", "_h"
+            )
+        ) != got:
+            raise AssertionError("compact changed store content")
+        n_files_compacted = _count_files()
+        if n_files_compacted > n_files:
+            raise AssertionError(
+                f"compact grew the store: {n_files} -> "
+                f"{n_files_compacted} files"
+            )
         rows = [
             ("append_equals_rebuild", True, got[0], n_files),
             ("probe_partition_pruned", True, n_hits, n_files),
             ("empty_append_noop", True, got[0], n_files),
+            (
+                "compact_content_identical",
+                True,
+                got[0],
+                n_files_compacted,
+            ),
         ]
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -185,3 +185,25 @@ def test_token_window_store_append_equals_rebuild(spark, tmp_path):
         )
         == want_rows
     )
+
+    # compact (the generic index compactor works on the hp layout):
+    # content identical, meta preserved, one file per prefix dir
+    from babylon_data_loader_spark.operators.index_store import (
+        compact_index,
+    )
+
+    compact_index(spark, path, "hp")
+    got2, meta2 = read_token_window_store(spark, path)
+    assert meta2 == meta
+    assert (
+        sorted(
+            (r["_id"], r["_pos"], r["_h"])
+            for r in got2.select("_id", "_pos", "_h").collect()
+        )
+        == want_rows
+    )
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith("hp=") and os.path.isdir(full):
+            n = sum(f.endswith(".parquet") for f in os.listdir(full))
+            assert n == 1, f"{d} has {n} files after compact"
