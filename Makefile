@@ -33,6 +33,9 @@ oracle-window: ## exact-match sweep of the 50-slot driver window only
 	$(PY) -c "import sys; sys.path.insert(0,'.'); \
 	import babylon_data_loader_spark.queries as Q; Q.load_all(); \
 	print('\n'.join(Q.PRIORITY[:50]))" > .window50.txt
+	@test -s .window50.txt || { \
+	  echo 'oracle-window: empty window list — registry dump failed' >&2; \
+	  rm -f .window50.txt; exit 1; }
 	$(PY) scripts/check_oracle.py $(SF_DIR) $$(tr '\n' ' ' < .window50.txt)
 	rm -f .window50.txt
 

@@ -6,27 +6,26 @@ pairs; one degenerate bucket — boilerplate text, near-identical
 embeddings — turns that quadratic. All paths cap bucket size with the
 SAME helper so a tuning fix lands in one place.
 
-All current call sites use ``antijoin``: a partial-aggregating groupBy
-+ broadcast anti-join against the oversized-bucket list, which stays
-TINY (≤ rows/cap entries) at any corpus size — so the broadcast holds
-at 100 TB where a keep-list of under-cap buckets would not. The guard
-also bounds the downstream ``groupBy(bucket) + collect_list`` pair
-generators: post-guard every bucket has ≤ cap members, so aggregation
-buffers are capped by construction (the reason the guard must run
-BEFORE collecting, never as a size filter on the collected array).
+The guard is a partial-aggregating groupBy + broadcast anti-join
+against the oversized-bucket list, which stays TINY (≤ rows/cap
+entries) at any corpus size — so the broadcast holds at 100 TB where
+a keep-list of under-cap buckets would not. The guard also bounds the
+downstream ``groupBy(bucket) + collect_list`` pair generators:
+post-guard every bucket has ≤ cap members, so aggregation buffers are
+capped by construction (the reason the guard must run BEFORE
+collecting, never as a size filter on the collected array).
 
-``window`` (COUNT window over the bucket keys, one full-data exchange
-that a same-keyed self-join can reuse) is retained for callers whose
-guarded frame feeds a bucket-keyed self-join; since the pair
-generators moved to in-bucket collect_list + explode (r6), no
-first-party call site uses it.
+A COUNT-window variant existed through r10 for callers whose guarded
+frame feeds a bucket-keyed self-join; the r6 move of all pair
+generators to in-bucket collect_list + explode left it caller-less,
+and r11 removed it (r10 VERDICT ask #4).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -34,7 +33,6 @@ def drop_oversized_buckets(
     df: DataFrame,
     keys: Sequence[str],
     cap: int | None,
-    strategy: str = "window",
 ) -> DataFrame:
     """Drop every row belonging to a bucket with more than `cap`
     members. `cap=None` disables the guard."""
@@ -43,20 +41,10 @@ def drop_oversized_buckets(
     # a bare string is a Sequence[str]: list('key') would split it
     # into single-character column names
     keys = [keys] if isinstance(keys, str) else list(keys)
-    if strategy == "window":
-        return (
-            df.withColumn(
-                "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
-            )
-            .filter(F.col("_n") <= cap)
-            .drop("_n")
-        )
-    if strategy == "antijoin":
-        oversized = (
-            df.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > cap)
-            .select(*keys)
-        )
-        return df.join(oversized, on=keys, how="left_anti")
-    raise ValueError(f"unknown strategy {strategy!r}")
+    oversized = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*keys)
+    )
+    return df.join(oversized, on=keys, how="left_anti")

@@ -155,8 +155,12 @@ def token_windows(
     and near dedup both miss (the suffix-array method's signal,
     re-expressed as a hash-keyed DataFrame the engine can shuffle).
     Documents shorter than k contribute one whole-document window at
-    sentinel position -1 (so span consumers can exclude them while
-    rate consumers keep them). The table is corpus-token-scale (one
+    sentinel position -1: position-arithmetic consumers filter it
+    (the span/coverage/strip family — `where pos >= 0`,
+    queries/round9.py + round10.py) while occurrence-rate consumers
+    keep it (q_substring_dedup counts it as one window, matching its
+    DuckDB oracle's whole-doc fallback branch). The table is
+    corpus-token-scale (one
     row per token position), which is why it lives behind the at-rest
     store and every consumer is a map-combinable hash-keyed aggregate
     — nothing wider than (id, pos, 32-hex hash) ever shuffles."""
@@ -266,7 +270,7 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_val")
     sized = drop_oversized_buckets(
-        bands, ["band_idx", "band_val"], max_bucket_size, strategy="antijoin"
+        bands, ["band_idx", "band_val"], max_bucket_size
     )
     buckets = sized.groupBy("band_idx", "band_val").agg(
         F.collect_list(id_col).alias("_ids")
@@ -483,9 +487,15 @@ def write_token_window_store(
     files, not #tasks x #prefixes fragments (the write_lsh_index
     discipline). Meta records (k, prefix_chars, cols) so appends hash
     and partition identically. Locally 1 char (16 dirs); at 100 TB
-    use 2-3 (256-4096 dirs — SCALING.md round-10 notes)."""
+    use 2-3 (256-4096 dirs — SCALING.md round-10 notes; the bench
+    `tokwin_layout` supplement measures BOTH widths). Meta I/O is
+    scheme-aware (index_store.read/write_meta_text), so the store
+    works on hdfs://-style paths, not just the local filesystem."""
     import json
-    import os
+
+    from babylon_data_loader_spark.operators.index_store import (
+        write_meta_text,
+    )
 
     win = token_windows(docs, text_col, id_col, k)
     (
@@ -501,10 +511,26 @@ def write_token_window_store(
         "text_col": text_col,
         "id_col": id_col,
     }
-    tmp = os.path.join(path, f"{TOKWIN_META}.tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(path, TOKWIN_META))
+    write_meta_text(
+        docs.sparkSession, _tokwin_meta_path(path), json.dumps(meta)
+    )
+
+
+def _tokwin_meta_path(path: str) -> str:
+    # posixpath-style join: store paths may be URIs (hdfs://…), where
+    # os.path.join is wrong on non-posix hosts and "\\" separators
+    # corrupt the URI.
+    return path.rstrip("/") + "/" + TOKWIN_META
+
+
+def _read_tokwin_meta(spark: SparkSession, path: str) -> dict:
+    import json
+
+    from babylon_data_loader_spark.operators.index_store import (
+        read_meta_text,
+    )
+
+    return json.loads(read_meta_text(spark, _tokwin_meta_path(path)))
 
 
 def append_token_windows(new_docs: DataFrame, path: str) -> None:
@@ -519,17 +545,21 @@ def append_token_windows(new_docs: DataFrame, path: str) -> None:
     tests/test_dedup.py). Caller-owned semantics: the caller routes
     each document into exactly one write/append — re-appending a doc
     duplicates its windows, the same contract as append_lsh_index."""
-    import json
-    import os
+    from babylon_data_loader_spark.operators.index_store import (
+        check_append_schema,
+    )
 
-    with open(os.path.join(path, TOKWIN_META), encoding="utf-8") as fh:
-        meta = json.load(fh)
+    meta = _read_tokwin_meta(new_docs.sparkSession, path)
     # no up-front emptiness probe: it would evaluate the batch plan
     # twice per append (r10 review); appending zero rows writes no
     # data files, so an empty batch is a content no-op anyway
     win = token_windows(
         new_docs, meta["text_col"], meta["id_col"], int(meta["k"])
     )
+    # footer-only guard (r10 advice): a batch whose doc-id/pos types
+    # diverge from the stored windows (string vs long _id) would
+    # otherwise append parquet files later reads fail on or mis-merge
+    check_append_schema(new_docs.sparkSession, path, win, exclude=("hp",))
     (
         win.withColumn(
             "hp", F.substring("_h", 1, int(meta["prefix_chars"]))
@@ -545,12 +575,7 @@ def read_token_window_store(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, dict]:
     """(window DataFrame with its `hp` partition column, meta)."""
-    import json
-    import os
-
-    with open(os.path.join(path, TOKWIN_META), encoding="utf-8") as fh:
-        meta = json.load(fh)
-    return spark.read.parquet(path), meta
+    return spark.read.parquet(path), _read_tokwin_meta(spark, path)
 
 
 def probe_token_windows(
@@ -560,10 +585,14 @@ def probe_token_windows(
     worklist's "where else does this span occur" lookup. The hp
     equality list makes the probe PARTITION-PRUNED (only the probed
     prefixes' directories are listed/read); the `_h` filter then
-    pushes to parquet row groups within them."""
+    pushes to parquet row groups within them. Probe hashes are
+    lowercased first — stored `_h`/`hp` are lowercase md5 hex, so an
+    uppercase caller hash would otherwise silently match nothing
+    (r10 advice)."""
     win, meta = read_token_window_store(spark, path)
     p = int(meta["prefix_chars"])
+    hashes = [h.lower() for h in hashes]
     prefixes = sorted({h[:p] for h in hashes})
     return win.where(
-        F.col("hp").isin(prefixes) & F.col("_h").isin(list(hashes))
+        F.col("hp").isin(prefixes) & F.col("_h").isin(hashes)
     )

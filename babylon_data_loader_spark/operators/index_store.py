@@ -143,6 +143,57 @@ def store_path(
     )
 
 
+def read_meta_text(spark: SparkSession, path: str) -> str:
+    """Read a small sidecar/meta file from ``path``, scheme-aware:
+    plain local paths use ``open()``; any ``scheme://`` path (hdfs://,
+    s3a://, file://) routes through the JVM Hadoop FileSystem the
+    session is already configured with — so a store laid out on a
+    remote filesystem keeps a working meta channel (r10 advice: the
+    tokwin store API positioned itself for remote 100 TB layouts while
+    doing ``open()``-only meta I/O). Meta files are O(100 bytes); the
+    driver-side read is not a data-path collect."""
+    if "://" not in path:
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def write_meta_text(spark: SparkSession, path: str, text: str) -> None:
+    """Scheme-aware twin of :func:`read_meta_text`: local paths get
+    the tmp-file + ``os.replace`` atomic swap; ``scheme://`` paths
+    write a sibling ``.tmp`` through Hadoop FileSystem and rename it
+    over the target (deleting any previous copy first — HDFS rename
+    does not overwrite). Single-writer maintenance-window semantics,
+    same as the store writes themselves."""
+    if "://" not in path:
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(text)
+        os.replace(tmp, path)
+        return
+    jvm = spark._jvm
+    target = jvm.org.apache.hadoop.fs.Path(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(target):
+        fs.delete(target, False)
+    fs.rename(tmp, target)
+
+
 def write_store_meta(path: str, files: Iterable[str]) -> None:
     """Record the store's source files (path + size + mtime_ns) in the
     sidecar. Written once at build time; read by sweep_stale to decide

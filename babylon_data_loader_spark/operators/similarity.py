@@ -252,8 +252,8 @@ def _banded_candidates(
     )
     # Persist BEFORE the guard: the Arrow bucket kernel then runs once
     # and feeds both the guard's oversized-bucket count and the pair
-    # generation. The guard is the "antijoin" strategy (broadcast
-    # anti-join against the tiny >cap list — see operators/buckets.py)
+    # generation. The guard is a broadcast anti-join against the
+    # tiny >cap list (see operators/buckets.py)
     # so the collect_list below has aggregation buffers bounded at
     # `max_bucket_size` ids by construction; the in-row double explode
     # then emits a<b pairs with ONE band-keyed shuffle of bare ids —
@@ -264,10 +264,7 @@ def _banded_candidates(
 
     bucketed = persist_tracked(bucketed)
     bucketed = drop_oversized_buckets(
-        bucketed,
-        ["band_idx", "bucket"],
-        max_bucket_size,
-        strategy="antijoin",
+        bucketed, ["band_idx", "bucket"], max_bucket_size
     )
     buckets = bucketed.groupBy("band_idx", "bucket").agg(
         F.collect_list(id_col).alias("_ids")

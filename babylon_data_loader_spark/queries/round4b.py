@@ -315,7 +315,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_id").alias("doc_id"), F.col("_sh").alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    rare = drop_oversized_buckets(sh, "s", 100, strategy="antijoin")
+    rare = drop_oversized_buckets(sh, "s", 100)
     buckets = rare.groupBy("s").agg(
         F.collect_list("doc_id").alias("ids")
     )

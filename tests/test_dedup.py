@@ -207,3 +207,66 @@ def test_token_window_store_append_equals_rebuild(spark, tmp_path):
         if d.startswith("hp=") and os.path.isdir(full):
             n = sum(f.endswith(".parquet") for f in os.listdir(full))
             assert n == 1, f"{d} has {n} files after compact"
+
+
+def test_token_window_store_r11_guards(spark, tmp_path):
+    """r10-advice hardening: (1) meta I/O is scheme-aware — a
+    file:// URI exercises the Hadoop FileSystem branch end-to-end;
+    (2) appending a schema-divergent batch (string doc ids onto a
+    long-id store) raises instead of writing mixed-schema parquet;
+    (3) probe hashes are case-normalized, so uppercase md5 hex finds
+    the stored lowercase occurrences."""
+    import os
+
+    from babylon_data_loader_spark.operators.dedup import (
+        append_token_windows,
+        probe_token_windows,
+        read_token_window_store,
+        token_windows,
+        write_token_window_store,
+    )
+
+    span = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, span + " a1 a2"), (1, span + " b1 b2")],
+        "doc_id BIGINT, text STRING",
+    )
+
+    # (1) scheme path: write + append + read through file:// URIs
+    uri = "file://" + os.path.join(str(tmp_path), "tokwin_uri")
+    write_token_window_store(docs.where("doc_id = 0"), uri)
+    append_token_windows(docs.where("doc_id = 1"), uri)
+    got, meta = read_token_window_store(spark, uri)
+    assert meta["prefix_chars"] == 1
+    want = sorted(
+        (r["_id"], r["_pos"], r["_h"])
+        for r in token_windows(docs).collect()
+    )
+    assert (
+        sorted(
+            (r["_id"], r["_pos"], r["_h"])
+            for r in got.select("_id", "_pos", "_h").collect()
+        )
+        == want
+    )
+
+    # (3) uppercase probe hashes match the stored lowercase hex
+    h = [
+        r["_h"].upper()
+        for r in token_windows(docs).where("_id = 0 and _pos = 0").collect()
+    ]
+    hits = probe_token_windows(spark, uri, h)
+    assert {(r["_id"], r["_pos"]) for r in hits.collect()} == {
+        (0, 0),
+        (1, 0),
+    }
+
+    # (2) divergent batch schema refused before any file lands
+    bad = spark.createDataFrame(
+        [("s1", span + " c1 c2")], "doc_id STRING, text STRING"
+    )
+    files_before = set(got.inputFiles())
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_token_windows(bad, uri)
+    got2, _ = read_token_window_store(spark, uri)
+    assert set(got2.inputFiles()) == files_before

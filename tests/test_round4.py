@@ -149,21 +149,27 @@ def test_bloom_prefilter_exact_and_selective(spark):
     assert joined == plain
 
 
-def test_drop_oversized_buckets_strategies_agree(spark):
+def test_drop_oversized_buckets(spark):
     from babylon_data_loader_spark.operators.buckets import (
         drop_oversized_buckets,
     )
 
-    rows = [(i, f"b{i % 3}") for i in range(30)] + [(99, "hot")] * 0
+    rows = [(i, f"b{i % 3}") for i in range(30)]
     df = spark.createDataFrame(rows, "id int, bucket string")
-    for cap, expect in ((100, 30), (5, 0)):
-        a = drop_oversized_buckets(df, ["bucket"], cap, "window").count()
-        b = drop_oversized_buckets(df, ["bucket"], cap, "antijoin").count()
-        assert a == b == expect
-    # None disables; unknown strategy rejected
-    assert drop_oversized_buckets(df, ["bucket"], None).count() == 30
-    with pytest.raises(ValueError):
-        drop_oversized_buckets(df, ["bucket"], 5, "nope")
+    # 3 buckets of 10 rows: cap 100 keeps all, cap 5 drops all
+    assert drop_oversized_buckets(df, ["bucket"], 100).count() == 30
+    assert drop_oversized_buckets(df, ["bucket"], 5).count() == 0
+    # mixed sizes: only the hot bucket's rows go
+    hot = df.union(
+        spark.createDataFrame(
+            [(100 + i, "hot") for i in range(12)], "id int, bucket string"
+        )
+    )
+    kept = drop_oversized_buckets(hot, "bucket", 10)
+    assert kept.count() == 30
+    assert kept.filter(F.col("bucket") == "hot").count() == 0
+    # None disables the guard entirely
+    assert drop_oversized_buckets(hot, ["bucket"], None).count() == 42
 
 
 def test_stored_minhash_matches_inline_and_reuses(spark, tmp_path):
