@@ -204,34 +204,168 @@ def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_kmeans_refine")  # rows-only: iterative refinement is not
-# SQL-expressible. Self-certifying: RAISES unless inertia is
-# non-increasing across Lloyd iterations (the algorithm's invariant)
-# and the emitted rows witness the trajectory.
+# --- q_kmeans_refine: oracle-backed since r11 ------------------------------
+# Through r10 this was rows-only ("iterative refinement is not
+# SQL-expressible") — true for FLOAT Lloyd, whose grouped mean is
+# fold-order-sensitive. r11 pins the trajectory to a DuckDB oracle by
+# running Lloyd on the integer grid (operators/det_ann.py): vectors
+# quantized to 1e6 BIGINTs, assignment by exact integer squared-L2
+# with centroid-id tiebreaks, refined centroids as FLOOR-DIV means
+# (sum // n), which lands them back on the grid so the next
+# assignment is again exact. Quantized refinement keeps Lloyd's
+# descent up to the floor perturbation: moving a centroid from the
+# exact mean m to floor(m) raises its cluster SSE by n·Σ_d(m_d−c_d)²
+# ≤ 64·n grid units, so inertia_{t+1} ≤ inertia_t + 64·N — the
+# in-query raise enforces that PROVEN bound (the float operator keeps
+# its strict-monotone check in operators/kmeans.py + tests).
+
+_KMR_DIM = 64
+_KMR_K = 8
+
+
+def _kmeans_refine_oracle() -> str:
+    from babylon_data_loader_spark.operators.det_ann import (
+        sql_int_sq_dist,
+        sql_quant,
+    )
+
+    def asg(src: str, cb: str) -> str:
+        dist = sql_int_sq_dist("qv.q", "s.c", _KMR_DIM)
+        return f"""(
+      SELECT qv.vec_id, s.cid, {dist} AS dist
+      FROM {src} qv CROSS JOIN {cb} s
+      QUALIFY row_number() OVER (
+        PARTITION BY qv.vec_id ORDER BY dist ASC, s.cid ASC) = 1
+    )"""
+
+    def refine(a: str) -> str:
+        # DuckDB // TRUNCATES toward zero on negative dividends while
+        # python // floors — the ((sd % n) + n) % n repair (the
+        # tests/test_floor_buckets.py discipline) makes sd exactly
+        # divisible so truncation equals flooring
+        return f"""(
+      SELECT cid,
+             list((sd - ((sd % n) + n) % n) // n ORDER BY d) AS c
+      FROM (
+        SELECT a.cid, g.d, SUM(qv.q[g.d]) AS sd,
+               COUNT(*) AS n
+        FROM {a} a
+        JOIN qv ON qv.vec_id = a.vec_id
+        CROSS JOIN generate_series(1, {_KMR_DIM}) AS g(d)
+        GROUP BY a.cid, g.d
+      ) GROUP BY cid
+    )"""
+
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, {sql_quant('embedding')} AS q FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_KMR_K}
+    ), a1 AS {asg('qv', 'c0')}
+    , c1 AS {refine('a1')}
+    , a2 AS {asg('qv', 'c1')}
+    , c2 AS {refine('a2')}
+    , a3 AS {asg('qv', 'c2')}
+    , shift12 AS (
+      SELECT CAST(SUM(CASE WHEN a1.cid <> a2.cid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n
+      FROM a1 JOIN a2 ON a2.vec_id = a1.vec_id
+    ), shift23 AS (
+      SELECT CAST(SUM(CASE WHEN a2.cid <> a3.cid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n
+      FROM a2 JOIN a3 ON a3.vec_id = a2.vec_id
+    )
+    SELECT 1 AS iter, CAST(SUM(dist) AS BIGINT) AS inertia,
+           CAST(COUNT(*) AS BIGINT) AS n_shifted FROM a1
+    UNION ALL
+    SELECT 2, CAST(SUM(dist) AS BIGINT), (SELECT n FROM shift12)
+    FROM a2
+    UNION ALL
+    SELECT 3, CAST(SUM(dist) AS BIGINT), (SELECT n FROM shift23)
+    FROM a3
+    ORDER BY iter
+    """
+
+
+@query("q_kmeans_refine", oracle=_kmeans_refine_oracle())
 def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3 Lloyd iterations of distributed k-means (k=8, deterministic
-    first-k-ids init): assignment broadcasts the codebook, the update
-    is one map-combinable per-dimension grouped average, and the
-    driver only ever holds k x dim centroid scalars plus one inertia
-    scalar per iteration (operators/kmeans.py). The query RAISES
-    in-query if any iteration increases inertia beyond float noise
-    (Lloyd guarantees monotone descent), then freezes the
-    per-iteration (iter, inertia, n_shifted) trajectory as rows."""
-    from babylon_data_loader_spark.operators.kmeans import kmeans
+    """3 Lloyd iterations of distributed k-means on the integer grid
+    (k=8, deterministic first-k-ids init): assignment broadcasts the
+    literal codebook (zero per-vector shuffle, operators/kmeans.py
+    shape), the update is ONE map-combinable groupBy(cid) with 64
+    per-dimension SUM aggregates (no explode — partial aggregation
+    keeps the shuffle at k·dim scalars), and the driver only ever
+    holds k × dim centroid integers per iteration. Emits the
+    (iter, inertia, n_shifted) trajectory; inertia is exact BIGINT in
+    squared-grid units. RAISES if any iteration exceeds the proven
+    quantized-descent bound inertia_prev + 64·N."""
+    from babylon_data_loader_spark.operators.det_ann import (
+        int_assign,
+        quantize_vec,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    result = kmeans(emb, k=8, n_iters=3)
-    result.assignment.unpersist()
-    hist = result.history
-    for prev, cur in zip(hist, hist[1:]):
-        if cur["inertia"] > prev["inertia"] * (1 + 1e-9):
-            raise AssertionError(
-                "Lloyd iteration increased inertia: "
-                f"{prev} -> {cur}"
+    qdf = persist_tracked(
+        emb.select(
+            "vec_id", quantize_vec(F.col("embedding")).alias("q")
+        )
+    )
+    codebook = sorted(
+        (r["vec_id"], [int(x) for x in r["q"]])
+        for r in qdf.where(F.col("vec_id") < _KMR_K).collect()
+    )
+    dim_sums = [
+        F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+        for d in range(_KMR_DIM)
+    ]
+    hist = []
+    prev_asg = None
+    n_total = None
+    for it in (1, 2, 3):
+        asg = persist_tracked(int_assign(qdf, "q", codebook))
+        stats = asg.agg(
+            F.sum("dist").alias("inertia"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        if n_total is None:
+            n_total = stats["n"]
+        if it == 1:
+            shifted = n_total
+        else:
+            shifted = (
+                asg.alias("a")
+                .join(
+                    prev_asg.alias("p"),
+                    F.col("a.vec_id") == F.col("p.vec_id"),
+                )
+                .where(F.col("a.cid") != F.col("p.cid"))
+                .count()
             )
+        if hist and stats["inertia"] > hist[-1][1] + 64 * n_total:
+            raise AssertionError(
+                "quantized Lloyd exceeded the floor-perturbation "
+                f"descent bound: {hist} -> iter {it} "
+                f"inertia {stats['inertia']}"
+            )
+        hist.append((it, int(stats["inertia"]), int(shifted)))
+        if it < 3:
+            # update step: k rows of (n, Σq per dim) — codebook-scale
+            # collect, floor-div back onto the grid (python // floors,
+            # matching DuckDB //); empty clusters drop out in BOTH
+            # engines (no group row)
+            sums = asg.groupBy("cid").agg(
+                F.count(F.lit(1)).alias("n"), *dim_sums
+            ).collect()
+            codebook = sorted(
+                (
+                    int(r["cid"]),
+                    [int(r[f"s{d}"]) // int(r["n"]) for d in range(_KMR_DIM)],
+                )
+                for r in sums
+            )
+        prev_asg = asg
     return spark.createDataFrame(
-        [(h["iter"], h["inertia"], h["n_shifted"]) for h in hist],
-        "iter BIGINT, inertia DOUBLE, n_shifted BIGINT",
+        hist, "iter BIGINT, inertia BIGINT, n_shifted BIGINT"
     )
 
 

@@ -665,74 +665,225 @@ def q_lake_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-@query("q_ivf_nprobe_curve")  # rows-only: k-means float averaging is
-# not SQL-reproducible. Self-certifying: recall@10 vs the exact
-# baseline is PROVABLY non-decreasing in nprobe (larger nprobe probes
-# a candidate superset, and any true top-10 member in the candidate
-# set always survives the exact-cosine re-rank) and must reach
-# exactly 1.0 when every list is probed — the query RAISES otherwise.
+
+# --- q_ivf_nprobe_curve: oracle-backed since r11 ---------------------------
+# Through r10 this was rows-only ("k-means float averaging is not
+# SQL-reproducible"). r11 replaces the trained coarse quantizer with
+# the DETERMINISTIC sampled-seed variant (operators/det_ann.py): the
+# 16 lists are seeded by the first 16 vec_ids' 1e6-quantized vectors
+# and assignment is exact BIGINT squared-L2 with centroid-id
+# tiebreaks — every stage is integer arithmetic both engines evaluate
+# identically, so the whole recall@10-vs-nprobe curve pins to a
+# DuckDB oracle (r10 VERDICT ask #3). Sampled-seed IVF is the
+# standard no-training coarse quantizer (FAISS's random-subsample
+# training degenerates to it at nlist == sample size); the float
+# k-means path keeps its own coverage via q_kmeans_assign and the
+# operators/ivf.py unit tests.
+
+_IVF_DIM = 64
+_IVF_K = 16
+
+
+def _ivf_curve_oracle() -> str:
+    from babylon_data_loader_spark.operators.det_ann import (
+        sql_int_sq_dist,
+        sql_quant,
+    )
+
+    dist = sql_int_sq_dist("qv.q", "s.c", _IVF_DIM)
+    adist = sql_int_sq_dist("an.aq", "s.c", _IVF_DIM)
+    dot = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) "
+        "* CAST(q.embedding[i] AS DOUBLE)))"
+    )
+
+    def nrm(t: str) -> str:
+        return (
+            f"sqrt(list_sum(list_transform({t}.embedding, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, {sql_quant('embedding')} AS q FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_IVF_K}
+    ), asg AS (
+      SELECT qv.vec_id, s.cid, {dist} AS dist
+      FROM qv CROSS JOIN seeds s
+      QUALIFY row_number() OVER (
+        PARTITION BY qv.vec_id ORDER BY dist ASC, s.cid ASC) = 1
+    ), an AS (
+      SELECT q AS aq FROM qv WHERE vec_id = 0
+    ), prank AS (
+      SELECT s.cid,
+             row_number() OVER (ORDER BY {adist} ASC, s.cid ASC)
+               AS crank
+      FROM seeds s CROSS JOIN an
+    ), qe AS (
+      SELECT embedding FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT a.vec_id, g.cid,
+             round({dot} / ({nrm('a')} * {nrm('q')}), 9) AS sim
+      FROM embeddings a
+      JOIN asg g ON g.vec_id = a.vec_id
+      CROSS JOIN qe q
+      WHERE a.vec_id <> 0
+    ), exact10 AS (
+      SELECT vec_id FROM scored
+      QUALIFY row_number() OVER (
+        ORDER BY sim DESC, vec_id ASC) <= 10
+    ), np AS (
+      SELECT unnest([1, 2, 4, 8, 16]) AS nprobe
+    ), cand AS (
+      SELECT np.nprobe, s.vec_id, s.sim
+      FROM scored s
+      JOIN prank pr ON pr.cid = s.cid
+      CROSS JOIN np
+      WHERE pr.crank <= np.nprobe
+    ), top10 AS (
+      SELECT nprobe, vec_id FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY nprobe ORDER BY sim DESC, vec_id ASC) <= 10
+    ), h AS (
+      SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM top10 t JOIN exact10 e ON e.vec_id = t.vec_id
+      GROUP BY t.nprobe
+    )
+    SELECT CAST(c.nprobe AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           COALESCE(h.hits, 0) AS hits,
+           COALESCE(h.hits, 0) / 10.0 AS recall
+    FROM cand c LEFT JOIN h ON h.nprobe = c.nprobe
+    GROUP BY c.nprobe, h.hits
+    ORDER BY nprobe
+    """
+
+
+@query("q_ivf_nprobe_curve", oracle=_ivf_curve_oracle())
 def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF quality/cost curve a deployment actually tunes:
-    recall@10 of the IVF index at nprobe ∈ {1, 2, 4, 8, 16} (k=16
-    lists, so nprobe=16 scans everything and MUST recall 1.0). Each
-    probe is a pushable cluster_id IN (...) filter + TakeOrdered —
-    the curve never shuffles the vector table; the exact baseline is
-    one brute-force TakeOrdered. Emitted rows witness the measured
-    curve; monotonicity and the exhaustive-probe identity are
-    asserted in-query."""
+    recall@10 of a sampled-seed IVF index (16 lists) at
+    nprobe ∈ {1, 2, 4, 16}. The coarse quantizer is deterministic
+    integer arithmetic (operators/det_ann.py), so the curve is
+    oracle-checked exactly; the in-query raises keep the structural
+    invariants (recall non-decreasing in nprobe, exhaustive probe
+    recalls 1.0) as defense-in-depth on top.
+
+    Scale shape: assignment is one broadcast-codebook integer
+    projection over the vector table (zero shuffle, kmeans.py
+    discipline); each probe is a pushable crank ≤ nprobe filter; the
+    only per-vector float work is the rounded-cosine rerank of the
+    probed candidates. At 100 TB the assigned table is the at-rest
+    structure (cluster-partitioned parquet) and the curve reads
+    nprobe/16ths of it — here the 5 curve points share one
+    persisted assignment scan."""
     from babylon_data_loader_spark.functions.vectors import cosine
-    from babylon_data_loader_spark.operators.ivf import (
-        ivf_index,
-        ivf_search,
-        kmeans_fit,
+    from babylon_data_loader_spark.operators.det_ann import (
+        int_assign,
+        quantize_vec,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, k=16, n_iters=2)
-    indexed = persist_tracked(ivf_index(emb, centroids))
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    ]
-    qcol = F.array(*[F.lit(x) for x in qvec])
-    exact = {
-        r["vec_id"]
-        for r in emb.filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("embedding"), qcol), 9).alias("sim"),
-        )
-        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
-        .limit(10)
+    qdf = emb.select(
+        "vec_id", "embedding", quantize_vec(F.col("embedding")).alias("q")
+    )
+    # codebook-scale collect (16 rows): the seeds become the literal
+    # broadcast codebook, the kmeans.py assignment economics
+    seeds = {
+        r["vec_id"]: [int(x) for x in r["q"]]
+        for r in qdf.where(F.col("vec_id") < _IVF_K)
+        .select("vec_id", "q")
         .collect()
     }
-    rows = []
+    codebook = sorted(seeds.items())
+    anchor_q = seeds[0]
+
+    def _d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    crank = {
+        cid: i + 1
+        for i, (cid, _) in enumerate(
+            sorted(codebook, key=lambda kv: (_d2(anchor_q, kv[1]), kv[0]))
+        )
+    }
+    anchor_emb = (
+        emb.where(F.col("vec_id") == 0).first()["embedding"]
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in anchor_emb])
+    crank_col = F.element_at(
+        F.create_map(
+            *[
+                c
+                for cid, rk in crank.items()
+                for c in (F.lit(cid).cast("long"), F.lit(rk))
+            ]
+        ),
+        F.col("cid"),
+    )
+    scored = persist_tracked(
+        int_assign(qdf, "q", codebook)
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            crank_col.alias("crank"),
+            F.round(cosine(F.col("embedding"), qcol), 9).alias("sim"),
+        )
+    )
+    exact10 = (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    nprobes = spark.createDataFrame(
+        [(1,), (2,), (4,), (8,), (16,)], "nprobe BIGINT"
+    )
+    cand = scored.crossJoin(F.broadcast(nprobes)).where(
+        F.col("crank") <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    top10 = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("nprobe", "vec_id")
+    )
+    hits = (
+        top10.join(exact10, "vec_id", "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    out = (
+        cand.groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias(
+                "hits"
+            ),
+            (
+                F.coalesce(F.col("hits"), F.lit(0).cast("long"))
+                / F.lit(10.0)
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
+    rows = out.collect()
     prev = -1.0
-    for nprobe in (1, 2, 4, 8, 16):
-        got = {
-            r["vec_id"]
-            for r in ivf_search(
-                indexed.filter(F.col("vec_id") != 0),
-                centroids,
-                qvec,
-                k=10,
-                nprobe=nprobe,
-            ).collect()
-        }
-        hits = len(got & exact)
-        recall = hits / 10.0
-        if recall < prev:
+    for r in rows:
+        if r["recall"] < prev:
             raise AssertionError(
-                f"IVF recall decreased with nprobe: {rows} -> "
-                f"nprobe={nprobe} recall={recall}"
+                f"IVF recall decreased with nprobe: {rows}"
             )
-        prev = recall
-        rows.append((nprobe, hits, recall))
-    if rows[-1][2] != 1.0:
+        prev = r["recall"]
+    if rows[-1]["recall"] != 1.0:
         raise AssertionError(
             f"exhaustive probe (nprobe=16) missed the exact top-10: "
             f"{rows[-1]}"
         )
-    return spark.createDataFrame(
-        rows, "nprobe BIGINT, hits BIGINT, recall DOUBLE"
-    )
+    return spark.createDataFrame(rows, out.schema)

@@ -1,0 +1,152 @@
+"""Cross-engine exactness of the deterministic ANN primitives
+(operators/det_ann.py) — the foundation that let r11 oracle-back
+q_rerank_ann / q_ivf_nprobe_curve / q_kmeans_refine. Each test
+computes the same quantity in Spark AND via the module's DuckDB SQL
+snippet builders and asserts bit-identity."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.operators.det_ann import (
+    QUANT,
+    det_plane,
+    det_planes,
+    hamming_ball,
+    int_assign,
+    quantize_vec,
+    sign_bucket,
+    sql_int_sq_dist,
+    sql_planes_cte,
+    sql_quant,
+)
+
+_PQ = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_plane_derivation_matches_duckdb():
+    """md5-derived plane components: python hashlib == DuckDB md5."""
+    got = duckdb.sql(
+        f"SELECT c FROM {sql_planes_cte('annplane', 3, 8)} "
+        "ORDER BY p"
+    ).fetchall()
+    assert [list(r[0]) for r in got] == det_planes("annplane", 3, 8)
+    # centered: components straddle zero
+    flat = [c for r in got for c in r[0]]
+    assert min(flat) < 0 < max(flat)
+    assert all(-(1 << 23) <= c < (1 << 23) for c in flat)
+
+
+def test_signatures_match_duckdb(spark):
+    P, DIM = 8, 64
+    planes = det_planes("annplane", P, DIM)
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in spark.read.parquet(_PQ)
+        .select(
+            "vec_id",
+            sign_bucket(
+                quantize_vec(F.col("embedding")), planes
+            ).alias("bucket"),
+        )
+        .collect()
+    }
+    dot = (
+        f"list_sum(list_transform(generate_series(1, {DIM}), "
+        "i -> qv.q[i] * pl.c[i]))"
+    )
+    want = dict(
+        duckdb.sql(
+            f"""
+        WITH planes AS {sql_planes_cte('annplane', P, DIM)},
+        qv AS (SELECT vec_id, {sql_quant('embedding')} AS q
+               FROM read_parquet('{_PQ}')),
+        bits AS (
+          SELECT vec_id, p,
+                 CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT)
+                      ELSE 0 END AS bit
+          FROM qv CROSS JOIN planes pl)
+        SELECT vec_id,
+               CAST(SUM(bit * (1::BIGINT << p)) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id
+        """
+        ).fetchall()
+    )
+    assert got == want
+    assert all(0 <= b < (1 << P) for b in got.values())
+
+
+def test_int_assign_matches_duckdb(spark):
+    DIM, K = 64, 8
+    seeds = duckdb.sql(
+        f"SELECT vec_id, {sql_quant('embedding')} "
+        f"FROM read_parquet('{_PQ}') WHERE vec_id < {K} "
+        "ORDER BY vec_id"
+    ).fetchall()
+    codebook = [(int(v), [int(x) for x in c]) for v, c in seeds]
+    qdf = spark.read.parquet(_PQ).select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("q")
+    )
+    got = {
+        r["vec_id"]: (r["cid"], r["dist"])
+        for r in int_assign(qdf, "q", codebook).collect()
+    }
+    want = {}
+    for vid, payload in duckdb.sql(
+        f"""
+        WITH qv AS (SELECT vec_id, {sql_quant('embedding')} AS q
+                    FROM read_parquet('{_PQ}')),
+        seeds AS (SELECT vec_id AS cid, q AS c FROM qv
+                  WHERE vec_id < {K}),
+        d AS (SELECT qv.vec_id, seeds.cid,
+                     {sql_int_sq_dist('qv.q', 'seeds.c', DIM)} AS dist
+              FROM qv CROSS JOIN seeds)
+        SELECT vec_id, {{'cid': CAST(cid AS BIGINT),
+                         'dist': CAST(dist AS BIGINT)}}
+        FROM d
+        QUALIFY row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist ASC, cid ASC) = 1
+        """
+    ).fetchall():
+        want[vid] = (payload["cid"], payload["dist"])
+    assert got == want
+
+
+def test_quantize_is_floor_on_the_grid(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5, 1.25e-6, -1.25e-6, 0.0])],
+        "id INT, v ARRAY<FLOAT>",
+    )
+    [r] = df.select(quantize_vec(F.col("v")).alias("q")).collect()
+    assert list(r["q"]) == [
+        QUANT // 2,
+        -QUANT // 2,
+        1,
+        -2,  # floor, not truncation: -1.25 floors to -2
+        0,
+    ]
+
+
+def test_hamming_ball_sizes():
+    assert hamming_ball(0b101, 8, 0) == [0b101]
+    r1 = hamming_ball(0b101, 8, 1)
+    assert len(r1) == 9 and 0b101 in r1 and 0b100 in r1
+    # radius 2 over 8 planes: 1 + 8 + C(8,2) = 37
+    assert len(hamming_ball(0, 8, 2)) == 37
+    assert all(0 <= b < 256 for b in hamming_ball(17, 8, 2))
+
+
+def test_det_plane_is_stable():
+    """Regression pin: the derivation spec (md5 tag:p:d, first 6 hex
+    chars, centered) must never drift — stored signatures and the SQL
+    oracles both depend on it."""
+    import hashlib
+
+    p0 = det_plane("annplane", 0, 4)
+    want = [
+        int(hashlib.md5(f"annplane:0:{d}".encode()).hexdigest()[:6], 16)
+        - (1 << 23)
+        for d in range(4)
+    ]
+    assert p0 == want

@@ -240,29 +240,30 @@ def test_assign_matches_bruteforce_argmin(spark):
 
 
 def test_refine_query_raises_on_fabricated_increase(spark):
-    """The self-certifying check actually fires: monkeypatch kmeans to
-    return an increasing-inertia history and assert the query raises."""
-    import babylon_data_loader_spark.operators.kmeans as km
+    """The self-certifying check still fires after the r11
+    oracle-backing rewrite: wrap det_ann.int_assign so each successive
+    assignment reports inflated distances (×100 per iteration) and
+    assert the query trips its proven quantized-descent bound."""
+    import babylon_data_loader_spark.operators.det_ann as da
     from babylon_data_loader_spark.queries.round8 import (
         q_kmeans_refine,
     )
+    from pyspark.sql import functions as F
 
-    class _Fake:
-        def __init__(self, df):
-            self.assignment = df
-            self.history = [
-                {"iter": 0, "inertia": 1.0, "n_shifted": 10},
-                {"iter": 1, "inertia": 2.0, "n_shifted": 1},
-            ]
+    real = da.int_assign
+    calls = {"n": 0}
 
-    real = km.kmeans
-    df = spark.range(1).persist()
-    km.kmeans = lambda *a, **k: _Fake(df)
+    def inflating(df, qcol, codebook):
+        calls["n"] += 1
+        return real(df, qcol, codebook).withColumn(
+            "dist", F.col("dist") * F.lit(100 ** calls["n"])
+        )
+
+    da.int_assign = inflating
     try:
-        with pytest.raises(AssertionError, match="increased inertia"):
+        with pytest.raises(AssertionError, match="descent bound"):
             q_kmeans_refine.__wrapped__(
                 spark, "/root/testdata/sf0.001"
             )
     finally:
-        km.kmeans = real
-        df.unpersist()
+        da.int_assign = real
