@@ -251,6 +251,7 @@ def load_all() -> None:
         round8b,
         round9,
         round10,
+        round11,
         streaming_dedup,
         streaming_replay,
         streaming_window,

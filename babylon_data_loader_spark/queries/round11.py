@@ -1,0 +1,381 @@
+"""Round-11 queries: the two seams r10 left undeclared (r10 VERDICT
+ask #6).
+
+- ``q_incremental_strip_owner``: owner-keep ExactSubstr strip over
+  the INCREMENTAL path — composes r10's two new seams: the appended
+  batch is probed against the at-rest corpus window store
+  (q_incremental_substring's contract) and then only BATCH losers are
+  stripped: the corpus owns every span it already contains, and
+  batch-internal duplicates keep their minimal (doc_id, pos) owner
+  copy. This is the admission pipeline's actual write path: strip the
+  new documents of already-known spans before they enter the corpus,
+  never touching stored documents.
+- ``q_merge_concurrent_stress``: the reference's 5-key dedup-upsert
+  contract under CONCURRENT writers (storage/mongo_repository.go:44-57
+  re-expressed over the transactional lake): two threads each commit
+  three MERGE batches with overlapping keys into one lake, racing on
+  the O_EXCL version claim (operators/tx_lake.py:26); the final state
+  must be byte-equal to the serial outcome. The overlap rows carry
+  IDENTICAL values in both writers (idempotent re-delivery, the
+  at-least-once shape), which is what makes the final state
+  interleaving-independent and therefore exactly oracle-checkable —
+  the claim/retry path had unit tests (tests/test_tx_lake.py) but no
+  declared query until now.
+
+Scale notes: the strip family shuffles nothing wider than
+(id, pos, 32-hex hash) and ownership stays a hash-keyed
+map-combinable aggregate; the merge stress rewrites only touched
+partitions per commit and its batches broadcast (anti-join build
+side), the merge_upsert economics unchanged.
+
+Reference analogue: mongo_repository.go upsert loop + the
+incremental-ingest contract (datalake/client.go:45-76).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.queries.round9 import (
+    _TOK,
+    _WIN_POS_ISLANDS_CTE,
+    _windows,
+    strip_by_islands,
+)
+from babylon_data_loader_spark.queries.round10 import (
+    _BATCH_PRED,
+    _CORPUS_PRED,
+)
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
+
+# ---------------------------------------------------------------------------
+# q_incremental_strip_owner
+# ---------------------------------------------------------------------------
+
+#: appended after _WIN_POS_ISLANDS_CTE (tokd/w): corpus hash set
+#: (ALL corpus windows, fallback included — a batch span equal to a
+#: whole short corpus doc is still a known span), batch losers
+#: (corpus-owned + batch-internal non-owner occurrences), and their
+#: gaps-and-islands runs.
+_INCR_LOSER_CTE = f"""
+    , cw AS (
+      SELECT DISTINCT
+             unnest(CASE WHEN len(t) >= 16
+               THEN list_transform(generate_series(1, len(t) - 15),
+                      j -> md5(array_to_string(t[j:j+15], ' ')))
+               ELSE [md5(array_to_string(t, ' '))] END) AS h
+      FROM tokd WHERE {_CORPUS_PRED}
+    ), bw AS (
+      SELECT doc_id, pos, h FROM w WHERE {_BATCH_PRED}
+    ), bloseC AS (
+      SELECT bw.doc_id, bw.pos FROM bw
+      JOIN cw ON cw.h = bw.h
+    ), rest AS (
+      SELECT bw.doc_id, bw.pos, bw.h FROM bw
+      LEFT JOIN cw ON cw.h = bw.h WHERE cw.h IS NULL
+    ), occ AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY h ORDER BY doc_id, pos) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS n
+      FROM rest
+    ), bloseB AS (
+      SELECT doc_id, pos FROM occ WHERE n > 1 AND rn > 1
+    ), lose AS (
+      SELECT doc_id, pos FROM bloseC
+      UNION ALL
+      SELECT doc_id, pos FROM bloseB
+    ), lisl AS (
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS lo,
+             CAST(MAX(pos) AS BIGINT) AS hi
+      FROM (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS g
+        FROM lose
+      ) GROUP BY doc_id, g
+    )
+"""
+
+
+@query(
+    "q_incremental_strip_owner",
+    oracle=_WIN_POS_ISLANDS_CTE
+    + _INCR_LOSER_CTE
+    + f"""
+    , sp AS (
+      SELECT doc_id, list({{'lo': lo, 'hi': hi}}) AS spans
+      FROM lisl GROUP BY doc_id
+    ), joined AS (
+      SELECT b.doc_id, b.t,
+             COALESCE(s.spans,
+                      CAST([] AS STRUCT(lo BIGINT, hi BIGINT)[]))
+               AS spans
+      FROM (SELECT doc_id, t FROM tokd
+            WHERE {_BATCH_PRED} AND len(t) >= 16) b
+      LEFT JOIN sp s USING (doc_id)
+    ), stripped AS (
+      SELECT doc_id, t,
+             list_filter(t, (x, i) ->
+               len(list_filter(spans, s ->
+                 s.lo <= i - 1 AND i - 1 <= s.hi + 15)) = 0) AS kept
+      FROM joined
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_before,
+           CAST(len(kept) AS BIGINT) AS n_after,
+           CASE WHEN len(kept) = 0 THEN NULL
+                ELSE md5(array_to_string(kept, ' ')) END AS digest
+    FROM stripped ORDER BY doc_id
+    """,
+)
+def q_incremental_strip_owner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Owner-keep strip of an APPENDED batch only: spans the corpus
+    already contains are stripped from the new documents (the corpus
+    copy is the owner by arrival order), and spans duplicated only
+    WITHIN the batch keep their minimal (doc_id, pos) occurrence —
+    q_substring_strip_owner's policy restricted to batch-internal
+    hashes. The corpus side contributes exactly its DISTINCT hash set
+    (read from the at-rest window store, never rebuilt), so the
+    expensive join carries one row per distinct corpus hash, not per
+    occurrence; the batch side is window-hashed in flight — the
+    q_incremental_substring probe economics, extended from a rate
+    signal to the actual write-path transform. Emits the same
+    constant-width (doc_id, n_before, n_after, digest) rows as the
+    full-corpus strip, over >=16-token batch docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    win = _windows(spark, sf_dir)
+    corpus_h = win.where(_CORPUS_PRED).select("h").distinct()
+    bw = win.where(f"({_BATCH_PRED}) AND pos >= 0").select(
+        "doc_id", "pos", "h"
+    )
+    lose_corpus = bw.join(corpus_h, "h", "left_semi").select(
+        "doc_id", "pos"
+    )
+    rest = bw.join(corpus_h, "h", "left_anti")
+    own = (
+        rest.groupBy("h")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("_o"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") > 1)
+        .select("h", "_o")
+    )
+    lose_batch = (
+        rest.join(own, "h")
+        .where(
+            (F.col("doc_id") != F.col("_o")["doc_id"])
+            | (F.col("pos") != F.col("_o")["pos"])
+        )
+        .select("doc_id", "pos")
+    )
+    lose = lose_corpus.unionAll(lose_batch)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        lose.withColumn("_g", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").cast("long").alias("lo"),
+            F.max("pos").cast("long").alias("hi"),
+        )
+        .drop("_g")
+    )
+    return strip_by_islands(
+        docs.where(_BATCH_PRED), islands
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_merge_concurrent_stress
+# ---------------------------------------------------------------------------
+
+#: deterministic survivor per (user_id, event_type) key — the
+#: q_dedup_key total order (ts DESC, event_id DESC)
+_BASE_CTE = """
+    WITH base AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             value
+      FROM events
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) = 1
+    )
+"""
+
+#: which base keys the two writers update: A takes user_id%10 0-4,
+#: B takes 3-7 — 3 and 4 are delivered by BOTH writers with
+#: identical rows (the at-least-once overlap), so the final state is
+#: interleaving-independent
+_UPD_PRED = "user_id % 10 <= 7"
+
+
+@query(
+    "q_merge_concurrent_stress",
+    oracle=_BASE_CTE
+    + f"""
+    , final AS (
+      SELECT user_id, event_type,
+             CASE WHEN {_UPD_PRED}
+                  THEN event_id + 1000000 ELSE event_id END
+               AS event_id,
+             ts_us,
+             CASE WHEN {_UPD_PRED}
+                  THEN value + 1000.0 ELSE value END AS value
+      FROM base
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN event_id >= 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated,
+           CAST(SUM(CAST(value AS DECIMAL(25, 6))) AS DOUBLE)
+             AS sum_value
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_merge_concurrent_stress(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE under concurrent appenders: seed a transactional lake
+    with the deduped event state, then let TWO writer threads each
+    commit three upsert batches (writer A updates user_id%10 0-4,
+    writer B 3-7; the 3-4 overlap is delivered by both with identical
+    rows — idempotent at-least-once re-delivery). The threads race on
+    the O_EXCL version claim; losers retry on fresh state
+    (tx_lake.py:26-33), so all seven commits land and the final lake
+    content equals the serial outcome exactly — which is what the
+    DuckDB oracle computes from the events table alone. In-query
+    raises pin the transactional invariants the oracle cannot see:
+    exactly 7 committed versions (1 seed + 6 merges), no leftover
+    claim files, and key-count conservation (upserts never add or
+    drop keys). Touched-partition rewrite cost and broadcast anti-join
+    batch sides are the standard merge_upsert economics; the stress
+    adds contention, not volume."""
+    import os
+    import shutil
+    import threading
+    import uuid
+
+    from babylon_data_loader_spark.operators.merge import merge_upsert
+    from babylon_data_loader_spark.operators.tx_lake import (
+        TransactionalLake,
+    )
+    from babylon_data_loader_spark.operators.index_store import (
+        warehouse_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            event_ts_us(ev).alias("ts_us"),
+            "value",
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "event_type").orderBy(
+                    F.col("ts_us").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    key = ["user_id", "event_type"]
+    updated = base.select(
+        "user_id",
+        "event_type",
+        (F.col("event_id") + F.lit(1000000)).alias("event_id"),
+        "ts_us",
+        (F.col("value") + F.lit(1000.0)).alias("value"),
+    )
+    path = os.path.join(
+        warehouse_dir(spark), f"_merge_stress_{uuid.uuid4().hex[:12]}"
+    )
+    try:
+        merge_upsert(
+            spark, path, base, key=key, partition_col="event_type"
+        )
+        errors: list[BaseException] = []
+
+        def writer(lo: int, hi: int) -> None:
+            try:
+                for chunk in range(3):
+                    batch = updated.where(
+                        (F.col("user_id") % 10 >= lo)
+                        & (F.col("user_id") % 10 <= hi)
+                        & (F.col("user_id") % 3 == chunk)
+                    )
+                    merge_upsert(
+                        spark,
+                        path,
+                        batch,
+                        key=key,
+                        partition_col="event_type",
+                    )
+            except BaseException as exc:  # surfaced after join
+                errors.append(exc)
+
+        ta = threading.Thread(target=writer, args=(0, 4))
+        tb = threading.Thread(target=writer, args=(3, 7))
+        ta.start()
+        tb.start()
+        ta.join()
+        tb.join()
+        if errors:
+            raise errors[0]
+        lake = TransactionalLake.open(path, partition_col="event_type")
+        version = lake.current_manifest()["version"]
+        if version != 7:
+            raise AssertionError(
+                f"expected 7 committed versions (1 seed + 6 merges), "
+                f"manifest points at v{version}"
+            )
+        leftover = [
+            f
+            for f in os.listdir(os.path.join(path, "_manifest"))
+            if f.startswith("v8")
+        ]
+        if leftover:
+            raise AssertionError(
+                f"uncommitted claim files left behind: {leftover}"
+            )
+        state = lake.read(spark)
+        n_keys = state.select(*key).distinct().count()
+        n_base = base.select(*key).distinct().count()
+        if n_keys != n_base:
+            raise AssertionError(
+                f"upserts changed the key population: "
+                f"{n_base} -> {n_keys}"
+            )
+        out = (
+            state.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum(
+                    F.when(
+                        F.col("event_id") >= 1000000, F.lit(1)
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("n_updated"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .orderBy("event_type")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
