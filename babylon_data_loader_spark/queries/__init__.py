@@ -70,87 +70,35 @@ def query(name: str, oracle: str | None = None):
 #   green is OLDEST (evidence ages as the driver regenerates testdata
 #   between rounds), so over successive rounds every family gets
 #   re-witnessed on current data. r9 backfilled the r1/r2 era (text
-#   analysis + the SURVEY §2 core, 50/50 green); the r10 window below
-#   is the pre-certified queue r9 staged (the remaining r2 set + the
-#   r3-r5 families); the r11 queue (r4b/c/d/e, wave3, lake_cdc,
-#   round4f — the then-stalest evidence) is staged right behind
-#   slot 50 so next round's backfill is again a head-truncation.
+#   analysis + the SURVEY §2 core, 50/50 green); r10 ran the queue r9
+#   staged (50/50 green); the r11 window below head-truncates the
+#   queue r10 staged, with this round's 2 new queries and 3
+#   rows-only->oracle conversions at the head; the r12 queue (the 6
+#   displaced tail entries, then the r3 TPC-H / r4 roundtrip / r5
+#   statistics evidence) is staged right behind slot 50 so next
+#   round's backfill is again a head-truncation.
 PRIORITY: list[str] = [
-    # ROUND-10 WINDOW — 50 oracle-backed slots, zero rows-only rows.
-    # Slots 1-4: the queries ADDED this round (queries/round10.py) —
-    # the production OWNER-KEEP ExactSubstr strip (one owner copy per
-    # duplicated span survives), the incremental appended-batch probe
-    # against the at-rest window store (plus its streaming twin:
-    # stream-static join of in-flight batch windows against the
-    # store), and the end-to-end dedup->budget composition over
-    # stripped masses. Pre-flighted exact-match at sf0.001/0.01.
-    "q_substring_strip_owner",
-    "q_incremental_substring",
-    "q_stream_incremental_dedup",
-    "q_dedup_budget_e2e",
-    # Slots 5-7: queries whose CODE changed this round — the r9
-    # advice interval-union fix (coverage/budget no longer
-    # double-count overlapping token extents) and the kmeans
-    # degenerate-input guards — re-witnessed on the shipped code.
-    "q_dup_span_coverage",
-    "q_dedup_adjusted_budget",
-    "q_kmeans_assign",
-    # Slots 8-48: the pre-certified r10 rotation queue staged by r9
-    # (remaining r2 set, then the r3-r5 families) — the stalest
-    # driver evidence in the registry, re-witnessed on current data.
-    "q_unpivot",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    "q_asof_join",
-    "q_asof_tolerance",
-    "q_attribution_join",
-    "q_distinct_agg",
-    "q_having",
-    "q_interval_join",
-    "q_jaccard_pairs",
-    "q_knn_batch",
-    "q_near_dup_rate",
-    "q_range_band_join",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_window_breadth",
-    "q_bucketed_join",
-    "q_chunk_documents",
-    "q_contamination",
-    "q_domain_mix",
-    "q_embedding_quantize",
-    "q_lake_point_lookup",
-    "q_layout_skipping",
-    "q_media_audio_features",
-    "q_media_dedup",
-    "q_media_video_features",
-    "q_median",
-    "q_part_supplier_diversity",
-    "q_pii_scrub",
-    "q_repetition_filter",
-    "q_robust_zscore",
-    "q_scalar_subquery",
-    "q_schema_evolution",
-    "q_ship_delay",
-    "q_stratified_sample",
-    "q_stream_replay",
-    "q_stream_session",
-    "q_stream_window",
-    "q_udtf_ngrams",
-    "q_unigram_nll",
-    # Slots 49-50: kmeans-lane dependent (q_cluster_token_budget
-    # inherits this round's operator change) + an r6 token-budget
-    # head whose last green predates r7.
-    "q_cluster_token_budget",
-    "q_token_budget_sample",
-    # --- end of the 50-slot driver window ---
-    # Slots 51-101: the r11 rotation queue, oldest evidence first —
-    # the other r6 token-budget head, then the r4b/c/d/e waves,
-    # wave3, the lake CDC family, and the head of the round4f
-    # text-statistics family. The driver does not read past slot 50;
-    # this ordering just makes the next round's backfill a
-    # head-truncation instead of a rewrite.
+    # ROUND-11 WINDOW — 50 oracle-backed slots, zero rows-only rows.
+    # Slots 1-2: the queries ADDED this round (queries/round11.py) —
+    # the incremental owner-keep ExactSubstr strip (batch losers only;
+    # the corpus owns spans it already contains) and the concurrent
+    # two-writer MERGE stress over the tx_lake O_EXCL claim path.
+    "q_incremental_strip_owner",
+    "q_merge_concurrent_stress",
+    # Slots 3-5: rows-only -> ORACLE-BACKED conversions (r10 VERDICT
+    # ask #3, operators/det_ann.py): their retrieval/assignment
+    # stages were re-derived from md5-seeded integer arithmetic both
+    # engines evaluate identically, so their first-ever hash-checked
+    # driver rows land on the code that ships.
+    "q_rerank_ann",
+    "q_ivf_nprobe_curve",
+    "q_kmeans_refine",
+    # Slots 6-50: the first 45 of the pre-certified r11 rotation
+    # queue r10 staged (oldest driver evidence first: the r6
+    # token-budget head, the r4b/c/d/e waves, wave3, lake_cdc, the
+    # round4f head) — re-witnessed on current data. The queue held
+    # 51 names for 50 slots even before this round's 5 head entries;
+    # the 6 displaced tail entries lead the r12 queue below.
     "q_source_token_budget",
     "q_column_profile",
     "q_word_entropy",
@@ -196,30 +144,72 @@ PRIORITY: list[str] = [
     "q_write_expectations",
     "q_mv_rewrite",
     "q_rank_sum_test",
+    # --- end of the 50-slot driver window ---
+    # Slots 51-100: the staged r12 rotation queue — first the 6
+    # entries the r11 head displaced from r10's staging, then the
+    # stalest remaining driver evidence (last green r3: the TPC-H
+    # family re-witnessed in r3's window; then the r4 roundtrip/
+    # stream/media wave; then the r5 statistics heads). The driver
+    # does not read past slot 50; this ordering makes the next
+    # round's backfill a head-truncation again.
     "q_ks_statistic",
     "q_welch_ttest",
     "q_acf",
     "q_feature_mi",
     "q_gini",
     "q_sequence_pattern",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q4",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_approx_join_sketch",
+    "q_bigram_freq",
+    "q_dedup_survivorship",
+    "q_embedding_dup_pairs_exact",
+    "q_embedding_stats",
+    "q_feature_hash",
+    "q_hard_negatives",
+    "q_jsonl_roundtrip",
+    "q_label_encode",
+    "q_media_resize",
+    "q_mode_per_group",
+    "q_orc_roundtrip",
+    "q_stream_dedup",
+    "q_stream_enrich",
+    "q_stream_join",
+    "q_tpch_q11",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_abc_classification",
+    "q_association_rules",
+    "q_bm25_topk",
+    "q_corpus_report",
+    "q_covariance_matrix",
+    "q_cumulative_uniques",
+    "q_degree_distribution",
+    "q_distinctive_terms",
+    "q_fuzzy_clusters",
+    "q_js_divergence",
+    "q_markov_transitions",
+    "q_media_resample",
+    "q_median_by_group",
+    "q_minhash_calibration",
     # Rows-only self-certifying queries (in-query invariant raises,
     # pytest-verified) — deliberately BELOW the window: a no_oracle
-    # driver row carries no signal.
-    "q_kmeans_refine",
-    "q_ivf_nprobe_curve",
+    # driver row carries no signal. r11 converted q_kmeans_refine,
+    # q_ivf_nprobe_curve and q_rerank_ann to full oracles (see the
+    # window head); these two remain genuinely non-SQL-reproducible
+    # (file-retention layout / store-lifecycle checksums).
     "q_lake_vacuum",
-    "q_rerank_ann",
     "q_tokwin_maintenance",
-    # Strong recent greens (r7-r9 heads), kept next for re-checks
-    # once the stale-evidence rotation completes.
-    "q_rerank_candidates",
-    "q_cluster_reps",
-    "q_label_propagation",
-    "q_epoch_allocation",
-    "q_cross_lingual_dup",
-    "q_source_dedup_matrix",
-    "q_winsorize",
-    "q_mmr_diversify",
 ]
 
 

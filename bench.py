@@ -709,17 +709,20 @@ def _zorder_layout_supplement(spark, sf_dir: str, reps: int) -> dict:
 
 
 def _tokwin_layout_supplement(spark, sf_dir: str, reps: int) -> dict:
-    """Window-store layout probe (r9 VERDICT ask #5): the tokwin
-    store is the engine's largest at-rest structure (one row per
-    corpus token position), and its consumers are hash-keyed probes.
-    Writes the store twice — flat (hash-agnostic file split) and
-    hive-partitioned by the first hex char of the window hash (16
-    dirs) — then probes a fixed set of duplicated hashes against
-    both. With the prefix layout, partition pruning opens only the
-    prefix dirs the probe hashes live in; files_opened/files_total is
-    the skip signal tracked per round. At 100 TB the same prefix
-    (widened to 2-3 chars) bounds a dup-hash lookup to 1/256-1/4096
-    of the store's files."""
+    """Window-store layout probe (r9 VERDICT ask #5; widened to BOTH
+    prefix widths by r10 VERDICT ask #5): the tokwin store is the
+    engine's largest at-rest structure (one row per corpus token
+    position), and its consumers are hash-keyed probes. Writes the
+    store flat (hash-agnostic file split) and hive-partitioned by the
+    first 1 AND first 2 hex chars of the window hash (16 / 256 dirs),
+    then probes a fixed set of duplicated hashes against each. With a
+    prefix layout, partition pruning opens only the prefix dirs the
+    probe hashes live in; files_opened/files_total is the skip signal
+    tracked per round. SCALING.md records 2-3 chars as the 100 TB
+    setting — the 2-hex lane MEASURES that skip-ratio-vs-file-count
+    tradeoff instead of asserting it (at sf0.1 the 256-dir layout
+    pays its file-count overhead in write/listing cost; at 100 TB the
+    same count is ~400 GB/dir, which is the point)."""
     import shutil
     import tempfile
 
@@ -737,18 +740,9 @@ def _tokwin_layout_supplement(spark, sf_dir: str, reps: int) -> dict:
         )
         win = token_windows(docs)
         flat_p = os.path.join(root, "flat")
-        pref_p = os.path.join(root, "by_prefix")
         t0 = time.time()
         win.repartition(16).write.parquet(flat_p)
         flat_write = round(time.time() - t0, 3)
-        t0 = time.time()
-        (
-            win.withColumn("hp", F.substring("_h", 1, 1))
-            .repartition("hp")
-            .write.partitionBy("hp")
-            .parquet(pref_p)
-        )
-        pref_write = round(time.time() - t0, 3)
 
         # fixed probe: the 8 smallest duplicated hashes (hash order is
         # content-deterministic) — the "where else does this span
@@ -762,7 +756,6 @@ def _tokwin_layout_supplement(spark, sf_dir: str, reps: int) -> dict:
             .limit(8)
         )
         hashes = [r["_h"] for r in dup.collect()]
-        prefixes = sorted({h[0] for h in hashes})
 
         def _count_files(path: str, only_prefixes=None) -> int:
             n = 0
@@ -778,43 +771,87 @@ def _tokwin_layout_supplement(spark, sf_dir: str, reps: int) -> dict:
             return n
 
         flat_total = _count_files(flat_p)
-        pref_total = _count_files(pref_p)
-        pref_opened = _count_files(pref_p, set(prefixes))
-
-        flat_t, pref_t = [], []
+        flat_t = []
         for _ in range(max(1, reps)):
             t0 = time.time()
             spark.read.parquet(flat_p).where(
                 F.col("_h").isin(hashes)
             ).agg(F.count(F.lit(1))).collect()
             flat_t.append(time.time() - t0)
+
+        per_width = {}
+        for width in (1, 2):
+            pref_p = os.path.join(root, f"by_prefix{width}")
             t0 = time.time()
-            spark.read.parquet(pref_p).where(
-                F.col("hp").isin(prefixes)
-                & F.col("_h").isin(hashes)
-            ).agg(F.count(F.lit(1))).collect()
-            pref_t.append(time.time() - t0)
+            (
+                win.withColumn("hp", F.substring("_h", 1, width))
+                .repartition("hp")
+                .write.partitionBy("hp")
+                .parquet(pref_p)
+            )
+            pref_write = round(time.time() - t0, 3)
+            prefixes = sorted({h[:width] for h in hashes})
+            pref_total = _count_files(pref_p)
+            pref_opened = _count_files(pref_p, set(prefixes))
+            pref_t = []
+            for _ in range(max(1, reps)):
+                t0 = time.time()
+                spark.read.parquet(pref_p).where(
+                    F.col("hp").isin(prefixes)
+                    & F.col("_h").isin(hashes)
+                ).agg(F.count(F.lit(1))).collect()
+                pref_t.append(time.time() - t0)
+            per_width[width] = {
+                "write_sec": pref_write,
+                "files_total": pref_total,
+                "files_opened": pref_opened,
+                "skip_ratio": round(1 - pref_opened / pref_total, 3)
+                if pref_total
+                else None,
+                "probe_sec": round(_median(pref_t), 3),
+                "n_probe_prefixes": len(prefixes),
+            }
+
         return {
             "note": (
                 "token-window store written flat vs hive-partitioned "
-                "by 1-hex-char hash prefix; 8-hash dup probe — "
-                "files_opened/files_total is the skip signal"
+                "by 1- AND 2-hex-char hash prefix; 8-hash dup probe "
+                "— files_opened/files_total is the skip signal; "
+                "2-hex is the recorded 100 TB setting (SCALING.md)"
             ),
+            # 1-hex keys keep their historical names so
+            # BENCH_HISTORY comparisons stay straightforward
             "write_sec_flat": flat_write,
-            "write_sec_prefix": pref_write,
+            "write_sec_prefix": per_width[1]["write_sec"],
             "files_total_flat": flat_total,
-            "files_total_prefix": pref_total,
-            "files_opened_prefix": pref_opened,
-            "skip_ratio": round(1 - pref_opened / pref_total, 3)
-            if pref_total
-            else None,
+            "files_total_prefix": per_width[1]["files_total"],
+            "files_opened_prefix": per_width[1]["files_opened"],
+            "skip_ratio": per_width[1]["skip_ratio"],
             "probe_sec_flat": round(_median(flat_t), 3),
-            "probe_sec_prefix": round(_median(pref_t), 3),
+            "probe_sec_prefix": per_width[1]["probe_sec"],
             "n_probe_hashes": len(hashes),
-            "n_probe_prefixes": len(prefixes),
+            "n_probe_prefixes": per_width[1]["n_probe_prefixes"],
+            "prefix2": per_width[2],
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _driver_stage_probe(spark) -> float:
+    """Fixed many-tiny-stages job (16 chained exchanges over 1k rows,
+    zero data cost): its wall time is almost pure DRIVER-side per-stage
+    overhead — scheduling, listener-bus, UI state. Run at suite START
+    and END, the pair separates "the driver got slower as thousands of
+    stages accumulated" (end >> start: stage-count-sensitive lanes
+    like q_rfm_segments inflate in-suite through no fault of their
+    plan) from "the lane's own cost moved" (r10 VERDICT ask #2 — the
+    q_rfm_segments in-suite/isolated ratio 1.45 investigation)."""
+    t0 = time.time()
+    df = spark.range(1_000)
+    for i in range(16):
+        df = df.repartition(2 + (i % 3))
+    df.selectExpr("count(*)").collect()
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -849,6 +886,8 @@ def main() -> None:
     t0 = time.time()
     spark.range(50_000_000).selectExpr("sum(id % 7)").collect()
     spark_probe_s = round(time.time() - t0, 3)
+    _driver_stage_probe(spark)  # codegen/plan warmup rep, discarded
+    driver_probe_start_s = _driver_stage_probe(spark)
 
     # Median of 3 per query: BENCH_HISTORY shows ~2x same-commit
     # variance on single runs; the median is the round-over-round
@@ -885,6 +924,18 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # End-of-suite twins of the start-of-suite probes: the driver
+    # overhead pair localizes listener/scheduler accumulation; the
+    # q_rfm_segments re-time says whether the mid-suite lane number
+    # was position or plan (its reps land AFTER every other lane ran).
+    driver_probe_end_s = _driver_stage_probe(spark)
+    rfm_end = []
+    if "q_rfm_segments" in qmap:
+        for _ in range(max(1, reps)):
+            t0 = time.time()
+            qmap["q_rfm_segments"](spark, sf_dir).count()
+            rfm_end.append(time.time() - t0)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_time",
@@ -900,11 +951,25 @@ def main() -> None:
         "calibration": {
             "cpu_loop_s": cpu_loop_s,
             "spark_probe_s": spark_probe_s,
+            "driver_stage_probe_start_s": driver_probe_start_s,
+            "driver_stage_probe_end_s": driver_probe_end_s,
             "note": (
                 "fixed code/data-independent probes; compare across "
                 "rounds to detect machine contention before reading "
-                "regressions"
+                "regressions. The driver_stage pair (same 16-exchange "
+                "no-data job at suite start vs end) measures driver-"
+                "side per-stage overhead accumulation — the suite-"
+                "state mechanism that inflates stage-heavy lanes "
+                "in-suite (r10 ask #2)"
             ),
+        },
+        # q_rfm_segments re-timed AFTER the whole suite: position vs
+        # plan attribution for the one lane whose in-suite/isolated
+        # ratio exceeded 1 in r10
+        "rfm_end_of_suite": {
+            "median_s": round(_median(rfm_end), 3) if rfm_end else None,
+            "samples": [round(x, 3) for x in rfm_end],
+            "in_suite_s": timings.get("q_rfm_segments"),
         },
         "testdata_fingerprint": _testdata_fingerprint(sf_dir),
         # Per store-backed query: did the FIRST rep find all its
