@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.queries.round9 import (
-    _TOK,
     _WIN_POS_ISLANDS_CTE,
     _windows,
     strip_by_islands,

@@ -236,6 +236,11 @@ ISOLATED_SET = [
     "q_tpch_q18",
     "q_rfm_segments",
     "q_rerank_candidates",
+    # the other two lanes the r10 driver run flagged (r10 VERDICT
+    # ask #2) — kept in the standing isolated set so every future
+    # round carries fresh-process evidence for them
+    "q_substring_dedup",
+    "q_substring_strip",
 ]
 
 
