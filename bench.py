@@ -126,6 +126,19 @@ HEADLINE = [
     # store (in-flight hashing semi-joined onto stored hashes).
     "q_substring_strip_owner",
     "q_incremental_substring",
+    # round 11 additions: the incremental admission-path strip
+    # (corpus-distinct-hash semi/anti joins + batch-internal
+    # ownership over in-flight windows) and the three det_ann-backed
+    # lanes — deterministic sign-LSH retrieve->rerank through the
+    # at-rest signature store, the integer IVF nprobe curve, and
+    # integer-grid Lloyd (broadcast-codebook assignment shape).
+    # q_merge_concurrent_stress is deliberately NOT a bench lane: its
+    # value is claim-contention correctness, and its wall time is
+    # dominated by 7 sequential commit fsyncs, not data-plane work.
+    "q_incremental_strip_owner",
+    "q_rerank_ann",
+    "q_ivf_nprobe_curve",
+    "q_kmeans_refine",
 ]
 
 
