@@ -73,13 +73,30 @@ def quantize_vec(col: Column) -> Column:
     )
 
 
+def _long_array_sql(row: list[int]) -> str:
+    return "array(" + ",".join(f"{int(c)}L" for c in row) + ")"
+
+
+def _nested_lit(mat: list[list[int]]) -> Column:
+    """Literal ARRAY<ARRAY<BIGINT>> for a plane matrix / codebook —
+    one column the higher-order functions LOOP over at runtime, so
+    codegen emits the inner fold ONCE instead of unrolling it per
+    plane/centroid. Built through ONE F.expr parse instead of k·dim
+    F.lit() calls: profiling the r11 Lloyd loop showed ~1 s of plan
+    BUILD per iteration that was pure py4j round-trips constructing
+    512 literal Columns — driver-side constant overhead that would
+    repeat per re-plan. The SQL text parses JVM-side in one call and
+    folds to the same literal."""
+    return F.expr(
+        "array(" + ",".join(_long_array_sql(r) for r in mat) + ")"
+    )
+
+
 def int_dot_const(qcol: Column, plane: list[int]) -> Column:
     """Σ q[d]·plane[d] — BIGINT-exact fold of a quantized vector
     against a literal integer plane."""
     prods = F.zip_with(
-        qcol,
-        F.array(*[F.lit(c).cast("long") for c in plane]),
-        lambda a, b: a * b,
+        qcol, F.expr(_long_array_sql(plane)), lambda a, b: a * b
     )
     return F.aggregate(
         prods, F.lit(0).cast("long"), lambda acc, x: acc + x
@@ -88,13 +105,30 @@ def int_dot_const(qcol: Column, plane: list[int]) -> Column:
 
 def sign_bucket(qcol: Column, planes: list[list[int]]) -> Column:
     """Sign-LSH bucket id over a quantized vector: bit p set when the
-    exact integer dot with plane p is ≥ 0."""
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        bucket = bucket + F.when(
-            int_dot_const(qcol, plane) >= 0, F.lit(1 << p)
-        ).otherwise(F.lit(0)).cast("long")
-    return bucket
+    exact integer dot with plane p is ≥ 0. One runtime loop over the
+    nested plane literal; bit weights ride a zip_with against the
+    power array (p is the ARRAY INDEX, so bit order matches the
+    per-plane enumeration exactly)."""
+    bits = F.transform(
+        _nested_lit(planes),
+        lambda pl: F.when(
+            F.aggregate(
+                F.zip_with(qcol, pl, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    powers = F.expr(
+        _long_array_sql([1 << p for p in range(len(planes))])
+    )
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda b, w: b * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming_ball(bucket: int, n_planes: int, radius: int) -> list[int]:
@@ -116,7 +150,7 @@ def int_sq_dist_const(qcol: Column, centroid: list[int]) -> Column:
     integer centroid."""
     diffs = F.zip_with(
         qcol,
-        F.array(*[F.lit(c).cast("long") for c in centroid]),
+        F.expr(_long_array_sql(centroid)),
         lambda a, b: (a - b) * (a - b),
     )
     return F.aggregate(
@@ -129,17 +163,30 @@ def int_assign(
 ) -> DataFrame:
     """Nearest-centroid assignment by exact integer distance, lowest
     centroid id on ties: adds (cid, dist) columns. The codebook is a
-    broadcast literal (k·dim ints) folded into one projection —
-    zero-shuffle per-vector work, the kmeans.py assignment shape."""
+    broadcast nested-array literal (k·dim ints) the distance fold
+    LOOPS over at runtime — zero-shuffle per-vector work (the
+    kmeans.py assignment shape) and codebook-size-independent codegen
+    (the r11 unrolled form spent seconds compiling per Lloyd
+    iteration). array_min over (dist, cid) structs keeps the exact
+    integer tiebreak: lowest cid wins equal distances."""
+    cids = [cid for cid, _ in codebook]
+    dists = F.transform(
+        _nested_lit([c for _, c in codebook]),
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(qcol), c, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
     best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    int_sq_dist_const(F.col(qcol), c).alias("dist"),
-                    F.lit(cid).cast("long").alias("cid"),
-                )
-                for cid, c in codebook
-            ]
+        F.zip_with(
+            dists,
+            F.expr(_long_array_sql(cids)),
+            lambda d, i: F.struct(
+                d.alias("dist"), i.alias("cid")
+            ),
         )
     )
     return df.withColumn("_best", best).select(
