@@ -79,13 +79,16 @@ def query(name: str, oracle: str | None = None):
 #   round's backfill is again a head-truncation.
 PRIORITY: list[str] = [
     # ROUND-11 WINDOW — 50 oracle-backed slots, zero rows-only rows.
-    # Slots 1-2: the queries ADDED this round (queries/round11.py) —
+    # Slots 1-3: the queries ADDED this round (queries/round11.py) —
     # the incremental owner-keep ExactSubstr strip (batch losers only;
-    # the corpus owns spans it already contains) and the concurrent
-    # two-writer MERGE stress over the tx_lake O_EXCL claim path.
+    # the corpus owns spans it already contains), the concurrent
+    # two-writer MERGE stress over the tx_lake O_EXCL claim path, and
+    # benchmark decontamination (eval-set n-gram overlap report — the
+    # GPT-3 app.-C hygiene step the registry lacked).
     "q_incremental_strip_owner",
     "q_merge_concurrent_stress",
-    # Slots 3-5: rows-only -> ORACLE-BACKED conversions (r10 VERDICT
+    "q_decontaminate",
+    # Slots 4-6: rows-only -> ORACLE-BACKED conversions (r10 VERDICT
     # ask #3, operators/det_ann.py): their retrieval/assignment
     # stages were re-derived from md5-seeded integer arithmetic both
     # engines evaluate identically, so their first-ever hash-checked
@@ -93,12 +96,12 @@ PRIORITY: list[str] = [
     "q_rerank_ann",
     "q_ivf_nprobe_curve",
     "q_kmeans_refine",
-    # Slots 6-50: the first 45 of the pre-certified r11 rotation
+    # Slots 7-50: the first 44 of the pre-certified r11 rotation
     # queue r10 staged (oldest driver evidence first: the r6
     # token-budget head, the r4b/c/d/e waves, wave3, lake_cdc, the
     # round4f head) — re-witnessed on current data. The queue held
-    # 51 names for 50 slots even before this round's 5 head entries;
-    # the 6 displaced tail entries lead the r12 queue below.
+    # 51 names for 50 slots even before this round's 6 head entries;
+    # the 7 displaced tail entries lead the r12 queue below.
     "q_source_token_budget",
     "q_column_profile",
     "q_word_entropy",
@@ -143,15 +146,15 @@ PRIORITY: list[str] = [
     "q_time_travel",
     "q_write_expectations",
     "q_mv_rewrite",
-    "q_rank_sum_test",
     # --- end of the 50-slot driver window ---
-    # Slots 51-100: the staged r12 rotation queue — first the 6
+    # Slots 51-101: the staged r12 rotation queue — first the 7
     # entries the r11 head displaced from r10's staging, then the
     # stalest remaining driver evidence (last green r3: the TPC-H
     # family re-witnessed in r3's window; then the r4 roundtrip/
     # stream/media wave; then the r5 statistics heads). The driver
     # does not read past slot 50; this ordering makes the next
     # round's backfill a head-truncation again.
+    "q_rank_sum_test",
     "q_ks_statistic",
     "q_welch_ttest",
     "q_acf",

@@ -1,5 +1,6 @@
 """Round-11 queries: the two seams r10 left undeclared (r10 VERDICT
-ask #6).
+ask #6), plus the one curation op the registry lacked
+(``q_decontaminate``, benchmark decontamination — see below).
 
 - ``q_incremental_strip_owner``: owner-keep ExactSubstr strip over
   the INCREMENTAL path — composes r10's two new seams: the appended
@@ -21,6 +22,12 @@ ask #6).
   interleaving-independent and therefore exactly oracle-checkable —
   the claim/retry path had unit tests (tests/test_tx_lake.py) but no
   declared query until now.
+- ``q_decontaminate``: eval-set n-gram overlap decontamination
+  (GPT-3 appendix C / PaLM train-set hygiene) — the one standard
+  LLM-curation operator the 289-query registry did not yet declare:
+  which TRAINING documents share any n-token gram with a held-out
+  evaluation slice, with per-doc overlap census. One broadcast
+  hash-join over the corpus gram table; no all-pairs stage.
 
 Scale notes: the strip family shuffles nothing wider than
 (id, pos, 32-hex hash) and ownership stays a hash-keyed
@@ -378,3 +385,123 @@ def q_merge_concurrent_stress(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q_decontaminate
+# ---------------------------------------------------------------------------
+
+#: Tokens -> stride-1 4-token gram md5s, whole-doc fallback for
+#: sub-4-token documents (the substring-family convention: a short
+#: doc is one span, not zero). the 13-gram GPT-3 setting scaled to this
+#: corpus's ~55-token, ~40-word-vocabulary documents (n is an
+#: entropy knob: at 13-gram equivalence here nothing overlaps; 4
+#: grams give the oracle a 38-doc contaminated report to pin).
+_DECON_GRAMS_CTE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 4
+               THEN list_transform(generate_series(1, len(t) - 3),
+                      j -> md5(array_to_string(t[j:j+3], ' ')))
+               ELSE [md5(array_to_string(t, ' '))] END) AS h
+      FROM toks
+    )
+"""
+
+
+@query(
+    "q_decontaminate",
+    oracle=_DECON_GRAMS_CTE
+    + """
+    , eval_g AS (
+      SELECT DISTINCT h FROM grams WHERE doc_id % 13 = 0
+    ), train AS (
+      SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 13 <> 0
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_eval_grams,
+           CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS eval_gram_rate
+    FROM train t LEFT JOIN eval_g e ON e.h = t.h
+    GROUP BY t.doc_id
+    HAVING SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+    ORDER BY t.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 app. C; the PaLM /
+    Llama train-set hygiene step): a training document is contaminated
+    if it shares any n-token gram with the held-out evaluation set.
+    The eval set here is the deterministic doc_id%13 slice standing in
+    for an external benchmark; grams are stride-1 4-token windows
+    (the 13-gram industry setting scaled down to this corpus's
+    ~55-token, low-entropy synthetic vocabulary),
+    hashed to md5 like the rest of the ExactSubstr family. Emits every
+    contaminated TRAINING doc with its distinct-gram census and the
+    contaminated share — the report a curation pipeline acts on
+    (drop, or strip via the owner-keep machinery).
+
+    Scale: grams shuffle as (doc_id, 32-hex md5) — the substring
+    family's width discipline; per-doc distinct bounds fan-out at the
+    map side. The eval-gram set is benchmark-scale (thousands of docs,
+    NOT corpus-scale) so it broadcasts; the train side never joins
+    wider than its own gram table. At 100 TB the eval grams would live
+    in the at-rest index store and this stays one broadcast-hash-join
+    pass over the corpus; no all-pairs stage exists anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 4,
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("t") - F.lit(3)
+                    ),
+                    lambda j: F.md5(
+                        F.array_join(
+                            F.slice("t", j, F.lit(4)), " "
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.array(F.md5(F.array_join(F.col("t"), " ")))
+            )
+        ).alias("h"),
+    )
+    eval_g = (
+        grams.where(F.col("doc_id") % 13 == 0).select("h").distinct()
+    )
+    train = (
+        grams.where(F.col("doc_id") % 13 != 0)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    hit = F.when(F.col("e_h").isNotNull(), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return (
+        train.join(
+            F.broadcast(eval_g.withColumnRenamed("h", "e_h")),
+            train["h"] == F.col("e_h"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).cast("long").alias("n_eval_grams"),
+            (
+                F.sum(hit).cast("double") / F.count(F.lit(1))
+            ).alias("eval_gram_rate"),
+        )
+        .where(F.col("n_eval_grams") > 0)
+        .orderBy("doc_id")
+    )

@@ -96,3 +96,32 @@ def test_merge_concurrent_stress_invariants(spark):
     assert out
     assert sum(r["n_updated"] for r in out) > 0
     assert all(r["n_rows"] >= r["n_users"] for r in out)
+
+
+def test_decontaminate_planted_overlap(spark, tmp_path):
+    # Eval slice is doc_id%13==0: doc 0 carries the 4-gram
+    # "a b c d"; doc 13 is a sub-4-token doc whose whole text is its
+    # one fallback gram. Train doc 1 repeats eval's 4-gram inside
+    # fresh context (1 of its 4 distinct grams overlaps -> rate
+    # 0.25); train doc 3 equals the short eval doc (fallback gram
+    # matches -> rate 1.0); train doc 2 shares nothing and must be
+    # absent from the report.
+    sf = _write(
+        spark,
+        tmp_path,
+        [
+            (0, "a b c d e f", "en", "s1"),
+            (13, "zz", "en", "s1"),
+            (1, "x y a b c d q", "en", "s2"),
+            (2, "p q r s t", "en", "s2"),
+            (3, "zz", "en", "s2"),
+        ],
+    )
+    rows = sorted(
+        Q.QUERIES["q_decontaminate"](spark, sf).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [
+        (r.doc_id, r.n_grams, r.n_eval_grams, r.eval_gram_rate)
+        for r in rows
+    ] == [(1, 4, 1, 0.25), (3, 1, 1, 1.0)]
