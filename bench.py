@@ -139,6 +139,10 @@ HEADLINE = [
     "q_rerank_ann",
     "q_ivf_nprobe_curve",
     "q_kmeans_refine",
+    # Eval-set n-gram decontamination: corpus gram explode + one
+    # broadcast hash join — the curation hygiene pass a training
+    # pipeline runs over every admitted batch.
+    "q_decontaminate",
 ]
 
 

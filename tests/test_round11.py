@@ -125,3 +125,52 @@ def test_decontaminate_planted_overlap(spark, tmp_path):
         (r.doc_id, r.n_grams, r.n_eval_grams, r.eval_gram_rate)
         for r in rows
     ] == [(1, 4, 1, 0.25), (3, 1, 1, 1.0)]
+
+
+def test_decontaminate_matches_bruteforce_reference(spark, tmp_path):
+    """Randomized pin of the decontamination report: for a seeded
+    60-doc corpus over a 4-word vocabulary (lengths 1-12 tokens, so
+    both the stride-1 4-gram path and the whole-doc fallback fire,
+    and cross-doc overlap is common), the per-doc distinct-gram
+    census must equal a brute-force set-arithmetic reference. All
+    docs ride ONE corpus / ONE query run."""
+    import random
+
+    rng = random.Random(1187)
+    vocab = [f"w{i}" for i in range(4)]
+    docs, toks_by_id = [], {}
+    for i in range(60):
+        toks = [
+            rng.choice(vocab) for _ in range(rng.randint(1, 12))
+        ]
+        toks_by_id[i] = toks
+        docs.append((i, " ".join(toks), "en", f"s{i % 3}"))
+
+    def gram_set(toks):
+        if len(toks) >= 4:
+            return {
+                " ".join(toks[j : j + 4])
+                for j in range(len(toks) - 3)
+            }
+        return {" ".join(toks)}
+
+    eval_grams = set()
+    for i, toks in toks_by_id.items():
+        if i % 13 == 0:
+            eval_grams |= gram_set(toks)
+    want = {}
+    for i, toks in toks_by_id.items():
+        if i % 13 == 0:
+            continue
+        g = gram_set(toks)
+        hits = len(g & eval_grams)
+        if hits:
+            want[i] = (len(g), hits, hits / len(g))
+
+    sf = _write(spark, tmp_path, docs)
+    got = {
+        r.doc_id: (r.n_grams, r.n_eval_grams, r.eval_gram_rate)
+        for r in Q.QUERIES["q_decontaminate"](spark, sf).collect()
+    }
+    assert got == want
+    assert len(want) >= 5  # the seed must exercise real overlap
