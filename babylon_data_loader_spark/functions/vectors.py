@@ -49,3 +49,23 @@ def squared_l2(a: Column, b: Column) -> Column:
         * (x.cast("double") - y.cast("double")),
     )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def double_array_lit(xs) -> Column:
+    """ARRAY<DOUBLE> literal built as ONE SQL expression instead of
+    len(xs) separate F.lit py4j round-trips — constructing a 64-dim
+    query-vector literal the element-wise way costs ~50-100 ms of
+    driver chatter PER VECTOR, which dominates plan-build time in the
+    multi-anchor ANN lanes (measured: q_rerank_ann plan construction
+    1.7 s, most of it literal assembly). repr() round-trips IEEE
+    doubles exactly and the D suffix pins DoubleType, so the value is
+    bit-identical to the F.lit form. Falls back to element-wise lits
+    for non-finite values (inf/nan have no plain SQL literal)."""
+    import math
+
+    vals = [float(x) for x in xs]
+    if not all(map(math.isfinite, vals)):
+        return F.array(*[F.lit(v) for v in vals])
+    if not vals:
+        return F.expr("CAST(array() AS ARRAY<DOUBLE>)")
+    return F.expr(f"array({','.join(f'{v!r}D' for v in vals)})")

@@ -158,17 +158,17 @@ def int_sq_dist_const(qcol: Column, centroid: list[int]) -> Column:
     )
 
 
-def int_assign(
-    df: DataFrame, qcol: str, codebook: list[tuple[int, list[int]]]
-) -> DataFrame:
-    """Nearest-centroid assignment by exact integer distance, lowest
-    centroid id on ties: adds (cid, dist) columns. The codebook is a
-    broadcast nested-array literal (k·dim ints) the distance fold
-    LOOPS over at runtime — zero-shuffle per-vector work (the
-    kmeans.py assignment shape) and codebook-size-independent codegen
-    (the r11 unrolled form spent seconds compiling per Lloyd
-    iteration). array_min over (dist, cid) structs keeps the exact
-    integer tiebreak: lowest cid wins equal distances."""
+def int_assign_expr(
+    qcol: str, codebook: list[tuple[int, list[int]]]
+) -> Column:
+    """Nearest-centroid assignment as a single struct(dist, cid)
+    expression — the building block :func:`int_assign` wraps. Exposed
+    separately so multi-codebook consumers (the Lloyd trajectory pass
+    in q_kmeans_refine) can put SEVERAL assignments in ONE flat
+    projection: chaining whole int_assign projections nests giant
+    fold trees that Catalyst re-analyzes per layer (measured 21 s
+    first-run / 5.5 s warm for 3 chained vs 1.5 s / 0.9 s flat at
+    sf0.1)."""
     cids = [cid for cid, _ in codebook]
     dists = F.transform(
         _nested_lit([c for _, c in codebook]),
@@ -180,7 +180,7 @@ def int_assign(
             lambda acc, x: acc + x,
         ),
     )
-    best = F.array_min(
+    return F.array_min(
         F.zip_with(
             dists,
             F.expr(_long_array_sql(cids)),
@@ -189,6 +189,20 @@ def int_assign(
             ),
         )
     )
+
+
+def int_assign(
+    df: DataFrame, qcol: str, codebook: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """Nearest-centroid assignment by exact integer distance, lowest
+    centroid id on ties: adds (cid, dist) columns. The codebook is a
+    broadcast nested-array literal (k·dim ints) the distance fold
+    LOOPS over at runtime — zero-shuffle per-vector work (the
+    kmeans.py assignment shape) and codebook-size-independent codegen
+    (the r11 unrolled form spent seconds compiling per Lloyd
+    iteration). array_min over (dist, cid) structs keeps the exact
+    integer tiebreak: lowest cid wins equal distances."""
+    best = int_assign_expr(qcol, codebook)
     return df.withColumn("_best", best).select(
         "*",
         F.col("_best.cid").alias("cid"),

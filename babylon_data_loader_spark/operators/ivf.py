@@ -31,12 +31,15 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from babylon_data_loader_spark.functions.vectors import cosine
+from babylon_data_loader_spark.functions.vectors import (
+    cosine,
+    double_array_lit,
+)
 
 
 def _dist2_to(vec_col: str, centroid: list[float]) -> F.Column:
     """Squared L2 distance from `vec_col` to a literal centroid."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c = double_array_lit(centroid)
     return F.aggregate(
         F.zip_with(
             F.col(vec_col),
@@ -226,7 +229,7 @@ def ivf_search(
     order = np.argsort(((c - q) ** 2).sum(axis=1), kind="stable")
     probes = [int(x) for x in order[:nprobe]]
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = double_array_lit(query_vec)
     sim = F.round(cosine(F.col(vec_col), qcol), 9).alias("sim")
     keep = [col for col in (id_col, "label") if col in indexed.columns]
     return (

@@ -40,7 +40,10 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from babylon_data_loader_spark.functions.vectors import cosine
+from babylon_data_loader_spark.functions.vectors import (
+    cosine,
+    double_array_lit,
+)
 
 
 def pq_fit(
@@ -252,7 +255,7 @@ def pq_search(
 
     lut_lit = F.array(
         *[
-            F.array(*[F.lit(float(x)) for x in lut[i]])
+            double_array_lit(lut[i])
             for i in range(m)
         ]
     )
@@ -274,7 +277,7 @@ def pq_search(
     if rerank is None:
         return ranked
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = double_array_lit(query_vec)
     sim = F.round(cosine(F.col(vec_col), qcol), 9).alias("sim")
     cand = F.broadcast(ranked.select(id_col))
     return (
@@ -404,7 +407,7 @@ def ivfpq_search(
         qres = (q - cen[c]).reshape(m, 1, dsub)
         lut = ((cb - qres) ** 2).sum(axis=2)  # m × ksub
         lut_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in lut[i]]) for i in range(m)]
+            *[double_array_lit(lut[i]) for i in range(m)]
         )
         code = F.col(code_col)
         adc = F.round(
@@ -430,7 +433,7 @@ def ivfpq_search(
 
     from babylon_data_loader_spark.functions.vectors import cosine as _cos
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = double_array_lit(query_vec)
     sim = F.round(_cos(F.col(vec_col), qcol), 9).alias("sim")
     cand = F.broadcast(ranked.select(id_col))
     return (

@@ -24,7 +24,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.cache import persist_tracked
-from babylon_data_loader_spark.functions.vectors import cosine
+from babylon_data_loader_spark.functions.vectors import (
+    cosine,
+    double_array_lit,
+)
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
@@ -40,7 +43,7 @@ def sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Bit-string bucket id: one sign bit per hyperplane."""
     bits = []
     for comps in planes:
-        plane = F.array(*[F.lit(c) for c in comps])
+        plane = double_array_lit(comps)
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
@@ -450,7 +453,7 @@ def lsh_search(
     ]
     probes = _probe_buckets(_bucket_of(query_vec, planes), probe_hamming)
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = double_array_lit(query_vec)
     sim = F.round(cosine(F.col(vec_col), qcol), 9).alias("sim")
     keep = [c for c in (id_col, "label") if c in indexed.columns]
     return (

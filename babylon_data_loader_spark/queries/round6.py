@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.functions.cache import persist_tracked
 from babylon_data_loader_spark.functions.text import n_tokens, tokens
-from babylon_data_loader_spark.functions.vectors import cosine
+from babylon_data_loader_spark.functions.vectors import (
+    cosine,
+    double_array_lit,
+)
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.schemas import load_table
 
@@ -691,9 +694,7 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         ball = hamming_ball(
             int(arows[a]["bucket"]), _RA_PLANES, _RA_RADIUS
         )
-        qcol = F.array(
-            *[F.lit(float(x)) for x in arows[a]["embedding"]]
-        )
+        qcol = double_array_lit(arows[a]["embedding"])
         scored = emb.where(F.col("vec_id") != a).select(
             F.lit(a).cast("bigint").alias("query_id"),
             F.col("vec_id").alias("cand_id"),

@@ -292,15 +292,25 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 Lloyd iterations of distributed k-means on the integer grid
     (k=8, deterministic first-k-ids init): assignment broadcasts the
     literal codebook (zero per-vector shuffle, operators/kmeans.py
-    shape), the update is ONE map-combinable groupBy(cid) with 64
-    per-dimension SUM aggregates (no explode — partial aggregation
-    keeps the shuffle at k·dim scalars), and the driver only ever
-    holds k × dim centroid integers per iteration. Emits the
+    shape) and the update is ONE map-combinable groupBy(cid) carrying
+    64 per-dimension SUMs PLUS the per-cluster inertia part (no
+    explode — partial aggregation keeps the shuffle at k·dim+2
+    scalars), so each of the first two iterations is a single pass.
+    Because the assignment is a pure function of (q, codebook), the
+    shift counts do NOT need persisted per-iteration assignments: one
+    FINAL pass recomputes all three (cid, dist) pairs per row and
+    aggregates both shift counts and the last inertia together — 4
+    jobs total over the vectors (init collect, 2 update passes, 1
+    trajectory pass) instead of the former 8, which is also the
+    fewer-full-scans shape that matters at 100 TB. The driver only
+    ever holds k × dim centroid integers per iteration. Emits the
     (iter, inertia, n_shifted) trajectory; inertia is exact BIGINT in
-    squared-grid units. RAISES if any iteration exceeds the proven
-    quantized-descent bound inertia_prev + 64·N."""
+    squared-grid units (per-cluster parts summed in Python — integer
+    addition is fold-order-proof). RAISES if any iteration exceeds
+    the proven quantized-descent bound inertia_prev + 64·N."""
     from babylon_data_loader_spark.operators.det_ann import (
         int_assign,
+        int_assign_expr,
         quantize_vec,
     )
 
@@ -310,60 +320,79 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", quantize_vec(F.col("embedding")).alias("q")
         )
     )
-    codebook = sorted(
-        (r["vec_id"], [int(x) for x in r["q"]])
-        for r in qdf.where(F.col("vec_id") < _KMR_K).collect()
-    )
+    codebooks = [
+        sorted(
+            (r["vec_id"], [int(x) for x in r["q"]])
+            for r in qdf.where(F.col("vec_id") < _KMR_K).collect()
+        )
+    ]
     dim_sums = [
         F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
         for d in range(_KMR_DIM)
     ]
-    hist = []
-    prev_asg = None
-    n_total = None
-    for it in (1, 2, 3):
-        asg = persist_tracked(int_assign(qdf, "q", codebook))
-        stats = asg.agg(
-            F.sum("dist").alias("inertia"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        if n_total is None:
-            n_total = stats["n"]
-        if it == 1:
-            shifted = n_total
-        else:
-            shifted = (
-                asg.alias("a")
-                .join(
-                    prev_asg.alias("p"),
-                    F.col("a.vec_id") == F.col("p.vec_id"),
-                )
-                .where(F.col("a.cid") != F.col("p.cid"))
-                .count()
+    inertia: dict[int, int] = {}
+    n_total = 0
+    for it in (1, 2):
+        # update pass: k rows of (n, inertia part, Σq per dim) —
+        # codebook-scale collect, floor-div back onto the grid
+        # (python // floors, matching DuckDB //); empty clusters drop
+        # out in BOTH engines (no group row)
+        sums = (
+            int_assign(qdf, "q", codebooks[-1])
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dist").alias("in_part"),
+                *dim_sums,
             )
-        if hist and stats["inertia"] > hist[-1][1] + 64 * n_total:
-            raise AssertionError(
-                "quantized Lloyd exceeded the floor-perturbation "
-                f"descent bound: {hist} -> iter {it} "
-                f"inertia {stats['inertia']}"
-            )
-        hist.append((it, int(stats["inertia"]), int(shifted)))
-        if it < 3:
-            # update step: k rows of (n, Σq per dim) — codebook-scale
-            # collect, floor-div back onto the grid (python // floors,
-            # matching DuckDB //); empty clusters drop out in BOTH
-            # engines (no group row)
-            sums = asg.groupBy("cid").agg(
-                F.count(F.lit(1)).alias("n"), *dim_sums
-            ).collect()
-            codebook = sorted(
+            .collect()
+        )
+        inertia[it] = sum(int(r["in_part"]) for r in sums)
+        n_total = sum(int(r["n"]) for r in sums)
+        codebooks.append(
+            sorted(
                 (
                     int(r["cid"]),
-                    [int(r[f"s{d}"]) // int(r["n"]) for d in range(_KMR_DIM)],
+                    [
+                        int(r[f"s{d}"]) // int(r["n"])
+                        for d in range(_KMR_DIM)
+                    ],
                 )
                 for r in sums
             )
-        prev_asg = asg
+        )
+    # trajectory pass: all three assignments recomputed side by side
+    # in ONE FLAT projection (deterministic given the codebooks, so
+    # recompute == stored; flat, not chained int_assign calls — see
+    # int_assign_expr's docstring for the measured difference)
+    traj = qdf.select(
+        *[
+            int_assign_expr("q", cb).alias(f"b{it}")
+            for it, cb in enumerate(codebooks, start=1)
+        ]
+    )
+    shift = lambda a, b: F.sum(  # noqa: E731
+        F.when(
+            F.col(f"b{a}.cid") != F.col(f"b{b}.cid"), 1
+        ).otherwise(0)
+    )
+    fin = traj.agg(
+        F.sum("b3.dist").alias("inertia3"),
+        shift(1, 2).alias("sh12"),
+        shift(2, 3).alias("sh23"),
+    ).first()
+    inertia[3] = int(fin["inertia3"])
+    hist = [
+        (1, inertia[1], int(n_total)),
+        (2, inertia[2], int(fin["sh12"])),
+        (3, inertia[3], int(fin["sh23"])),
+    ]
+    for prev, cur in zip(hist, hist[1:]):
+        if cur[1] > prev[1] + 64 * n_total:
+            raise AssertionError(
+                "quantized Lloyd exceeded the floor-perturbation "
+                f"descent bound: {hist}"
+            )
     return spark.createDataFrame(
         hist, "iter BIGINT, inertia BIGINT, n_shifted BIGINT"
     )

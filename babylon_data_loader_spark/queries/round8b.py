@@ -779,7 +779,10 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure (cluster-partitioned parquet) and the curve reads
     nprobe/16ths of it — here the 5 curve points share one
     persisted assignment scan."""
-    from babylon_data_loader_spark.functions.vectors import cosine
+    from babylon_data_loader_spark.functions.vectors import (
+        cosine,
+        double_array_lit,
+    )
     from babylon_data_loader_spark.operators.det_ann import (
         int_assign,
         quantize_vec,
@@ -790,12 +793,16 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", quantize_vec(F.col("embedding")).alias("q")
     )
     # codebook-scale collect (16 rows): the seeds become the literal
-    # broadcast codebook, the kmeans.py assignment economics
-    seeds = {
-        r["vec_id"]: [int(x) for x in r["q"]]
-        for r in qdf.where(F.col("vec_id") < _IVF_K)
-        .select("vec_id", "q")
+    # broadcast codebook, the kmeans.py assignment economics. The
+    # anchor's raw embedding rides the same collect (seed 0 IS the
+    # anchor) instead of paying a second scan job.
+    seed_rows = (
+        qdf.where(F.col("vec_id") < _IVF_K)
+        .select("vec_id", "q", "embedding")
         .collect()
+    )
+    seeds = {
+        r["vec_id"]: [int(x) for x in r["q"]] for r in seed_rows
     }
     codebook = sorted(seeds.items())
     anchor_q = seeds[0]
@@ -809,10 +816,10 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             sorted(codebook, key=lambda kv: (_d2(anchor_q, kv[1]), kv[0]))
         )
     }
-    anchor_emb = (
-        emb.where(F.col("vec_id") == 0).first()["embedding"]
+    anchor_emb = next(
+        r["embedding"] for r in seed_rows if r["vec_id"] == 0
     )
-    qcol = F.array(*[F.lit(float(x)) for x in anchor_emb])
+    qcol = double_array_lit(anchor_emb)
     crank_col = F.element_at(
         F.create_map(
             *[
