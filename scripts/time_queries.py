@@ -1,0 +1,35 @@
+"""Warm-rep timing for declared queries: 3 reps each, one session.
+
+Usage: python scripts/time_queries.py <name> [<name> ...] <sf_dir>
+
+The first rep carries codegen/store-build cost; medians of reps 1-2
+are the comparable number. Used for same-session A/B evidence when a
+lane's code changes (the PERF_NOTES discipline)."""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from babylon_data_loader_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    names, sf = sys.argv[1:-1], sys.argv[-1]
+    spark = build_session(app_name="time-queries")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    for name in names:
+        for rep in range(3):
+            t0 = time.time()
+            rows = qs[name](spark, sf).collect()
+            print(
+                f"{name} rep{rep}: {time.time() - t0:.3f}s "
+                f"rows={len(rows)}"
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
