@@ -267,3 +267,54 @@ def test_refine_query_raises_on_fabricated_increase(spark):
             )
     finally:
         da.int_assign = real
+
+
+def test_double_array_lit_bit_identity(spark):
+    """The one-expression ARRAY<DOUBLE> literal must be bit-identical
+    to the element-wise F.lit form (it replaced that form in the ANN
+    lanes for plan-build cost — see PERF_NOTES r11): repr round-trip
+    across awkward doubles incl. max-double and subnormals, empty
+    arrays typed, non-finite values still usable via the fallback."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from babylon_data_loader_spark.functions.vectors import (
+        double_array_lit,
+    )
+
+    vals = [
+        0.1,
+        -1.5e-30,
+        math.pi,
+        2.0,
+        float.fromhex("0x1.fffffffffffffp+1023"),  # max double
+        5e-324,  # min subnormal
+        -0.0,
+    ]
+    row = (
+        spark.range(1)
+        .select(
+            double_array_lit(vals).alias("a"),
+            F.array(*[F.lit(v) for v in vals]).alias("b"),
+        )
+        .first()
+    )
+    pack = lambda xs: [struct.pack(">d", x) for x in xs]  # noqa: E731
+    assert pack(row["a"]) == pack(row["b"]) == pack(vals)
+
+    empty = spark.range(1).select(double_array_lit([]).alias("e"))
+    assert empty.schema["e"].dataType.simpleString() == "array<double>"
+    assert list(empty.first()["e"]) == []
+
+    nf = (
+        spark.range(1)
+        .select(
+            double_array_lit([1.0, float("inf"), float("nan")]).alias(
+                "v"
+            )
+        )
+        .first()["v"]
+    )
+    assert nf[0] == 1.0 and math.isinf(nf[1]) and math.isnan(nf[2])
