@@ -453,55 +453,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the at-rest index store and this stays one broadcast-hash-join
     pass over the corpus; no all-pairs stage exists anywhere.
     """
+    from babylon_data_loader_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("t")
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= 4,
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.size("t") - F.lit(3)
-                    ),
-                    lambda j: F.md5(
-                        F.array_join(
-                            F.slice("t", j, F.lit(4)), " "
-                        )
-                    ),
-                ),
-            ).otherwise(
-                F.array(F.md5(F.array_join(F.col("t"), " ")))
-            )
-        ).alias("h"),
-    )
-    eval_g = (
-        grams.where(F.col("doc_id") % 13 == 0).select("h").distinct()
-    )
-    train = (
-        grams.where(F.col("doc_id") % 13 != 0)
-        .select("doc_id", "h")
-        .distinct()
-    )
-    hit = F.when(F.col("e_h").isNotNull(), F.lit(1)).otherwise(
-        F.lit(0)
-    )
-    return (
-        train.join(
-            F.broadcast(eval_g.withColumnRenamed("h", "e_h")),
-            train["h"] == F.col("e_h"),
-            "left",
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(hit).cast("long").alias("n_eval_grams"),
-            (
-                F.sum(hit).cast("double") / F.count(F.lit(1))
-            ).alias("eval_gram_rate"),
-        )
-        .where(F.col("n_eval_grams") > 0)
-        .orderBy("doc_id")
+    return contamination_report(
+        docs, F.col("doc_id") % 13 == 0, n=4
     )
