@@ -258,6 +258,12 @@ ISOLATED_SET = [
     # round carries fresh-process evidence for them
     "q_substring_dedup",
     "q_substring_strip",
+    # the three r11-optimized det_ann lanes (job-count / literal-
+    # assembly rework): standing fresh-process numbers so any future
+    # drift question starts from evidence, not a bespoke rerun
+    "q_kmeans_refine",
+    "q_ivf_nprobe_curve",
+    "q_rerank_ann",
 ]
 
 
