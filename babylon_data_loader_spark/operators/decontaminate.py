@@ -39,10 +39,14 @@ def gram_hashes(
     """(id, *carry_cols, h): md5 of every stride-1 n-token window of
     the whitespace-tokenized text, with the substring-family whole-doc
     fallback for sub-n-token documents (a short doc is one span, not
-    zero). Duplicated grams within a doc are kept — callers that need
-    set semantics apply ``distinct`` themselves. ``carry_cols`` ride
-    the explode so consumers never pay an id-keyed join to recover
-    doc-level attributes."""
+    zero) — the gram convention is functions/text.py::shingles, the
+    ONE place the family's window/fallback semantics live. Duplicated
+    grams within a doc are kept — callers that need set semantics
+    apply ``distinct`` themselves. ``carry_cols`` ride the explode so
+    consumers never pay an id-keyed join to recover doc-level
+    attributes."""
+    from babylon_data_loader_spark.functions.text import shingles
+
     toks = docs.select(
         id_col,
         *carry_cols,
@@ -52,21 +56,7 @@ def gram_hashes(
         id_col,
         *carry_cols,
         F.explode(
-            F.when(
-                F.size("t") >= n,
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.size("t") - F.lit(n - 1)
-                    ),
-                    lambda j: F.md5(
-                        F.array_join(
-                            F.slice("t", j, F.lit(n)), " "
-                        )
-                    ),
-                ),
-            ).otherwise(
-                F.array(F.md5(F.array_join(F.col("t"), " ")))
-            )
+            F.transform(shingles(F.col("t"), n), F.md5)
         ).alias("h"),
     )
 

@@ -16,6 +16,11 @@ from babylon_data_loader_spark.session import build_session  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit(
+            "usage: python scripts/time_queries.py <name> "
+            "[<name> ...] <sf_dir>"
+        )
     names, sf = sys.argv[1:-1], sys.argv[-1]
     spark = build_session(app_name="time-queries")
     spark.sparkContext.setLogLevel("ERROR")
