@@ -318,3 +318,20 @@ def test_double_array_lit_bit_identity(spark):
         .first()["v"]
     )
     assert nf[0] == 1.0 and math.isinf(nf[1]) and math.isnan(nf[2])
+
+    # production embedding widths: the single-expression form must
+    # stay parseable and exact at 1024 dims (the SQL string is ~25 KB
+    # — one parse per plan, amortized at any scale)
+    import random
+
+    rng = random.Random(8111)
+    big = [
+        rng.uniform(-1, 1) * 10 ** rng.randint(-12, 12)
+        for _ in range(1024)
+    ]
+    got = (
+        spark.range(1)
+        .select(double_array_lit(big).alias("g"))
+        .first()["g"]
+    )
+    assert pack(got) == pack(big)
