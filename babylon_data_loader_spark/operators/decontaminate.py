@@ -61,6 +61,40 @@ def gram_hashes(
     )
 
 
+def contamination_census(
+    train_grams: DataFrame,
+    eval_hashes: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The census join both report shapes share: DISTINCT training
+    (id, h) grams left-joined against the broadcast DISTINCT eval
+    hash set (single column ``h``), aggregated to per-doc
+    (n_grams, n_eval_grams, eval_gram_rate), contaminated docs only,
+    ordered by id."""
+    train = train_grams.select(id_col, "h").distinct()
+    eval_g = eval_hashes.select("h").distinct()
+    hit = F.when(F.col("e_h").isNotNull(), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return (
+        train.join(
+            F.broadcast(eval_g.withColumnRenamed("h", "e_h")),
+            train["h"] == F.col("e_h"),
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).cast("long").alias("n_eval_grams"),
+            (
+                F.sum(hit).cast("double") / F.count(F.lit(1))
+            ).alias("eval_gram_rate"),
+        )
+        .where(F.col("n_eval_grams") > 0)
+        .orderBy(id_col)
+    )
+
+
 def contamination_report(
     docs: DataFrame,
     eval_pred: Column,
@@ -84,31 +118,8 @@ def contamination_report(
         text_col=text_col,
         carry_cols=("_is_eval",),
     )
-    eval_g = (
-        grams.where(F.col("_is_eval")).select("h").distinct()
-    )
-    train = (
-        grams.where(~F.col("_is_eval"))
-        .select(id_col, "h")
-        .distinct()
-    )
-    hit = F.when(F.col("e_h").isNotNull(), F.lit(1)).otherwise(
-        F.lit(0)
-    )
-    return (
-        train.join(
-            F.broadcast(eval_g.withColumnRenamed("h", "e_h")),
-            train["h"] == F.col("e_h"),
-            "left",
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(hit).cast("long").alias("n_eval_grams"),
-            (
-                F.sum(hit).cast("double") / F.count(F.lit(1))
-            ).alias("eval_gram_rate"),
-        )
-        .where(F.col("n_eval_grams") > 0)
-        .orderBy(id_col)
+    return contamination_census(
+        grams.where(~F.col("_is_eval")),
+        grams.where(F.col("_is_eval")),
+        id_col=id_col,
     )

@@ -72,23 +72,27 @@ def query(name: str, oracle: str | None = None):
 #   re-witnessed on current data. r9 backfilled the r1/r2 era (text
 #   analysis + the SURVEY §2 core, 50/50 green); r10 ran the queue r9
 #   staged (50/50 green); the r11 window below head-truncates the
-#   queue r10 staged, with this round's 2 new queries and 3
-#   rows-only->oracle conversions at the head; the r12 queue (the 6
+#   queue r10 staged, with this round's 4 new queries and 3
+#   rows-only->oracle conversions at the head; the r12 queue (the 8
 #   displaced tail entries, then the r3 TPC-H / r4 roundtrip / r5
 #   statistics evidence) is staged right behind slot 50 so next
 #   round's backfill is again a head-truncation.
 PRIORITY: list[str] = [
     # ROUND-11 WINDOW — 50 oracle-backed slots, zero rows-only rows.
-    # Slots 1-3: the queries ADDED this round (queries/round11.py) —
+    # Slots 1-4: the queries ADDED this round (queries/round11.py) —
     # the incremental owner-keep ExactSubstr strip (batch losers only;
     # the corpus owns spans it already contains), the concurrent
-    # two-writer MERGE stress over the tx_lake O_EXCL claim path, and
-    # benchmark decontamination (eval-set n-gram overlap report — the
-    # GPT-3 app.-C hygiene step the registry lacked).
+    # two-writer MERGE stress over the tx_lake O_EXCL claim path,
+    # benchmark decontamination as a per-doc actionable report
+    # (census + rate per contaminated doc — the worklist twin of
+    # curation.py::q_contamination's source-level audit), and its
+    # admission-path composition (batch grams probed against the
+    # AT-REST eval-gram index; corpus never rescanned).
     "q_incremental_strip_owner",
     "q_merge_concurrent_stress",
     "q_decontaminate",
-    # Slots 4-6: rows-only -> ORACLE-BACKED conversions (r10 VERDICT
+    "q_incremental_decontaminate",
+    # Slots 5-7: rows-only -> ORACLE-BACKED conversions (r10 VERDICT
     # ask #3, operators/det_ann.py): their retrieval/assignment
     # stages were re-derived from md5-seeded integer arithmetic both
     # engines evaluate identically, so their first-ever hash-checked
@@ -96,12 +100,12 @@ PRIORITY: list[str] = [
     "q_rerank_ann",
     "q_ivf_nprobe_curve",
     "q_kmeans_refine",
-    # Slots 7-50: the first 44 of the pre-certified r11 rotation
+    # Slots 8-50: the first 43 of the pre-certified r11 rotation
     # queue r10 staged (oldest driver evidence first: the r6
     # token-budget head, the r4b/c/d/e waves, wave3, lake_cdc, the
     # round4f head) — re-witnessed on current data. The queue held
-    # 51 names for 50 slots even before this round's 6 head entries;
-    # the 7 displaced tail entries lead the r12 queue below.
+    # 51 names for 50 slots even before this round's 7 head entries;
+    # the 8 displaced tail entries lead the r12 queue below.
     "q_source_token_budget",
     "q_column_profile",
     "q_word_entropy",
@@ -145,15 +149,15 @@ PRIORITY: list[str] = [
     "q_incremental_agg",
     "q_time_travel",
     "q_write_expectations",
-    "q_mv_rewrite",
     # --- end of the 50-slot driver window ---
-    # Slots 51-101: the staged r12 rotation queue — first the 7
+    # Slots 51-102: the staged r12 rotation queue — first the 8
     # entries the r11 head displaced from r10's staging, then the
     # stalest remaining driver evidence (last green r3: the TPC-H
     # family re-witnessed in r3's window; then the r4 roundtrip/
     # stream/media wave; then the r5 statistics heads). The driver
     # does not read past slot 50; this ordering makes the next
     # round's backfill a head-truncation again.
+    "q_mv_rewrite",
     "q_rank_sum_test",
     "q_ks_statistic",
     "q_welch_ttest",

@@ -1,6 +1,6 @@
 """Round-11 queries: the two seams r10 left undeclared (r10 VERDICT
-ask #6), plus the one curation op the registry lacked
-(``q_decontaminate``, benchmark decontamination — see below).
+ask #6), plus the decontamination REPORT pair (``q_decontaminate``
+/ ``q_incremental_decontaminate`` — see below).
 
 - ``q_incremental_strip_owner``: owner-keep ExactSubstr strip over
   the INCREMENTAL path — composes r10's two new seams: the appended
@@ -23,11 +23,19 @@ ask #6), plus the one curation op the registry lacked
   the claim/retry path had unit tests (tests/test_tx_lake.py) but no
   declared query until now.
 - ``q_decontaminate``: eval-set n-gram overlap decontamination
-  (GPT-3 appendix C / PaLM train-set hygiene) — the one standard
-  LLM-curation operator the 289-query registry did not yet declare:
-  which TRAINING documents share any n-token gram with a held-out
-  evaluation slice, with per-doc overlap census. One broadcast
-  hash-join over the corpus gram table; no all-pairs stage.
+  (GPT-3 appendix C / PaLM train-set hygiene) as the PER-DOCUMENT
+  actionable report: which TRAINING documents share any n-token gram
+  with a held-out evaluation slice, each with its distinct-gram
+  census and contaminated share. The registry's existing
+  ``curation.py::q_contamination`` answers the monitoring question
+  (how many contaminated docs per source); this emits the worklist a
+  pipeline acts on doc by doc (drop, or strip the spans). One
+  broadcast hash-join over the corpus gram table; no all-pairs stage.
+- ``q_incremental_decontaminate``: the same hygiene gate at the
+  ADMISSION path — only the appended batch is gram-hashed in flight
+  and probed against the eval-gram set read from the at-rest index;
+  the corpus is never rescanned and the eval grams never recomputed
+  (the incremental-substring economics applied to decontamination).
 
 Scale notes: the strip family shuffles nothing wider than
 (id, pos, 32-hex hash) and ownership stays a hash-keyed
@@ -460,4 +468,76 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return contamination_report(
         docs, F.col("doc_id") % 13 == 0, n=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_decontaminate
+# ---------------------------------------------------------------------------
+
+#: Eval suite for the ADMISSION path: every corpus (non-batch) doc
+#: with doc_id%3==0 — deliberately wider than q_decontaminate's %13
+#: slice so the 22-doc sf0.01 batch splits into both classes
+#: (9 contaminated / 13 clean) instead of a near-constant answer.
+_INCR_EVAL_PRED = "doc_id % 23 <> 0 AND doc_id % 3 = 0"
+
+
+@query(
+    "q_incremental_decontaminate",
+    oracle=_DECON_GRAMS_CTE
+    + f"""
+    , eval_g AS (
+      SELECT DISTINCT h FROM grams WHERE {_INCR_EVAL_PRED}
+    ), train AS (
+      SELECT DISTINCT doc_id, h FROM grams WHERE doc_id % 23 = 0
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_eval_grams,
+           CAST(SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS eval_gram_rate
+    FROM train t LEFT JOIN eval_g e ON e.h = t.h
+    GROUP BY t.doc_id
+    HAVING SUM(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+    ORDER BY t.doc_id
+    """,
+)
+def q_incremental_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination at the ADMISSION path: only the appended batch
+    (doc_id%23==0, the incremental-family convention) is gram-hashed
+    in flight and probed against the eval-gram set read from the
+    AT-REST index (content-fingerprint-keyed, built once per dataset
+    version like every other index) — the corpus is never rescanned
+    and the eval grams are never recomputed per batch. This is how
+    decontamination actually runs in production: the benchmark suite
+    is fixed, its gram index is a stored artifact, and each arriving
+    batch pays one gram explode over ITSELF plus one broadcast probe
+    (q_incremental_substring's economics applied to the hygiene gate).
+    Emits the same per-doc census shape as q_decontaminate, restricted
+    to batch docs."""
+    from babylon_data_loader_spark.operators.decontaminate import (
+        contamination_census,
+        gram_hashes,
+    )
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_grams = get_or_build_parquet(
+        docs,
+        "evalgrams",
+        "n4_e3c23",
+        lambda: gram_hashes(
+            docs.where(F.expr(_INCR_EVAL_PRED)), n=4
+        )
+        .select("h")
+        .distinct(),
+    )
+    batch = docs.where(F.expr("doc_id % 23 = 0"))
+    return contamination_census(
+        gram_hashes(batch, n=4), eval_grams
     )

@@ -174,3 +174,51 @@ def test_decontaminate_matches_bruteforce_reference(spark, tmp_path):
     }
     assert got == want
     assert len(want) >= 5  # the seed must exercise real overlap
+
+
+def test_incremental_decontaminate_batch_only_and_store_reuse(
+    spark, tmp_path
+):
+    # Batch = doc_id%23==0 (ids 0, 23, 46); eval suite = corpus docs
+    # with doc_id%3==0 (ids 3, 6). Batch doc 0 repeats eval's 4-gram
+    # inside fresh context (rate 0.25); batch doc 46 equals the short
+    # eval doc 6 (fallback gram, rate 1.0); batch doc 23 is clean ->
+    # absent. Corpus doc 1 ALSO carries the eval gram but must not
+    # appear: only the admission batch is probed. A second run in the
+    # same session must HIT the at-rest eval-gram index, not rebuild.
+    from babylon_data_loader_spark.operators.index_store import (
+        ACCESS_LOG,
+    )
+
+    sf = _write(
+        spark,
+        tmp_path,
+        [
+            (3, "a b c d e f", "en", "s1"),
+            (6, "zz", "en", "s1"),
+            (0, "x y a b c d z", "en", "s2"),
+            (23, "p q r s t", "en", "s2"),
+            (46, "zz", "en", "s2"),
+            (1, "a b c d q q q", "en", "s3"),
+        ],
+    )
+    fn = Q.QUERIES["q_incremental_decontaminate"]
+    rows = sorted(
+        fn(spark, sf).collect(), key=lambda r: r.doc_id
+    )
+    assert [
+        (r.doc_id, r.n_grams, r.n_eval_grams, r.eval_gram_rate)
+        for r in rows
+    ] == [(0, 4, 1, 0.25), (46, 1, 1, 1.0)]
+
+    before = len(ACCESS_LOG)
+    rows2 = sorted(
+        fn(spark, sf).collect(), key=lambda r: r.doc_id
+    )
+    assert [tuple(r) for r in rows2] == [tuple(r) for r in rows]
+    evalg = [
+        e
+        for e in ACCESS_LOG[before:]
+        if e["kind"] == "evalgrams"
+    ]
+    assert evalg and all(e["hit"] for e in evalg)
