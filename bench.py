@@ -141,8 +141,11 @@ HEADLINE = [
     "q_kmeans_refine",
     # Eval-set n-gram decontamination: corpus gram explode + one
     # broadcast hash join — the curation hygiene pass a training
-    # pipeline runs over every admitted batch.
+    # pipeline runs over every admitted batch — and its admission-path
+    # variant (batch-only gram hashing probed against the at-rest
+    # eval-gram index; store_hit attributes the one-time build).
     "q_decontaminate",
+    "q_incremental_decontaminate",
 ]
 
 
