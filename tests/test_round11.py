@@ -222,3 +222,32 @@ def test_incremental_decontaminate_batch_only_and_store_reuse(
         if e["kind"] == "evalgrams"
     ]
     assert evalg and all(e["hit"] for e in evalg)
+
+
+def test_contamination_report_custom_columns(spark):
+    # The operator API must work off the documents schema: custom id
+    # and text column names, eval predicate over a non-id column.
+    from babylon_data_loader_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (10, "a b c d e", "eval"),
+            (11, "z a b c d", "train"),
+            (12, "p q r s t", "train"),
+        ],
+        "rec_id BIGINT, body STRING, split STRING",
+    )
+    rows = contamination_report(
+        df,
+        F.col("split") == "eval",
+        n=4,
+        id_col="rec_id",
+        text_col="body",
+    ).collect()
+    assert [
+        (r.rec_id, r.n_grams, r.n_eval_grams, r.eval_gram_rate)
+        for r in rows
+    ] == [(11, 2, 1, 0.5)]
