@@ -27,7 +27,11 @@ audit: ## explain all registered queries; fail on scale anti-patterns
 	$(PY) scripts/audit_plans.py $(SF_DIR)
 
 oracle: ## Spark vs DuckDB exact-match over the whole registry
-	$(PY) scripts/check_oracle.py $(SF_DIR)
+	# certification runs keep their FULL log: a truncated log once
+	# lost the name of a one-off failure (r11). pipefail keeps the
+	# sweep's exit code through the tee.
+	set -o pipefail; \
+	$(PY) scripts/check_oracle.py $(SF_DIR) 2>&1 | tee oracle_sweep.log
 
 oracle-window: ## exact-match sweep of the 50-slot driver window only
 	$(PY) -c "import sys; sys.path.insert(0,'.'); \
@@ -36,7 +40,9 @@ oracle-window: ## exact-match sweep of the 50-slot driver window only
 	@test -s .window50.txt || { \
 	  echo 'oracle-window: empty window list — registry dump failed' >&2; \
 	  rm -f .window50.txt; exit 1; }
-	$(PY) scripts/check_oracle.py $(SF_DIR) $$(tr '\n' ' ' < .window50.txt)
+	set -o pipefail; \
+	$(PY) scripts/check_oracle.py $(SF_DIR) \
+	  $$(tr '\n' ' ' < .window50.txt) 2>&1 | tee oracle_window.log
 	rm -f .window50.txt
 
 bench: ## headline benchmark (one JSON line on stdout)

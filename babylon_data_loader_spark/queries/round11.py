@@ -405,9 +405,11 @@ def q_merge_concurrent_stress(
 #: corpus's ~55-token, ~40-word-vocabulary documents (n is an
 #: entropy knob: at 13-gram equivalence here nothing overlaps; 4
 #: grams give the oracle a 38-doc contaminated report to pin).
-_DECON_GRAMS_CTE = """
+_DECON_GRAMS_CTE = r"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
     ), grams AS (
       SELECT doc_id,
              unnest(CASE WHEN len(t) >= 4
@@ -530,7 +532,11 @@ def q_incremental_decontaminate(
     eval_grams = get_or_build_parquet(
         docs,
         "evalgrams",
-        "n4_e3c23",
+        # params bumped n4->n4lw when gram tokenization gained
+        # lower+\s+ normalization: the store key must change when the
+        # gram DERIVATION changes, or a same-fingerprint store would
+        # serve grams computed by the old code
+        "n4lw_e3c23",
         lambda: gram_hashes(
             docs.where(F.expr(_INCR_EVAL_PRED)), n=4
         )

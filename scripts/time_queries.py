@@ -6,6 +6,7 @@ The first rep carries codegen/store-build cost; medians of reps 1-2
 are the comparable number. Used for same-session A/B evidence when a
 lane's code changes (the PERF_NOTES discipline)."""
 
+import statistics
 import sys
 import time
 
@@ -26,13 +27,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     for name in names:
+        times = []
         for rep in range(3):
             t0 = time.time()
             rows = qs[name](spark, sf).collect()
+            times.append(time.time() - t0)
             print(
-                f"{name} rep{rep}: {time.time() - t0:.3f}s "
+                f"{name} rep{rep}: {times[-1]:.3f}s "
                 f"rows={len(rows)}"
             )
+        print(
+            f"{name} median_warm: "
+            f"{statistics.median(times[1:]):.3f}s"
+        )
     spark.stop()
 
 

@@ -251,3 +251,79 @@ def test_contamination_report_custom_columns(spark):
         (r.rec_id, r.n_grams, r.n_eval_grams, r.eval_gram_rate)
         for r in rows
     ] == [(11, 2, 1, 0.5)]
+
+
+def test_contamination_normalization_case_whitespace(spark):
+    # r11 ADVICE: contamination differing only in case or whitespace
+    # must still be caught — grams come from tokens(lower(text))
+    # (trim + lowercase + \s+ split), the ExactSubstr convention.
+    from babylon_data_loader_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "  The   Quick\tBrown FOX jumps ", "eval"),
+            (1, "z the quick brown fox y", "train"),
+            (2, "p q r s t", "train"),
+        ],
+        "doc_id BIGINT, text STRING, split STRING",
+    )
+    rows = contamination_report(
+        df, F.col("split") == "eval", n=4
+    ).collect()
+    assert [
+        (r.doc_id, r.n_grams, r.n_eval_grams) for r in rows
+    ] == [(1, 3, 1)]
+
+
+def test_contamination_broadcast_guard_paths_identical(spark):
+    # The broadcast hint is COUNT-guarded: forcing the fallback
+    # (threshold 0 -> hash-partitioned join on h) must produce the
+    # exact same census as the broadcast path.
+    from babylon_data_loader_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + j) % 11}" for j in range(9)), "t")
+            for i in range(40)
+        ]
+        + [(100, "w0 w1 w2 w3 w4 w5", "e")],
+        "doc_id BIGINT, text STRING, split STRING",
+    )
+    pred = F.col("split") == "e"
+    via_bcast = sorted(
+        tuple(r)
+        for r in contamination_report(df, pred, n=4).collect()
+    )
+    via_shuffle = sorted(
+        tuple(r)
+        for r in contamination_report(
+            df, pred, n=4, broadcast_max_rows=0
+        ).collect()
+    )
+    assert via_bcast == via_shuffle and via_bcast
+
+
+def test_contamination_reserved_column_collision_raises(spark):
+    from babylon_data_loader_spark.operators.decontaminate import (
+        contamination_report,
+        gram_hashes,
+    )
+    from pyspark.sql import functions as F
+
+    clash = spark.createDataFrame(
+        [(0, "a b c d", True)],
+        "doc_id BIGINT, text STRING, __decon_is_eval BOOLEAN",
+    )
+    with pytest.raises(ValueError, match="__decon_is_eval"):
+        contamination_report(clash, F.lit(True))
+    hframe = spark.createDataFrame(
+        [("a b c d", 0)], "text STRING, h BIGINT"
+    )
+    with pytest.raises(ValueError, match="'h'"):
+        gram_hashes(hframe, id_col="h")
