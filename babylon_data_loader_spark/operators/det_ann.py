@@ -145,6 +145,44 @@ def hamming_ball(bucket: int, n_planes: int, radius: int) -> list[int]:
     return sorted(out)
 
 
+def det_signature_store(
+    emb: DataFrame,
+    tag: str,
+    planes: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The at-rest (id, bucket) sign-LSH signature table for ``emb``,
+    BUCKET-PARTITIONED on disk so a Hamming-ball probe
+    (``.where(bucket.isin(ball))``) is a partition-pruned read — at
+    100 TB the probe lists ~|ball| directories instead of scanning
+    2^planes buckets. Content-fingerprint keyed and shared by every
+    det-ANN consumer (q_rerank_ann, q_knn_lsh): one build per dataset
+    version, probes thereafter."""
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
+
+    def _build() -> DataFrame:
+        return emb.select(
+            id_col,
+            sign_bucket(
+                quantize_vec(F.col(vec_col)), planes
+            ).alias("bucket"),
+        )
+
+    return get_or_build_parquet(
+        emb,
+        "detsig",
+        # 'b' = bucket-partitioned layout (r12): params must change
+        # with layout so an unpartitioned r11 'p8' store is never
+        # mistaken for this one
+        f"{tag}_p{len(planes)}b",
+        _build,
+        partition_by=("bucket",),
+    )
+
+
 def int_sq_dist_const(qcol: Column, centroid: list[int]) -> Column:
     """Σ (q[d] − c[d])² — BIGINT-exact squared L2 to a literal
     integer centroid."""
@@ -208,6 +246,119 @@ def int_assign(
         F.col("_best.cid").alias("cid"),
         F.col("_best.dist").alias("dist"),
     ).drop("_best")
+
+
+def int_subspace_codes(
+    qcol: Column, subbooks: list[list[list[int]]]
+) -> Column:
+    """PQ encode on the integer grid: ARRAY<BIGINT> of per-subspace
+    nearest sub-centroid ids (exact BIGINT squared-L2, lowest id on
+    ties). ``subbooks[s][j]`` is sub-centroid j of subspace s; the
+    subspace width is inferred from the book. All m assignments live
+    in ONE expression so callers keep a single flat projection (the
+    int_assign_expr chaining lesson)."""
+    subdim = len(subbooks[0][0])
+    ksub = len(subbooks[0])
+    ids = F.expr(_long_array_sql(list(range(ksub))))
+
+    def _dist_to(sl: Column):
+        # single-parameter lambda: a 2-param lambda would make
+        # F.transform pass (element, INDEX) and bind the slice to the
+        # integer index
+        return lambda c: F.aggregate(
+            F.zip_with(sl, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    codes = []
+    for s, book in enumerate(subbooks):
+        sl = F.slice(qcol, s * subdim + 1, subdim)
+        dists = F.transform(_nested_lit(book), _dist_to(sl))
+        best = F.array_min(
+            F.zip_with(
+                dists,
+                ids,
+                lambda d, i: F.struct(
+                    d.alias("dist"), i.alias("cid")
+                ),
+            )
+        )
+        codes.append(best.getField("cid"))
+    return F.array(*codes)
+
+
+def residual_col(
+    qcol: Column,
+    cid_col: Column,
+    codebook: list[tuple[int, list[int]]],
+) -> Column:
+    """q − centroid[cid] as ARRAY<BIGINT> (the IVF-PQ residual):
+    centroid lookup is an element_at into the broadcast nested
+    codebook literal, so cids must be contiguous from 0 (sampled-seed
+    codebooks are)."""
+    cids = [cid for cid, _ in codebook]
+    if cids != list(range(len(cids))):
+        raise ValueError(
+            "residual_col requires contiguous cids 0..k-1, got "
+            f"{cids[:5]}..."
+        )
+    mats = _nested_lit([c for _, c in codebook])
+    return F.zip_with(
+        qcol,
+        F.element_at(mats, (cid_col + 1).cast("integer")),
+        lambda a, b: a - b,
+    )
+
+
+def adc_distance(code_col: Column, lut: list[list[int]]) -> Column:
+    """Asymmetric-distance lookup: Σ_s lut[s][code[s]] as one BIGINT
+    fold over the code array against a literal per-subspace lookup
+    table (the PQ/ADC scan shape: distance estimation reads only the
+    m-byte codes, never the vectors)."""
+    return F.aggregate(
+        F.zip_with(
+            code_col,
+            _nested_lit(lut),
+            lambda c, l: F.element_at(
+                l, (c + 1).cast("integer")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def adc_distance_per_list(
+    code_col: Column,
+    list_index_col: Column,
+    lut3: list[list[list[int]]],
+) -> Column:
+    """IVF-PQ ADC: the residual LUT depends on which coarse list the
+    candidate sits in, so ``lut3[l][s][j]`` stacks one per-subspace
+    LUT per PROBED list and ``list_index_col`` (1-based) picks the
+    row's slab before the same Σ_s lookup fold as
+    :func:`adc_distance`. nprobe·m·ksub ints — literal scale."""
+    lit3 = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_long_array_sql(r) for r in slab) + ")"
+            for slab in lut3
+        )
+        + ")"
+    )
+    per_list = F.element_at(lit3, list_index_col.cast("integer"))
+    return F.aggregate(
+        F.zip_with(
+            code_col,
+            per_list,
+            lambda c, l: F.element_at(
+                l, (c + 1).cast("integer")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def floordiv_mean(sum_col: Column, n_col: Column) -> Column:

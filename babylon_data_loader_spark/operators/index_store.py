@@ -308,12 +308,18 @@ def get_or_build_parquet(
     params: str,
     build: Callable[[], DataFrame],
     marker: str = "_SUCCESS",
+    partition_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Read the store for `source` if present, else build+write+read.
 
     Falls back to returning `build()` directly (no store) when the
     source has no file lineage to fingerprint — correctness never
-    depends on the store, only the amortized cost does."""
+    depends on the store, only the amortized cost does.
+    ``partition_by`` lays the store out as a partitioned directory
+    tree, so an equality/IN probe on those columns is a
+    partition-pruned read (the write_lsh_index layout discipline);
+    callers that change the layout must bump ``params`` — the
+    fingerprint keys DATA freshness, not layout."""
     spark = source.sparkSession
     fp = df_fingerprint(source)
     if fp is None:
@@ -323,7 +329,10 @@ def get_or_build_parquet(
     hit = os.path.exists(os.path.join(path, marker))
     ACCESS_LOG.append({"kind": kind, "params": params, "hit": hit})
     if not hit:
-        build().write.mode("overwrite").parquet(path)
+        writer = build().write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         write_store_meta(path, lineage_files(source))
     else:
         ensure_store_meta(path, source)

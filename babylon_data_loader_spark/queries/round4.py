@@ -219,18 +219,24 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index structures; every row is additionally ASSERTED in-query
 def q_knn_recall_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible approximation-quality report: recall@10 vs
-    brute-force cosine for the two store-backed ANN paths (sign-LSH
-    multi-probe, PQ/ADC re-rank), asserted in-query against the bounds
-    the unit tests establish — so a recall regression fails the
-    driver's run loudly instead of shipping plausible-but-wrong
-    neighbors. Deterministic: indexes, probes and tiebreaks are all
-    content-addressed and ordered."""
+    brute-force cosine for the two store-backed FLOAT ANN production
+    paths (operators/similarity.py sign-LSH multi-probe over its
+    bucket-partitioned index; operators/pq.py PQ/ADC re-rank over its
+    code store), asserted in-query against the bounds the unit tests
+    establish — so a recall regression fails the driver's run loudly
+    instead of shipping plausible-but-wrong neighbors. Since r12 the
+    q_knn_* lanes pin DETERMINISTIC integer twins to DuckDB oracles
+    (operators/det_ann.py); this guard is where the float paths —
+    seeded-numpy hyperplanes and float codebooks, inherently not
+    SQL-reproducible — keep their declared, store-lifecycle-
+    exercising coverage. Deterministic: indexes, probes and tiebreaks
+    are all content-addressed and ordered."""
     from babylon_data_loader_spark.operators.similarity import (
         knn_bruteforce,
+        knn_lsh,
     )
     from babylon_data_loader_spark.queries.vectors import (
-        q_knn_lsh,
-        q_knn_pq,
+        _float_pq_store_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -239,17 +245,12 @@ def q_knn_recall_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in knn_bruteforce(emb, query_vec_id=0, k=10).collect()
     }
     rows = []
-    for method, fn, bound in (
-        ("lsh", q_knn_lsh, 0.3),
-        ("pq", q_knn_pq, 0.3),
+    for method, out, bound in (
+        ("lsh", knn_lsh(emb, query_vec_id=0, k=10, n_planes=8), 0.3),
+        ("pq", _float_pq_store_topk(spark, emb), 0.3),
     ):
         got = {
-            r["vec_id"]
-            # __wrapped__: the raw query body — calling the registered
-            # wrapper would release THIS query's tracked caches.
-            for r in fn.__wrapped__(spark, sf_dir)
-            .select("vec_id")
-            .collect()
+            r["vec_id"] for r in out.select("vec_id").collect()
         }
         recall = len(exact & got) / 10.0
         assert recall >= bound, f"{method} recall {recall} < {bound}"

@@ -649,8 +649,9 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-rest store (content-fingerprint keyed, like every index); a
     probe enumerates the Hamming-radius-2 ball of the anchor's
     bucket driver-side (37 of 256 bucket ids — metadata-scale) and
-    reads only those buckets: on a bucket-partitioned layout that is
-    a partition-pruned IN filter, the operators/dedup.py tokwin-store
+    reads only those buckets: the store IS bucket-partitioned (r12,
+    operators/det_ann.py::det_signature_store), so the probe is a
+    partition-pruned IN filter — the operators/dedup.py tokwin-store
     economics. Each output row carries hits_at_20 (INTEGER overlap of
     the probed top-20 with the exact top-20 for its anchor) — the
     oracle recomputes retrieval, rerank, AND the recall witness
@@ -658,29 +659,18 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (operators/det_ann.py)."""
     from babylon_data_loader_spark.operators.det_ann import (
         det_planes,
+        det_signature_store,
         hamming_ball,
-        quantize_vec,
-        sign_bucket,
-    )
-    from babylon_data_loader_spark.operators.index_store import (
-        get_or_build_parquet,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     planes = det_planes("annplane", _RA_PLANES, _RA_DIM)
-
-    def _signatures() -> DataFrame:
-        return emb.select(
-            "vec_id",
-            sign_bucket(
-                quantize_vec(F.col("embedding")), planes
-            ).alias("bucket"),
-        )
-
-    sig = get_or_build_parquet(
-        emb, "detsig", f"p{_RA_PLANES}", _signatures
-    )
+    # shared bucket-PARTITIONED signature store (r12): the
+    # Hamming-ball probe below is now a partition-pruned read, the
+    # layout the r11 docstring promised; q_knn_lsh probes the same
+    # store
+    sig = det_signature_store(emb, "annplane", planes)
     anchors = [0, 1, 2]
     arows = {
         r["vec_id"]: r

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from babylon_data_loader_spark.functions.cache import persist_tracked
 from babylon_data_loader_spark.functions.vectors import cosine, l2_norm
 from babylon_data_loader_spark.queries import query
 from babylon_data_loader_spark.schemas import load_table
@@ -224,68 +225,350 @@ def q_embedding_dup_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(emb, threshold=0.45, exact=True)
 
 
-@query("q_knn_ivf")  # rows-only: k-means float averaging is not
-# reproducible in SQL (order-dependent float sums); recall is tested
-# against q_knn_cosine in tests/test_similarity.py
-def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors of vec_id 0 via an IVF index
-    (operators/ivf.py): deterministic k-means fit, cluster_id stamped
-    on the table (partition-prunable at write time), exact cosine
-    re-rank within the nprobe nearest lists."""
-    from babylon_data_loader_spark.operators.ivf import (
-        ivf_index,
-        ivf_search,
-        kmeans_fit,
+# --- q_knn_ivf: oracle-backed since r12 ------------------------------------
+# Through r11 this was rows-only ("k-means float averaging is not
+# reproducible in SQL") — true for operators/ivf.py's float Lloyd,
+# which keeps its coverage via tests/test_ivf*.py and the float
+# operators' unit suite. This lane now trains the coarse quantizer on
+# the INTEGER grid (operators/det_ann.py, the q_kmeans_refine
+# machinery: first-k-ids init, exact BIGINT squared-L2 assignment
+# with centroid-id tiebreaks, floor-div mean refinement that lands
+# centroids back on the grid), so the trained lists, the nprobe
+# pruning, the rounded-cosine re-rank AND the hits@10 witness all pin
+# to a DuckDB oracle that re-runs the same two Lloyd iterations
+# independently.
+
+_IVFQ_K = 16
+_IVFQ_NPROBE = 4
+_IVFQ_DIM = 64
+
+
+def _knn_ivf_oracle() -> str:
+    from babylon_data_loader_spark.operators.det_ann import (
+        sql_int_sq_dist,
+        sql_quant,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, k=16, n_iters=2)
-    indexed = ivf_index(emb, centroids)
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    ]
-    out = ivf_search(
-        indexed.filter(F.col("vec_id") != 0),
-        centroids,
-        qvec,
-        k=10,
-        nprobe=4,
+    def asg(cb: str) -> str:
+        dist = sql_int_sq_dist("qv.q", "s.c", _IVFQ_DIM)
+        return f"""(
+      SELECT qv.vec_id, s.cid, {dist} AS dist
+      FROM qv CROSS JOIN {cb} s
+      QUALIFY row_number() OVER (
+        PARTITION BY qv.vec_id ORDER BY dist ASC, s.cid ASC) = 1
+    )"""
+
+    def refine(a: str) -> str:
+        # DuckDB // truncates toward zero on negatives; the
+        # ((sd % n) + n) % n repair makes sd exactly divisible so
+        # truncation equals flooring (tests/test_floor_buckets.py)
+        return f"""(
+      SELECT cid,
+             list((sd - ((sd % n) + n) % n) // n ORDER BY d) AS c
+      FROM (
+        SELECT a.cid, g.d, SUM(qv.q[g.d]) AS sd, COUNT(*) AS n
+        FROM {a} a
+        JOIN qv ON qv.vec_id = a.vec_id
+        CROSS JOIN generate_series(1, {_IVFQ_DIM}) AS g(d)
+        GROUP BY a.cid, g.d
+      ) GROUP BY cid
+    )"""
+
+    adist = sql_int_sq_dist("an.aq", "s.c", _IVFQ_DIM)
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, {sql_quant('embedding')} AS q FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_IVFQ_K}
+    ), a1 AS {asg('c0')}
+    , c1 AS {refine('a1')}
+    , a2 AS {asg('c1')}
+    , c2 AS {refine('a2')}
+    , af AS {asg('c2')}
+    , an AS (SELECT q AS aq FROM qv WHERE vec_id = 0)
+    , prank AS (
+      SELECT s.cid,
+             row_number() OVER (ORDER BY {adist} ASC, s.cid ASC)
+               AS crank
+      FROM c2 s CROSS JOIN an
+    ), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    allsim AS (
+      SELECT a.vec_id AS cand_id, a.label,
+             round({_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('q')}),
+                   9) AS sim
+      FROM embeddings a, q
+      WHERE a.vec_id <> 0
+    ), top10 AS (
+      SELECT s.cand_id, s.label, s.sim
+      FROM allsim s
+      JOIN af ON af.vec_id = s.cand_id
+      JOIN prank pr ON pr.cid = af.cid
+      WHERE pr.crank <= {_IVFQ_NPROBE}
+      QUALIFY row_number() OVER (
+        ORDER BY s.sim DESC, s.cand_id ASC) <= 10
+    ), exact10 AS (
+      SELECT cand_id FROM allsim
+      QUALIFY row_number() OVER (
+        ORDER BY sim DESC, cand_id ASC) <= 10
+    ), h AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS hits
+      FROM top10 t JOIN exact10 e ON e.cand_id = t.cand_id
     )
-    return _assert_recall(emb, out, k=10, bound=0.3, method="ivf")
-
-
-@query("q_knn_lsh")  # rows-only: LSH bucketing is not SQL-expressible
-def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors of vec_id 0 via random-hyperplane
-    LSH over an AT-REST index (operators/similarity.py): the table is
-    written once partitioned by sign bucket; the probe is a
-    partition-pruned read of the Hamming-ball buckets, then exact
-    cosine re-ranks — the search never scans the full table
-    (plan-asserted in tests/test_similarity.py). The index store is
-    keyed by the table's CONTENT fingerprint (operators/index_store.py)
-    so the first call per dataset version builds it and every later
-    call is pure probe cost — and regenerated testdata can never serve
-    a stale index. Declared without an oracle (driver records
-    rows-only), but recall@10 vs brute force is ASSERTED in-query.
+    SELECT t.cand_id AS vec_id, t.label, t.sim,
+           (SELECT hits FROM h) AS hits_at_10
+    FROM top10 t
+    ORDER BY t.sim DESC, vec_id ASC
     """
-    from babylon_data_loader_spark.operators.similarity import knn_lsh
+
+
+@query("q_knn_ivf", oracle=_knn_ivf_oracle())
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id 0 via a TRAINED IVF
+    index on the integer grid: two Lloyd iterations of k=16
+    (broadcast-codebook assignment, one map-combinable update shuffle
+    per iteration — the q_kmeans_refine economics), then the probe
+    reads only the nprobe=4 lists nearest the anchor (at 100 TB the
+    assigned table is cluster-partitioned parquet and this is a
+    partition-pruned read of 4/16ths of it) and exact rounded cosine
+    re-ranks the candidates. hits_at_10 vs the exact top-10 rides
+    along as the recall witness; every retrieval decision — training
+    included — is integer arithmetic the oracle reproduces."""
+    from babylon_data_loader_spark.functions.vectors import (
+        double_array_lit,
+    )
+    from babylon_data_loader_spark.operators.det_ann import (
+        int_assign,
+        quantize_vec,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = knn_lsh(emb, query_vec_id=0, k=10, n_planes=8)
-    return _assert_recall(emb, out, k=10, bound=0.3, method="lsh")
+    qdf = persist_tracked(
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            quantize_vec(F.col("embedding")).alias("q"),
+        )
+    )
+    seed_rows = (
+        qdf.where(F.col("vec_id") < _IVFQ_K)
+        .select("vec_id", "q", "embedding")
+        .collect()
+    )
+    codebook = sorted(
+        (r["vec_id"], [int(x) for x in r["q"]]) for r in seed_rows
+    )
+    anchor_q = dict(codebook)[0]
+    anchor_emb = next(
+        r["embedding"] for r in seed_rows if r["vec_id"] == 0
+    )
+    dim_sums = [
+        F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+        for d in range(_IVFQ_DIM)
+    ]
+    for _ in range(2):
+        # update pass: k rows of (n, Σq per dim) — codebook-scale
+        # collect; python // floors, matching the oracle's repair
+        sums = (
+            int_assign(qdf, "q", codebook)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), *dim_sums)
+            .collect()
+        )
+        codebook = sorted(
+            (
+                int(r["cid"]),
+                [
+                    int(r[f"s{d}"]) // int(r["n"])
+                    for d in range(_IVFQ_DIM)
+                ],
+            )
+            for r in sums
+        )
+
+    def _d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe_cids = [
+        cid
+        for cid, _ in sorted(
+            codebook, key=lambda kv: (_d2(anchor_q, kv[1]), kv[0])
+        )[:_IVFQ_NPROBE]
+    ]
+    qcol = double_array_lit(anchor_emb)
+    scored = persist_tracked(
+        int_assign(qdf, "q", codebook)
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            "cid",
+            F.round(cosine(F.col("embedding"), qcol), 9).alias(
+                "sim"
+            ),
+        )
+    )
+    top10 = persist_tracked(
+        scored.where(F.col("cid").isin(probe_cids))
+        .select("vec_id", "label", "sim")
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    exact10 = (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = (
+        top10.join(exact10, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits_at_10"))
+    )
+    return top10.crossJoin(F.broadcast(hits)).orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
 
 
-@query("q_knn_pq")  # rows-only: k-means codebooks are not
-# SQL-expressible; recall vs q_knn_cosine is tested in
-# tests/test_similarity.py
-def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors of vec_id 0 via product
-    quantization (operators/pq.py): per-subspace codebooks trained
-    deterministically, vectors stored as m-byte codes (32× smaller
-    than fp32 — at 100 TB the scan reads codes, not floats), ADC
-    lookup-table distance, exact cosine re-rank of the top candidate
-    pool only."""
+# --- q_knn_lsh: oracle-backed since r12 ------------------------------------
+# Through r11 this was rows-only ("LSH bucketing is not
+# SQL-expressible") — true for the seeded-numpy float hyperplanes of
+# operators/similarity.py, which keep their own declared coverage via
+# q_knn_recall_guard (store-backed float probe, recall-asserted) and
+# tests/test_similarity.py. The retrieval stage here runs on the
+# DETERMINISTIC sign-LSH of operators/det_ann.py (md5-derived integer
+# hyperplanes over 1e6-quantized vectors — the q_rerank_ann
+# conversion pattern), so bucket signatures, the multi-probe
+# candidate set, the rounded-cosine top-10 AND the hits@10 recall
+# witness are all integer/rounded arithmetic a DuckDB oracle
+# recomputes exactly.
+
+_KNN_PLANES = 8
+_KNN_RADIUS = 2
+_KNN_DIM = 64
+
+
+def _knn_lsh_oracle() -> str:
+    from babylon_data_loader_spark.operators.det_ann import (
+        sql_int_dot,
+        sql_planes_cte,
+        sql_quant,
+    )
+
+    return f"""
+    WITH planes AS {sql_planes_cte('annplane', _KNN_PLANES, _KNN_DIM)},
+    qv AS (
+      SELECT vec_id, {sql_quant('embedding')} AS q FROM embeddings
+    ), bits AS (
+      SELECT vec_id, p,
+             CASE WHEN {sql_int_dot('qv.q', 'pl.c', _KNN_DIM)} >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM qv CROSS JOIN planes pl
+    ), ab AS (
+      SELECT p, bit FROM bits WHERE vec_id = 0
+    ), probed AS (
+      SELECT b.vec_id AS cand_id
+      FROM bits b JOIN ab ON ab.p = b.p
+      WHERE b.vec_id <> 0
+      GROUP BY b.vec_id
+      HAVING SUM(CASE WHEN ab.bit <> b.bit THEN 1 ELSE 0 END)
+             <= {_KNN_RADIUS}
+    ), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    allsim AS (
+      SELECT a.vec_id AS cand_id, a.label,
+             round({_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('q')}),
+                   9) AS sim
+      FROM embeddings a, q
+      WHERE a.vec_id <> 0
+    ), top10 AS (
+      SELECT s.cand_id, s.label, s.sim
+      FROM allsim s JOIN probed p ON p.cand_id = s.cand_id
+      QUALIFY row_number() OVER (
+        ORDER BY s.sim DESC, s.cand_id ASC) <= 10
+    ), exact10 AS (
+      SELECT cand_id FROM allsim
+      QUALIFY row_number() OVER (
+        ORDER BY sim DESC, cand_id ASC) <= 10
+    ), h AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS hits
+      FROM top10 t JOIN exact10 e ON e.cand_id = t.cand_id
+    )
+    SELECT t.cand_id AS vec_id, t.label, t.sim,
+           (SELECT hits FROM h) AS hits_at_10
+    FROM top10 t
+    ORDER BY t.sim DESC, vec_id ASC
+    """
+
+
+@query("q_knn_lsh", oracle=_knn_lsh_oracle())
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id 0 via multi-probe
+    sign-LSH over the shared AT-REST deterministic signature store
+    (operators/det_ann.py::det_signature_store — the same
+    bucket-partitioned table q_rerank_ann probes, built once per
+    dataset version): the probe enumerates the Hamming-radius-2 ball
+    of the anchor's bucket driver-side (37 of 256 bucket ids,
+    metadata-scale) and READS ONLY THOSE PARTITIONS (plan-asserted in
+    tests/test_similarity.py), then exact rounded cosine re-ranks the
+    candidates. hits_at_10 (overlap of the probed top-10 with the
+    exact top-10) rides along as the recall witness — the oracle
+    recomputes retrieval, rerank and witness exactly from the same
+    md5-derived integer arithmetic."""
+    from babylon_data_loader_spark.functions.vectors import (
+        double_array_lit,
+    )
+    from babylon_data_loader_spark.operators.det_ann import (
+        det_planes,
+        det_signature_store,
+        hamming_ball,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = det_planes("annplane", _KNN_PLANES, _KNN_DIM)
+    sig = det_signature_store(emb, "annplane", planes)
+    row0 = (
+        emb.join(sig, "vec_id")
+        .where(F.col("vec_id") == 0)
+        .select("embedding", "bucket")
+        .first()
+    )
+    ball = hamming_ball(int(row0["bucket"]), _KNN_PLANES, _KNN_RADIUS)
+    qcol = double_array_lit(row0["embedding"])
+    scored = emb.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), qcol), 9).alias("sim"),
+    )
+    probed = scored.join(
+        sig.where(F.col("bucket").isin(ball)).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    top10 = persist_tracked(
+        probed.orderBy(
+            F.col("sim").desc(), F.col("vec_id").asc()
+        ).limit(10)
+    )
+    exact10 = (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = (
+        top10.join(exact10, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits_at_10"))
+    )
+    return top10.crossJoin(F.broadcast(hits)).orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+
+
+def _float_pq_store_topk(
+    spark: SparkSession, emb: DataFrame
+) -> DataFrame:
+    """The FLOAT production PQ path over its at-rest code store
+    (operators/pq.py + operators/index_store.py) — the body that was
+    q_knn_pq through r11, kept as the float-side probe
+    q_knn_recall_guard declares (the det-oracle lane q_knn_pq no
+    longer exercises the float codebooks)."""
     import os as _os
 
     from babylon_data_loader_spark.operators.index_store import (
@@ -303,8 +586,6 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_pq_index,
         write_pq_index,
     )
-
-    emb = load_table(spark, sf_dir, "embeddings")
     # Train-once/search-many: the codes table is the at-rest index
     # (like the LSH/IVF stores), keyed by the table's CONTENT
     # fingerprint — NOT its path — so the driver regenerating testdata
@@ -358,6 +639,203 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=emb.filter(F.col("vec_id") != 0),
     )
     return _assert_recall(emb, out, k=10, bound=0.3, method="pq")
+
+
+# --- q_knn_pq: oracle-backed since r12 --------------------------------------
+# Through r11 this was rows-only ("k-means codebooks are not
+# SQL-expressible") — true for operators/pq.py's float sub-codebooks,
+# which keep their declared coverage via q_knn_recall_guard (the
+# store-backed float path above) and tests/test_similarity.py. The
+# det twin quantizes to the 1e6 integer grid and takes SAMPLED-SEED
+# sub-codebooks (sub-centroid j of subspace s = seed vector j's s-th
+# sub-vector — FAISS's random-subsample training degenerates to
+# exactly this at ksub == sample size, the q_ivf_nprobe_curve
+# rationale), so encode, ADC pool selection, rounded-cosine re-rank
+# AND the hits@10 witness are all integer/rounded arithmetic a DuckDB
+# oracle recomputes end to end.
+
+_PQ_M = 8
+_PQ_SUBDIM = 8
+_PQ_KSUB = 16
+_PQ_POOL = 40
+
+
+def _knn_pq_oracle() -> str:
+    from babylon_data_loader_spark.operators.det_ann import (
+        sql_quant,
+    )
+
+    def subdist(qexpr: str, cexpr: str) -> str:
+        # squared L2 between an 8-wide sub-slice of qexpr (subspace
+        # sc.s) and the 8-long sub-centroid list cexpr
+        return (
+            f"list_sum(list_transform(generate_series(1, {_PQ_SUBDIM}), "
+            f"i -> ({qexpr}[sc.s * {_PQ_SUBDIM} + i] - {cexpr}[i]) "
+            f"* ({qexpr}[sc.s * {_PQ_SUBDIM} + i] - {cexpr}[i])))"
+        )
+
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, {sql_quant('embedding')} AS q FROM embeddings
+    ), sc AS (
+      SELECT gs.s, sd.vec_id AS j,
+             sd.q[gs.s * {_PQ_SUBDIM} + 1 : gs.s * {_PQ_SUBDIM}
+                  + {_PQ_SUBDIM}] AS c
+      FROM (SELECT vec_id, q FROM qv WHERE vec_id < {_PQ_KSUB}) sd
+      CROSS JOIN generate_series(0, {_PQ_M - 1}) AS gs(s)
+    ), enc AS (
+      SELECT qv.vec_id, sc.s, sc.j AS code
+      FROM qv CROSS JOIN sc
+      QUALIFY row_number() OVER (
+        PARTITION BY qv.vec_id, sc.s
+        ORDER BY {subdist('qv.q', 'sc.c')} ASC, sc.j ASC) = 1
+    ), an AS (SELECT q AS aq FROM qv WHERE vec_id = 0),
+    adc AS (
+      SELECT e.vec_id,
+             CAST(SUM({subdist('an.aq', 'sc.c')}) AS BIGINT) AS d
+      FROM enc e
+      JOIN sc ON sc.s = e.s AND sc.j = e.code
+      CROSS JOIN an
+      GROUP BY e.vec_id
+    ), pool AS (
+      SELECT vec_id FROM adc WHERE vec_id <> 0
+      QUALIFY row_number() OVER (
+        ORDER BY d ASC, vec_id ASC) <= {_PQ_POOL}
+    ), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    allsim AS (
+      SELECT a.vec_id AS cand_id, a.label,
+             round({_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('q')}),
+                   9) AS sim
+      FROM embeddings a, q
+      WHERE a.vec_id <> 0
+    ), top10 AS (
+      SELECT s.cand_id, s.label, s.sim
+      FROM allsim s JOIN pool p ON p.vec_id = s.cand_id
+      QUALIFY row_number() OVER (
+        ORDER BY s.sim DESC, s.cand_id ASC) <= 10
+    ), exact10 AS (
+      SELECT cand_id FROM allsim
+      QUALIFY row_number() OVER (
+        ORDER BY sim DESC, cand_id ASC) <= 10
+    ), h AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS hits
+      FROM top10 t JOIN exact10 e ON e.cand_id = t.cand_id
+    )
+    SELECT t.cand_id AS vec_id, t.label, t.sim,
+           (SELECT hits FROM h) AS hits_at_10
+    FROM top10 t
+    ORDER BY t.sim DESC, vec_id ASC
+    """
+
+
+@query("q_knn_pq", oracle=_knn_pq_oracle())
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors of vec_id 0 via product
+    quantization on the integer grid: vectors stored as m=8 sub-codes
+    in an AT-REST code table (content-fingerprint keyed — at 100 TB
+    the ADC scan reads the m-byte codes, 32× smaller than the fp32
+    vectors, never the vectors themselves), asymmetric-distance
+    lookup against a driver-built 8×16 LUT selects a 40-candidate
+    pool, and exact rounded cosine re-ranks only the pool. Sub-
+    codebooks are sampled-seed (operators/det_ann.py); hits_at_10 vs
+    the exact top-10 rides along as the recall witness."""
+    from babylon_data_loader_spark.functions.vectors import (
+        double_array_lit,
+    )
+    from babylon_data_loader_spark.operators.det_ann import (
+        adc_distance,
+        int_subspace_codes,
+        quantize_vec,
+    )
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.where(F.col("vec_id") < _PQ_KSUB)
+        .select(
+            "vec_id",
+            "embedding",
+            quantize_vec(F.col("embedding")).alias("q"),
+        )
+        .collect()
+    )
+    seeds = {
+        r["vec_id"]: [int(x) for x in r["q"]] for r in seed_rows
+    }
+    subbooks = [
+        [
+            seeds[j][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+            for j in sorted(seeds)
+        ]
+        for s in range(_PQ_M)
+    ]
+
+    def _codes() -> DataFrame:
+        return emb.select(
+            "vec_id",
+            "label",
+            int_subspace_codes(
+                quantize_vec(F.col("embedding")), subbooks
+            ).alias("code"),
+        )
+
+    codes = get_or_build_parquet(
+        emb, "detpq", f"m{_PQ_M}k{_PQ_KSUB}", _codes
+    )
+    anchor_q = seeds[0]
+    anchor_emb = next(
+        r["embedding"] for r in seed_rows if r["vec_id"] == 0
+    )
+
+    def _d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # ADC lookup table: distance of the anchor's s-th sub-vector to
+    # every sub-centroid — m·ksub ints, driver-side metadata scale
+    lut = [
+        [
+            _d2(
+                anchor_q[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM],
+                subbooks[s][j],
+            )
+            for j in range(_PQ_KSUB)
+        ]
+        for s in range(_PQ_M)
+    ]
+    pool = (
+        codes.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id", adc_distance(F.col("code"), lut).alias("d")
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(_PQ_POOL)
+        .select("vec_id")
+    )
+    qcol = double_array_lit(anchor_emb)
+    scored = emb.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), qcol), 9).alias("sim"),
+    )
+    top10 = persist_tracked(
+        scored.join(pool, "vec_id", "left_semi")
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    exact10 = (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = (
+        top10.join(exact10, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits_at_10"))
+    )
+    return top10.crossJoin(F.broadcast(hits)).orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
 
 
 @query(
@@ -428,39 +906,297 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_knn_ivfpq")  # rows-only: k-means + residual codebooks are
-# not SQL-expressible; recall vs brute force tested in
-# tests/test_similarity.py
+# --- q_knn_ivfpq: oracle-backed since r12 ----------------------------------
+# Through r11 this was rows-only ("k-means + residual codebooks are
+# not SQL-expressible") — true for operators/pq.py's float build,
+# which keeps its coverage via tests/test_similarity.py. The det twin
+# composes the two oracle-proven stages: a sampled-seed coarse
+# quantizer (16 integer lists, the q_ivf_nprobe_curve machinery) and
+# sampled-seed RESIDUAL sub-codebooks (sub-centroid j of subspace s =
+# seed vector j's residual sub-vector after its own coarse
+# assignment), so coarse pruning, residual encode, per-list ADC pool
+# selection, rounded-cosine re-rank AND the hits@10 witness all pin
+# to one DuckDB oracle.
+
+_IPQ_K = 16
+_IPQ_NPROBE = 4
+_IPQ_DIM = 64
+
+
+def _knn_ivfpq_oracle() -> str:
+    from babylon_data_loader_spark.operators.det_ann import (
+        sql_int_sq_dist,
+        sql_quant,
+    )
+
+    dist = sql_int_sq_dist("qv.q", "s.c", _IPQ_DIM)
+    adist = sql_int_sq_dist("an.aq", "s.c", _IPQ_DIM)
+
+    def subdist(qexpr: str, cexpr: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {_PQ_SUBDIM}), "
+            f"i -> ({qexpr}[sc.s * {_PQ_SUBDIM} + i] - {cexpr}[i]) "
+            f"* ({qexpr}[sc.s * {_PQ_SUBDIM} + i] - {cexpr}[i])))"
+        )
+
+    resid = (
+        f"list_transform(generate_series(1, {_IPQ_DIM}), "
+        f"i -> {{q}}[i] - se.c[i])"
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, {sql_quant('embedding')} AS q FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_IPQ_K}
+    ), ca AS (
+      SELECT qv.vec_id, s.cid, {dist} AS dist
+      FROM qv CROSS JOIN seeds s
+      QUALIFY row_number() OVER (
+        PARTITION BY qv.vec_id ORDER BY dist ASC, s.cid ASC) = 1
+    ), vres AS (
+      SELECT qv.vec_id, ca.cid,
+             {resid.format(q='qv.q')} AS r
+      FROM qv
+      JOIN ca ON ca.vec_id = qv.vec_id
+      JOIN seeds se ON se.cid = ca.cid
+    ), sc AS (
+      -- residual sub-codebooks sampled from vectors 16..31: the
+      -- coarse seeds' own residuals are identically zero (each seed
+      -- is its own nearest centroid), so the sample must be disjoint
+      -- from the seed set
+      SELECT gs.s, sr.vec_id - {_IPQ_K} AS j,
+             sr.r[gs.s * {_PQ_SUBDIM} + 1 : gs.s * {_PQ_SUBDIM}
+                  + {_PQ_SUBDIM}] AS c
+      FROM (SELECT vec_id, r FROM vres
+            WHERE vec_id >= {_IPQ_K}
+              AND vec_id < {_IPQ_K + _PQ_KSUB}) sr
+      CROSS JOIN generate_series(0, {_PQ_M - 1}) AS gs(s)
+    ), enc AS (
+      SELECT v.vec_id, v.cid, sc.s, sc.j AS code
+      FROM vres v CROSS JOIN sc
+      QUALIFY row_number() OVER (
+        PARTITION BY v.vec_id, sc.s
+        ORDER BY {subdist('v.r', 'sc.c')} ASC, sc.j ASC) = 1
+    ), an AS (SELECT q AS aq FROM qv WHERE vec_id = 0),
+    prank AS (
+      SELECT s.cid,
+             row_number() OVER (ORDER BY {adist} ASC, s.cid ASC)
+               AS crank
+      FROM seeds s CROSS JOIN an
+    ), ares AS (
+      SELECT se.cid, {resid.format(q='an.aq')} AS r
+      FROM seeds se
+      JOIN prank pr ON pr.cid = se.cid
+        AND pr.crank <= {_IPQ_NPROBE}
+      CROSS JOIN an
+    ), adc AS (
+      SELECT e.vec_id,
+             CAST(SUM({subdist('ar.r', 'sc.c')}) AS BIGINT) AS d
+      FROM enc e
+      JOIN ares ar ON ar.cid = e.cid
+      JOIN sc ON sc.s = e.s AND sc.j = e.code
+      GROUP BY e.vec_id
+    ), pool AS (
+      SELECT vec_id FROM adc WHERE vec_id <> 0
+      QUALIFY row_number() OVER (
+        ORDER BY d ASC, vec_id ASC) <= {_PQ_POOL}
+    ), q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    allsim AS (
+      SELECT a.vec_id AS cand_id, a.label,
+             round({_DOT_SQL} / ({_norm_sql('a')} * {_norm_sql('q')}),
+                   9) AS sim
+      FROM embeddings a, q
+      WHERE a.vec_id <> 0
+    ), top10 AS (
+      SELECT s.cand_id, s.label, s.sim
+      FROM allsim s JOIN pool p ON p.vec_id = s.cand_id
+      QUALIFY row_number() OVER (
+        ORDER BY s.sim DESC, s.cand_id ASC) <= 10
+    ), exact10 AS (
+      SELECT cand_id FROM allsim
+      QUALIFY row_number() OVER (
+        ORDER BY sim DESC, cand_id ASC) <= 10
+    ), h AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS hits
+      FROM top10 t JOIN exact10 e ON e.cand_id = t.cand_id
+    )
+    SELECT t.cand_id AS vec_id, t.label, t.sim,
+           (SELECT hits FROM h) AS hits_at_10
+    FROM top10 t
+    ORDER BY t.sim DESC, vec_id ASC
+    """
+
+
+@query("q_knn_ivfpq", oracle=_knn_ivfpq_oracle())
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors of vec_id 0 via IVF-PQ
-    (operators/pq.py::ivfpq_build/ivfpq_search): coarse k-means lists
-    prune candidates (the partition axis), PQ residual codes shrink
-    the scanned bytes 32x (the I/O axis), per-cluster ADC ranks, and
-    exact cosine re-ranks the candidate pool — the composed
-    at-rest ANN layout for 100 TB embedding tables."""
-    from babylon_data_loader_spark.operators.pq import (
-        ivfpq_build,
-        ivfpq_search,
+    """Approximate top-10 neighbors of vec_id 0 via IVF-PQ on the
+    integer grid: coarse sampled-seed lists prune candidates (the
+    partition axis — the code store is written PARTITIONED BY cid, so
+    the nprobe=4 probe is a partition-pruned read of 4/16ths of it),
+    residual PQ codes shrink the scanned bytes 32× (the I/O axis),
+    per-list ADC ranks a 40-candidate pool against driver-built LUTs
+    (nprobe·m·ksub ints), and exact rounded cosine re-ranks only the
+    pool. hits_at_10 vs the exact top-10 rides along as the recall
+    witness; the oracle recomputes every stage from the same
+    md5-free, seed-derived integer arithmetic."""
+    from babylon_data_loader_spark.functions.vectors import (
+        double_array_lit,
+    )
+    from babylon_data_loader_spark.operators.det_ann import (
+        adc_distance_per_list,
+        int_assign,
+        int_subspace_codes,
+        quantize_vec,
+        residual_col,
+    )
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codes, centroids, books = ivfpq_build(
-        emb, k_coarse=16, m=8, ksub=16, n_iters=2
+    seed_rows = (
+        emb.where(F.col("vec_id") < _IPQ_K + _PQ_KSUB)
+        .select(
+            "vec_id",
+            "embedding",
+            quantize_vec(F.col("embedding")).alias("q"),
+        )
+        .collect()
     )
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    qs = {r["vec_id"]: [int(x) for x in r["q"]] for r in seed_rows}
+    seeds = {j: q for j, q in qs.items() if j < _IPQ_K}
+    codebook = sorted(seeds.items())
+
+    def _d2(a: list[int], b: list[int]) -> int:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def _coarse(q: list[int]) -> int:
+        return min(
+            codebook, key=lambda kv: (_d2(q, kv[1]), kv[0])
+        )[0]
+
+    # residual sub-codebooks sampled from vectors 16..31 (driver-side,
+    # metadata scale): the coarse seeds' own residuals are identically
+    # zero, so the PQ sample must be disjoint from the seed set
+    sample_resid = {
+        j - _IPQ_K: [x - c for x, c in zip(q, seeds[_coarse(q)])]
+        for j, q in qs.items()
+        if j >= _IPQ_K
+    }
+    subbooks = [
+        [
+            sample_resid[j][s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+            for j in sorted(sample_resid)
+        ]
+        for s in range(_PQ_M)
     ]
-    out = ivfpq_search(
-        codes.filter(F.col("vec_id") != 0),
-        centroids,
-        books,
-        qvec,
-        k=10,
-        nprobe=6,
-        rerank=emb.filter(F.col("vec_id") != 0),
+
+    def _codes() -> DataFrame:
+        qdf = emb.select(
+            "vec_id",
+            "label",
+            quantize_vec(F.col("embedding")).alias("q"),
+        )
+        assigned = int_assign(qdf, "q", codebook)
+        with_res = assigned.select(
+            "vec_id",
+            "label",
+            "cid",
+            residual_col(
+                F.col("q"), F.col("cid"), codebook
+            ).alias("r"),
+        )
+        return with_res.select(
+            "vec_id",
+            "label",
+            int_subspace_codes(F.col("r"), subbooks).alias("code"),
+            "cid",
+        )
+
+    codes = get_or_build_parquet(
+        emb,
+        "detivfpq",
+        f"k{_IPQ_K}m{_PQ_M}c",
+        _codes,
+        partition_by=("cid",),
     )
-    return _assert_recall(emb, out, k=10, bound=0.3, method="ivfpq")
+    anchor_q = seeds[0]
+    anchor_emb = next(
+        r["embedding"] for r in seed_rows if r["vec_id"] == 0
+    )
+    probe_cids = [
+        cid
+        for cid, _ in sorted(
+            codebook, key=lambda kv: (_d2(anchor_q, kv[1]), kv[0])
+        )[:_IPQ_NPROBE]
+    ]
+    # per-probed-list ADC LUTs from the anchor's residual vs EACH
+    # probed centroid — nprobe·m·ksub ints, driver-side
+    lut3 = []
+    for cid in probe_cids:
+        ar = [x - c for x, c in zip(anchor_q, seeds[cid])]
+        lut3.append(
+            [
+                [
+                    _d2(
+                        ar[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM],
+                        subbooks[s][j],
+                    )
+                    for j in range(_PQ_KSUB)
+                ]
+                for s in range(_PQ_M)
+            ]
+        )
+    lidx = F.element_at(
+        F.create_map(
+            *[
+                c
+                for i, cid in enumerate(probe_cids)
+                for c in (
+                    F.lit(cid).cast("long"),
+                    F.lit(i + 1),
+                )
+            ]
+        ),
+        F.col("cid").cast("long"),
+    )
+    pool = (
+        codes.where(
+            F.col("cid").isin(probe_cids) & (F.col("vec_id") != 0)
+        )
+        .select(
+            "vec_id",
+            adc_distance_per_list(
+                F.col("code"), lidx, lut3
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(_PQ_POOL)
+        .select("vec_id")
+    )
+    qcol = double_array_lit(anchor_emb)
+    scored = emb.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), qcol), 9).alias("sim"),
+    )
+    top10 = persist_tracked(
+        scored.join(pool, "vec_id", "left_semi")
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    exact10 = (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = (
+        top10.join(exact10, "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits_at_10"))
+    )
+    return top10.crossJoin(F.broadcast(hits)).orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
 
 
 @query(

@@ -150,3 +150,150 @@ def test_det_plane_is_stable():
         for d in range(4)
     ]
     assert p0 == want
+
+
+def test_int_subspace_codes_and_adc_match_python(spark):
+    """PQ encode + ADC (r12): the Spark expressions must equal a
+    plain-python reference on the same quantized vectors — argmin
+    with lowest-id tiebreak per subspace, then Σ_s lut[s][code[s]]."""
+    from babylon_data_loader_spark.operators.det_ann import (
+        adc_distance,
+        int_subspace_codes,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = (
+        emb.where(F.col("vec_id") < 40)
+        .select("vec_id", quantize_vec(F.col("embedding")).alias("q"))
+        .collect()
+    )
+    qs = {r["vec_id"]: [int(x) for x in r["q"]] for r in rows}
+    m, subdim, ksub = 8, 8, 16
+    subbooks = [
+        [
+            qs[j][s * subdim : (s + 1) * subdim]
+            for j in range(ksub)
+        ]
+        for s in range(m)
+    ]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def py_codes(q):
+        return [
+            min(
+                range(ksub),
+                key=lambda j: (
+                    d2(q[s * subdim : (s + 1) * subdim], subbooks[s][j]),
+                    j,
+                ),
+            )
+            for s in range(m)
+        ]
+
+    anchor = qs[0]
+    lut = [
+        [
+            d2(anchor[s * subdim : (s + 1) * subdim], subbooks[s][j])
+            for j in range(ksub)
+        ]
+        for s in range(m)
+    ]
+    got = {
+        r["vec_id"]: (list(r["code"]), r["d"])
+        for r in emb.where(F.col("vec_id") < 40)
+        .select(
+            "vec_id",
+            int_subspace_codes(
+                quantize_vec(F.col("embedding")), subbooks
+            ).alias("code"),
+        )
+        .withColumn("d", adc_distance(F.col("code"), lut))
+        .collect()
+    }
+    for vid, q in qs.items():
+        want_code = py_codes(q)
+        want_d = sum(lut[s][want_code[s]] for s in range(m))
+        assert got[vid] == (want_code, want_d), vid
+
+
+def test_residual_and_per_list_adc_match_python(spark):
+    """IVF-PQ residual + per-list ADC (r12): residual_col must equal
+    q − centroid[cid] and adc_distance_per_list must pick the right
+    LUT slab per coarse list."""
+    from babylon_data_loader_spark.operators.det_ann import (
+        adc_distance_per_list,
+        int_assign,
+        residual_col,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qdf = emb.select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("q")
+    )
+    rows = qdf.where(F.col("vec_id") < 16).collect()
+    codebook = sorted(
+        (r["vec_id"], [int(x) for x in r["q"]]) for r in rows
+    )
+    cents = dict(codebook)
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    assigned = int_assign(qdf, "q", codebook).where(
+        F.col("vec_id") < 40
+    )
+    got_res = {
+        r["vec_id"]: (int(r["cid"]), [int(x) for x in r["r"]])
+        for r in assigned.select(
+            "vec_id",
+            "cid",
+            residual_col(F.col("q"), F.col("cid"), codebook).alias(
+                "r"
+            ),
+        ).collect()
+    }
+    qs = {
+        r["vec_id"]: [int(x) for x in r["q"]]
+        for r in qdf.where(F.col("vec_id") < 40).collect()
+    }
+    for vid, q in qs.items():
+        cid = min(
+            cents, key=lambda c: (d2(q, cents[c]), c)
+        )
+        want_r = [x - c for x, c in zip(q, cents[cid])]
+        assert got_res[vid] == (cid, want_r), vid
+
+    # per-list ADC: two lists, slab chosen by the lidx map
+    probe = [3, 7]
+    lut3 = [
+        [[(li + 1) * 1000 + s * 16 + j for j in range(16)] for s in range(8)]
+        for li in range(2)
+    ]
+    lidx = F.element_at(
+        F.create_map(
+            F.lit(3).cast("long"),
+            F.lit(1),
+            F.lit(7).cast("long"),
+            F.lit(2),
+        ),
+        F.col("cid").cast("long"),
+    )
+    code = F.expr("array(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L)")
+    got = {
+        r["vec_id"]: r["d"]
+        for r in assigned.where(F.col("cid").isin(probe))
+        .select(
+            "vec_id",
+            "cid",
+            adc_distance_per_list(code, lidx, lut3).alias("d"),
+        )
+        .collect()
+    }
+    for vid, d in got.items():
+        li = probe.index(got_res[vid][0])
+        want = sum(lut3[li][s][s] for s in range(8))
+        assert d == want, vid
