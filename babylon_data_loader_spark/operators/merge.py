@@ -61,6 +61,7 @@ def merge_upsert(
     batch: DataFrame,
     key: list[str] | None = None,
     partition_col: str = "data_source",
+    order_cols: list[str] | None = None,
 ) -> None:
     """Upsert `batch` into the transactional lake at `lake_path`.
 
@@ -69,11 +70,18 @@ def merge_upsert(
     rewritten, exactly once, and the commit is atomic (tx_lake.py).
     A pre-existing plain parquet lake is adopted in place with no data
     movement (its root becomes version 1's data directory).
+
+    With ``order_cols``, same-key resolution (batch-internal AND
+    vs stored rows) is by total order instead of last-commit-wins:
+    the survivor is the max under (order_cols DESC, nulls last),
+    making the final state independent of commit interleaving — the
+    mode concurrent writers with divergent values need
+    (tx_lake.merge docstring).
     """
     key = key or TRANSACTION_KEY
-    batch = dedup_latest(batch, key)
+    batch = dedup_latest(batch, key, order_cols)
     # open() honors the partition column recorded in the manifest of a
     # migrated lake; the caller's column applies to fresh lakes only.
     TransactionalLake.open(
         lake_path, partition_col=partition_col
-    ).merge(spark, batch, key)
+    ).merge(spark, batch, key, order_cols=order_cols)

@@ -50,7 +50,7 @@ import uuid
 from functools import reduce
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.operators.commit_backend import (
@@ -664,10 +664,23 @@ class TransactionalLake:
         batch: DataFrame,
         key: list[str],
         max_retries: int = 3,
+        order_cols: list[str] | None = None,
     ) -> None:
         """MERGE INTO: batch rows replace same-key stored rows in the
         touched partitions; everything else survives untouched. One
         data write, then an atomic commit; retries on writer races.
+
+        With ``order_cols``, same-key resolution switches from
+        last-commit-wins to RESOLVE-BY-TOTAL-ORDER: the survivor
+        among {stored row, batch row} is the maximum under
+        (order_cols DESC, nulls last). That makes the final state a
+        pure function of the SET of rows ever delivered — commutative
+        and idempotent across commits — so concurrent writers
+        delivering DIVERGENT values for the same key still converge
+        to one interleaving-independent state (SURVEY §7 hard-part 3;
+        the reference's unordered-bulk 'last write wins',
+        mongo_repository.go:57, is exactly the nondeterminism this
+        mode removes).
 
         Partition-scoped by design (the 100 TB shape: only touched
         partitions are read): a stored same-key row in an UNTOUCHED
@@ -711,15 +724,38 @@ class TransactionalLake:
                         for k in key
                     ],
                 )
-                survivors = stored_a.join(
-                    batch_keys, on=cond, how="left_anti"
-                )
-                # Schema evolution: a batch may add columns (or lack
-                # ones older data has) — union by name, NULL-filling
-                # either side, like Delta's mergeSchema.
-                merged = batch.unionByName(
-                    survivors, allowMissingColumns=True
-                )
+                if order_cols is None:
+                    survivors = stored_a.join(
+                        batch_keys, on=cond, how="left_anti"
+                    )
+                    # Schema evolution: a batch may add columns (or
+                    # lack ones older data has) — union by name,
+                    # NULL-filling either side, like Delta's
+                    # mergeSchema.
+                    merged = batch.unionByName(
+                        survivors, allowMissingColumns=True
+                    )
+                else:
+                    # resolve-by-total-order: one row_number over
+                    # (stored ∪ batch) per key — shuffles only the
+                    # TOUCHED partitions plus the batch, same cost
+                    # envelope as the anti-join path
+                    win = Window.partitionBy(*key).orderBy(
+                        *[
+                            F.col(c).desc_nulls_last()
+                            for c in order_cols
+                        ]
+                    )
+                    merged = (
+                        batch.unionByName(
+                            stored, allowMissingColumns=True
+                        )
+                        .withColumn(
+                            "_rn", F.row_number().over(win)
+                        )
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn")
+                    )
             else:
                 merged = batch
             rel, new_subdirs = self._write_version_dir(merged)

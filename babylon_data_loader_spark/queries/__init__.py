@@ -249,6 +249,7 @@ def load_all() -> None:
         round9,
         round10,
         round11,
+        round12,
         streaming_dedup,
         streaming_replay,
         streaming_window,
