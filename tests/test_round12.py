@@ -122,3 +122,49 @@ def test_merge_order_resolve_idempotent_redelivery(spark, tmp_path):
         order_cols=["v"],
     )
     assert once == twice == [(1, "p", 9, "y")]
+
+
+def _write_docs(spark, tmp_path, docs, name="sf"):
+    schema = (
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT"
+    )
+    sf = os.path.join(str(tmp_path), name)
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs], schema
+    ).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    return sf
+
+
+def test_admission_gate_all_three_gates_fire(spark, tmp_path):
+    """Planted composition pin: one batch doc dropped by the decon
+    gate, one stripped of a corpus-owned span, one stripped of a
+    batch-internal duplicate span (owner keeps), one rejected by the
+    per-source token budget."""
+    span_c = " ".join(f"c{i}" for i in range(16))   # corpus-owned
+    span_b = " ".join(f"b{i}" for i in range(16))   # batch-internal
+    docs = [
+        # corpus: eval doc (id 3: %3==0, %23!=0) with a marked 4-gram
+        (3, "e1 e2 e3 e4 e5 e6", "s9"),
+        # corpus non-eval: owns span_c (id 1: %3!=0)
+        (1, span_c, "s9"),
+        # batch (%23==0):
+        (0, "e1 e2 e3 e4 z1 z2 z3", "s1"),              # contaminated
+        (23, span_c + " u1 u2 u3 u4", "s1"),            # corpus strip
+        (46, span_b + " v1 v2 v3 v4", "s1"),            # owner copy
+        (92, span_b + " w1 w2 w3 w4", "s1"),            # loses span_b
+        (69, " ".join(f"k{i}" for i in range(70)), "s2"),  # > budget
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    rows = [
+        tuple(r)
+        for r in Q.QUERIES["q_admission_gate"](spark, sf).collect()
+    ]
+    assert rows == [
+        ("s1", 23, 4, 4, 28, 5, 1),
+        ("s1", 46, 20, 24, 28, 5, 1),
+        ("s1", 92, 4, 28, 28, 5, 1),
+    ]
