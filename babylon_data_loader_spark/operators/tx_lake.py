@@ -562,6 +562,44 @@ class TransactionalLake:
         escapes path-special chars as %XX; unquote reverses it)."""
         return unquote(subdir.split("=", 1)[1])
 
+    @staticmethod
+    def _condition_attr_names(condition) -> set[str] | None:
+        """Column names a still-UNRESOLVED Column expression
+        references, walked from the py4j expression tree
+        (UnresolvedAttribute leaves). Returns None when the walk
+        cannot be trusted (star expansion, walker failure) — callers
+        must then treat the reference set as unknown."""
+        try:
+            # Spark 4 classic: Column wraps a ColumnNode — convert it
+            # to the catalyst (still unresolved) expression tree via
+            # the same converter the session uses, then walk it for
+            # UnresolvedAttribute leaves. No analysis runs, so no
+            # AnalysisException is ever raised OR logged.
+            jvm = SparkSession.getActiveSession()._jvm
+            conv = getattr(
+                getattr(
+                    jvm.org.apache.spark.sql.classic,
+                    "ColumnNodeToExpressionConverter$",
+                ),
+                "MODULE$",
+            )
+            stack = [conv.apply(condition._jc.node())]
+            names: set[str] = set()
+            while stack:
+                e = stack.pop()
+                cls = e.getClass().getName()
+                if cls.endswith(".UnresolvedStar"):
+                    return None
+                if cls.endswith("analysis.UnresolvedAttribute"):
+                    names.add(e.name())
+                    continue
+                ch = e.children()
+                for i in range(ch.size()):
+                    stack.append(ch.apply(i))
+            return names
+        except Exception:
+            return None
+
     def _touched_partition_values(
         self, spark: SparkSession, manifest: dict, condition
     ) -> set[str]:
@@ -570,20 +608,40 @@ class TransactionalLake:
         Fast path (the documented GDPR purge shape — condition on the
         partition column itself): evaluate the condition against the
         MANIFEST's partition values, a metadata-scale probe frame with
-        no data scan at all. The probe has only the partition column,
-        so a condition referencing any other column fails analysis and
-        falls back to the discovery scan; a value that does not
-        survive the cast back to the table's partition type also falls
-        back (a silent NULL there would skip deletions). The fallback
-        scan filters then projects just the partition column, so
-        Catalyst prunes the parquet read to the columns the condition
-        needs."""
+        no data scan at all. Eligibility is decided by a PRE-CHECK of
+        the condition's referenced-column set against the partition
+        column (r11 VERDICT ask #5: the old probe-and-catch fired a
+        logged-ERROR AnalysisException on every data-column condition
+        — benign but noisy); a condition whose references cannot be
+        proven ⊆ {partition column} goes straight to the discovery
+        scan with no failed analysis. A value that does not survive
+        the cast back to the table's partition type also falls back
+        (a silent NULL there would skip deletions). The fallback scan
+        filters then projects just the partition column, so Catalyst
+        prunes the parquet read to the columns the condition needs."""
         from pyspark.sql.types import StringType, StructField, StructType
 
         pc = self.partition_col
         raw = sorted(
             {self._subdir_value(s) for s in manifest["partitions"]}
         )
+
+        def _discovery_scan() -> set[str]:
+            full = self._read_subdirs(spark, manifest["partitions"])
+            # rows the delete will REMOVE (TRUE-condition rows, SQL
+            # DELETE semantics — NULL keeps the row)
+            deletes = F.coalesce(condition, F.lit(False))
+            return {
+                HIVE_NULL_PARTITION if r[0] is None else str(r[0])
+                for r in full.where(deletes)
+                .select(pc)
+                .distinct()
+                .collect()
+            }
+
+        refs = self._condition_attr_names(condition)
+        if refs is None or any(r.lower() != pc.lower() for r in refs):
+            return _discovery_scan()
         try:
             one = dict([next(iter(manifest["partitions"].items()))])
             ptype = self._read_subdirs(spark, one).schema[pc].dataType
@@ -596,13 +654,13 @@ class TransactionalLake:
             ).select(
                 "__raw", F.col("__raw").cast(ptype).alias(pc)
             )
-            # The condition must reference ONLY the partition column
-            # for the metadata probe to be sound. Analyzing it against
-            # a pc-only projection proves that: a condition naming any
-            # data column — including one literally named "__raw",
-            # which would otherwise capture the probe's helper column
-            # and mis-scope the delete — raises here and falls back to
-            # the discovery scan.
+            # Defense in depth behind the reference pre-check: the
+            # probe must reference ONLY the partition column to be
+            # sound — a condition naming any data column (including
+            # one literally named "__raw", which would otherwise
+            # capture the probe's helper column and mis-scope the
+            # delete) raises here and falls back. With the pre-check
+            # in front this analysis should never fail.
             _ = probe.select(pc).select(
                 F.coalesce(condition, F.lit(False))
             ).schema
@@ -621,17 +679,7 @@ class TransactionalLake:
                 if r["__hit"]
             }
         except Exception:
-            full = self._read_subdirs(spark, manifest["partitions"])
-            # rows the delete will REMOVE (TRUE-condition rows, SQL
-            # DELETE semantics — NULL keeps the row)
-            deletes = F.coalesce(condition, F.lit(False))
-            return {
-                HIVE_NULL_PARTITION if r[0] is None else str(r[0])
-                for r in full.where(deletes)
-                .select(pc)
-                .distinct()
-                .collect()
-            }
+            return _discovery_scan()
 
     def _next_manifest(
         self, manifest: dict, partitions: dict[str, list[str]]

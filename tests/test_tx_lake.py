@@ -864,3 +864,21 @@ def test_delete_where_data_column_named_raw(spark, tmp_path):
     assert n == 2
     left = {r["id"] for r in lake.read(spark).collect()}
     assert left == {2}
+
+
+def test_condition_attr_names_prechecks_fast_path(spark):
+    """r12: fast-path eligibility is a reference-set PRE-CHECK (no
+    probe analysis failure, no logged AnalysisException). The walker
+    must name exactly the condition's columns and return None only
+    when the tree cannot be trusted."""
+    from pyspark.sql import functions as F
+
+    names = TransactionalLake._condition_attr_names
+    assert names(F.col("data_source") == "chase") == {"data_source"}
+    assert names(F.col("data_source").isNull()) == {"data_source"}
+    assert names(
+        (F.col("a") > 1) & (F.col("b").isin("x", "y"))
+    ) == {"a", "b"}
+    assert names(F.lit(True)) == set()
+    # a plain-string condition is not a Column — unknown, not a crash
+    assert names("data_source = 'chase'") is None
