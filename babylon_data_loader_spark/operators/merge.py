@@ -62,6 +62,7 @@ def merge_upsert(
     key: list[str] | None = None,
     partition_col: str = "data_source",
     order_cols: list[str] | None = None,
+    max_retries: int = 3,
 ) -> None:
     """Upsert `batch` into the transactional lake at `lake_path`.
 
@@ -84,4 +85,10 @@ def merge_upsert(
     # migrated lake; the caller's column applies to fresh lakes only.
     TransactionalLake.open(
         lake_path, partition_col=partition_col
-    ).merge(spark, batch, key, order_cols=order_cols)
+    ).merge(
+        spark,
+        batch,
+        key,
+        max_retries=max_retries,
+        order_cols=order_cols,
+    )

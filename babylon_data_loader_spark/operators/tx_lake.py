@@ -821,12 +821,22 @@ class TransactionalLake:
                 # Someone else advanced the table: our merged output is
                 # stale. Drop the orphan dir and redo on fresh state.
                 import shutil
+                import time
 
                 shutil.rmtree(
                     os.path.join(self.lake_path, rel), ignore_errors=True
                 )
                 if attempt == max_retries:
                     raise
+                # Linear backoff before re-reading the manifest: a
+                # loser that retries before the winner's pointer
+                # publish lands rebuilds on the SAME stale version and
+                # burns another attempt on the SAME claim — one
+                # opponent commit could exhaust the whole budget
+                # (observed once under a fully-loaded 32-thread sweep,
+                # r12). Milliseconds against a commit that just wrote
+                # a version directory.
+                time.sleep(0.02 * (attempt + 1))
 
 
     def delete_where(

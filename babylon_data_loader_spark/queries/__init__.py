@@ -69,94 +69,54 @@ def query(name: str, oracle: str | None = None):
 # - the remaining slots ROTATE through the queries whose last driver
 #   green is OLDEST (evidence ages as the driver regenerates testdata
 #   between rounds), so over successive rounds every family gets
-#   re-witnessed on current data. r9 backfilled the r1/r2 era (text
-#   analysis + the SURVEY §2 core, 50/50 green); r10 ran the queue r9
-#   staged (50/50 green); the r11 window below head-truncates the
-#   queue r10 staged, with this round's 4 new queries and 3
-#   rows-only->oracle conversions at the head; the r12 queue (the 8
-#   displaced tail entries, then the r3 TPC-H / r4 roundtrip / r5
-#   statistics evidence) is staged right behind slot 50 so next
-#   round's backfill is again a head-truncation.
+#   re-witnessed on current data. r9 backfilled the r1/r2 era; r10
+#   and r11 ran their staged queues (50/50 green each); the r12
+#   window below head-truncates the queue r11 staged, with this
+#   round's 2 new queries, 4 rows-only->oracle conversions and 4
+#   code-touched lanes at the head; the r13 queue (the 12 displaced
+#   tail entries, then the stalest r5-r7 evidence) is staged right
+#   behind slot 50 so next round's backfill is again a
+#   head-truncation.
 PRIORITY: list[str] = [
-    # ROUND-11 WINDOW — 50 oracle-backed slots, zero rows-only rows.
-    # Slots 1-4: the queries ADDED this round (queries/round11.py) —
-    # the incremental owner-keep ExactSubstr strip (batch losers only;
-    # the corpus owns spans it already contains), the concurrent
-    # two-writer MERGE stress over the tx_lake O_EXCL claim path,
-    # benchmark decontamination as a per-doc actionable report
-    # (census + rate per contaminated doc — the worklist twin of
-    # curation.py::q_contamination's source-level audit), and its
-    # admission-path composition (batch grams probed against the
-    # AT-REST eval-gram index; corpus never rescanned).
-    "q_incremental_strip_owner",
-    "q_merge_concurrent_stress",
+    # ROUND-12 WINDOW — 50 oracle-backed slots, zero rows-only rows.
+    # Slots 1-10: this round's new and code-touched queries, per the
+    # head policy (fresh driver rows land on the code that ships):
+    #  - q_admission_gate (NEW, queries/round12.py): the composed
+    #    decontaminate -> owner-keep strip -> token-budget admission
+    #    pipeline (r11 VERDICT ask #6);
+    #  - q_merge_divergent_stress (NEW, round12.py): concurrent MERGE
+    #    with DIVERGENT overlap values under resolve-by-total-order
+    #    (r11 VERDICT ask #4);
+    #  - q_knn_lsh / q_knn_ivf / q_knn_pq / q_knn_ivfpq: rows-only ->
+    #    ORACLE-BACKED conversions via operators/det_ann.py (r11
+    #    VERDICT ask #2) — integer sign-LSH over the shared
+    #    bucket-partitioned signature store, Lloyd-trained integer
+    #    IVF, sampled-seed PQ/ADC, and IVF-PQ with residual codes;
+    #  - q_rerank_ann: code-touched (its signature store is now the
+    #    shared BUCKET-PARTITIONED det store, probes partition-pruned);
+    #  - q_decontaminate / q_incremental_decontaminate: code-touched
+    #    (gram tokenization normalized to tokens(lower(text)), r11
+    #    ADVICE; oracle CTE + store key updated in lockstep);
+    #  - q_lake_delete: code-touched (fast-path eligibility is now a
+    #    reference-set pre-check, not probe-and-catch — r11 ask #5).
+    "q_admission_gate",
+    "q_merge_divergent_stress",
+    "q_knn_lsh",
+    "q_knn_ivf",
+    "q_knn_pq",
+    "q_knn_ivfpq",
+    "q_rerank_ann",
     "q_decontaminate",
     "q_incremental_decontaminate",
-    # Slots 5-7: rows-only -> ORACLE-BACKED conversions (r10 VERDICT
-    # ask #3, operators/det_ann.py): their retrieval/assignment
-    # stages were re-derived from md5-seeded integer arithmetic both
-    # engines evaluate identically, so their first-ever hash-checked
-    # driver rows land on the code that ships.
-    "q_rerank_ann",
-    "q_ivf_nprobe_curve",
-    "q_kmeans_refine",
-    # Slots 8-50: the first 43 of the pre-certified r11 rotation
-    # queue r10 staged (oldest driver evidence first: the r6
-    # token-budget head, the r4b/c/d/e waves, wave3, lake_cdc, the
-    # round4f head) — re-witnessed on current data. The queue held
-    # 51 names for 50 slots even before this round's 7 head entries;
-    # the 8 displaced tail entries lead the r12 queue below.
-    "q_source_token_budget",
-    "q_column_profile",
-    "q_word_entropy",
-    "q_radius_search",
-    "q_benford_digits",
-    "q_containment_pairs",
-    "q_length_band",
-    "q_salted_agg",
-    "q_incremental_dedup",
-    "q_file_provenance",
-    "q_pmi_collocations",
-    "q_source_drift",
-    "q_export_shards",
-    "q_event_funnel",
-    "q_retention_cohorts",
-    "q_copurchase_pagerank",
-    "q_gap_fill",
-    "q_sliding_window",
-    "q_anomaly_hours",
-    "q_fuzzy_join",
-    "q_scd2_dimension",
-    "q_triangle_count",
-    "q_data_quality",
-    "q_oov_rate",
-    "q_equal_freq_binning",
-    "q_spearman_corr",
-    "q_weighted_sample",
-    "q_boolean_search",
-    "q_bfs_hops",
-    "q_twap",
-    "q_key_skew",
-    "q_unicode_normalize",
-    "q_ewma",
-    "q_linreg_by_group",
-    "q_variance_moments",
-    "q_correlation_moments",
-    "q_array_ops",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_hash_split",
-    "q_incremental_agg",
-    "q_time_travel",
-    "q_write_expectations",
-    # --- end of the 50-slot driver window ---
-    # Slots 51-102: the staged r12 rotation queue — first the 8
-    # entries the r11 head displaced from r10's staging, then the
-    # stalest remaining driver evidence (last green r3: the TPC-H
-    # family re-witnessed in r3's window; then the r4 roundtrip/
-    # stream/media wave; then the r5 statistics heads). The driver
-    # does not read past slot 50; this ordering makes the next
-    # round's backfill a head-truncation again.
+    "q_lake_delete",
+    # Slots 11-50: the first 40 of the r12 rotation queue staged by
+    # r11 (stalest driver evidence first: the 8 entries the r11 head
+    # displaced, the r3 TPC-H family, the r4 roundtrip/stream/media
+    # wave, the r5 statistics heads) — re-witnessed on current data.
+    # The 10-slot head is forced by the head policy (6 new-oracle +
+    # 4 code-touched), so 40 of the 52 staged entries fit; the
+    # remaining 12 lead the r13 queue below. Pre-r7 backlog after
+    # this window lands: 78 - 40 = 38 (r13 finishes it).
     "q_mv_rewrite",
     "q_rank_sum_test",
     "q_ks_statistic",
@@ -197,6 +157,12 @@ PRIORITY: list[str] = [
     "q_tpch_q9",
     "q_abc_classification",
     "q_association_rules",
+    # --- end of the 50-slot driver window ---
+    # Slots 51-102: the staged r13 rotation queue — first the 12
+    # entries this round's head displaced from r11's staging, then
+    # the stalest remaining driver evidence (last green r5/r6/r7),
+    # oldest first. The driver does not read past slot 50; this
+    # ordering keeps next round's backfill a head-truncation.
     "q_bm25_topk",
     "q_corpus_report",
     "q_covariance_matrix",
@@ -209,12 +175,54 @@ PRIORITY: list[str] = [
     "q_media_resample",
     "q_median_by_group",
     "q_minhash_calibration",
+    "q_phrase_search",
+    "q_qq_points",
+    "q_readability",
+    "q_rfm_segments",
+    "q_rolling_median",
+    "q_seasonality_profile",
+    "q_stream_complete",
+    "q_stream_left_join",
+    "q_tpch_q20",
+    "q_vocab_growth",
+    "q_changepoint",
+    "q_cross_source_leakage",
+    "q_delta_export",
+    "q_dup_burden_by_source",
+    "q_entropy_rate",
+    "q_forecast_eval",
+    "q_heavy_hitters",
+    "q_interarrival_dist",
+    "q_kaplan_meier",
+    "q_knn_cosine",
+    "q_lake_skipping",
+    "q_lorenz_points",
+    "q_pack_sequences",
+    "q_stream_stateful",
+    "q_tfidf_top_terms",
+    "q_tpch_q1",
+    "q_class_rebalance",
+    "q_corpus_curation",
+    "q_decay_weighted",
+    "q_embedding_dup_pairs",
+    "q_media_image_features",
+    "q_minhash_bands",
+    "q_ndcg_eval",
+    "q_near_dup_pairs",
+    "q_quantile_normalize",
+    "q_semantic_dedup",
+    "q_skipgram_pairs",
+    "q_stream_sliding",
+    "q_target_encode",
+    "q_wilson_quality",
     # Rows-only self-certifying queries (in-query invariant raises,
     # pytest-verified) — deliberately BELOW the window: a no_oracle
-    # driver row carries no signal. r11 converted q_kmeans_refine,
-    # q_ivf_nprobe_curve and q_rerank_ann to full oracles (see the
-    # window head); these two remain genuinely non-SQL-reproducible
-    # (file-retention layout / store-lifecycle checksums).
+    # driver row carries no signal. r12 converted the four kNN lanes
+    # to full oracles (see the window head); the whole-registry
+    # rows-only census is now 7 (q_knn_recall_guard — where the FLOAT
+    # ANN production paths keep declared coverage —
+    # q_ann_index_maintenance, the two sketches, q_compression_ratio,
+    # and these two genuinely non-SQL-reproducible lanes).
     "q_lake_vacuum",
     "q_tokwin_maintenance",
 ]

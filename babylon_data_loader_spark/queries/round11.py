@@ -335,6 +335,7 @@ def q_merge_concurrent_stress(
                         batch,
                         key=key,
                         partition_col="event_type",
+                        max_retries=8,
                     )
             except BaseException as exc:  # surfaced after join
                 errors.append(exc)

@@ -186,6 +186,7 @@ def q_merge_divergent_stress(
                         key=key,
                         partition_col="event_type",
                         order_cols=order_cols,
+                        max_retries=8,
                     )
             except BaseException as exc:  # surfaced after join
                 errors.append(exc)

@@ -146,6 +146,17 @@ HEADLINE = [
     # eval-gram index; store_hit attributes the one-time build).
     "q_decontaminate",
     "q_incremental_decontaminate",
+    # round 12 additions: the composed admission gate (decontaminate
+    # -> owner-keep strip -> per-source token-budget admit, three
+    # at-rest-store probes in one plan) and IVF-PQ over the integer
+    # grid (coarse-pruned cid-partitioned code scan + per-list ADC +
+    # rerank — the composed at-rest ANN layout). q_knn_lsh / q_knn_pq
+    # above now time the det_ann-backed oracle paths (code-changed in
+    # r12: shared bucket-partitioned signature store / sampled-seed
+    # ADC); q_merge_divergent_stress is NOT a lane for the same
+    # reason as q_merge_concurrent_stress — commit-fsync-bound.
+    "q_admission_gate",
+    "q_knn_ivfpq",
 ]
 
 

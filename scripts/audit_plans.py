@@ -90,6 +90,14 @@ BNLJ_ALLOWED = {
     "q_dedup_adjusted_budget",  # one-row deduped-budget scalar
     "q_dedup_budget_e2e",    # one-row stripped-budget scalar (same
     # shape as q_dedup_adjusted_budget over the owner-keep masses)
+    # r12 det-ANN conversions: each carries a ONE-ROW hits@10 recall
+    # witness crossJoined onto the top-10 result (plus the single-row
+    # query-vector broadcast the family always had)
+    "q_knn_lsh",
+    "q_knn_ivf",
+    "q_knn_pq",
+    "q_knn_ivfpq",
+    "q_admission_gate",      # one-row (n_batch, n_dropped) census
 }
 
 # Every BNLJ build side must be metadata-scale: the largest sanctioned
