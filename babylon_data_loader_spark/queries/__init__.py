@@ -72,15 +72,19 @@ def query(name: str, oracle: str | None = None):
 #   re-witnessed on current data. r9 backfilled the r1/r2 era; r10
 #   and r11 ran their staged queues (50/50 green each); the r12
 #   window below head-truncates the queue r11 staged, with this
-#   round's 2 new queries, 4 rows-only->oracle conversions and 4
-#   code-touched lanes at the head; the r13 queue (the 12 displaced
+#   round's 3 new queries, 4 rows-only->oracle conversions and 4
+#   code-touched lanes at the head; the r13 queue (the 13 displaced
 #   tail entries, then the stalest r5-r7 evidence) is staged right
 #   behind slot 50 so next round's backfill is again a
 #   head-truncation.
 PRIORITY: list[str] = [
     # ROUND-12 WINDOW — 50 oracle-backed slots, zero rows-only rows.
-    # Slots 1-10: this round's new and code-touched queries, per the
+    # Slots 1-11: this round's new and code-touched queries, per the
     # head policy (fresh driver rows land on the code that ships):
+    #  - q_kmv_distinct (NEW, queries/wave3.py): the oracle-CHECKABLE
+    #    distinct sketch (KMV/bottom-k over md5-derived 60-bit
+    #    hashes) — the cross-engine-exact complement to
+    #    q_sketch_distinct's native HLL++, which stays rows-only;
     #  - q_admission_gate (NEW, queries/round12.py): the composed
     #    decontaminate -> owner-keep strip -> token-budget admission
     #    pipeline (r11 VERDICT ask #6);
@@ -99,6 +103,7 @@ PRIORITY: list[str] = [
     #    ADVICE; oracle CTE + store key updated in lockstep);
     #  - q_lake_delete: code-touched (fast-path eligibility is now a
     #    reference-set pre-check, not probe-and-catch — r11 ask #5).
+    "q_kmv_distinct",
     "q_admission_gate",
     "q_merge_divergent_stress",
     "q_knn_lsh",
@@ -109,14 +114,14 @@ PRIORITY: list[str] = [
     "q_decontaminate",
     "q_incremental_decontaminate",
     "q_lake_delete",
-    # Slots 11-50: the first 40 of the r12 rotation queue staged by
+    # Slots 12-50: the first 39 of the r12 rotation queue staged by
     # r11 (stalest driver evidence first: the 8 entries the r11 head
     # displaced, the r3 TPC-H family, the r4 roundtrip/stream/media
     # wave, the r5 statistics heads) — re-witnessed on current data.
-    # The 10-slot head is forced by the head policy (6 new-oracle +
-    # 4 code-touched), so 40 of the 52 staged entries fit; the
-    # remaining 12 lead the r13 queue below. Pre-r7 backlog after
-    # this window lands: 78 - 40 = 38 (r13 finishes it).
+    # The 11-slot head is forced by the head policy (7 new-oracle +
+    # 4 code-touched), so 39 of the 52 staged entries fit; the
+    # remaining 13 lead the r13 queue below. Pre-r7 backlog after
+    # this window lands: 78 - 39 = 39 (r13 finishes most of it).
     "q_mv_rewrite",
     "q_rank_sum_test",
     "q_ks_statistic",
@@ -156,13 +161,13 @@ PRIORITY: list[str] = [
     "q_tpch_q2",
     "q_tpch_q9",
     "q_abc_classification",
-    "q_association_rules",
     # --- end of the 50-slot driver window ---
-    # Slots 51-102: the staged r13 rotation queue — first the 12
+    # Slots 51-103: the staged r13 rotation queue — first the 13
     # entries this round's head displaced from r11's staging, then
     # the stalest remaining driver evidence (last green r5/r6/r7),
     # oldest first. The driver does not read past slot 50; this
     # ordering keeps next round's backfill a head-truncation.
+    "q_association_rules",
     "q_bm25_topk",
     "q_corpus_report",
     "q_covariance_matrix",

@@ -451,9 +451,14 @@ def q_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
         .distinct(),
     )
-    contaminated = (
+    # The store read carries parquet size stats, so Catalyst's
+    # auto-broadcast threshold IS the guarded broadcast here (an
+    # oversized eval suite degrades to a shuffle join on its own —
+    # the contamination_census count guard exists for stat-less
+    # inputs). Persisted: probed twice (drop anti-join + census).
+    contaminated = persist_tracked(
         gram_hashes(batch, n=4)
-        .join(F.broadcast(eval_grams), "h", "left_semi")
+        .join(eval_grams, "h", "left_semi")
         .select("doc_id")
         .distinct()
     )

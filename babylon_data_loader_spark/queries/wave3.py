@@ -526,6 +526,153 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- q_kmv_distinct: the ORACLE-CHECKABLE distinct sketch ------------------
+# q_sketch_distinct (above) exercises Spark's native HLL++, whose
+# register layout is engine-specific — it stays rows-only with its
+# exact twin + error raise. This lane is the same capability built
+# from a sketch whose every decision an independent engine CAN
+# recompute: KMV / bottom-k (Bar-Yossef et al. 2002, the Theta-sketch
+# core): keep the k smallest md5-derived hash values per group;
+# if fewer than k distinct hashes exist the sketch IS the exact
+# answer, else estimate (k-1)·M/R from the k-th minimum R over hash
+# space M. Selection + one double divide of exact integers — no
+# registers, no float accumulation, bit-identical everywhere.
+
+_KMV_K = 64
+_KMV_M = 1 << 60  # 15 hex chars of the md5 = 60-bit hash space
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS h
+      FROM events
+    ), ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY h ASC) AS rn
+      FROM hv
+    ), nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM hv GROUP BY event_type
+    ), sk AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+      FROM ranked WHERE rn <= {_KMV_K}
+      GROUP BY event_type
+    )
+    SELECT n.event_type, n.n_exact,
+           COALESCE(s.kth, CAST(0 AS BIGINT)) AS kth_hash,
+           CASE WHEN n.n_exact < {_KMV_K}
+                THEN CAST(n.n_exact AS DOUBLE)
+                ELSE round({_KMV_K - 1} * CAST({_KMV_M} AS DOUBLE)
+                           / CAST(s.kth AS DOUBLE), 6) END
+             AS est_distinct,
+           round(ABS(CASE WHEN n.n_exact < {_KMV_K}
+                          THEN CAST(n.n_exact AS DOUBLE)
+                          ELSE {_KMV_K - 1} * CAST({_KMV_M} AS DOUBLE)
+                               / CAST(s.kth AS DOUBLE) END
+                     - n.n_exact) / n.n_exact, 6) AS rel_err,
+           CAST(0.4 AS DOUBLE) AS err_bound
+    FROM nd n LEFT JOIN sk s ON s.event_type = n.event_type
+    ORDER BY n.event_type
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via a KMV
+    (k-minimum-values / bottom-k) sketch, k=64 over the 60-bit
+    md5-derived hash space — the oracle-checkable complement to
+    q_sketch_distinct's native HLL++: every retained hash, the k-th
+    minimum, and the (k−1)·M/R estimate are integer selection plus
+    ONE double divide of exact integers, so a DuckDB oracle
+    recomputes the whole sketch bit-for-bit. Groups with fewer than k
+    distinct users return the exact count (the sketch holds
+    everything). rel_err rides along and the query RAISES past the
+    3σ ≈ 0.4 bound (σ ≈ 1/√(k−2)).
+
+    Scale shape: the bottom-k per group is a rank-LIMITED window —
+    Spark inserts WindowGroupLimit, so each partition pre-prunes to
+    its local k smallest before the shuffle: the sketch property
+    (fixed-size mergeable state, never a full sort of the group)
+    holds in the physical plan, plan-asserted in tests. At 100 TB the
+    distinct-hash projection is the only wide stage and carries
+    (event_type, 8-byte hash) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hv = (
+        ev.select(
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(F.col("user_id").cast("string")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    ranked = hv.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _KMV_K
+    )
+    nd = hv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    sk = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == _KMV_K, F.col("h"))
+        ).alias("kth")
+    )
+    raw_est = (
+        F.lit(float(_KMV_K - 1))
+        * F.lit(float(_KMV_M))
+        / F.col("kth").cast("double")
+    )
+    out = (
+        nd.join(F.broadcast(sk), "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            F.coalesce(F.col("kth"), F.lit(0).cast("long")).alias(
+                "kth_hash"
+            ),
+            F.when(
+                F.col("n_exact") < _KMV_K,
+                F.col("n_exact").cast("double"),
+            )
+            .otherwise(F.round(raw_est, 6))
+            .alias("est_distinct"),
+            F.round(
+                F.abs(
+                    F.when(
+                        F.col("n_exact") < _KMV_K,
+                        F.col("n_exact").cast("double"),
+                    ).otherwise(raw_est)
+                    - F.col("n_exact")
+                )
+                / F.col("n_exact"),
+                6,
+            ).alias("rel_err"),
+            F.lit(0.4).alias("err_bound"),
+        )
+        .orderBy("event_type")
+    )
+    worst = out.agg(F.max("rel_err")).first()[0]
+    if worst is not None and worst > 0.4:
+        raise AssertionError(
+            f"KMV relative error {worst:.4f} exceeds the 3-sigma "
+            "bound 0.4"
+        )
+    return out
+
+
 @query(
     "q_robust_zscore",
     oracle="""

@@ -51,3 +51,51 @@ def test_quantile_sketch_brackets_exact(spark):
         # exact rank of the approx p50 must be near the true median
         rank = vals.filter(F.col("value") <= p50).count()
         assert abs(rank / n - 0.5) < 0.02, f"{et}: p50 rank {rank/n}"
+
+
+def test_kmv_distinct_paths_and_group_limit(spark):
+    """r12: the oracle-checkable KMV sketch. At sf0.01 every group
+    has 150 distinct users > k=64, so the (k-1)·M/R estimation path
+    fires and must land within the 3σ bound; a sub-k planted frame
+    must return the exact count; and the bottom-k window must carry
+    WindowGroupLimit in the physical plan (per-partition pre-pruning
+    — the fixed-size-sketch property, not a full group sort)."""
+    import babylon_data_loader_spark.queries as Q
+
+    Q.load_all()
+    fn = Q.QUERIES["q_kmv_distinct"].__wrapped__
+    out = fn(spark, SF)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
+    rows = {r["event_type"]: r for r in out.collect()}
+    assert len(rows) == 5
+    for et, r in rows.items():
+        assert r["n_exact"] == 150
+        assert r["kth_hash"] > 0  # estimation path fired
+        assert r["est_distinct"] != 150.0 or r["rel_err"] == 0.0
+        assert r["rel_err"] <= 0.4, (et, r["rel_err"])
+
+    # planted sub-k group: the sketch holds everything -> exact
+    import os
+
+    sf = os.path.join(
+        str(spark.conf.get("spark.sql.warehouse.dir")).removeprefix(
+            "file:"
+        ),
+        "_kmv_fixture",
+    )
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(i, 1000 + i % 7, "tiny", float(i)) for i in range(40)],
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+    ).withColumn(
+        "ts", F.timestamp_micros(F.lit(1700000000000000) + F.col("event_id"))
+    ).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    tiny = {r["event_type"]: r for r in fn(spark, sf).collect()}
+    assert tiny["tiny"]["n_exact"] == 7
+    assert tiny["tiny"]["est_distinct"] == 7.0
+    assert tiny["tiny"]["rel_err"] == 0.0
