@@ -74,8 +74,10 @@ def _assert_recall(
     of recording a green row for garbage neighbors — the
     `q_lake_skipping` assert-inside-the-query pattern. The brute-force
     baseline (a TakeOrdered scan, no shuffle) is memoized per dataset
-    content fingerprint — five ANN queries share one baseline pass per
-    session instead of five."""
+    content fingerprint, shared with q_knn_recall_guard's own
+    exact-set pass. Since r12 only the FLOAT store-backed PQ probe
+    (q_knn_recall_guard's pq leg) routes through here — the q_knn_*
+    lanes carry their det_ann hits@10 witness in-plan instead."""
     exact = _exact_topk_ids(emb, k)
     got = {r["vec_id"] for r in result.select("vec_id").collect()}
     recall = len(exact & got) / k
