@@ -278,6 +278,11 @@ ISOLATED_SET = [
     "q_kmeans_refine",
     "q_ivf_nprobe_curve",
     "q_rerank_ann",
+    # r12: the new top-cost lane (composed 3-stage admission gate —
+    # its in-suite number includes the prefix-scan offsets pass) and
+    # the lane whose cost deliberately moved (gram normalization)
+    "q_admission_gate",
+    "q_decontaminate",
 ]
 
 
