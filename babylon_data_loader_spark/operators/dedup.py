@@ -28,6 +28,24 @@ from babylon_data_loader_spark.operators.buckets import (
 )
 
 
+def _norm_tok(
+    docs: DataFrame, text_col: str, id_col: str, alias: str
+) -> DataFrame:
+    """(id_col, <alias>) normalized token arrays via the shared
+    at-rest token store (index_store.stored_norm_tokens): the whole
+    text family derives ``tokens(lower(text))`` from ONE stored regex
+    pass per dataset version instead of re-tokenizing per builder
+    (r12 VERDICT ask #2). Inline fallback for no-lineage frames is
+    inside the store helper."""
+    from babylon_data_loader_spark.operators.index_store import (
+        stored_norm_tokens,
+    )
+
+    return stored_norm_tokens(
+        docs, text_col=text_col, id_col=id_col
+    ).select(id_col, F.col("tok").alias(alias))
+
+
 def dedup_exact(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -45,6 +63,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_bands: int = 4,
     shingle_k: int = 3,
+    tok_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, b0..b{n-1}) deterministic MinHash signature table.
 
@@ -57,9 +76,16 @@ def minhash_signatures(
     full regex splits PER SHINGLE per band — a measured 50×
     slowdown); CollapseProject keeps multiply-referenced non-cheap
     aliases in their own stage, so this shape evaluates each step
-    once per row."""
-    tok = docs.select(
-        id_col, tokens(F.lower(F.col(text_col))).alias("_tok")
+    once per row. ``tok_df`` (an (id_col, _tok) frame) substitutes a
+    pre-tokenized source — the stored builder passes the shared
+    at-rest token store here; bare calls tokenize inline (the right
+    shape for batch slices and streaming frames)."""
+    tok = (
+        tok_df
+        if tok_df is not None
+        else docs.select(
+            id_col, tokens(F.lower(F.col(text_col))).alias("_tok")
+        )
     )
     sh = tok.select(id_col, shingles(F.col("_tok"), shingle_k).alias("_sh"))
     return sh.select(
@@ -85,7 +111,10 @@ def stored_minhash_signatures(
     signature parquet. Keyed by content fingerprint + canonicalized
     plan, so regenerated data or a different input subset rebuilds
     instead of aliasing. Falls back to inline computation for frames
-    with no file lineage."""
+    with no file lineage. The build derives from the shared at-rest
+    normalized-token store (r12 VERDICT ask #2) — tokenization runs
+    once per dataset version across the whole text family, not once
+    per index kind."""
     from babylon_data_loader_spark.operators.index_store import (
         get_or_build_parquet,
     )
@@ -95,7 +124,12 @@ def stored_minhash_signatures(
         "mh_sigs",
         f"b{n_bands}s{shingle_k}",
         lambda: minhash_signatures(
-            docs, text_col, id_col, n_bands, shingle_k
+            docs,
+            text_col,
+            id_col,
+            n_bands,
+            shingle_k,
+            tok_df=_norm_tok(docs, text_col, id_col, "_tok"),
         ),
     )
 
@@ -105,13 +139,19 @@ def doc_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
+    tok_df: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, _sh) DISTINCT exploded shingle table — the set
-    representation :func:`jaccard_verify` joins on."""
-    tok = docs.select(
-        F.col(id_col).alias("_id"),
-        tokens(F.lower(F.col(text_col))).alias("_tok"),
-    )
+    representation :func:`jaccard_verify` joins on. ``tok_df``
+    substitutes a pre-tokenized (id_col, _tok) source (the stored
+    builder passes the shared token store)."""
+    tok = (
+        tok_df
+        if tok_df is not None
+        else docs.select(
+            id_col, tokens(F.lower(F.col(text_col))).alias("_tok")
+        )
+    ).select(F.col(id_col).alias("_id"), "_tok")
     return tok.select(
         "_id",
         F.explode(
@@ -128,7 +168,8 @@ def stored_doc_shingles(
 ) -> DataFrame:
     """:func:`doc_shingles` through the at-rest store — tokenization
     and shingling run once per dataset version; Jaccard verification
-    becomes joins against a parquet read."""
+    becomes joins against a parquet read. The build derives from the
+    shared at-rest normalized-token store."""
     from babylon_data_loader_spark.operators.index_store import (
         get_or_build_parquet,
     )
@@ -137,7 +178,13 @@ def stored_doc_shingles(
         docs,
         "mh_shingles",
         f"s{shingle_k}",
-        lambda: doc_shingles(docs, text_col, id_col, shingle_k),
+        lambda: doc_shingles(
+            docs,
+            text_col,
+            id_col,
+            shingle_k,
+            tok_df=_norm_tok(docs, text_col, id_col, "_tok"),
+        ),
     )
 
 
@@ -146,6 +193,7 @@ def token_windows(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 16,
+    tok_df: DataFrame | None = None,
 ) -> DataFrame:
     """(_id, _h) stride-1 k-token window hashes — the ExactSubstr
     representation (Lee et al. 2022, "Deduplicating Training Data
@@ -163,11 +211,17 @@ def token_windows(
     corpus-token-scale (one
     row per token position), which is why it lives behind the at-rest
     store and every consumer is a map-combinable hash-keyed aggregate
-    — nothing wider than (id, pos, 32-hex hash) ever shuffles."""
-    tok = docs.select(
-        F.col(id_col).alias("_id"),
-        tokens(F.lower(F.col(text_col))).alias("_t"),
-    )
+    — nothing wider than (id, pos, 32-hex hash) ever shuffles.
+    ``tok_df`` substitutes a pre-tokenized (id_col, _t) source — the
+    stored builder passes the shared at-rest token store; bare calls
+    (batch slices, streaming frames) tokenize inline."""
+    tok = (
+        tok_df
+        if tok_df is not None
+        else docs.select(
+            id_col, tokens(F.lower(F.col(text_col))).alias("_t")
+        )
+    ).select(F.col(id_col).alias("_id"), "_t")
     win = F.when(
         F.size("_t") >= k,
         F.transform(
@@ -217,7 +271,13 @@ def stored_token_windows(
         "tokwin",
         # p1 = positioned layout (the pos-less k16 layout predates it)
         f"k{k}p1",
-        lambda: token_windows(docs, text_col, id_col, k),
+        lambda: token_windows(
+            docs,
+            text_col,
+            id_col,
+            k,
+            tok_df=_norm_tok(docs, text_col, id_col, "_t"),
+        ),
     )
 
 
@@ -228,7 +288,9 @@ def doc_terms(
 ) -> DataFrame:
     """(doc_id, term) DISTINCT lower-cased unigram table — the
     inverted-index set representation lexical-overlap scorers join
-    on (k=1 analogue of :func:`doc_shingles`)."""
+    on (k=1 analogue of :func:`doc_shingles`). Tokenizes inline: its
+    callers hand it candidate-PRUNED slices (never the corpus), where
+    a store roundtrip would cost more than the regex."""
     return (
         docs.select(
             id_col,
@@ -497,7 +559,15 @@ def write_token_window_store(
         write_meta_text,
     )
 
-    win = token_windows(docs, text_col, id_col, k)
+    # corpus-scale write-once build: derive from the shared at-rest
+    # token store (one regex pass per dataset version, r12 ask #2)
+    win = token_windows(
+        docs,
+        text_col,
+        id_col,
+        k,
+        tok_df=_norm_tok(docs, text_col, id_col, "_t"),
+    )
     (
         win.withColumn("hp", F.substring("_h", 1, prefix_chars))
         .repartition(F.col("hp"))

@@ -176,10 +176,12 @@ def det_signature_store(
         "detsig",
         # 'b' = bucket-partitioned layout (r12): params must change
         # with layout so an unpartitioned r11 'p8' store is never
-        # mistaken for this one
+        # mistaken for this one; the retired r11 key is swept (its
+        # stores would otherwise linger for stable datasets forever)
         f"{tag}_p{len(planes)}b",
         _build,
         partition_by=("bucket",),
+        retired_params=(f"p{len(planes)}",),
     )
 
 

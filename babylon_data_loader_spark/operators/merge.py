@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from babylon_data_loader_spark.operators.tx_lake import TransactionalLake
+from babylon_data_loader_spark.operators.tx_lake import (
+    RESOLVE_RN,
+    TransactionalLake,
+)
 from babylon_data_loader_spark.schemas import TRANSACTION_KEY
 
 
@@ -45,13 +48,18 @@ def dedup_latest(
     """
     if order_cols is None:
         order_cols = [c for c in df.columns if c not in key]
+    if RESOLVE_RN in df.columns:
+        raise ValueError(
+            f"dedup_latest: reserved working column {RESOLVE_RN!r} "
+            "collides with an input column — rename it"
+        )
     window = Window.partitionBy(*key).orderBy(
         *[F.col(c).desc_nulls_last() for c in order_cols]
     )
     return (
-        df.withColumn("_rn", F.row_number().over(window))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn(RESOLVE_RN, F.row_number().over(window))
+        .filter(F.col(RESOLVE_RN) == 1)
+        .drop(RESOLVE_RN)
     )
 
 

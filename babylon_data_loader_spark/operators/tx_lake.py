@@ -61,6 +61,12 @@ from babylon_data_loader_spark.operators.commit_backend import (
 # carrying None in the partition column lands here on disk.
 HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
+# Reserved working column for resolve-by-total-order row numbering —
+# double-underscore-prefixed (the decontaminate.py convention) so a
+# lake with an ordinary column named `_rn` is merged intact instead
+# of having the working column silently replace and then drop it.
+RESOLVE_RN = "__bdl_rn"
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer prepared."""
@@ -721,7 +727,11 @@ class TransactionalLake:
         With ``order_cols``, same-key resolution switches from
         last-commit-wins to RESOLVE-BY-TOTAL-ORDER: the survivor
         among {stored row, batch row} is the maximum under
-        (order_cols DESC, nulls last). That makes the final state a
+        (order_cols DESC, nulls last), with every REMAINING non-key
+        column appended as a deterministic trailing tiebreak — so
+        order_cols need not totally order same-key rows themselves;
+        rows a tiebreak cannot separate are identical in every
+        column. That makes the final state a
         pure function of the SET of rows ever delivered — commutative
         and idempotent across commits — so concurrent writers
         delivering DIVERGENT values for the same key still converge
@@ -788,21 +798,40 @@ class TransactionalLake:
                     # (stored ∪ batch) per key — shuffles only the
                     # TOUCHED partitions plus the batch, same cost
                     # envelope as the anti-join path
+                    unioned = batch.unionByName(
+                        stored, allowMissingColumns=True
+                    )
+                    if RESOLVE_RN in unioned.columns:
+                        raise ValueError(
+                            f"merge: reserved working column "
+                            f"{RESOLVE_RN!r} collides with a lake "
+                            "column — rename the input column"
+                        )
+                    # Trailing tiebreak over every remaining column
+                    # (dedup_latest's default order): order_cols that
+                    # tie on all listed values must not leave the
+                    # survivor to partition luck, or the documented
+                    # 'pure function of the set of rows' guarantee
+                    # silently breaks. Two rows equal on key,
+                    # order_cols AND all other columns are identical,
+                    # so any survivor is the same row.
+                    trailing = [
+                        c
+                        for c in unioned.columns
+                        if c not in key and c not in order_cols
+                    ]
                     win = Window.partitionBy(*key).orderBy(
                         *[
                             F.col(c).desc_nulls_last()
-                            for c in order_cols
+                            for c in [*order_cols, *trailing]
                         ]
                     )
                     merged = (
-                        batch.unionByName(
-                            stored, allowMissingColumns=True
+                        unioned.withColumn(
+                            RESOLVE_RN, F.row_number().over(win)
                         )
-                        .withColumn(
-                            "_rn", F.row_number().over(win)
-                        )
-                        .filter(F.col("_rn") == 1)
-                        .drop("_rn")
+                        .filter(F.col(RESOLVE_RN) == 1)
+                        .drop(RESOLVE_RN)
                     )
             else:
                 merged = batch

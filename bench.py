@@ -36,7 +36,6 @@ HEADLINE = [
     "q_asof_join",
     "q_dedup_exact_text",
     "q_minhash_bands",
-    "q_near_dup_pairs",
     "q_simhash",
     "q_knn_cosine",
     "q_text_stats",
@@ -44,7 +43,6 @@ HEADLINE = [
     # round 2 additions: banded embedding LSH (the declared scale
     # path), correlated-subquery decorrelation, real media decode,
     # and the composed corpus-curation pipeline.
-    "q_embedding_dup_pairs",
     "q_tpch_q17",
     "q_media_image_features",
     "q_corpus_curation",
@@ -53,9 +51,7 @@ HEADLINE = [
     # the frame-sampled video lane, PQ-code ANN, exact heavy hitters
     # via Misra-Gries pruning, and the full semantic-dedup
     # composition (LSH pairs -> components -> representatives).
-    "q_knn_lsh",
     "q_media_video_features",
-    "q_knn_pq",
     "q_heavy_hitters",
     "q_semantic_dedup",
     # round 4 additions: Bloom semi-join reduction and survivorship
@@ -83,7 +79,6 @@ HEADLINE = [
     # round 6 additions: two-stage retrieve->re-rank and token-budget
     # corpus sampling via the distributed prefix scan.
     "q_rerank_candidates",
-    "q_token_budget_sample",
     # round 6 wave 2: the feature-engineering family's two heavy
     # shapes — the grouped distributed prefix scan (per-source rank
     # normalization) and the token-explode + marginal-join +
@@ -106,7 +101,6 @@ HEADLINE = [
     # over the crossJoin, no vector shuffle) and majority-label
     # propagation over the at-rest verified-pair graph (two
     # count+argmax rounds of bare (id, label) shuffles).
-    "q_kmeans_assign",
     "q_label_propagation",
     # the capstone composition: kmeans assignment x grouped prefix
     # scan — per-semantic-cluster token-budget sampling.
@@ -119,13 +113,11 @@ HEADLINE = [
     "q_lang_split",
     # the strip lane: per-doc indexed-lambda span removal over the
     # island frame — the round's third distinct new shape.
-    "q_substring_strip",
     # round 10 additions: the production owner-keep strip (adds the
     # hash-keyed min(struct) ownership aggregate to the strip shape)
     # and the incremental batch probe against the at-rest window
     # store (in-flight hashing semi-joined onto stored hashes).
     "q_substring_strip_owner",
-    "q_incremental_substring",
     # round 11 additions: the incremental admission-path strip
     # (corpus-distinct-hash semi/anti joins + batch-internal
     # ownership over in-flight windows) and the three det_ann-backed
@@ -145,19 +137,70 @@ HEADLINE = [
     # variant (batch-only gram hashing probed against the at-rest
     # eval-gram index; store_hit attributes the one-time build).
     "q_decontaminate",
-    "q_incremental_decontaminate",
     # round 12 additions: the composed admission gate (decontaminate
     # -> owner-keep strip -> per-source token-budget admit, three
     # at-rest-store probes in one plan) and IVF-PQ over the integer
     # grid (coarse-pruned cid-partitioned code scan + per-list ADC +
-    # rerank — the composed at-rest ANN layout). q_knn_lsh / q_knn_pq
-    # above now time the det_ann-backed oracle paths (code-changed in
-    # r12: shared bucket-partitioned signature store / sampled-seed
-    # ADC); q_merge_divergent_stress is NOT a lane for the same
+    # rerank — the composed at-rest ANN layout).
+    # q_merge_divergent_stress is NOT a lane for the same
     # reason as q_merge_concurrent_stress — commit-fsync-bound.
+    # r13: the per-family subsumed lanes moved to sweep-only — see
+    # FAMILY_MAP below (r12 VERDICT ask #6).
     "q_admission_gate",
     "q_knn_ivfpq",
 ]
+
+# Headline cap (r12 VERDICT ask #6): the suite had grown to 59 lanes
+# (~55 s quiet) with several lanes re-measuring the same operators.
+# Each family below keeps its MAXIMAL lane (the superset composition)
+# in HEADLINE; the subsumed lanes are sweep-only — still
+# oracle-verified every certification sweep, just not re-timed every
+# round. This map is emitted in the bench JSON so round-over-round
+# comparisons know exactly what was demoted and why.
+FAMILY_MAP = {
+    "det_ann_probe": {
+        "headline": ["q_rerank_ann", "q_knn_ivfpq", "q_ivf_nprobe_curve"],
+        "sweep_only": ["q_knn_lsh", "q_knn_pq", "q_knn_ivf"],
+        "why": "q_rerank_ann probes the same bucket-partitioned "
+               "detsig store as q_knn_lsh plus the rerank stage; "
+               "q_knn_ivfpq composes q_knn_pq's ADC with IVF "
+               "coarse pruning",
+    },
+    "substring_strip": {
+        "headline": ["q_substring_strip_owner", "q_incremental_strip_owner"],
+        "sweep_only": ["q_substring_strip", "q_incremental_substring"],
+        "why": "the owner-keep lanes are supersets (same island "
+               "strip + the ownership aggregate)",
+    },
+    "decontaminate": {
+        "headline": ["q_decontaminate", "q_admission_gate"],
+        "sweep_only": ["q_incremental_decontaminate"],
+        "why": "the admission gate's stage 1 IS the incremental "
+               "probe against the same eval-gram store",
+    },
+    "kmeans": {
+        "headline": ["q_kmeans_refine"],
+        "sweep_only": ["q_kmeans_assign"],
+        "why": "refine iterates the assign shape",
+    },
+    "embedding_dedup": {
+        "headline": ["q_semantic_dedup"],
+        "sweep_only": ["q_embedding_dup_pairs"],
+        "why": "semantic dedup = pair store + connected components",
+    },
+    "minhash_dedup": {
+        "headline": ["q_dup_weight", "q_corpus_curation", "q_minhash_bands"],
+        "sweep_only": ["q_near_dup_pairs"],
+        "why": "q_dup_weight reads the same verified-pair store "
+               "plus components + weight join",
+    },
+    "token_budget": {
+        "headline": ["q_cluster_token_budget"],
+        "sweep_only": ["q_token_budget_sample"],
+        "why": "the cluster lane runs the same grouped prefix scan "
+               "per semantic cluster",
+    },
+}
 
 
 def _median(xs: list[float]) -> float:
@@ -290,22 +333,48 @@ def _isolated_one(name: str, sf_dir: str, reps: int) -> None:
     """Subprocess entry: time ONE query in a fresh session and print
     one JSON line. Session startup and the warmup job are excluded
     from the timing — the isolation experiment varies only what ran
-    BEFORE the query, not what the query itself costs."""
+    BEFORE the query, not what the query itself costs.
+
+    Each sample is split into BUILD (the queries() callable: plan
+    construction, py4j literal assembly, and any first-touch at-rest
+    store build — the costs a fresh process pays that an in-suite rep
+    does not) and EXEC (the .count() action), with the store
+    hit/build attribution per sample — so an isolated median that
+    exceeds its in-suite time self-explains instead of reading as an
+    unexplained slowdown (r12 VERDICT ask #4: q_admission_gate's
+    13.6 s isolated headline was store-first-touch + fresh-JVM cost,
+    explained only in PERF_NOTES prose)."""
+    from babylon_data_loader_spark.operators.index_store import (
+        ACCESS_LOG,
+    )
+
     spark = build_session(app_name=f"bench-isolated-{name}")
     spark.sparkContext.setLogLevel("ERROR")
     qmap = entrymod.queries()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    samples = []
+    samples, builds, execs, hits = [], [], [], []
     for _ in range(max(1, reps)):
+        ACCESS_LOG.clear()
         t0 = time.time()
-        qmap[name](spark, sf_dir).count()
-        samples.append(time.time() - t0)
+        df = qmap[name](spark, sf_dir)
+        t1 = time.time()
+        df.count()
+        t2 = time.time()
+        builds.append(t1 - t0)
+        execs.append(t2 - t1)
+        samples.append(t2 - t0)
+        hits.append(
+            all(a["hit"] for a in ACCESS_LOG) if ACCESS_LOG else None
+        )
     print(
         json.dumps(
             {
                 "q": name,
                 "sec": round(_median(samples), 3),
                 "samples": [round(s, 3) for s in samples],
+                "build_s": [round(s, 3) for s in builds],
+                "exec_s": [round(s, 3) for s in execs],
+                "store_hit": hits,
             }
         )
     )
@@ -336,6 +405,9 @@ def _isolated_supplement(
             timings[name] = {"error": (proc.stderr or "no output")[-200:]}
             continue
         entry = {"isolated_sec": rec["sec"], "samples": rec["samples"]}
+        for k in ("build_s", "exec_s", "store_hit"):
+            if k in rec:
+                entry[k] = rec[k]
         if name in in_suite:
             entry["in_suite_sec"] = in_suite[name]
             entry["ratio_in_suite_over_isolated"] = round(
@@ -992,6 +1064,7 @@ def main() -> None:
         "sf": float(sf),
         "commit": _git_commit(),
         "n_headline": len(HEADLINE),
+        "family_map": FAMILY_MAP,
         "reps": reps,
         "stat": "median",
         "samples": spread,
