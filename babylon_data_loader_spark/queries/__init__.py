@@ -70,103 +70,44 @@ def query(name: str, oracle: str | None = None):
 #   green is OLDEST (evidence ages as the driver regenerates testdata
 #   between rounds), so over successive rounds every family gets
 #   re-witnessed on current data. r9 backfilled the r1/r2 era; r10
-#   and r11 ran their staged queues (50/50 green each); the r12
-#   window below head-truncates the queue r11 staged, with this
-#   round's 3 new queries, 4 rows-only->oracle conversions and 4
-#   code-touched lanes at the head; the r13 queue (the 13 displaced
-#   tail entries, then the stalest r5-r7 evidence) is staged right
-#   behind slot 50 so next round's backfill is again a
+#   and r11 ran their staged queues (50/50 green each); r12 converted
+#   the kNN lanes to oracles; the r13 window below clears the ENTIRE
+#   pre-r7 backlog (39 entries) plus this round's 1 new and 10
+#   code-touched lanes; the r14 queue (11 r7-era + the r8 block) is
+#   staged right behind slot 50 so next round's backfill is again a
 #   head-truncation.
 PRIORITY: list[str] = [
-    # ROUND-12 WINDOW — 50 oracle-backed slots, zero rows-only rows.
-    # Slots 1-11: this round's new and code-touched queries, per the
-    # head policy (fresh driver rows land on the code that ships):
-    #  - q_kmv_distinct (NEW, queries/wave3.py): the oracle-CHECKABLE
-    #    distinct sketch (KMV/bottom-k over md5-derived 60-bit
-    #    hashes) — the cross-engine-exact complement to
-    #    q_sketch_distinct's native HLL++, which stays rows-only;
-    #  - q_admission_gate (NEW, queries/round12.py): the composed
-    #    decontaminate -> owner-keep strip -> token-budget admission
-    #    pipeline (r11 VERDICT ask #6);
-    #  - q_merge_divergent_stress (NEW, round12.py): concurrent MERGE
-    #    with DIVERGENT overlap values under resolve-by-total-order
-    #    (r11 VERDICT ask #4);
-    #  - q_knn_lsh / q_knn_ivf / q_knn_pq / q_knn_ivfpq: rows-only ->
-    #    ORACLE-BACKED conversions via operators/det_ann.py (r11
-    #    VERDICT ask #2) — integer sign-LSH over the shared
-    #    bucket-partitioned signature store, Lloyd-trained integer
-    #    IVF, sampled-seed PQ/ADC, and IVF-PQ with residual codes;
-    #  - q_rerank_ann: code-touched (its signature store is now the
-    #    shared BUCKET-PARTITIONED det store, probes partition-pruned);
+    # ROUND-13 WINDOW — 50 oracle-backed slots, zero rows-only rows.
+    # Slots 1-8: this round's new and code-touched queries (head
+    # policy: fresh driver rows land on the code that ships):
+    #  - q_language_gate (NEW, queries/round13.py): the composed
+    #    language-gated budget admission — cross-lingual near-dup
+    #    loser drop -> 20% anti-dominance per-language token cap ->
+    #    greedy admit (r12 VERDICT ask #7);
     #  - q_decontaminate / q_incremental_decontaminate: code-touched
-    #    (gram tokenization normalized to tokens(lower(text)), r11
-    #    ADVICE; oracle CTE + store key updated in lockstep);
-    #  - q_lake_delete: code-touched (fast-path eligibility is now a
-    #    reference-set pre-check, not probe-and-catch — r11 ask #5).
-    "q_kmv_distinct",
+    #    (contamination_report now derives grams from the shared
+    #    at-rest normalized-token store, r12 ask #2; the census
+    #    broadcast guard is plan-statistics based, r12 ADVICE);
+    #  - q_admission_gate: code-touched (same census guard + the
+    #    retired-params sweep on its eval-gram store);
+    #  - q_merge_divergent_stress: code-touched (resolve-by-total-
+    #    order gained the deterministic trailing tiebreak and the
+    #    reserved __bdl_rn working column, r12 ADVICE);
+    #  - q_knn_lsh / q_rerank_ann / q_knn_ivfpq: code-touched (their
+    #    bucket/cid-partitioned store reads now cast the partition
+    #    column back to its written type, r12 ADVICE).
+    "q_language_gate",
+    "q_decontaminate",
+    "q_incremental_decontaminate",
     "q_admission_gate",
     "q_merge_divergent_stress",
     "q_knn_lsh",
-    "q_knn_ivf",
-    "q_knn_pq",
-    "q_knn_ivfpq",
     "q_rerank_ann",
-    "q_decontaminate",
-    "q_incremental_decontaminate",
-    "q_lake_delete",
-    # Slots 12-50: the first 39 of the r12 rotation queue staged by
-    # r11 (stalest driver evidence first: the 8 entries the r11 head
-    # displaced, the r3 TPC-H family, the r4 roundtrip/stream/media
-    # wave, the r5 statistics heads) — re-witnessed on current data.
-    # The 11-slot head is forced by the head policy (7 new-oracle +
-    # 4 code-touched), so 39 of the 52 staged entries fit; the
-    # remaining 13 lead the r13 queue below. Pre-r7 backlog after
-    # this window lands: 78 - 39 = 39 (r13 finishes most of it).
-    "q_mv_rewrite",
-    "q_rank_sum_test",
-    "q_ks_statistic",
-    "q_welch_ttest",
-    "q_acf",
-    "q_feature_mi",
-    "q_gini",
-    "q_sequence_pattern",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_tpch_q4",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_approx_join_sketch",
-    "q_bigram_freq",
-    "q_dedup_survivorship",
-    "q_embedding_dup_pairs_exact",
-    "q_embedding_stats",
-    "q_feature_hash",
-    "q_hard_negatives",
-    "q_jsonl_roundtrip",
-    "q_label_encode",
-    "q_media_resize",
-    "q_mode_per_group",
-    "q_orc_roundtrip",
-    "q_stream_dedup",
-    "q_stream_enrich",
-    "q_stream_join",
-    "q_tpch_q11",
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_abc_classification",
-    # --- end of the 50-slot driver window ---
-    # Slots 51-103: the staged r13 rotation queue — first the 13
-    # entries this round's head displaced from r11's staging, then
-    # the stalest remaining driver evidence (last green r5/r6/r7),
-    # oldest first. The driver does not read past slot 50; this
-    # ordering keeps next round's backfill a head-truncation.
+    "q_knn_ivfpq",
+    # Slots 9-47: the ENTIRE pre-r7 evidence backlog — all 23
+    # r5-green and 16 r6-green queries staged by r12 — re-witnessed
+    # on current data. This zeroes the backlog (r12 VERDICT ask #1:
+    # the last round where driver evidence age is a finding).
     "q_association_rules",
     "q_bm25_topk",
     "q_corpus_report",
@@ -206,28 +147,75 @@ PRIORITY: list[str] = [
     "q_stream_stateful",
     "q_tfidf_top_terms",
     "q_tpch_q1",
-    "q_class_rebalance",
+    # Slots 48-50: the three r7-era lanes whose at-rest store BUILDS
+    # changed this round (the minhash signature/shingle builders now
+    # derive from the shared token store) — code-touched AND stale,
+    # so they complete the window.
+    "q_minhash_bands",
+    "q_near_dup_pairs",
     "q_corpus_curation",
+    # --- end of the 50-slot driver window ---
+    # Slots 51-100: the staged r14 rotation queue — first the 11
+    # r7-era entries this window could not hold, then the r8-green
+    # block (the stalest remaining driver evidence), oldest first.
+    # The driver does not read past slot 50; this ordering keeps next
+    # round's backfill a head-truncation.
+    "q_class_rebalance",
     "q_decay_weighted",
     "q_embedding_dup_pairs",
     "q_media_image_features",
-    "q_minhash_bands",
     "q_ndcg_eval",
-    "q_near_dup_pairs",
     "q_quantile_normalize",
     "q_semantic_dedup",
     "q_skipgram_pairs",
     "q_stream_sliding",
     "q_target_encode",
     "q_wilson_quality",
+    "q_bigram_nll",
+    "q_boilerplate_ngrams",
+    "q_burstiness",
+    "q_chi2_terms",
+    "q_chunk_dedup_rate",
+    "q_cluster_reps",
+    "q_cluster_size_histogram",
+    "q_cross_lingual_dup",
+    "q_curriculum_order",
+    "q_dedup_clusters",
+    "q_dedup_savings",
+    "q_dedup_threshold_sweep",
+    "q_dup_weight",
+    "q_embedding_outliers",
+    "q_epoch_allocation",
+    "q_heldout_coverage",
+    "q_label_cohesion",
+    "q_label_propagation",
+    "q_lake_zorder",
+    "q_length_histogram",
+    "q_mmr_diversify",
+    "q_ngram_diversity",
+    "q_ngram_novelty",
+    "q_normalization_impact",
+    "q_pair_label_confusion",
+    "q_pareto_frontier",
+    "q_prefix_dedup",
+    "q_quality_calibration",
+    "q_rerank_candidates",
+    "q_rrf_fusion",
+    "q_source_dedup_matrix",
+    "q_source_overlap",
+    "q_split_leakage",
+    "q_tokenizer_fertility",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_vocab_coverage",
+    "q_winsorize",
+    "q_zipf_slope",
     # Rows-only self-certifying queries (in-query invariant raises,
     # pytest-verified) — deliberately BELOW the window: a no_oracle
-    # driver row carries no signal. r12 converted the four kNN lanes
-    # to full oracles (see the window head); the whole-registry
-    # rows-only census is now 7 (q_knn_recall_guard — where the FLOAT
-    # ANN production paths keep declared coverage —
-    # q_ann_index_maintenance, the two sketches, q_compression_ratio,
-    # and these two genuinely non-SQL-reproducible lanes).
+    # driver row carries no signal. Whole-registry rows-only census:
+    # 7 (q_knn_recall_guard, q_ann_index_maintenance, the two native
+    # sketches, q_compression_ratio, and these two genuinely
+    # non-SQL-reproducible lanes).
     "q_lake_vacuum",
     "q_tokwin_maintenance",
 ]
@@ -263,6 +251,7 @@ def load_all() -> None:
         round10,
         round11,
         round12,
+        round13,
         streaming_dedup,
         streaming_replay,
         streaming_window,

@@ -87,6 +87,8 @@ BNLJ_ALLOWED = {
     "q_kmeans_refine",       # same codebook per Lloyd iteration
     "q_cluster_token_budget",  # same one-row codebook
     "q_token_budget_by_lang",  # one-row token-total scalar
+    "q_language_gate",       # one-row token-total scalar + one-row
+    # gate census (n_corpus x n_lost) — both O(1) build sides
     "q_dedup_adjusted_budget",  # one-row deduped-budget scalar
     "q_dedup_budget_e2e",    # one-row stripped-budget scalar (same
     # shape as q_dedup_adjusted_budget over the owner-keep masses)

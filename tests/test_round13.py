@@ -320,3 +320,49 @@ def test_merge_claim_liveness_under_contention(spark, tmp_path, monkeypatch):
     # losing attempt per concurrently-committed opponent; N*M*N is a
     # generous ceiling far below the retry-exhaustion regime.
     assert len(attempts) <= (1 + total) + total * n_writers, len(attempts)
+
+
+# ---------------------------------------------------------------------------
+# q_language_gate: planted fixture where all three stages fire
+# ---------------------------------------------------------------------------
+
+
+def test_language_gate_all_three_stages_fire(spark):
+    """Fixture engineered so (1) a cross-lingual near-dup loses its
+    larger-id copy, (2) the head language (en, ~90% of tokens) is cut
+    by the 20% anti-dominance cap, and (3) the tail language (de,
+    under the cap) is admitted in full."""
+    from babylon_data_loader_spark.queries.round13 import language_gate
+
+    rows = [
+        # en: 20 docs x 4 distinct tokens = 80 tokens
+        (i, "en", f"en{i}a en{i}b en{i}c en{i}d") for i in range(20)
+    ]
+    # fr: exact copy of doc 0's text -> cross-lingual near-dup; the
+    # larger doc_id (100) is the loser
+    rows.append((100, "fr", "en0a en0b en0c en0d"))
+    # de: 3 docs x 3 tokens = 9 tokens (under the cap)
+    rows += [
+        (200 + i, "de", f"de{i}x de{i}y de{i}z") for i in range(3)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, text STRING"
+    )
+    got = [tuple(r) for r in language_gate(docs).collect()]
+    # retained: en 80 + de 9 = 89 tokens; cap = 89 div 5 = 17
+    want = [
+        ("de", 200, 3, 3, 17, 9, 24, 1),
+        ("de", 201, 3, 6, 17, 9, 24, 1),
+        ("de", 202, 3, 9, 17, 9, 24, 1),
+        ("en", 0, 4, 4, 17, 80, 24, 1),
+        ("en", 1, 4, 8, 17, 80, 24, 1),
+        ("en", 2, 4, 12, 17, 80, 24, 1),
+        ("en", 3, 4, 16, 17, 80, 24, 1),
+    ]
+    assert got == want
+    # stage witnesses: the fr loser is gone, en is cut at the cap,
+    # de is complete
+    langs = {r[0] for r in got}
+    assert "fr" not in langs
+    assert sum(1 for r in got if r[0] == "en") == 4  # 5th doc cut
+    assert sum(1 for r in got if r[0] == "de") == 3  # full
