@@ -214,22 +214,37 @@ def contamination_report(
 
     Tokenization rides the shared at-rest normalized-token store
     (index_store.stored_norm_tokens): the corpus's regex pass runs
-    once per dataset version, and each report run pays only a
-    (id, tok) store scan joined with a TEXT-FREE pruned scan of
-    ``docs`` for the eval flag — not a fresh full-text tokenization
-    (r12 VERDICT ask #2). Frames with no file lineage fall back to
-    inline tokenization inside the store helper."""
+    once per dataset version, and each report run derives grams from
+    the (id, tok) store scan — not a fresh full-text tokenization
+    (r12 VERDICT ask #2). When ``eval_pred`` references only
+    ``id_col`` (the common deterministic-slice case) it is evaluated
+    DIRECTLY on the store frame — zero joins; a predicate over other
+    doc columns costs one id-keyed join with a TEXT-FREE pruned scan
+    of ``docs`` for the eval flag. Frames with no file lineage fall
+    back to inline tokenization inside the store helper."""
+    from babylon_data_loader_spark.functions.exprs import (
+        referenced_columns,
+    )
     from babylon_data_loader_spark.operators.index_store import (
         stored_norm_tokens,
     )
 
     _check_free(set(docs.columns), _IS_EVAL, _TOK)
     toks = stored_norm_tokens(docs, text_col=text_col, id_col=id_col)
-    flags = docs.select(
-        id_col, eval_pred.cast("boolean").alias(_IS_EVAL)
-    )
+    refs = referenced_columns(eval_pred)
+    if refs is not None and {r.lower() for r in refs} <= {
+        id_col.lower()
+    }:
+        tagged = toks.withColumn(
+            _IS_EVAL, eval_pred.cast("boolean")
+        )
+    else:
+        flags = docs.select(
+            id_col, eval_pred.cast("boolean").alias(_IS_EVAL)
+        )
+        tagged = toks.join(flags, id_col)
     grams = gram_hashes_from_tokens(
-        toks.join(flags, id_col),
+        tagged,
         n=n,
         id_col=id_col,
         tok_col="tok",

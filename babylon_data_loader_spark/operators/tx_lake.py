@@ -571,40 +571,15 @@ class TransactionalLake:
     @staticmethod
     def _condition_attr_names(condition) -> set[str] | None:
         """Column names a still-UNRESOLVED Column expression
-        references, walked from the py4j expression tree
-        (UnresolvedAttribute leaves). Returns None when the walk
-        cannot be trusted (star expansion, walker failure) — callers
-        must then treat the reference set as unknown."""
-        try:
-            # Spark 4 classic: Column wraps a ColumnNode — convert it
-            # to the catalyst (still unresolved) expression tree via
-            # the same converter the session uses, then walk it for
-            # UnresolvedAttribute leaves. No analysis runs, so no
-            # AnalysisException is ever raised OR logged.
-            jvm = SparkSession.getActiveSession()._jvm
-            conv = getattr(
-                getattr(
-                    jvm.org.apache.spark.sql.classic,
-                    "ColumnNodeToExpressionConverter$",
-                ),
-                "MODULE$",
-            )
-            stack = [conv.apply(condition._jc.node())]
-            names: set[str] = set()
-            while stack:
-                e = stack.pop()
-                cls = e.getClass().getName()
-                if cls.endswith(".UnresolvedStar"):
-                    return None
-                if cls.endswith("analysis.UnresolvedAttribute"):
-                    names.add(e.name())
-                    continue
-                ch = e.children()
-                for i in range(ch.size()):
-                    stack.append(ch.apply(i))
-            return names
-        except Exception:
-            return None
+        references — the shared walker (functions/exprs.py). Returns
+        None when the walk cannot be trusted (star expansion, walker
+        failure) — callers must then treat the reference set as
+        unknown."""
+        from babylon_data_loader_spark.functions.exprs import (
+            referenced_columns,
+        )
+
+        return referenced_columns(condition)
 
     def _touched_partition_values(
         self, spark: SparkSession, manifest: dict, condition

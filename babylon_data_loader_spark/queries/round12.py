@@ -456,8 +456,9 @@ def q_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The store read carries parquet size stats, so Catalyst's
     # auto-broadcast threshold IS the guarded broadcast here (an
     # oversized eval suite degrades to a shuffle join on its own —
-    # the contamination_census count guard exists for stat-less
-    # inputs). Persisted: probed twice (drop anti-join + census).
+    # the same plan-statistics discipline contamination_census now
+    # applies, r13). Persisted: probed twice (drop anti-join +
+    # census).
     contaminated = persist_tracked(
         gram_hashes(batch, n=4)
         .join(eval_grams, "h", "left_semi")

@@ -366,3 +366,41 @@ def test_language_gate_all_three_stages_fire(spark):
     assert "fr" not in langs
     assert sum(1 for r in got if r[0] == "en") == 4  # 5th doc cut
     assert sum(1 for r in got if r[0] == "de") == 3  # full
+
+
+def test_contamination_report_id_pred_is_zero_join_on_store(spark, sf_dir):
+    """An eval predicate referencing only doc_id is evaluated
+    directly on the token-store frame: the report's plan carries
+    exactly ONE join (the train-vs-eval census join), not an extra
+    id-keyed flags join shuffling corpus token arrays."""
+    from babylon_data_loader_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = contamination_report(docs, F.col("doc_id") % 13 == 0, n=4)
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted"
+    )
+    joins = [
+        ln for ln in plan.splitlines()
+        if ") Broadcast" in ln and "Join" in ln
+        or ") SortMergeJoin" in ln
+        or ") ShuffledHashJoin" in ln
+    ]
+    assert len(joins) == 1, joins
+    # a non-id predicate takes the flags-join path: the flags join
+    # appears under BOTH census branches (train + eval) plus the
+    # census join itself — strictly more joins than the pushed path
+    rep2 = contamination_report(docs, F.col("source") == "s0", n=4)
+    plan2 = rep2._sc._jvm.PythonSQLUtils.explainString(
+        rep2._jdf.queryExecution(), "formatted"
+    )
+    joins2 = [
+        ln for ln in plan2.splitlines()
+        if ") Broadcast" in ln and "Join" in ln
+        or ") SortMergeJoin" in ln
+        or ") ShuffledHashJoin" in ln
+    ]
+    assert len(joins2) > 1, joins2
