@@ -104,7 +104,13 @@ PRIORITY: list[str] = [
     "q_knn_lsh",
     "q_rerank_ann",
     "q_knn_ivfpq",
-    # Slots 9-47: the ENTIRE pre-r7 evidence backlog — all 23
+    #  - q_tfidf_top_terms / q_heavy_hitters: code-touched (terms now
+    #    explode from the shared normalized-token store) — both were
+    #    already in this window's pre-r7 backlog; moved to the head
+    #    per the code-changed policy.
+    "q_tfidf_top_terms",
+    "q_heavy_hitters",
+    # Slots 11-47: the ENTIRE pre-r7 evidence backlog — all 23
     # r5-green and 16 r6-green queries staged by r12 — re-witnessed
     # on current data. This zeroes the backlog (r12 VERDICT ask #1:
     # the last round where driver evidence age is a finding).
@@ -137,7 +143,6 @@ PRIORITY: list[str] = [
     "q_dup_burden_by_source",
     "q_entropy_rate",
     "q_forecast_eval",
-    "q_heavy_hitters",
     "q_interarrival_dist",
     "q_kaplan_meier",
     "q_knn_cosine",
@@ -145,7 +150,6 @@ PRIORITY: list[str] = [
     "q_lorenz_points",
     "q_pack_sequences",
     "q_stream_stateful",
-    "q_tfidf_top_terms",
     "q_tpch_q1",
     # Slots 48-50: the three r7-era lanes whose at-rest store BUILDS
     # changed this round (the minhash signature/shingle builders now

@@ -427,11 +427,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a value column; ordering by the float itself would gamble the
     top-k boundary on libm ln() ulp agreement. Corpus size reaches the
     plan as a scalar subquery; df is vocabulary-sized and shuffles on
-    term with map-side combine."""
+    term with map-side combine. Terms come from the shared at-rest
+    normalized-token store (r13): the scan replaces the per-run
+    corpus tokenization."""
+    from babylon_data_loader_spark.operators.index_store import (
+        stored_norm_tokens,
+    )
+
     docs = _docs(spark, sf_dir)
-    tok = docs.select(
-        "doc_id",
-        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    tok = stored_norm_tokens(docs).select(
+        "doc_id", F.explode("tok").alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("term").agg(
@@ -594,14 +599,18 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     summaries prune to O(partitions/φ) candidates, then one broadcast
     semi-join recounts exactly (operators/heavy_hitters.py). The
     oracle is the plain HAVING aggregate — the sketch only prunes,
-    the boundary is exact."""
+    the boundary is exact. Tokens come from the shared at-rest
+    normalized-token store (r13)."""
     from babylon_data_loader_spark.operators.heavy_hitters import (
         heavy_hitters,
     )
+    from babylon_data_loader_spark.operators.index_store import (
+        stored_norm_tokens,
+    )
 
     docs = _docs(spark, sf_dir)
-    tok = docs.select(
-        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    tok = stored_norm_tokens(docs).select(
+        F.explode("tok").alias("token")
     )
     return heavy_hitters(tok, "token", phi=0.005)
 
