@@ -404,3 +404,95 @@ def test_contamination_report_id_pred_is_zero_join_on_store(spark, sf_dir):
         or ") ShuffledHashJoin" in ln
     ]
     assert len(joins2) > 1, joins2
+
+
+# ---------------------------------------------------------------------------
+# shared token store: derivation identity + fallback equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_norm_token_store_matches_inline_derivation(spark, sf_dir):
+    """The at-rest store's token arrays are byte-identical to the
+    inline tokens(lower(text)) derivation — cold build, warm hit, and
+    the no-lineage fallback all agree."""
+    from babylon_data_loader_spark.functions.text import tokens
+    from babylon_data_loader_spark.operators.index_store import (
+        stored_norm_tokens,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = sorted(
+        (r["doc_id"], tuple(r["tok"]))
+        for r in docs.select(
+            "doc_id", tokens(F.lower(F.col("text"))).alias("tok")
+        ).collect()
+    )
+    stored = sorted(
+        (r["doc_id"], tuple(r["tok"]))
+        for r in stored_norm_tokens(docs).collect()
+    )
+    assert stored == inline
+    # no-lineage fallback: same rows straight from the inline path
+    mem = spark.createDataFrame(
+        docs.limit(20).collect(), schema=docs.schema
+    )
+    fb = sorted(
+        (r["doc_id"], tuple(r["tok"]))
+        for r in stored_norm_tokens(mem).collect()
+    )
+    want = dict(inline)
+    assert all(want[i] == t for i, t in fb) and len(fb) == 20
+
+
+def test_merge_total_order_commutes_over_all_delivery_orders(
+    spark, tmp_path
+):
+    """Resolve-by-total-order with the trailing tiebreak: THREE
+    batches carrying divergent and tying rows for overlapping keys
+    converge to one state under all 6 delivery orders."""
+    import itertools
+
+    schema = "k BIGINT, v STRING, data_source STRING, prio BIGINT"
+    batches = [
+        [(1, "a", "chase", 7), (2, "x", "chase", 1)],
+        [(1, "b", "chase", 7), (3, "m", "chase", 5)],
+        [(2, "y", "chase", 1), (3, "n", "chase", 9)],
+    ]
+    finals = []
+    for i, perm in enumerate(itertools.permutations(range(3))):
+        lake = TransactionalLake(str(tmp_path / f"lake_{i}"))
+        for b in perm:
+            lake.merge(
+                spark,
+                spark.createDataFrame(batches[b], schema),
+                KEY,
+                order_cols=["prio"],
+            )
+        finals.append(state(spark, lake))
+    assert all(f == finals[0] for f in finals), finals
+    # key 1 ties on prio -> trailing v DESC picks "b"; key 2 ties ->
+    # "y"; key 3 ordered by prio -> "n"
+    assert finals[0] == [
+        (1, "b", 7, "chase"),
+        (2, "y", 1, "chase"),
+        (3, "n", 9, "chase"),
+    ]
+
+
+def test_language_gate_language_fully_lost_disappears(spark):
+    """A language whose only doc is a cross-lingual loser vanishes
+    from the output entirely (no zero-token row, no cap row), and its
+    tokens are excluded from the budget total."""
+    from babylon_data_loader_spark.queries.round13 import language_gate
+
+    rows = [
+        (i, "en", f"e{i}a e{i}b e{i}c e{i}d") for i in range(5)
+    ]  # 20 en tokens
+    rows.append((100, "fr", "e0a e0b e0c e0d"))  # fr's ONLY doc loses
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, text STRING"
+    )
+    got = [tuple(r) for r in language_gate(docs).collect()]
+    # retained total = 20 -> cap = 4 -> en admits only doc 0
+    assert got == [("en", 0, 4, 4, 4, 20, 6, 1)]
