@@ -221,7 +221,21 @@ def contamination_report(
     DIRECTLY on the store frame — zero joins; a predicate over other
     doc columns costs one id-keyed join with a TEXT-FREE pruned scan
     of ``docs`` for the eval flag. Frames with no file lineage fall
-    back to inline tokenization inside the store helper."""
+    back to inline tokenization inside the store helper.
+
+    Broadcast economics for this shape (deliberate, r13 ADVICE): the
+    eval side handed to contamination_census is a FILTER over the
+    full store scan, and without CBO Catalyst passes the child's
+    sizeInBytes through Filter/Generate — the plan-statistics guard
+    sees the whole store and never hints broadcast here, even for a
+    tiny slice. A pre-filtered read would not help (a FileScan's
+    size estimate ignores pushed row-group filters; the store is not
+    partitioned by the eval predicate), so the report shape RELIES on
+    AQE's runtime auto-broadcast: the post-shuffle eval side is
+    measured at execution and converted then — rows identical, one
+    extra shuffle of the (small) eval gram set versus a compile-time
+    hint. Callers with a pre-materialized eval table (the
+    decontaminate() path) keep the compile-time hint."""
     from babylon_data_loader_spark.functions.exprs import (
         referenced_columns,
     )

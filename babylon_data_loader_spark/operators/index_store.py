@@ -444,17 +444,27 @@ def stored_norm_tokens(
 
     Reference analogue: csv/csv.go:64-67 computes the header index
     projection once and reuses it per consumer — same
-    compute-once/probe-many discipline applied to tokenization."""
+    compute-once/probe-many discipline applied to tokenization.
+
+    The params key folds in ``id_col`` and ``text_col``: the store
+    content is a function of WHICH columns were derived, and a bare
+    layout key would let two calls over the same source frame with
+    different ``text_col`` silently alias onto one directory — the
+    second caller would read tokens derived from the wrong column
+    with no error (a wrong ``id_col`` at least fails the select
+    noisily; ``text_col`` is silent wrong data). The r13 'lw' key is
+    retired so its stores are swept rather than stranded."""
     from babylon_data_loader_spark.functions.text import tokens
 
     return get_or_build_parquet(
         docs,
         "normtok",
-        "lw",
+        f"lw_{id_col}_{text_col}",
         lambda: docs.select(
             id_col,
             tokens(F.lower(F.col(text_col))).alias("tok"),
         ),
+        retired_params=("lw",),
     )
 
 

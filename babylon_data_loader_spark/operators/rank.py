@@ -31,6 +31,8 @@ the engine-side operator that makes the statistics query family
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,15 +61,71 @@ def _num_range_partitions(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
-def _ranged(df: DataFrame, order: list[Column]) -> DataFrame:
-    """Range-repartition on the total order and pin partition ids.
+def _spec_key(*parts: str) -> str:
+    """Filesystem-safe 10-hex digest of an order/sums spec — Column
+    reprs are stable strings of the unresolved expression tree, so
+    the same spec keys the same store across processes."""
+    import hashlib
 
-    The frame is persisted: the offsets job and the main job must see
-    the SAME sampled range boundaries, and a recomputation could
-    resample them. Registered with the query-boundary cache tracker.
-    """
-    part = df.repartitionByRange(_num_range_partitions(df), *order)
-    return persist_tracked(part.withColumn(PID, F.spark_partition_id()))
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
+def _ranged(
+    df: DataFrame, order: list[Column]
+) -> tuple[DataFrame, str | None]:
+    """Range-repartition on the total order, pin partition ids, and
+    MATERIALIZE — returns (frame, store_dir | None).
+
+    The offsets job and the main job must see the SAME sampled range
+    boundaries (``repartitionByRange`` samples; an independent
+    recomputation can resample differently and silently misalign the
+    offsets — the r13 operator invariant), so the ranged frame is
+    materialized exactly once. For file-backed inputs that single
+    materialization is an at-rest INDEX-STORE parquet keyed by
+    (content fingerprint, order spec, partition count): the sampled
+    boundaries are a pure function of that key, so every later scan
+    over the same data — including fresh processes — reads the
+    stored ranged projection instead of re-running the sample +
+    shuffle (r13 VERDICT ask #3: this pass was ~2 s of every
+    budget/admit lane's plan construction). At 100 TB this store IS
+    the sorted projection a budget/admission pipeline maintains
+    next to the table. In-memory inputs fall back to a tracked
+    persist — the store never gates correctness."""
+    from babylon_data_loader_spark.operators.index_store import (
+        df_fingerprint,
+        get_or_build_parquet,
+        store_path,
+    )
+
+    n = _num_range_partitions(df)
+
+    def build() -> DataFrame:
+        part = df.repartitionByRange(n, *order)
+        return part.withColumn(PID, F.spark_partition_id())
+
+    fp = df_fingerprint(df)
+    if fp is None:
+        return persist_tracked(build()), None
+    params = f"n{n}o{_spec_key(*[str(c) for c in order])}"
+    out = get_or_build_parquet(df, "ranged", params, build)
+    return out, store_path(df.sparkSession, "ranged", fp, params)
+
+
+def _cached_totals_rows(totals: DataFrame, cache_dir: str | None, key: str):
+    """Collect the tiny per-partition totals frame, through a sidecar
+    parquet inside the ranged store when one exists: the totals are a
+    pure function of (stored ranged frame, aggregate spec), so a warm
+    store turns the O(full-scan) aggregation job into an O(#rows)
+    sidecar read. Underscore-led sidecar names are invisible to
+    readers of the store parquet itself; an overwrite rebuild of the
+    store dir wipes the sidecars with it, so they can never outlive
+    the data they summarize."""
+    if cache_dir is None:
+        return totals.collect()
+    sidecar = os.path.join(cache_dir, f"_totals_{key}")
+    if not os.path.exists(os.path.join(sidecar, "_SUCCESS")):
+        totals.coalesce(1).write.mode("overwrite").parquet(sidecar)
+    return totals.sparkSession.read.parquet(sidecar).collect()
 
 
 def _zero_for(dtype) -> object:
@@ -84,7 +142,9 @@ def _zero_for(dtype) -> object:
 
 
 def _offsets_frame(
-    part: DataFrame, sums: dict[str, Column]
+    part: DataFrame,
+    sums: dict[str, Column],
+    cache_dir: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Exclusive per-partition cumulative offsets for each named sum,
     as a tiny broadcastable frame keyed by partition id, PLUS the
@@ -131,7 +191,14 @@ def _offsets_frame(
         ]
     )
     zeros = {n: _zero_for(t) for n, t in sum_types.items()}
-    rows = sorted(totals.collect(), key=lambda r: r[PID])
+    rows = sorted(
+        _cached_totals_rows(
+            totals,
+            cache_dir,
+            _spec_key(*[f"{n}={c}" for n, c in sums.items()]),
+        ),
+        key=lambda r: r[PID],
+    )
     out, running = [], dict(zeros)
     counts = {n: 0 for n in sums}
     for r in rows:
@@ -159,7 +226,7 @@ def _scan(
 ) -> tuple[DataFrame, dict]:
     """The distributed prefix scan plus the grand totals per sum."""
     _check_collisions(df, [PID, *sums])
-    part = _ranged(df, order)
+    part, cache_dir = _ranged(df, order)
     w = (
         Window.partitionBy(PID)
         .orderBy(*order)
@@ -168,7 +235,7 @@ def _scan(
     local = part
     for name, col in sums.items():
         local = local.withColumn(name, F.sum(col).over(w))
-    off, totals = _offsets_frame(part, sums)
+    off, totals = _offsets_frame(part, sums, cache_dir)
     local = local.join(off, PID)
     for name in sums:
         # SQL running-SUM NULL semantics: NULL only before the FIRST
@@ -326,10 +393,7 @@ def grouped_running_totals(
 
     _check_collisions(df, [PID, *sums])
     g_order = [F.col(g).asc() for g in group_cols]
-    part = df.repartitionByRange(
-        _num_range_partitions(df), *g_order, *order
-    )
-    part = persist_tracked(part.withColumn(PID, F.spark_partition_id()))
+    part, cache_dir = _ranged(df, [*g_order, *order])
     w = (
         Window.partitionBy(PID, *group_cols)
         .orderBy(*order)
@@ -370,7 +434,15 @@ def grouped_running_totals(
     )
     zeros = {n: _zero_for(t) for n, t in sum_types.items()}
     rows = sorted(
-        totals.collect(),
+        _cached_totals_rows(
+            totals,
+            cache_dir,
+            _spec_key(
+                "g",
+                *group_cols,
+                *[f"{n}={c}" for n, c in sums.items()],
+            ),
+        ),
         key=lambda r: (r[PID], tuple(str(r[g]) for g in group_cols)),
     )
     running: dict[tuple, dict] = {}
@@ -446,7 +518,7 @@ def _extreme_scan(
     _check_collisions(df, [PID, *cols])
     agg_f = F.max if kind == "max" else F.min
     combine = F.greatest if kind == "max" else F.least
-    part = _ranged(df, order)
+    part, cache_dir = _ranged(df, order)
     w = (
         Window.partitionBy(PID)
         .orderBy(*order)
@@ -466,7 +538,14 @@ def _extreme_scan(
         [totals.schema[PID]]
         + [StructField(f"__off_{n}", types[n], True) for n in cols]
     )
-    rows = sorted(totals.collect(), key=lambda r: r[PID])
+    rows = sorted(
+        _cached_totals_rows(
+            totals,
+            cache_dir,
+            _spec_key(kind, *[f"{n}={c}" for n, c in cols.items()]),
+        ),
+        key=lambda r: r[PID],
+    )
     out, running = [], {n: None for n in cols}
     for r in rows:
         out.append((r[PID], *[running[n] for n in cols]))

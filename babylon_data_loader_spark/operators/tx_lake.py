@@ -68,6 +68,23 @@ HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 RESOLVE_RN = "__bdl_rn"
 
 
+def _orderable(dtype) -> bool:
+    """Whether Spark can ORDER BY a column of this type. MapType is
+    the one non-orderable family (AnalysisException under any sort);
+    arrays and structs are orderable iff their element/field types
+    are. Used to exclude such columns from merge()'s trailing
+    tiebreak instead of letting the whole MERGE raise."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dtype, MapType):
+        return False
+    if isinstance(dtype, ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer prepared."""
 
@@ -703,10 +720,14 @@ class TransactionalLake:
         last-commit-wins to RESOLVE-BY-TOTAL-ORDER: the survivor
         among {stored row, batch row} is the maximum under
         (order_cols DESC, nulls last), with every REMAINING non-key
-        column appended as a deterministic trailing tiebreak — so
-        order_cols need not totally order same-key rows themselves;
-        rows a tiebreak cannot separate are identical in every
-        column. That makes the final state a
+        ORDERABLE column appended — in NAME-sorted order, so the
+        resolution is independent of any writer's batch column order
+        — as a deterministic trailing tiebreak. order_cols need not
+        totally order same-key rows themselves; rows the tiebreak
+        cannot separate are identical in every orderable column.
+        (MapType columns, which Spark cannot ORDER BY, sit outside
+        the tiebreak: rows differing ONLY in a map column resolve by
+        the orderable columns.) That makes the final state a
         pure function of the SET of rows ever delivered — commutative
         and idempotent across commits — so concurrent writers
         delivering DIVERGENT values for the same key still converge
@@ -789,12 +810,26 @@ class TransactionalLake:
                     # 'pure function of the set of rows' guarantee
                     # silently breaks. Two rows equal on key,
                     # order_cols AND all other columns are identical,
-                    # so any survivor is the same row.
-                    trailing = [
+                    # so any survivor is the same row. SORTED by name,
+                    # not unioned.columns order: unionByName puts the
+                    # BATCH's column order first, so two writers whose
+                    # batch frames carry the same columns in different
+                    # orders would otherwise resolve ties under
+                    # different trailing orderings — commutativity
+                    # across writers requires a schema-order-free
+                    # ordering. Non-orderable column types (MapType,
+                    # and any nested type containing one) are skipped:
+                    # Spark cannot ORDER BY them and they cannot
+                    # participate in the tiebreak — rows that differ
+                    # ONLY in a map column resolve by the orderable
+                    # columns (documented merge() limitation).
+                    trailing = sorted(
                         c
                         for c in unioned.columns
-                        if c not in key and c not in order_cols
-                    ]
+                        if c not in key
+                        and c not in order_cols
+                        and _orderable(unioned.schema[c].dataType)
+                    )
                     win = Window.partitionBy(*key).orderBy(
                         *[
                             F.col(c).desc_nulls_last()

@@ -1,0 +1,265 @@
+"""Round-14 pins: the r13 ADVICE fixes (norm-token store keyed by the
+derived columns, schema-order-independent merge tiebreak, MapType
+columns excluded from the tiebreak) and the r13 VERDICT asks
+(store-backed prefix-scan boundaries, IVF/k-means family stores,
+store-miss fallback plan shape)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from babylon_data_loader_spark.operators.tx_lake import (
+    TransactionalLake,
+    _orderable,
+)
+
+KEY = ["k"]
+
+
+def _state(spark, lake):
+    # name-keyed: the stored schema ORDER follows the last batch's
+    # projection order (schema evolution), which is allowed to differ
+    # — the guarantee under test is the same ROWS, not the same order
+    return sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in lake.read(spark).collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge trailing tiebreak: schema-order independent (r13 ADVICE #2)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_tiebreak_independent_of_batch_column_order(
+    spark, tmp_path
+):
+    """Two writers delivering the same divergent tie rows with
+    DIFFERENT batch column orders must converge to one state: the
+    trailing tiebreak is name-sorted, not unioned.columns-ordered
+    (unionByName puts the batch's order first, so the old
+    columns-order tiebreak resolved (v, w) ties differently when one
+    writer's frame was (w, v))."""
+    schema = "k BIGINT, v STRING, w STRING, data_source STRING, prio BIGINT"
+    # tie on prio; v favors row A under DESC, w favors row B — which
+    # column leads the trailing order decides the survivor.
+    row_a = (1, "zz", "aa", "chase", 7)
+    row_b = (1, "aa", "zz", "chase", 7)
+    finals = []
+    for flip in (False, True):
+        lake = TransactionalLake(str(tmp_path / f"lake_{flip}"))
+        first = spark.createDataFrame([row_a], schema)
+        second = spark.createDataFrame([row_b], schema)
+        if flip:
+            # same columns, reversed projection order in the batch
+            cols = ["prio", "data_source", "w", "v", "k"]
+            second = second.select(*cols)
+        lake.merge(spark, first, KEY, order_cols=["prio"])
+        lake.merge(spark, second, KEY, order_cols=["prio"])
+        finals.append(_state(spark, lake))
+    assert finals[0] == finals[1]
+    # name-sorted trailing order is (v, w): v DESC picks row A
+    assert finals[0] == [
+        tuple(
+            sorted(
+                {
+                    "k": 1,
+                    "v": "zz",
+                    "w": "aa",
+                    "data_source": "chase",
+                    "prio": 7,
+                }.items()
+            )
+        )
+    ]
+
+
+def test_merge_order_cols_tolerates_map_column(spark, tmp_path):
+    """A lake carrying a MapType column must still merge under
+    order_cols: maps are not orderable in Spark, so they are skipped
+    in the trailing tiebreak instead of raising AnalysisException.
+    Survivorship still resolves via the orderable columns."""
+    schema = (
+        "k BIGINT, v STRING, tags MAP<STRING, STRING>, "
+        "data_source STRING"
+    )
+    lake = TransactionalLake(str(tmp_path / "lake"))
+    lake.merge(
+        spark,
+        spark.createDataFrame([(1, "a", {"t": "1"}, "chase")], schema),
+        KEY,
+        order_cols=["v"],
+    )
+    lake.merge(
+        spark,
+        spark.createDataFrame([(1, "b", {"t": "2"}, "chase")], schema),
+        KEY,
+        order_cols=["v"],
+    )
+    rows = lake.read(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == "b"
+    assert dict(rows[0]["tags"]) == {"t": "2"}
+
+
+def test_orderable_type_predicate():
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    assert _orderable(LongType())
+    assert _orderable(ArrayType(StringType()))
+    assert not _orderable(MapType(StringType(), LongType()))
+    assert not _orderable(ArrayType(MapType(StringType(), LongType())))
+    assert not _orderable(
+        StructType(
+            [StructField("m", MapType(StringType(), LongType()))]
+        )
+    )
+    assert _orderable(StructType([StructField("s", StringType())]))
+
+
+# ---------------------------------------------------------------------------
+# norm-token store: params key covers the derived columns (ADVICE #1)
+# ---------------------------------------------------------------------------
+
+
+def test_norm_token_store_keys_on_text_col(spark, tmp_path):
+    """Two stored_norm_tokens calls over the SAME source frame with
+    different text_col must not alias onto one store directory — the
+    r13 'lw' key ignored the derivation columns, so the second caller
+    silently read tokens of the wrong column."""
+    from babylon_data_loader_spark.operators.index_store import (
+        stored_norm_tokens,
+    )
+
+    path = str(tmp_path / "two_text_cols")
+    spark.createDataFrame(
+        [(1, "Alpha beta", "one two three"), (2, "Gamma", "four")],
+        "doc_id BIGINT, text STRING, alt STRING",
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    from_text = {
+        r["doc_id"]: list(r["tok"])
+        for r in stored_norm_tokens(docs, text_col="text").collect()
+    }
+    from_alt = {
+        r["doc_id"]: list(r["tok"])
+        for r in stored_norm_tokens(docs, text_col="alt").collect()
+    }
+    assert from_text == {1: ["alpha", "beta"], 2: ["gamma"]}
+    assert from_alt == {1: ["one", "two", "three"], 2: ["four"]}
+
+
+# ---------------------------------------------------------------------------
+# prefix-scan range store: boundary identity + fallback parity (asks #3, #6)
+# ---------------------------------------------------------------------------
+
+
+def _scan_fixture(spark, tmp_path):
+    path = str(tmp_path / "scan_rows")
+    spark.range(500).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 7 % 101).alias("v"),
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_ranged_store_boundary_identity(spark, tmp_path):
+    """Same data + order spec ⇒ the SAME stored ranged frame and
+    byte-identical offsets: the second grouped_running_totals call
+    must hit the at-rest range store (no re-sample, no totals
+    aggregation job — the totals come back from the sidecar) and
+    return exactly the first call's rows. The in-memory fallback path
+    (no file lineage → tracked persist) must agree on values."""
+    import os
+
+    from babylon_data_loader_spark.operators.index_store import (
+        ACCESS_LOG,
+    )
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+
+    df = _scan_fixture(spark, tmp_path)
+    order = [F.col("v").asc(), F.col("id").asc()]
+
+    def run(frame):
+        return sorted(
+            tuple(r)
+            for r in grouped_running_totals(
+                frame, ["grp"], order, {"run_v": F.col("v")}
+            ).collect()
+        )
+
+    del ACCESS_LOG[:]
+    first = run(df)
+    builds = [a for a in ACCESS_LOG if a["kind"] == "ranged"]
+    assert builds and builds[0]["hit"] is False
+    del ACCESS_LOG[:]
+    second = run(df)
+    hits = [a for a in ACCESS_LOG if a["kind"] == "ranged"]
+    assert hits and all(a["hit"] for a in hits)
+    assert first == second
+    # the totals sidecar was written inside the ranged store dir
+    from babylon_data_loader_spark.operators.index_store import (
+        df_fingerprint,
+        warehouse_dir,
+    )
+
+    fp = df_fingerprint(df)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # locate the store dir by prefix (params embeds the order hash)
+    import glob
+
+    wh_dirs = glob.glob(
+        os.path.join(warehouse_dir(spark), f"idx_ranged_{fp}_n{n}o*")
+    )
+    assert wh_dirs, "ranged store dir not found"
+    sidecars = glob.glob(os.path.join(wh_dirs[0], "_totals_*"))
+    assert sidecars, "totals sidecar not written"
+    # fallback path (no lineage): identical values
+    mem = spark.createDataFrame(df.collect(), df.schema)
+    assert run(mem) == first
+
+
+def test_ranged_store_and_fallback_plans_audit_clean(spark, tmp_path):
+    """r13 VERDICT ask #6: the store-HIT plan and the no-lineage
+    inline-FALLBACK plan of a store-backed scan must BOTH be free of
+    scale anti-patterns (the fallback bypasses the stored pushed-down
+    projection, and nothing previously pinned its shape)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plans",
+        _os.path.join(
+            _os.path.dirname(__file__), "..", "scripts", "audit_plans.py"
+        ),
+    )
+    ap = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ap)
+
+    from babylon_data_loader_spark.operators.rank import (
+        grouped_running_totals,
+    )
+
+    df = _scan_fixture(spark, tmp_path)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    sums = {"run_v": F.col("v")}
+    stored = grouped_running_totals(df, ["grp"], order, sums)
+    mem = spark.createDataFrame(df.collect(), df.schema)
+    fallback = grouped_running_totals(mem, ["grp"], order, sums)
+    for variant, frame in (("store", stored), ("fallback", fallback)):
+        findings = ap.audit_plan(
+            f"q_rank_{variant}", ap.explain_formatted(frame)
+        )
+        assert findings == [], f"{variant}: {findings}"
