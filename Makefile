@@ -37,11 +37,13 @@ oracle-window: ## exact-match sweep of the 50-slot driver window only
 	$(PY) -c "import sys; sys.path.insert(0,'.'); \
 	import babylon_data_loader_spark.queries as Q; Q.load_all(); \
 	print('\n'.join(Q.PRIORITY[:50]))" > .window50.txt
-	@test -s .window50.txt || { \
-	  echo 'oracle-window: empty window list — registry dump failed' >&2; \
+	@test "$$(wc -l < .window50.txt)" = "50" || { \
+	  echo 'oracle-window: PRIORITY[:50] did not yield 50 names' >&2; \
 	  rm -f .window50.txt; exit 1; }
+	# --exact: the sweep runs PRIORITY[:50] verbatim — substring
+	# pulls once swept 60 lanes for a 50-slot window (r13 ask #7)
 	set -o pipefail; \
-	$(PY) scripts/check_oracle.py $(SF_DIR) \
+	$(PY) scripts/check_oracle.py --exact $(SF_DIR) \
 	  $$(tr '\n' ' ' < .window50.txt) 2>&1 | tee oracle_window.log
 	rm -f .window50.txt
 

@@ -771,34 +771,35 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants (recall non-decreasing in nprobe, exhaustive probe
     recalls 1.0) as defense-in-depth on top.
 
-    Scale shape: assignment is one broadcast-codebook integer
-    projection over the vector table (zero shuffle, kmeans.py
-    discipline); each probe is a pushable crank ≤ nprobe filter; the
-    only per-vector float work is the rounded-cosine rerank of the
-    probed candidates. At 100 TB the assigned table is the at-rest
-    structure (cluster-partitioned parquet) and the curve reads
-    nprobe/16ths of it — here the 5 curve points share one
-    persisted assignment scan."""
+    Scale shape: the assigned table IS the at-rest structure now —
+    det_ann.det_assigned_store keeps (vec, q, cid) cluster-
+    partitioned parquet keyed by (data fingerprint, codebook digest),
+    so a warm run pays ZERO quantize/assignment work (the k·dim
+    fold's plan construction alone was ~2 s/run, r13 VERDICT ask #2)
+    and each probe is a pushable crank ≤ nprobe filter; the only
+    per-vector float work is the rounded-cosine rerank of the probed
+    candidates. The 5 curve points share one persisted store scan."""
     from babylon_data_loader_spark.functions.vectors import (
         cosine,
         double_array_lit,
     )
     from babylon_data_loader_spark.operators.det_ann import (
-        int_assign,
+        det_assigned_store,
         quantize_vec,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qdf = emb.select(
-        "vec_id", "embedding", quantize_vec(F.col("embedding")).alias("q")
-    )
-    # codebook-scale collect (16 rows): the seeds become the literal
-    # broadcast codebook, the kmeans.py assignment economics. The
-    # anchor's raw embedding rides the same collect (seed 0 IS the
-    # anchor) instead of paying a second scan job.
+    # codebook-scale collect (16 rows, pushed id filter): the seeds
+    # become the literal broadcast codebook that KEYS the assigned
+    # store. The anchor's raw embedding rides the same collect (seed
+    # 0 IS the anchor) instead of paying a second scan job.
     seed_rows = (
-        qdf.where(F.col("vec_id") < _IVF_K)
-        .select("vec_id", "q", "embedding")
+        emb.where(F.col("vec_id") < _IVF_K)
+        .select(
+            "vec_id",
+            quantize_vec(F.col("embedding")).alias("q"),
+            "embedding",
+        )
         .collect()
     )
     seeds = {
@@ -830,9 +831,9 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("cid"),
     )
+    idx = det_assigned_store(emb, "ivfcurve", codebook)
     scored = persist_tracked(
-        int_assign(qdf, "q", codebook)
-        .where(F.col("vec_id") != 0)
+        idx.where(F.col("vec_id") != 0)
         .select(
             "vec_id",
             crank_col.alias("crank"),

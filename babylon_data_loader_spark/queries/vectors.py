@@ -339,54 +339,34 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         double_array_lit,
     )
     from babylon_data_loader_spark.operators.det_ann import (
-        int_assign,
+        det_assigned_store,
+        int_lloyd_trajectory_store,
         quantize_vec,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qdf = persist_tracked(
-        emb.select(
-            "vec_id",
-            "label",
-            "embedding",
-            quantize_vec(F.col("embedding")).alias("q"),
-        )
+    # trained coarse quantizer from the at-rest Lloyd model store
+    # (iter 3 = the codebook after the two update passes): training
+    # is index construction — a warm run reads k·dim ints instead of
+    # re-fitting (r13 VERDICT ask #2). The anchor's raw embedding +
+    # quantization come from one pushed-id-filter seed collect.
+    model = int_lloyd_trajectory_store(
+        emb, "ivfq", _IVFQ_K, 3, _IVFQ_DIM
     )
-    seed_rows = (
-        qdf.where(F.col("vec_id") < _IVFQ_K)
-        .select("vec_id", "q", "embedding")
-        .collect()
-    )
+    final = model.where(F.col("iter") == 3).first()
     codebook = sorted(
-        (r["vec_id"], [int(x) for x in r["q"]]) for r in seed_rows
+        (int(s["cid"]), [int(x) for x in s["cent"]])
+        for s in final["codebook"]
     )
-    anchor_q = dict(codebook)[0]
-    anchor_emb = next(
-        r["embedding"] for r in seed_rows if r["vec_id"] == 0
+    anchor = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            quantize_vec(F.col("embedding")).alias("q"), "embedding"
+        )
+        .first()
     )
-    dim_sums = [
-        F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
-        for d in range(_IVFQ_DIM)
-    ]
-    for _ in range(2):
-        # update pass: k rows of (n, Σq per dim) — codebook-scale
-        # collect; python // floors, matching the oracle's repair
-        sums = (
-            int_assign(qdf, "q", codebook)
-            .groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("n"), *dim_sums)
-            .collect()
-        )
-        codebook = sorted(
-            (
-                int(r["cid"]),
-                [
-                    int(r[f"s{d}"]) // int(r["n"])
-                    for d in range(_IVFQ_DIM)
-                ],
-            )
-            for r in sums
-        )
+    anchor_q = [int(x) for x in anchor["q"]]
+    anchor_emb = anchor["embedding"]
 
     def _d2(a: list[int], b: list[int]) -> int:
         return sum((x - y) * (x - y) for x, y in zip(a, b))
@@ -398,9 +378,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )[:_IVFQ_NPROBE]
     ]
     qcol = double_array_lit(anchor_emb)
+    idx = det_assigned_store(
+        emb, "ivfq", codebook, extra_cols=("label",)
+    )
     scored = persist_tracked(
-        int_assign(qdf, "q", codebook)
-        .where(F.col("vec_id") != 0)
+        idx.where(F.col("vec_id") != 0)
         .select(
             "vec_id",
             "label",

@@ -321,6 +321,9 @@ ISOLATED_SET = [
     "q_kmeans_refine",
     "q_ivf_nprobe_curve",
     "q_rerank_ann",
+    # r14: the IVF-PQ lane joined the at-rest-store family audit —
+    # its isolated block now witnesses store_hit for the code store
+    "q_knn_ivfpq",
     # r12: the new top-cost lane (composed 3-stage admission gate —
     # its in-suite number includes the prefix-scan offsets pass) and
     # the lane whose cost deliberately moved (gram normalization)
@@ -1187,7 +1190,9 @@ def main() -> None:
                 result["calibration_drift"] = drift_note
     except OSError:
         pass
-    print(json.dumps(result))
+    # Full record: humans read it on stderr; the durable copy is the
+    # BENCH_HISTORY.jsonl append below.
+    print(json.dumps(result), file=sys.stderr)
     # Round-over-round trail: per-query times keyed by commit, so a
     # regression diff is one jq away even as the headline set grows.
     try:
@@ -1202,6 +1207,24 @@ def main() -> None:
             fh.write(json.dumps({"ts": time.time(), **result}) + "\n")
     except OSError:
         pass
+    # The LAST stdout line is ONE compact JSON record sized for the
+    # driver's ~2 KB stdout-tail parse window: BENCH_r12/r13 recorded
+    # "parsed": null because the full result (samples + supplements,
+    # hundreds of KB) was truncated mid-JSON. Totals + rounded
+    # per-lane medians + the contention probes — everything the
+    # round-over-round comparison needs; detail lives in the history
+    # file. (~1.3 KB at 50 lanes; sized test-pinned.)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "n_headline": result["n_headline"],
+        "commit": result["commit"],
+        "cal": [cpu_loop_s, spark_probe_s],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

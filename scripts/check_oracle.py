@@ -1,10 +1,14 @@
 """Run every declared query against its DuckDB oracle at an arbitrary
 scale factor (default sf0.01 — what the real driver uses).
 
-Usage: python scripts/check_oracle.py [sf_dir] [name_filter ...]
+Usage: python scripts/check_oracle.py [--exact] [sf_dir] [name_filter ...]
 
 Extra args restrict the run to queries whose name contains any of the
-given substrings.
+given substrings. With ``--exact`` the args are exact query names
+instead — the driver-window sweep uses this so "what the driver
+checked" is the PRIORITY[:50] list verbatim, not a substring
+superset (r13 VERDICT ask #7: a 50-slot window once swept 60
+lanes); unknown names are a hard error, not silently skipped.
 """
 
 from __future__ import annotations
@@ -20,12 +24,22 @@ from tests.oracle_harness import compare_query  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    args = sys.argv[1:]
+    exact = "--exact" in args
+    if exact:
+        args = [a for a in args if a != "--exact"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    filters = args[1:]
     spark = build_session(app_name="oracle-check")
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
-    if filters:
+    if exact:
+        unknown = [f for f in filters if f not in qmap]
+        if unknown:
+            print(f"unknown query name(s) under --exact: {unknown}")
+            return 1
+        qmap = {n: qmap[n] for n in filters}
+    elif filters:
         qmap = {
             n: q for n, q in qmap.items() if any(f in n for f in filters)
         }

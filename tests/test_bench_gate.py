@@ -77,3 +77,27 @@ def test_no_prev_calibration_falls_back_to_raw_threshold():
     )
     assert set(regs) == {"q_a"}
     assert note is None
+
+
+def test_compact_final_line_fits_driver_tail_window():
+    """The driver keeps only ~2 KB of bench stdout and parses its
+    last line; r12/r13 recorded "parsed": null because the full
+    result was cut mid-JSON. The compact final record — rebuilt here
+    exactly as main() builds it, with worst-case-width values over
+    the REAL headline set — must stay well inside the window."""
+    import json
+
+    from bench import HEADLINE
+
+    compact = {
+        "metric": "headline_queries_total_time",
+        "value": 9999.999,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_headline": len(HEADLINE),
+        "commit": "a" * 40,
+        "cal": [99.999, 99.999],
+        "queries": {name: 999.99 for name in HEADLINE},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, len(line)

@@ -263,3 +263,111 @@ def test_ranged_store_and_fallback_plans_audit_clean(spark, tmp_path):
             f"q_rank_{variant}", ap.explain_formatted(frame)
         )
         assert findings == [], f"{variant}: {findings}"
+
+
+# ---------------------------------------------------------------------------
+# IVF / k-means at-rest stores (r13 VERDICT ask #2)
+# ---------------------------------------------------------------------------
+
+
+def _emb_fixture(spark, tmp_path):
+    import math
+
+    path = str(tmp_path / "emb")
+    rows = [
+        (i, [math.sin(i * 13 + d) for d in range(8)])
+        for i in range(80)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_det_assigned_store_matches_inline_and_hits(spark, tmp_path):
+    """The stored IVF-Flat assignment must be value-identical to the
+    inline quantize+assign derivation, and the second call must HIT
+    the store (no rebuild)."""
+    from babylon_data_loader_spark.operators.det_ann import (
+        det_assigned_store,
+        det_seed_codebook,
+        int_assign,
+        quantize_vec,
+    )
+    from babylon_data_loader_spark.operators.index_store import (
+        ACCESS_LOG,
+    )
+
+    emb = _emb_fixture(spark, tmp_path)
+    codebook = det_seed_codebook(emb, 4)
+    assert len(codebook) == 4 and codebook[0][0] == 0
+
+    del ACCESS_LOG[:]
+    stored = det_assigned_store(emb, "t14", codebook)
+    got = {
+        r["vec_id"]: (int(r["cid"]), int(r["dist"]))
+        for r in stored.collect()
+    }
+    inline = int_assign(
+        emb.select(
+            "vec_id", quantize_vec(F.col("embedding")).alias("q")
+        ),
+        "q",
+        codebook,
+    )
+    want = {
+        r["vec_id"]: (int(r["cid"]), int(r["dist"]))
+        for r in inline.collect()
+    }
+    assert got == want
+    first_access = [a for a in ACCESS_LOG if a["kind"] == "detasg"]
+    assert first_access and first_access[0]["hit"] is False
+    del ACCESS_LOG[:]
+    again = det_assigned_store(emb, "t14", codebook)
+    assert {
+        r["vec_id"]: (int(r["cid"]), int(r["dist"]))
+        for r in again.collect()
+    } == want
+    hits = [a for a in ACCESS_LOG if a["kind"] == "detasg"]
+    assert hits and hits[0]["hit"] is True
+    # a different codebook must key a DIFFERENT store (no aliasing)
+    other = det_assigned_store(emb, "t14", codebook[:2])
+    assert {int(r["cid"]) for r in other.collect()} <= {0, 1}
+
+
+def test_lloyd_trajectory_store_deterministic_and_hits(
+    spark, tmp_path
+):
+    """The trained-model store must return the same trajectory on a
+    warm read as the fresh fit, with descent-plausible inertia and
+    iter-1 shift count == N."""
+    from babylon_data_loader_spark.operators.det_ann import (
+        int_lloyd_trajectory_store,
+    )
+    from babylon_data_loader_spark.operators.index_store import (
+        ACCESS_LOG,
+    )
+
+    emb = _emb_fixture(spark, tmp_path)
+    del ACCESS_LOG[:]
+    first = sorted(
+        (int(r["iter"]), int(r["inertia"]), int(r["n_shifted"]))
+        for r in int_lloyd_trajectory_store(
+            emb, "t14", 4, 3, 8
+        ).collect()
+    )
+    assert [it for it, _, _ in first] == [1, 2, 3]
+    assert first[0][2] == 80  # iter 1: every vector newly assigned
+    n = 80
+    for prev, cur in zip(first, first[1:]):
+        assert cur[1] <= prev[1] + 8 * n  # dim-scaled descent bound
+    del ACCESS_LOG[:]
+    second = sorted(
+        (int(r["iter"]), int(r["inertia"]), int(r["n_shifted"]))
+        for r in int_lloyd_trajectory_store(
+            emb, "t14", 4, 3, 8
+        ).collect()
+    )
+    assert second == first
+    hits = [a for a in ACCESS_LOG if a["kind"] == "detlloyd"]
+    assert hits and hits[0]["hit"] is True

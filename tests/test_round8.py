@@ -7,6 +7,8 @@ invariant, and the deterministic init."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -243,12 +245,33 @@ def test_refine_query_raises_on_fabricated_increase(spark):
     """The self-certifying check still fires after the r11
     oracle-backing rewrite: wrap det_ann.int_assign so each successive
     assignment reports inflated distances (×100 per iteration) and
-    assert the query trips its proven quantized-descent bound."""
+    assert the query trips its proven quantized-descent bound.
+
+    The fit lives in the at-rest Lloyd model store since r14, so the
+    store is cleared first (a warm store would skip the patched fit
+    entirely) and again after (the fabricated fit WRITES a poisoned
+    model before the query-side bound check fires — exactly the
+    corruption the re-check-on-read defends against — and it must
+    not leak into later real runs)."""
+    import glob
+    import shutil
+
     import babylon_data_loader_spark.operators.det_ann as da
+    from babylon_data_loader_spark.operators.index_store import (
+        warehouse_dir,
+    )
     from babylon_data_loader_spark.queries.round8 import (
         q_kmeans_refine,
     )
     from pyspark.sql import functions as F
+
+    def _clear_kmr_stores():
+        for d in glob.glob(
+            os.path.join(
+                warehouse_dir(spark), "idx_detlloyd_*_kmr_*"
+            )
+        ):
+            shutil.rmtree(d, ignore_errors=True)
 
     real = da.int_assign
     calls = {"n": 0}
@@ -259,6 +282,7 @@ def test_refine_query_raises_on_fabricated_increase(spark):
             "dist", F.col("dist") * F.lit(100 ** calls["n"])
         )
 
+    _clear_kmr_stores()
     da.int_assign = inflating
     try:
         with pytest.raises(AssertionError, match="descent bound"):
@@ -267,6 +291,7 @@ def test_refine_query_raises_on_fabricated_increase(spark):
             )
     finally:
         da.int_assign = real
+        _clear_kmr_stores()
 
 
 def test_double_array_lit_bit_identity(spark):
