@@ -148,6 +148,82 @@ def gram_hashes(
     )
 
 
+#: meta sidecar name for explicit-path gram indexes (underscore-led:
+#: invisible to parquet readers of the index dir)
+GRAM_META = "_gram_meta.json"
+
+
+def _gram_meta_path(path: str) -> str:
+    # posixpath-style join — store paths may be URIs (hdfs://…)
+    return path.rstrip("/") + "/" + GRAM_META
+
+
+def write_gram_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the DISTINCT n-gram hash set of ``docs`` at an
+    explicit path — the MAINTAINED (write/append) twin of the
+    fingerprint-keyed ``evalgrams`` store: a growing benchmark suite
+    appends each newly-registered eval shard's grams instead of
+    re-hashing the whole suite (the append_token_windows lifecycle,
+    applied to the decontamination gate's probe side). Meta records
+    (n, cols) so appends hash identically."""
+    import json
+
+    from babylon_data_loader_spark.operators.index_store import (
+        write_meta_text,
+    )
+
+    grams = (
+        gram_hashes(docs, n=n, id_col=id_col, text_col=text_col)
+        .select("h")
+        .distinct()
+    )
+    grams.write.mode("overwrite").parquet(path)
+    meta = {"n": n, "id_col": id_col, "text_col": text_col}
+    write_meta_text(
+        docs.sparkSession, _gram_meta_path(path), json.dumps(meta)
+    )
+
+
+def append_gram_index(new_docs: DataFrame, path: str) -> None:
+    """Extend a gram index with a new eval shard: O(shard tokens)
+    hashing + a parquet append, never a rebuild. The append is
+    deduplicated WITHIN the shard only — an h value already present
+    from an earlier shard may appear twice in the files, which is
+    semantically invisible because every consumer probes the index
+    with set-semantics joins (left_semi / DISTINCT h); a periodic
+    compact (re-write of DISTINCT h) is layout hygiene, not
+    correctness. Caller routes each shard into exactly one
+    write/append — the append_token_windows contract."""
+    import json
+
+    from babylon_data_loader_spark.operators.index_store import (
+        check_append_schema,
+        read_meta_text,
+    )
+
+    meta = json.loads(
+        read_meta_text(new_docs.sparkSession, _gram_meta_path(path))
+    )
+    grams = (
+        gram_hashes(
+            new_docs,
+            n=int(meta["n"]),
+            id_col=meta["id_col"],
+            text_col=meta["text_col"],
+        )
+        .select("h")
+        .distinct()
+    )
+    check_append_schema(new_docs.sparkSession, path, grams, exclude=())
+    grams.write.mode("append").parquet(path)
+
+
 def contamination_census(
     train_grams: DataFrame,
     eval_hashes: DataFrame,

@@ -71,99 +71,40 @@ def query(name: str, oracle: str | None = None):
 #   between rounds), so over successive rounds every family gets
 #   re-witnessed on current data. r9 backfilled the r1/r2 era; r10
 #   and r11 ran their staged queues (50/50 green each); r12 converted
-#   the kNN lanes to oracles; the r13 window below clears the ENTIRE
-#   pre-r7 backlog (39 entries) plus this round's 1 new and 10
-#   code-touched lanes; the r14 queue (11 r7-era + the r8 block) is
-#   staged right behind slot 50 so next round's backfill is again a
-#   head-truncation.
+#   the kNN lanes to oracles; r13 cleared the entire pre-r7 backlog;
+#   the r14 window below covers the r7/r8 cohort (43 of its 50
+#   lanes) plus this round's 1 new + 5 code-touched lanes and the
+#   one-time q_tokwin_maintenance driver row, leaving a 7-lane
+#   staged r15 queue right behind slot 50.
 PRIORITY: list[str] = [
-    # ROUND-13 WINDOW — 50 oracle-backed slots, zero rows-only rows.
-    # Slots 1-8: this round's new and code-touched queries (head
-    # policy: fresh driver rows land on the code that ships):
-    #  - q_language_gate (NEW, queries/round13.py): the composed
-    #    language-gated budget admission — cross-lingual near-dup
-    #    loser drop -> 20% anti-dominance per-language token cap ->
-    #    greedy admit (r12 VERDICT ask #7);
-    #  - q_decontaminate / q_incremental_decontaminate: code-touched
-    #    (contamination_report now derives grams from the shared
-    #    at-rest normalized-token store, r12 ask #2; the census
-    #    broadcast guard is plan-statistics based, r12 ADVICE);
-    #  - q_admission_gate: code-touched (same census guard + the
-    #    retired-params sweep on its eval-gram store);
-    #  - q_merge_divergent_stress: code-touched (resolve-by-total-
-    #    order gained the deterministic trailing tiebreak and the
-    #    reserved __bdl_rn working column, r12 ADVICE);
-    #  - q_knn_lsh / q_rerank_ann / q_knn_ivfpq: code-touched (their
-    #    bucket/cid-partitioned store reads now cast the partition
-    #    column back to its written type, r12 ADVICE).
-    "q_language_gate",
-    "q_decontaminate",
-    "q_incremental_decontaminate",
+    # ROUND-14 WINDOW — 50 slots drawn from {this round's new +
+    # code-touched lanes} ∪ {the r7/r8 driver-evidence backlog}
+    # (r13 VERDICT ask #1). Slots 1-7, head policy (fresh driver rows
+    # land on the code that ships):
+    #  - q_incremental_admission (NEW, queries/round14.py): two
+    #    admission waves with append_token_windows + gram-index
+    #    append between — at-rest structures MAINTAINED, not rebuilt
+    #    (r13 ask #5);
+    #  - q_admission_gate: code-touched (grouped_running_totals'
+    #    ranged frame + offsets now live in the index store, ask #3);
+    #  - q_merge_divergent_stress: code-touched (name-sorted,
+    #    orderable-only trailing tiebreak — r13 ADVICE);
+    #  - q_ivf_nprobe_curve / q_kmeans_refine / q_knn_ivf:
+    #    code-touched (the IVF/k-means family moved onto the at-rest
+    #    assigned-vector and Lloyd-model stores, ask #2);
+    #  - q_tokwin_maintenance: rows-only, deliberately windowed ONCE
+    #    — the only declared key with zero driver entries across
+    #    r1-r13 (ask from the r13 VERDICT "What's missing" #2); it
+    #    returns to below-window after this round.
+    "q_incremental_admission",
     "q_admission_gate",
     "q_merge_divergent_stress",
-    "q_knn_lsh",
-    "q_rerank_ann",
-    "q_knn_ivfpq",
-    #  - q_tfidf_top_terms / q_heavy_hitters: code-touched (terms now
-    #    explode from the shared normalized-token store) — both were
-    #    already in this window's pre-r7 backlog; moved to the head
-    #    per the code-changed policy.
-    "q_tfidf_top_terms",
-    "q_heavy_hitters",
-    # Slots 11-47: the ENTIRE pre-r7 evidence backlog — all 23
-    # r5-green and 16 r6-green queries staged by r12 — re-witnessed
-    # on current data. This zeroes the backlog (r12 VERDICT ask #1:
-    # the last round where driver evidence age is a finding).
-    "q_association_rules",
-    "q_bm25_topk",
-    "q_corpus_report",
-    "q_covariance_matrix",
-    "q_cumulative_uniques",
-    "q_degree_distribution",
-    "q_distinctive_terms",
-    "q_fuzzy_clusters",
-    "q_js_divergence",
-    "q_markov_transitions",
-    "q_media_resample",
-    "q_median_by_group",
-    "q_minhash_calibration",
-    "q_phrase_search",
-    "q_qq_points",
-    "q_readability",
-    "q_rfm_segments",
-    "q_rolling_median",
-    "q_seasonality_profile",
-    "q_stream_complete",
-    "q_stream_left_join",
-    "q_tpch_q20",
-    "q_vocab_growth",
-    "q_changepoint",
-    "q_cross_source_leakage",
-    "q_delta_export",
-    "q_dup_burden_by_source",
-    "q_entropy_rate",
-    "q_forecast_eval",
-    "q_interarrival_dist",
-    "q_kaplan_meier",
-    "q_knn_cosine",
-    "q_lake_skipping",
-    "q_lorenz_points",
-    "q_pack_sequences",
-    "q_stream_stateful",
-    "q_tpch_q1",
-    # Slots 48-50: the three r7-era lanes whose at-rest store BUILDS
-    # changed this round (the minhash signature/shingle builders now
-    # derive from the shared token store) — code-touched AND stale,
-    # so they complete the window.
-    "q_minhash_bands",
-    "q_near_dup_pairs",
-    "q_corpus_curation",
-    # --- end of the 50-slot driver window ---
-    # Slots 51-100: the staged r14 rotation queue — first the 11
-    # r7-era entries this window could not hold, then the r8-green
-    # block (the stalest remaining driver evidence), oldest first.
-    # The driver does not read past slot 50; this ordering keeps next
-    # round's backfill a head-truncation.
+    "q_ivf_nprobe_curve",
+    "q_kmeans_refine",
+    "q_knn_ivf",
+    "q_tokwin_maintenance",
+    # Slots 8-18: the 11 r7-green lanes (the stalest oracle-backed
+    # driver evidence in the registry).
     "q_class_rebalance",
     "q_decay_weighted",
     "q_embedding_dup_pairs",
@@ -175,6 +116,11 @@ PRIORITY: list[str] = [
     "q_stream_sliding",
     "q_target_encode",
     "q_wilson_quality",
+    # Slots 19-50: 32 of the 39 r8-green lanes, oldest-evidence
+    # cohort, alphabetical. The 7 that do not fit (staged first for
+    # r15 below) are exactly the r8 lanes the r13 judge re-verified
+    # exact this session (J13 sample), so they carry the freshest
+    # independent evidence of the cohort.
     "q_bigram_nll",
     "q_boilerplate_ngrams",
     "q_burstiness",
@@ -183,7 +129,6 @@ PRIORITY: list[str] = [
     "q_cluster_reps",
     "q_cluster_size_histogram",
     "q_cross_lingual_dup",
-    "q_curriculum_order",
     "q_dedup_clusters",
     "q_dedup_savings",
     "q_dedup_threshold_sweep",
@@ -193,7 +138,6 @@ PRIORITY: list[str] = [
     "q_heldout_coverage",
     "q_label_cohesion",
     "q_label_propagation",
-    "q_lake_zorder",
     "q_length_histogram",
     "q_mmr_diversify",
     "q_ngram_diversity",
@@ -204,24 +148,31 @@ PRIORITY: list[str] = [
     "q_prefix_dedup",
     "q_quality_calibration",
     "q_rerank_candidates",
-    "q_rrf_fusion",
-    "q_source_dedup_matrix",
     "q_source_overlap",
     "q_split_leakage",
     "q_tokenizer_fertility",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_vocab_coverage",
     "q_winsorize",
     "q_zipf_slope",
+    # --- end of the 50-slot driver window ---
+    # Slots 51-57: the staged r15 queue — the 7 r8-era lanes this
+    # window could not hold (J13-re-verified, so the least urgent of
+    # the cohort). After r14 lands, the max driver-evidence age of
+    # any oracle-backed lane is r8 for exactly these seven; r15's
+    # backfill is again a head-truncation.
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_lake_zorder",
+    "q_rrf_fusion",
+    "q_vocab_coverage",
+    "q_source_dedup_matrix",
+    "q_curriculum_order",
     # Rows-only self-certifying queries (in-query invariant raises,
     # pytest-verified) — deliberately BELOW the window: a no_oracle
     # driver row carries no signal. Whole-registry rows-only census:
     # 7 (q_knn_recall_guard, q_ann_index_maintenance, the two native
-    # sketches, q_compression_ratio, and these two genuinely
-    # non-SQL-reproducible lanes).
+    # sketches, q_compression_ratio, q_lake_vacuum,
+    # q_tokwin_maintenance — the last windowed once in r14 above).
     "q_lake_vacuum",
-    "q_tokwin_maintenance",
 ]
 
 
@@ -256,6 +207,7 @@ def load_all() -> None:
         round11,
         round12,
         round13,
+        round14,
         streaming_dedup,
         streaming_replay,
         streaming_window,

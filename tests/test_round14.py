@@ -371,3 +371,103 @@ def test_lloyd_trajectory_store_deterministic_and_hits(
     assert second == first
     hits = [a for a in ACCESS_LOG if a["kind"] == "detlloyd"]
     assert hits and hits[0]["hit"] is True
+
+
+# ---------------------------------------------------------------------------
+# gram-index append + the two-wave incremental admission (ask #5)
+# ---------------------------------------------------------------------------
+
+
+def test_gram_index_append_matches_full_rebuild(spark, tmp_path):
+    """write + append must leave the index probing EXACTLY like a
+    fresh full build over (base ∪ shard): same DISTINCT h set."""
+    from babylon_data_loader_spark.operators.decontaminate import (
+        append_gram_index,
+        gram_hashes,
+        write_gram_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "alpha beta gamma delta zeta"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    path = str(tmp_path / "grams")
+    write_gram_index(docs.where("doc_id < 3"), path)
+    append_gram_index(docs.where("doc_id = 3"), path)
+    maintained = {
+        r["h"] for r in spark.read.parquet(path).collect()
+    }
+    fresh = {
+        r["h"]
+        for r in gram_hashes(docs, n=4).select("h").distinct().collect()
+    }
+    assert maintained == fresh
+    # set-semantics contract: only h is stored, so a further append
+    # may duplicate h values across files — the probed DISTINCT set
+    # is what must stay exact
+    bad = spark.createDataFrame(
+        [(9, "x y z w v")], "doc_id INT, text STRING"
+    )
+    append_gram_index(bad, path)
+    assert {
+        r["h"] for r in spark.read.parquet(path).collect()
+    } == fresh | {
+        r["h"]
+        for r in gram_hashes(bad, n=4).select("h").collect()
+    }
+
+
+def test_incremental_admission_planted_fixture(spark, tmp_path):
+    """Planted two-wave lifecycle: wave-1 drop (eval-1 gram), wave-1
+    strip (corpus-owned span), the between-wave appends, wave-2 strip
+    against a span owned by a wave-1 ADMITTED doc (witnesses the
+    window append) and wave-2 drop against the APPENDED eval shard
+    (witnesses the gram append)."""
+    from babylon_data_loader_spark.queries.round14 import (
+        q_incremental_admission,
+    )
+
+    span16 = " ".join(f"s{i}" for i in range(16))  # corpus-owned
+    uniq16 = " ".join(f"u{i}" for i in range(16))  # wave-1-owned
+    rows = [
+        # corpus (id%23!=0, %29!=0):
+        (1, "web", f"{span16} filler1a filler1b"),
+        # eval shard 1 (corpus, %3==0): grams shared with doc 46
+        (3, "web", "evalgram one two three four tail3"),
+        # eval shard 2 (corpus, %3!=0, %7==0): grams shared w/ doc 787
+        (7, "web", "shard2 alpha beta gamma delta tail7"),
+        # wave-1 batch (%23==0):
+        (23, "web", f"{span16} {uniq16} w23extra"),
+        (46, "web", "evalgram one two three four tail46"),
+        # wave-2 batch (%29==0, %23!=0):
+        (58, "web", f"{uniq16} w58a w58b w58c"),
+        (87, "web", "shard2 alpha beta gamma delta tail87"),
+    ]
+    sf = tmp_path / "sf_planted"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, source STRING, text STRING"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    out = {
+        (int(r["wave"]), int(r["doc_id"])): r
+        for r in q_incremental_admission.__wrapped__(
+            spark, str(sf)
+        ).collect()
+    }
+    # wave 1: 46 dropped (eval-1 gram), 23 admitted with the
+    # corpus-owned 16 tokens stripped (18+16-16 = 17+... doc 23 has
+    # 33 tokens; span16 stripped => 17 left)
+    assert (1, 46) not in out
+    assert (1, 23) in out and int(out[(1, 23)]["n_tokens"]) == 17
+    assert int(out[(1, 23)]["n_dropped"]) == 1
+    # wave 2: 87 dropped (appended shard-2 gram); 58 admitted with
+    # the wave-1-owned span stripped (19 tokens - 16 = 3) — only
+    # possible if doc 23's windows were APPENDED to the store
+    assert (2, 87) not in out
+    assert (2, 58) in out and int(out[(2, 58)]["n_tokens"]) == 3
+    assert int(out[(2, 58)]["n_dropped"]) == 1
