@@ -373,8 +373,33 @@ def grouped_running_totals(
     order: list[Column],
     sums: dict[str, Column],
 ) -> DataFrame:
+    """:func:`grouped_running_totals_with_input` without the input
+    handle — see there for semantics and the reuse contract."""
+    return grouped_running_totals_with_input(
+        df, group_cols, order, sums
+    )[0]
+
+
+def grouped_running_totals_with_input(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    sums: dict[str, Column],
+) -> tuple[DataFrame, DataFrame]:
     """Per-GROUP exact running totals under ``order``, distributed
     across the whole cluster even when there are FEW groups.
+    Returns ``(result, scan_input)``: ``scan_input`` is the
+    MATERIALIZED ranged frame (store-backed parquet or tracked
+    persist) with exactly ``df``'s columns — callers that need
+    further aggregates over the same input (per-group grand totals,
+    counts) MUST read it instead of re-referencing ``df``. On a warm
+    range store the result plan never touches ``df``'s upstream at
+    all; a caller that aggregates ``df`` separately would silently
+    re-execute that whole upstream at action time — measured as the
+    r14 q_admission_gate 3.1 s → 7.7 s in-suite regression before
+    this handle existed (the input's persist chain is no longer
+    populated at construction when the offsets come from the store
+    sidecar, so separate subtrees race to recompute it).
 
     ``Window.partitionBy(group)`` with a low-cardinality group column
     (5 event types over a 100 TB fact table) sorts each group in ONE
@@ -494,7 +519,10 @@ def grouped_running_totals(
             ),
         ).drop(f"__off_{name}", f"__offcnt_{name}")
     # restore the caller's column order, sums appended
-    return local.select(*df.columns, *sums)
+    return (
+        local.select(*df.columns, *sums),
+        part.select(*df.columns),
+    )
 
 
 def _extreme_scan(

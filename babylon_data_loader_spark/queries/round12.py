@@ -419,7 +419,7 @@ def q_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         get_or_build_parquet,
     )
     from babylon_data_loader_spark.operators.rank import (
-        grouped_running_totals,
+        grouped_running_totals_with_input,
     )
     from babylon_data_loader_spark.functions.cache import (
         persist_tracked,
@@ -534,13 +534,22 @@ def q_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("nt") > 0)
     )
-    cum = grouped_running_totals(
+    # the admit scan's materialized input doubles as the source for
+    # the per-source grand totals: on a warm range store the final
+    # plan reads ONLY stores (eval grams, token windows, ranged
+    # frame) — re-aggregating `per` here would re-execute the whole
+    # strip pipeline at action time (the r14 regression the
+    # with_input handle exists for)
+    cum, per_mat = grouped_running_totals_with_input(
         per,
         ["source"],
         [F.col("doc_id").asc()],
         {"cum_tokens": F.col("nt")},
-    ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
-    totals = per.groupBy("source").agg(
+    )
+    cum = cum.withColumn(
+        "cum_tokens", F.col("cum_tokens").cast("long")
+    )
+    totals = per_mat.groupBy("source").agg(
         F.sum("nt").cast("long").alias("source_total")
     )
     census = (

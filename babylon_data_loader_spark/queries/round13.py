@@ -110,7 +110,7 @@ def language_gate(docs: DataFrame) -> DataFrame:
         stored_norm_tokens,
     )
     from babylon_data_loader_spark.operators.rank import (
-        grouped_running_totals,
+        grouped_running_totals_with_input,
     )
 
     lang = docs.select("doc_id", "lang")
@@ -151,9 +151,22 @@ def language_gate(docs: DataFrame) -> DataFrame:
         .select("lang", "doc_id", "nt")
     )
 
+    # stage 3 is planned FIRST so its materialized scan input can
+    # feed stage 2's totals: re-aggregating `ret` separately would
+    # re-execute the store joins at action time once the admit
+    # scan's offsets come from the range-store sidecar (the r14
+    # with_input contract, operators/rank.py)
+    cum, ret_mat = grouped_running_totals_with_input(
+        ret,
+        ["lang"],
+        [F.col("doc_id").asc()],
+        {"cum_tokens": F.col("nt")},
+    )
+    cum = cum.withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
+
     # stage 2: per-language totals and the anti-dominance cap —
     # |langs| rows, broadcast everywhere they join
-    per = ret.groupBy("lang").agg(
+    per = ret_mat.groupBy("lang").agg(
         F.sum("nt").cast("long").alias("lang_total")
     )
     caps = (
@@ -168,14 +181,6 @@ def language_gate(docs: DataFrame) -> DataFrame:
             F.expr("total div 5").cast("long").alias("lang_cap"),
         )
     )
-
-    # stage 3: greedy admit — the distributed grouped prefix scan
-    cum = grouped_running_totals(
-        ret,
-        ["lang"],
-        [F.col("doc_id").asc()],
-        {"cum_tokens": F.col("nt")},
-    ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
 
     census = (
         docs.agg(F.count(F.lit(1)).alias("n_corpus"))

@@ -223,7 +223,7 @@ def _admit_wave(
         token_windows,
     )
     from babylon_data_loader_spark.operators.rank import (
-        grouped_running_totals,
+        grouped_running_totals_with_input,
     )
     from babylon_data_loader_spark.queries.round9 import (
         strip_by_islands,
@@ -302,13 +302,18 @@ def _admit_wave(
         )
         .where(F.col("nt") > 0)
     )
-    cum = grouped_running_totals(
+    # totals read the admit scan's materialized input, not `per` —
+    # the with_input contract (operators/rank.py)
+    cum, per_mat = grouped_running_totals_with_input(
         per,
         ["source"],
         [F.col("doc_id").asc()],
         {"cum_tokens": F.col("nt")},
-    ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
-    totals = per.groupBy("source").agg(
+    )
+    cum = cum.withColumn(
+        "cum_tokens", F.col("cum_tokens").cast("long")
+    )
+    totals = per_mat.groupBy("source").agg(
         F.sum("nt").cast("long").alias("source_total")
     )
     census = (

@@ -526,7 +526,7 @@ def q_cluster_token_budget(
         assign_clusters,
     )
     from babylon_data_loader_spark.operators.rank import (
-        grouped_running_totals,
+        grouped_running_totals_with_input,
     )
     from babylon_data_loader_spark.queries.round6 import _per_doc
     from babylon_data_loader_spark.queries.round8 import (
@@ -543,13 +543,17 @@ def q_cluster_token_budget(
         .select("doc_id", "nt", "div_key")
         .join(assigned, "doc_id")
     )
-    cum = grouped_running_totals(
+    # totals read the scan's materialized input, not `per` — the
+    # with_input contract (operators/rank.py): a warm range store
+    # would otherwise re-execute the assignment join at action time
+    cum, per_mat = grouped_running_totals_with_input(
         per,
         ["cid"],
         [F.col("div_key").desc(), F.col("doc_id").asc()],
         {"cum_tokens": F.col("nt")},
-    ).withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
-    totals = per.groupBy("cid").agg(
+    )
+    cum = cum.withColumn("cum_tokens", F.col("cum_tokens").cast("long"))
+    totals = per_mat.groupBy("cid").agg(
         F.sum("nt").cast("long").alias("cluster_total")
     )
     return (
