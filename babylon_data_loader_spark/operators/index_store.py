@@ -298,15 +298,16 @@ def store_meta_live(path: str) -> bool:
 def sweep_stale(
     spark: SparkSession, kind: str, params: str, keep: str
 ) -> int:
-    """Remove sibling stores of the same (kind, params) whose source
-    data no longer exists unchanged on disk. Siblings whose sidecar
-    meta proves their data is still live are KEPT: a different
-    fingerprint does not mean dead data — the same table at a
-    different scale-factor dir fingerprints differently too, and
-    evicting it forced silent rebuilds when a correctness run at
-    sf0.01 and a bench run at sf0.1 alternated (r8 VERDICT finding).
-    Sidecar-less dirs (legacy layouts, interrupted builds) are swept.
-    Returns how many were removed."""
+    """Remove same-KIND sibling stores whose source data no longer
+    exists unchanged on disk (any params — see the in-loop note).
+    Siblings whose sidecar meta proves their data is still live are
+    KEPT: a different fingerprint does not mean dead data — the same
+    table at a different scale-factor dir fingerprints differently
+    too, and evicting it forced silent rebuilds when a correctness
+    run at sf0.01 and a bench run at sf0.1 alternated (r8 VERDICT
+    finding). Sidecar-less dirs (legacy layouts, interrupted builds)
+    are swept under the same params only. Returns how many were
+    removed."""
     wh = warehouse_dir(spark)
     if not os.path.isdir(wh):
         return 0
@@ -315,13 +316,22 @@ def sweep_stale(
     keep_base = os.path.basename(keep)
     for entry in os.listdir(wh):
         if (
-            entry.startswith((f"idx_{kind}_", f"_{kind}_"))
-            and entry.endswith(suffix)
-            and entry != keep_base
+            not entry.startswith((f"idx_{kind}_", f"_{kind}_"))
+            or entry == keep_base
         ):
-            full = os.path.join(wh, entry)
-            if store_meta_live(full):
-                continue
+            continue
+        full = os.path.join(wh, entry)
+        if store_meta_live(full):
+            continue
+        # Dead-data siblings sweep regardless of params (r14: a
+        # params-format change would otherwise strand every
+        # old-format dir forever once its data regenerates — the
+        # enumerable-keys sweep_retired cannot cover hashed params).
+        # SIDECAR-LESS dirs sweep only under the SAME params: a
+        # concurrent different-params build that has not yet written
+        # its meta must not be deleted mid-write.
+        has_meta = os.path.exists(os.path.join(full, META_NAME))
+        if has_meta or entry.endswith(suffix):
             shutil.rmtree(full, ignore_errors=True)
             n += 1
     return n

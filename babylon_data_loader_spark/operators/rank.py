@@ -106,7 +106,25 @@ def _ranged(
     fp = df_fingerprint(df)
     if fp is None:
         return persist_tracked(build()), None
-    params = f"n{n}o{_spec_key(*[str(c) for c in order])}"
+    # The spec digest folds in the OUTPUT SCHEMA as well as the order:
+    # plan canonicalization ERASES alias names (a groupBy-count
+    # aliased `c` and one aliased `cnt` over the same data produce
+    # the same canonicalized string), so two such frames share a
+    # fingerprint — without the schema in the key the second caller
+    # would read the first caller's column names and fail resolution
+    # (hit in r14: q_sketch_quantiles resolving `cnt` against a
+    # sibling lane's stored `c`).
+    params = "n{}o{}".format(
+        n,
+        _spec_key(
+            *[str(c) for c in order],
+            "|schema",
+            *[
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in df.schema
+            ],
+        ),
+    )
     out = get_or_build_parquet(df, "ranged", params, build)
     return out, store_path(df.sparkSession, "ranged", fp, params)
 

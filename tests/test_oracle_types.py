@@ -91,7 +91,17 @@ def test_priority_window_is_well_formed():
     assert not unknown, f"PRIORITY names not in registry: {unknown}"
     window = list(q.QUERIES)[:50]
     assert window == q.PRIORITY[:50]
-    rows_only = [n for n in window if n not in q.ORACLES]
+    # One-round exception (r13 VERDICT ask #1): q_tokwin_maintenance
+    # is the only declared key with ZERO driver entries across
+    # CORRECTNESS_r01-r13; the judge asked it be windowed once even
+    # though its row is rows-only. Remove it from this allowlist when
+    # the r15 window rotates it back out.
+    windowed_rows_only_allowed = {"q_tokwin_maintenance"}
+    rows_only = [
+        n
+        for n in window
+        if n not in q.ORACLES and n not in windowed_rows_only_allowed
+    ]
     assert not rows_only, (
         f"rows-only queries inside the 50-slot driver window: "
         f"{rows_only}"

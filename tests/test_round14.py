@@ -231,6 +231,40 @@ def test_ranged_store_boundary_identity(spark, tmp_path):
     assert run(mem) == first
 
 
+def test_ranged_store_distinct_per_alias_schema(spark, tmp_path):
+    """Plan CANONICALIZATION erases alias names, so two frames over
+    the same data differing only in a column alias share a
+    fingerprint — the ranged store key must fold in the schema or
+    the second caller reads the first's column names (r14: the full
+    suite hit this as q_sketch_quantiles failing to resolve `cnt`
+    against a sibling lane's stored `c`)."""
+    from babylon_data_loader_spark.operators.rank import (
+        running_totals,
+    )
+
+    df = _scan_fixture(spark, tmp_path)
+
+    def agg_as(name):
+        return df.groupBy("grp").agg(F.count(F.lit(1)).alias(name))
+
+    order = [F.col("grp").asc()]
+    first = sorted(
+        tuple(r)
+        for r in running_totals(
+            agg_as("c"), order, {"cum": F.col("c")}
+        ).collect()
+    )
+    # pre-fix this raised UNRESOLVED_COLUMN `cnt` (store served the
+    # `c`-schema parquet for the identical canonicalized plan)
+    second = sorted(
+        tuple(r)
+        for r in running_totals(
+            agg_as("cnt"), order, {"cum": F.col("cnt")}
+        ).collect()
+    )
+    assert first == second
+
+
 def test_ranged_store_and_fallback_plans_audit_clean(spark, tmp_path):
     """r13 VERDICT ask #6: the store-HIT plan and the no-lineage
     inline-FALLBACK plan of a store-backed scan must BOTH be free of
