@@ -166,6 +166,59 @@ PRIORITY: list[str] = [
     "q_vocab_coverage",
     "q_source_dedup_matrix",
     "q_curriculum_order",
+    # Slots 58-105: the 48-lane r9-green cohort (next-stalest after
+    # the seven above), alphabetical — staged so the r15 window
+    # (7 r8 + 43 of these, head slots going to r15's code-touched
+    # lanes) is again a pure head-truncation. Evidence census
+    # reproducible from CORRECTNESS_r01..r14.
+    "q_bpe_token_count",
+    "q_cast_default",
+    "q_coalesce_date",
+    "q_dedup_exact_text",
+    "q_dedup_key",
+    "q_doc_fingerprint",
+    "q_dup_span_docs",
+    "q_dup_span_lengths",
+    "q_echo",
+    "q_filter_cast",
+    "q_filter_nonnull",
+    "q_flagship_pipeline",
+    "q_histogram",
+    "q_json_extract",
+    "q_lag_lead",
+    "q_lang_confusion",
+    "q_lang_dup_matrix",
+    "q_lang_id",
+    "q_lang_split",
+    "q_merge_upsert",
+    "q_partition_counts",
+    "q_pivot",
+    "q_point_lookup",
+    "q_quality_score",
+    "q_range_ts",
+    "q_regex_extract",
+    "q_running_balance",
+    "q_scan_project",
+    "q_semi_anti_join",
+    "q_sessionize",
+    "q_set_ops",
+    "q_simhash",
+    "q_source_file_count",
+    "q_stats_agg",
+    "q_strict_date_parse",
+    "q_string_predicates",
+    "q_substring_dedup",
+    "q_substring_provenance",
+    "q_substring_strip",
+    "q_sync_log_agg",
+    "q_text_stats",
+    "q_token_budget_by_lang",
+    "q_token_count",
+    "q_topk_per_group",
+    "q_tpch_q6",
+    "q_type_classify",
+    "q_union_dedup",
+    "q_windowed_dedup",
     # Rows-only self-certifying queries (in-query invariant raises,
     # pytest-verified) — deliberately BELOW the window: a no_oracle
     # driver row carries no signal. Whole-registry rows-only census:
