@@ -418,8 +418,19 @@ def det_assigned_store(
         get_or_build_parquet,
     )
 
+    # The digest folds in the DERIVATION columns, not just the
+    # codebook: two callers sharing a tag but deriving from different
+    # id/vec/extra columns must get distinct stores — the silent-
+    # aliasing class the r13 advisor flagged on stored_norm_tokens
+    # (a different id_col fails noisily on select; a different
+    # vec_col would be silent wrong data). Old-format dirs become
+    # dead-data when the driver regenerates the tables and are swept
+    # by sweep_stale's cross-params pass.
     key = hashlib.md5(
-        json.dumps(codebook, separators=(",", ":")).encode()
+        json.dumps(
+            [codebook, id_col, vec_col, list(extra_cols)],
+            separators=(",", ":"),
+        ).encode()
     ).hexdigest()[:10]
 
     def _build() -> DataFrame:
@@ -582,8 +593,15 @@ def int_lloyd_trajectory_store(
         ]
         return spark.createDataFrame(rows, schema)
 
+    # Params carry the full derivation spec (dim and the source
+    # columns, not just k/iters): same aliasing discipline as
+    # det_assigned_store — a shared tag must never serve a model
+    # trained over different columns or a different dimensionality.
     return get_or_build_parquet(
-        emb, "detlloyd", f"{tag}_k{k}i{n_iters}", _build
+        emb,
+        "detlloyd",
+        f"{tag}_k{k}i{n_iters}d{dim}_{id_col}_{vec_col}",
+        _build,
     )
 
 
