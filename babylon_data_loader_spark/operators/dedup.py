@@ -46,14 +46,30 @@ def _norm_tok(
     ).select(id_col, F.col("tok").alias(alias))
 
 
+def dedup_exact_ids(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The kept-id frame of :func:`dedup_exact` (min id per
+    normalized-text fingerprint), id-width. Callers that only need
+    the survivor id SET (to semi-join several consumers) should use
+    this and persist it once instead of re-deriving the full
+    fingerprint aggregate per consumer — the md5-over-text scan is
+    the expensive part (guide §2.3: shuffle/cache keys, not
+    payloads)."""
+    fp = fingerprint(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
 def dedup_exact(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one row per normalized-text fingerprint (min id wins)."""
-    fp = fingerprint(F.col(text_col))
-    keep = docs.select(F.col(id_col), fp.alias("_fp")).groupBy("_fp").agg(
-        F.min(id_col).alias(id_col)
-    )
+    keep = dedup_exact_ids(docs, text_col, id_col)
     return docs.join(keep, on=id_col, how="left_semi")
 
 

@@ -447,10 +447,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
     from babylon_data_loader_spark.operators.dedup import (
-        dedup_exact,
+        dedup_exact_ids,
         dedup_near,
         stored_doc_shingles,
         stored_minhash_signatures,
+    )
+    from babylon_data_loader_spark.functions.cache import (
+        persist_tracked,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -459,8 +462,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet the standalone dedup queries read) — dedup_near restricts
     # the superset to the subset's ids with a semi-join, so the md5
     # shingle pipeline is never re-derived inside the composition.
+    # r15: the exact-dedup survivor ID SET is computed once and
+    # persisted (id-width) instead of passing the unpersisted
+    # dedup_exact(docs) frame, whose fingerprint-aggregate subtree was
+    # re-executed by every consumer inside dedup_near (plan before:
+    # 6 documents scans; after: 3 — one fingerprint pass, the sig
+    # semi-join and final anti-join probe the cached id set).
+    exact_ids = persist_tracked(dedup_exact_ids(docs))
     kept = dedup_near(
-        dedup_exact(docs),
+        docs.join(exact_ids, "doc_id", "left_semi"),
         threshold=0.5,
         signatures=stored_minhash_signatures(docs),
         shingles_df=stored_doc_shingles(docs),

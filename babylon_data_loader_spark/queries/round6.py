@@ -678,45 +678,88 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id").isin(anchors))
         .collect()
     }
-    parts = []
-    exact_parts = []
-    for a in anchors:
-        ball = hamming_ball(
+    # r15: ONE corpus cosine pass for all anchors (was: per-anchor
+    # probed + exact subtrees — 6 full scans with the cosine computed
+    # corpus-wide in each). The anchors ride in as a 3-struct literal
+    # exploded against the scan, so every (anchor, vec) similarity is
+    # computed exactly once and both the probed top-20 and the
+    # exact-recall witness derive from the same persisted narrow
+    # frame. Per-anchor top-20 is row_number-over-total-order with a
+    # rank<=20 filter — WindowGroupLimit prunes to 20 rows per map
+    # partition before the exchange, the same scalable shape as the
+    # former per-anchor TakeOrdered, but shared across anchors.
+    balls = {
+        a: hamming_ball(
             int(arows[a]["bucket"]), _RA_PLANES, _RA_RADIUS
         )
-        qcol = double_array_lit(arows[a]["embedding"])
-        scored = emb.where(F.col("vec_id") != a).select(
-            F.lit(a).cast("bigint").alias("query_id"),
-            F.col("vec_id").alias("cand_id"),
-            F.round(cosine(F.col("embedding"), qcol), 9).alias("sim"),
-        )
-        # probe: only the ball's buckets are read (partition-pruned
-        # on a bucket-partitioned signature store)
-        probed = scored.join(
-            sig.where(F.col("bucket").isin(ball)).select(
-                F.col("vec_id").alias("cand_id")
-            ),
-            "cand_id",
-            "left_semi",
-        )
-        parts.append(
-            probed.orderBy(
-                F.col("sim").desc(), F.col("cand_id").asc()
-            ).limit(20)
-        )
-        exact_parts.append(
-            scored.orderBy(
-                F.col("sim").desc(), F.col("cand_id").asc()
+        for a in anchors
+    }
+    anchor_lits = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("bigint").alias("query_id"),
+                double_array_lit(arows[a]["embedding"]).alias("q_emb"),
             )
-            .limit(20)
-            .select("query_id", "cand_id")
+            for a in anchors
+        ]
+    )
+    scored = persist_tracked(
+        emb.select(
+            "vec_id", "embedding", F.explode(anchor_lits).alias("_q")
         )
-    top20 = parts[0]
-    exact20 = exact_parts[0]
-    for p_, e_ in zip(parts[1:], exact_parts[1:]):
-        top20 = top20.unionAll(p_)
-        exact20 = exact20.unionAll(e_)
-    top20 = persist_tracked(top20)
+        .where(F.col("vec_id") != F.col("_q.query_id"))
+        .select(
+            F.col("_q.query_id").alias("query_id"),
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                cosine(F.col("embedding"), F.col("_q.q_emb")), 9
+            ).alias("sim"),
+        )
+    )
+    # probe: only the ball's buckets are read (partition-pruned on a
+    # bucket-partitioned signature store); the (anchor, bucket) ball
+    # pairs are a metadata-scale literal broadcast
+    bucket_type = dict(sig.dtypes)["bucket"]
+    all_buckets = sorted({b for a in anchors for b in balls[a]})
+    ball_pairs = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).cast("bigint").alias("query_id"),
+                            F.lit(b).cast(bucket_type).alias("bucket"),
+                        )
+                        for a in anchors
+                        for b in balls[a]
+                    ]
+                )
+            ).alias("_p")
+        )
+        .select("_p.query_id", "_p.bucket")
+    )
+    allowed = (
+        sig.where(F.col("bucket").isin(all_buckets))
+        .join(F.broadcast(ball_pairs), "bucket")
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("cand_id").asc()
+        )
+    )
+    top20 = persist_tracked(
+        scored.join(F.broadcast(allowed), ["query_id", "cand_id"], "left_semi")
+        .withColumn("_rn", rn)
+        .where(F.col("_rn") <= 20)
+        .drop("_rn")
+    )
+    exact20 = (
+        scored.withColumn("_rn", rn)
+        .where(F.col("_rn") <= 20)
+        .select("query_id", "cand_id")
+    )
     hits = (
         top20.join(exact20, ["query_id", "cand_id"], "left_semi")
         .groupBy("query_id")

@@ -603,10 +603,18 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = ssh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
-    a = ssh.select(F.col("source").alias("source_a"), "s")
-    b = ssh.select(F.col("source").alias("source_b"), "s")
+    # r15: pair generation INSIDE each shingle bucket (the r6 LSH
+    # pair-gen shape): one shingle-keyed shuffle + collect_set + in-row
+    # double explode replaces the former self-join on `s` (which
+    # shuffled the persisted frame twice and built a join). Arrays are
+    # bounded by the source count per shingle — the same bound the
+    # self-join's per-key output already had.
     inter = (
-        a.join(b, "s")
+        ssh.groupBy("s")
+        .agg(F.collect_set("source").alias("_ss"))
+        .where(F.size("_ss") >= 2)
+        .select(F.explode("_ss").alias("source_a"), "_ss")
+        .select("source_a", F.explode("_ss").alias("source_b"))
         .where(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
