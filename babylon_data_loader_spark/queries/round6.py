@@ -53,6 +53,37 @@ def _norm_sql(tbl: str) -> str:
     )
 
 
+def _exact_top20(emb: DataFrame) -> DataFrame:
+    """Exact brute-force retrieval for the rerank family: top-20
+    candidates per anchor (0, 1, 2) by round-9 cosine with cand_id
+    tiebreak. The ONE definition behind the at-rest ``rerank_top20``
+    store — q_rerank_candidates' retrieval stage and q_rerank_ann's
+    recall witness are the same frame, so the corpus pass runs once
+    per dataset version for both lanes."""
+    anchors = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("q_embedding")), 9)
+    cand = (
+        emb.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
 @query(
     "q_rerank_candidates",
     oracle=f"""
@@ -126,41 +157,17 @@ def q_rerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
 
-    def _retrieve_top20() -> DataFrame:
-        anchors = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_embedding"),
-        )
-        sim = F.round(
-            cosine(F.col("embedding"), F.col("q_embedding")), 9
-        )
-        cand = (
-            emb.crossJoin(F.broadcast(anchors))
-            .where(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                F.col("vec_id").alias("cand_id"),
-                sim.alias("sim"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("sim").desc(), F.col("cand_id").asc()
-        )
-        return (
-            cand.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= 20)
-            .drop("rn")
-        )
-
     # At-rest retrieval stage (r7 VERDICT ask #4): the corpus-scale
     # scan (brute-force cosine vs 3 anchors + per-query top-20) runs
     # ONCE per dataset version; re-runs read a ≤ |queries|·20-row
     # parquet. Keyed by the embeddings-table content fingerprint like
-    # every other store, so regenerated data rebuilds. The ANN twin
-    # (q_rerank_ann) already reads its stored LSH index; this gives
-    # the exact-retrieval twin the same amortization.
+    # every other store, so regenerated data rebuilds. r15: the SAME
+    # store now also serves q_rerank_ann's exact-recall witness
+    # (identical selection by construction — _exact_top20 is the one
+    # definition), so the exact pass is computed once per corpus
+    # version for both lanes.
     top20 = get_or_build_parquet(
-        emb, "rerank_top20", "q012k20", _retrieve_top20
+        emb, "rerank_top20", "q012k20", lambda: _exact_top20(emb)
     )
     # At-rest tokenization stage: the in-play docs' distinct-term
     # table is fixed per corpus version (the candidate set is), so it
@@ -662,6 +669,9 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_signature_store,
         hamming_ball,
     )
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -678,44 +688,26 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id").isin(anchors))
         .collect()
     }
-    # r15: ONE corpus cosine pass for all anchors (was: per-anchor
-    # probed + exact subtrees — 6 full scans with the cosine computed
-    # corpus-wide in each). The anchors ride in as a 3-struct literal
-    # exploded against the scan, so every (anchor, vec) similarity is
-    # computed exactly once and both the probed top-20 and the
-    # exact-recall witness derive from the same persisted narrow
-    # frame. Per-anchor top-20 is row_number-over-total-order with a
-    # rank<=20 filter — WindowGroupLimit prunes to 20 rows per map
-    # partition before the exchange, the same scalable shape as the
-    # former per-anchor TakeOrdered, but shared across anchors.
+    # r15: the warm path computes cosine ONLY for bucket-pruned
+    # candidates (was: 6 corpus-wide cosine subtrees, then one shared
+    # 3-anchor pass — both shapes paid a full-corpus similarity scan
+    # per run). The probe enumerates the Hamming balls driver-side,
+    # reads only those buckets from the partition-pruned signature
+    # store, and the candidate ids (metadata-scale by construction)
+    # broadcast into the embeddings scan, so per-run similarity work
+    # is O(candidates), not O(corpus). The exact-recall witness — a
+    # pure function of (corpus fingerprint, anchors, k) — comes from
+    # the SAME at-rest ``rerank_top20`` store q_rerank_candidates
+    # builds (_exact_top20 is the one definition), so the corpus pass
+    # behind it runs once per dataset version, not once per run
+    # (guide §2.3/§2.4: move decisions onto lightweight at-rest
+    # structures; never rescan the corpus for a derived constant).
     balls = {
         a: hamming_ball(
             int(arows[a]["bucket"]), _RA_PLANES, _RA_RADIUS
         )
         for a in anchors
     }
-    anchor_lits = F.array(
-        *[
-            F.struct(
-                F.lit(a).cast("bigint").alias("query_id"),
-                double_array_lit(arows[a]["embedding"]).alias("q_emb"),
-            )
-            for a in anchors
-        ]
-    )
-    scored = persist_tracked(
-        emb.select(
-            "vec_id", "embedding", F.explode(anchor_lits).alias("_q")
-        )
-        .where(F.col("vec_id") != F.col("_q.query_id"))
-        .select(
-            F.col("_q.query_id").alias("query_id"),
-            F.col("vec_id").alias("cand_id"),
-            F.round(
-                cosine(F.col("embedding"), F.col("_q.q_emb")), 9
-            ).alias("sim"),
-        )
-    )
     # probe: only the ball's buckets are read (partition-pruned on a
     # bucket-partitioned signature store); the (anchor, bucket) ball
     # pairs are a metadata-scale literal broadcast
@@ -744,22 +736,53 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ball_pairs), "bucket")
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
+    anchor_frame = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).cast("bigint").alias("query_id"),
+                            double_array_lit(
+                                arows[a]["embedding"]
+                            ).alias("q_emb"),
+                        )
+                        for a in anchors
+                    ]
+                )
+            ).alias("_q")
+        )
+        .select("_q.query_id", "_q.q_emb")
+    )
+    cand_scored = (
+        emb.join(
+            F.broadcast(allowed),
+            emb["vec_id"] == allowed["cand_id"],
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(anchor_frame), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                cosine(F.col("embedding"), F.col("q_emb")), 9
+            ).alias("sim"),
+        )
+    )
     rn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
             F.col("sim").desc(), F.col("cand_id").asc()
         )
     )
     top20 = persist_tracked(
-        scored.join(F.broadcast(allowed), ["query_id", "cand_id"], "left_semi")
-        .withColumn("_rn", rn)
+        cand_scored.withColumn("_rn", rn)
         .where(F.col("_rn") <= 20)
         .drop("_rn")
     )
-    exact20 = (
-        scored.withColumn("_rn", rn)
-        .where(F.col("_rn") <= 20)
-        .select("query_id", "cand_id")
-    )
+    exact20 = get_or_build_parquet(
+        emb, "rerank_top20", "q012k20", lambda: _exact_top20(emb)
+    ).select("query_id", "cand_id")
     hits = (
         top20.join(exact20, ["query_id", "cand_id"], "left_semi")
         .groupBy("query_id")
