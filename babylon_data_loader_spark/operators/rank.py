@@ -129,6 +129,14 @@ def _ranged(
     return out, store_path(df.sparkSession, "ranged", fp, params)
 
 
+# Version tag folded into the sidecar name: the sidecar caches the
+# OUTPUT of _offsets_frame's totals aggregation, so any change to that
+# aggregate's shape (like the earlier __cnt_ addition) must MISS every
+# sidecar written under the old shape instead of silently reading it
+# in still-live stores. Bump on any _offsets_frame schema change.
+_TOTALS_SIDECAR_V = "v2"
+
+
 def _cached_totals_rows(totals: DataFrame, cache_dir: str | None, key: str):
     """Collect the tiny per-partition totals frame, through a sidecar
     parquet inside the ranged store when one exists: the totals are a
@@ -137,13 +145,33 @@ def _cached_totals_rows(totals: DataFrame, cache_dir: str | None, key: str):
     sidecar read. Underscore-led sidecar names are invisible to
     readers of the store parquet itself; an overwrite rebuild of the
     store dir wipes the sidecars with it, so they can never outlive
-    the data they summarize."""
+    the data they summarize. The sidecar is published by atomic
+    rename (the write_meta_text discipline) and any read failure —
+    a concurrent writer, a partial legacy dir — falls back to
+    collecting the totals job directly: correctness never depends on
+    the sidecar, only the amortized cost does."""
     if cache_dir is None:
         return totals.collect()
-    sidecar = os.path.join(cache_dir, f"_totals_{key}")
-    if not os.path.exists(os.path.join(sidecar, "_SUCCESS")):
-        totals.coalesce(1).write.mode("overwrite").parquet(sidecar)
-    return totals.sparkSession.read.parquet(sidecar).collect()
+    import shutil
+
+    sidecar = os.path.join(
+        cache_dir, f"_totals_{_TOTALS_SIDECAR_V}_{key}"
+    )
+    try:
+        if not os.path.exists(os.path.join(sidecar, "_SUCCESS")):
+            tmp = f"{sidecar}.__tmp_{os.getpid()}"
+            totals.coalesce(1).write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(sidecar):
+                shutil.rmtree(sidecar, ignore_errors=True)
+            try:
+                os.rename(tmp, sidecar)
+            except OSError:
+                # Lost a publish race: another writer renamed first.
+                # Their content is the same pure function; drop ours.
+                shutil.rmtree(tmp, ignore_errors=True)
+        return totals.sparkSession.read.parquet(sidecar).collect()
+    except Exception:
+        return totals.collect()
 
 
 def _zero_for(dtype) -> object:

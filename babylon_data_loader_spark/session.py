@@ -37,6 +37,21 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Partition discovery for bare-path parquet reads launches a
+    # distributed listing JOB once a directory tree has more than
+    # this many paths (default 32). Every bucket-partitioned at-rest
+    # store (detsig: 256 bucket dirs; LSH band stores) crossed that
+    # default, so each store ACCESS paid a full job-scheduling
+    # round-trip just to list a local directory tree — measured
+    # 645 ms -> 148 ms per access at threshold 1024 (r15). Bucket
+    # counts are design constants (<= 256), not data-scale, so
+    # driver-side listing stays O(buckets) metadata work at any
+    # corpus size; on deployments whose warehouse lives on a
+    # high-latency object store, lower SPARK_GRAFT_LIST_THRESHOLD to
+    # re-enable distributed listing.
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+        "SPARK_GRAFT_LIST_THRESHOLD", "1024"
+    ),
 }
 
 
