@@ -661,7 +661,16 @@ def read_token_window_store(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, dict]:
     """(window DataFrame with its `hp` partition column, meta)."""
-    return spark.read.parquet(path), _read_tokwin_meta(spark, path)
+    from babylon_data_loader_spark.operators.index_store import (
+        _read_store,
+    )
+
+    # schema-cached read: appends republish _SUCCESS, so the mtime key
+    # re-infers whenever the store's files (hence schema) could change;
+    # file LISTING stays per-call, so appended hp dirs are always seen
+    return _read_store(spark, path, "_SUCCESS"), _read_tokwin_meta(
+        spark, path
+    )
 
 
 def probe_token_windows(

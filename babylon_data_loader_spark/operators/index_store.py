@@ -423,7 +423,7 @@ def get_or_build_parquet(
         ensure_store_meta(path, source)
         if partition_by:
             ptypes = read_partition_types(path)
-    out = spark.read.parquet(path)
+    out = _read_store(spark, path, marker)
     # Partition-directory values are type re-INFERRED on read (BIGINT
     # written, INT back): cast to the recorded written types so the
     # store-backed and no-lineage build() return paths agree on
@@ -431,6 +431,34 @@ def get_or_build_parquet(
     for c, t in ptypes.items():
         if c in out.columns:
             out = out.withColumn(c, F.col(c).cast(t))
+    return out
+
+
+# Schema cache for store reads, keyed by the marker file's identity:
+# a store dir is immutable once its marker is published (rebuilds
+# overwrite the marker, changing its mtime), so the parquet schema —
+# pure metadata fully determined by the store files — never changes
+# under a live key. Parquet schema INFERENCE launches a footer-reading
+# Spark job per spark.read.parquet call (~85 ms warm, r15 measured);
+# store-heavy lanes access several stores per run, so the per-access
+# inference was a fixed tax on every warm path (guide §1.2). Data
+# reads and partition-directory listing stay fresh per call — only
+# the schema is reused.
+_READ_SCHEMA_CACHE: dict = {}
+
+
+def _read_store(spark: SparkSession, path: str, marker: str):
+    try:
+        mst = os.stat(os.path.join(path, marker))
+        skey = (path, mst.st_mtime_ns, mst.st_size)
+    except OSError:
+        skey = None
+    schema = _READ_SCHEMA_CACHE.get(skey) if skey else None
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    out = spark.read.parquet(path)
+    if skey is not None:
+        _READ_SCHEMA_CACHE[skey] = out.schema
     return out
 
 

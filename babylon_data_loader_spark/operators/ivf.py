@@ -152,6 +152,7 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
     import os
 
     from babylon_data_loader_spark.operators.index_store import (
+        _read_store,
         recover_index,
     )
 
@@ -161,7 +162,9 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
         os.path.join(path, "_centroids.json"), encoding="utf-8"
     ) as fh:
         centroids = json.load(fh)
-    return spark.read.parquet(path), centroids
+    # schema-cached read: appends republish _SUCCESS, so the mtime key
+    # re-infers whenever the store's files (hence schema) could change
+    return _read_store(spark, path, "_SUCCESS"), centroids
 
 
 def append_ivf_index(

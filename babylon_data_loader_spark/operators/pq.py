@@ -218,6 +218,7 @@ def read_pq_index(spark, path: str):
     import os
 
     from babylon_data_loader_spark.operators.index_store import (
+        _read_store,
         recover_index,
     )
 
@@ -226,7 +227,9 @@ def read_pq_index(spark, path: str):
         os.path.join(path, "_codebooks.json"), encoding="utf-8"
     ) as fh:
         codebooks = json.load(fh)
-    return spark.read.parquet(path), codebooks
+    # schema-cached read: appends republish _SUCCESS, so the mtime key
+    # re-infers whenever the store's files (hence schema) could change
+    return _read_store(spark, path, "_SUCCESS"), codebooks
 
 
 def pq_search(

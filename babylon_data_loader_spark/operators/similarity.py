@@ -420,6 +420,7 @@ def read_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
     import os
 
     from babylon_data_loader_spark.operators.index_store import (
+        _read_store,
         recover_index,
     )
 
@@ -428,7 +429,9 @@ def read_lsh_index(spark, path: str) -> tuple[DataFrame, dict]:
         os.path.join(path, "_lsh_meta.json"), encoding="utf-8"
     ) as fh:
         meta = json.load(fh)
-    return spark.read.parquet(path), meta
+    # schema-cached read: appends republish _SUCCESS, so the mtime key
+    # re-infers whenever the store's files (hence schema) could change
+    return _read_store(spark, path, "_SUCCESS"), meta
 
 
 def lsh_search(

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from babylon_data_loader_spark.queries import query
+from babylon_data_loader_spark.schemas import load_table
 
 DOC_SCHEMA = T.StructType(
     [
@@ -73,7 +74,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).removeprefix("file:")
     work = os.path.join(wh, f"_jsonl_{uuid.uuid4().hex[:12]}")
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = load_table(spark, sf_dir, "documents")
     try:
         write_jsonl(docs, work, shards=4)
         back = read_jsonl(spark, work)
@@ -118,7 +119,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).removeprefix("file:")
     work = os.path.join(wh, f"_orc_{uuid.uuid4().hex[:12]}")
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = load_table(spark, sf_dir, "documents")
     try:
         write_orc(docs, work, shards=4)
         back = read_orc(spark, work)

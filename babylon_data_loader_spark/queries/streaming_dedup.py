@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.queries import query
-from babylon_data_loader_spark.schemas import event_ts_us
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
 _ORACLE = """
 SELECT event_type,
@@ -59,7 +59,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = load_table(spark, sf_dir, "events")
     clean = events.filter(
         F.col("event_type").isNotNull()
         & F.col("value").isNotNull()
@@ -144,7 +144,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = load_table(spark, sf_dir, "events")
     events.filter(
         F.col("event_type").isin("click", "purchase")
     ).repartition(3).write.mode("overwrite").parquet(src_dir)
@@ -220,7 +220,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     out_dir = os.path.join(work, "out")
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = load_table(spark, sf_dir, "events")
     clean = events.filter(
         F.col("user_id").isNotNull() & F.col("value").isNotNull()
     )
@@ -333,7 +333,7 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     sink_dir = os.path.join(work, "sink")
     try:
-        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        events = load_table(spark, sf_dir, "events")
         staged = events.filter(
             F.col("event_type").isin("click", "purchase")
         ).select(
@@ -414,7 +414,7 @@ def q_stream_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     table = f"complete_{uuid.uuid4().hex[:8]}"
     try:
-        events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        events = load_table(spark, sf_dir, "events")
         staged = events.filter(
             F.col("event_type").isNotNull() & F.col("value").isNotNull()
         ).select("event_type", "value")

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.queries import query
-from babylon_data_loader_spark.schemas import event_ts_us
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
 _ORACLE = """
 SELECT event_type,
@@ -68,7 +68,7 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage the source as several files so AvailableNow produces
     # several micro-batches (ts keeps its source encoding end to end;
     # the final aggregate converts via event_ts_us).
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = load_table(spark, sf_dir, "events")
     clean = events.filter(
         F.col("event_type").isNotNull()
         & F.col("value").isNotNull()

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from babylon_data_loader_spark.queries import query
-from babylon_data_loader_spark.schemas import event_ts_us
+from babylon_data_loader_spark.schemas import event_ts_us, load_table
 
 # Hourly tumbling windows over clean events, restricted to windows
 # fully below the final watermark (ms-floored max event time − 90 min).
@@ -121,7 +121,7 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     sink_dir = os.path.join(work, "sink")
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = load_table(spark, sf_dir, "events")
     clean = events.filter(
         F.col("event_type").isNotNull()
         & F.col("value").isNotNull()
@@ -239,7 +239,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     sink_dir = os.path.join(work, "sink")
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = load_table(spark, sf_dir, "events")
     clean = events.filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
@@ -322,7 +322,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     sink_dir = os.path.join(work, "sink")
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = load_table(spark, sf_dir, "events")
     staged = events.filter(
         F.col("user_id").isNotNull() & F.col("value").isNotNull()
     ).select(
@@ -419,7 +419,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(work, "src")
     sink_dir = os.path.join(work, "sink")
 
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = load_table(spark, sf_dir, "events")
     clean = events.filter(
         F.col("event_type").isNotNull()
         & F.col("value").isNotNull()

@@ -93,6 +93,18 @@ TESTDATA_TABLES = [
 ]
 
 
+# Schema cache for single-file testdata tables, keyed by the file's
+# (path, size, mtime_ns) identity. Parquet schema INFERENCE launches a
+# footer-reading Spark job per read (~85 ms of a ~107 ms
+# spark.read.parquet on this box); the schema is pure metadata fully
+# determined by the file bytes, so re-deriving it per load_table call
+# is waste — r15, guide §1.2 (per-call fixed work). The FILE LISTING
+# and all data reads stay fresh per call: only the schema is cached,
+# and a regenerated file (new size/mtime) misses the key and
+# re-infers. Directory-style and remote-scheme paths skip the cache.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata parquet table.
 
@@ -102,10 +114,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     `events.ts` as TIMESTAMP(NANOS), which Spark can only read as
     BIGINT nanos; current generations store micros → TIMESTAMP_NTZ).
     """
+    import os
+
     from babylon_data_loader_spark.session import configure_session
 
     configure_session(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if "://" in path or not os.path.isfile(path):
+        return spark.read.parquet(path)
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return spark.read.schema(schema).parquet(path)
 
 
 def event_ts_us(df: DataFrame) -> Column:
