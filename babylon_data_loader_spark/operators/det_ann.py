@@ -131,6 +131,28 @@ def sign_bucket(qcol: Column, planes: list[list[int]]) -> Column:
     )
 
 
+def py_sign_bucket(vec, planes: list[list[int]]) -> int:
+    """Driver-side twin of ``sign_bucket(quantize_vec(col))`` for a
+    single collected vector — bit-exact by construction: FLOAT→DOUBLE
+    widening is exact (py4j hands back the same double the JVM cast
+    produces), ``x * QUANT`` is the identical IEEE double multiply,
+    floor of a finite double is exact in both, and the dot/threshold
+    is arbitrary-precision integer arithmetic whose JVM-long twin
+    cannot overflow (|q|≤~2e6 · |plane|<2^23 · dim≤1024 < 2^63).
+    Lets probe lanes derive an anchor's bucket from its collected
+    embedding instead of paying a join of the corpus against the
+    signature store per run (r15; pinned store-vs-python by
+    tests/test_det_ann.py)."""
+    import math
+
+    q = [math.floor(float(x) * QUANT) for x in vec]
+    out = 0
+    for p, plane in enumerate(planes):
+        if sum(a * c for a, c in zip(q, plane)) >= 0:
+            out |= 1 << p
+    return out
+
+
 def hamming_ball(bucket: int, n_planes: int, radius: int) -> list[int]:
     """All bucket ids within Hamming distance ``radius`` of
     ``bucket`` — the multi-probe list (driver-side: O(planes^radius)

@@ -668,6 +668,7 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_planes,
         det_signature_store,
         hamming_ball,
+        py_sign_bucket,
     )
     from babylon_data_loader_spark.operators.index_store import (
         get_or_build_parquet,
@@ -682,11 +683,20 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # store
     sig = det_signature_store(emb, "annplane", planes)
     anchors = [0, 1, 2]
+    # r15: anchor rows come from ONE filtered scan of the embeddings
+    # table; their buckets are derived driver-side with the bit-exact
+    # python twin of the store's sign_bucket expression
+    # (det_ann.py::py_sign_bucket, store-vs-python pinned by pytest).
+    # The former emb⋈sig collect paid a corpus-vs-store join job per
+    # run just to read 3 bucket ids (guide §1.2/§5: metadata-scale
+    # decisions should not launch data-scale jobs).
     arows = {
         r["vec_id"]: r
-        for r in emb.join(sig, "vec_id")
-        .where(F.col("vec_id").isin(anchors))
-        .collect()
+        for r in emb.where(F.col("vec_id").isin(anchors)).collect()
+    }
+    abuckets = {
+        a: py_sign_bucket(arows[a]["embedding"], planes)
+        for a in anchors
     }
     # r15: the warm path computes cosine ONLY for bucket-pruned
     # candidates (was: 6 corpus-wide cosine subtrees, then one shared
@@ -703,29 +713,31 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guide §2.3/§2.4: move decisions onto lightweight at-rest
     # structures; never rescan the corpus for a derived constant).
     balls = {
-        a: hamming_ball(
-            int(arows[a]["bucket"]), _RA_PLANES, _RA_RADIUS
-        )
+        a: hamming_ball(abuckets[a], _RA_PLANES, _RA_RADIUS)
         for a in anchors
     }
     # probe: only the ball's buckets are read (partition-pruned on a
     # bucket-partitioned signature store); the (anchor, bucket) ball
-    # pairs are a metadata-scale literal broadcast
+    # pairs are a metadata-scale literal broadcast. The literal array
+    # is ONE F.expr parse — the element-wise F.struct/F.lit form cost
+    # ~1.7 s of pure py4j round-trips for the ~110 pairs (the r11
+    # _nested_lit lesson, re-measured r15: 1.69 s → 0.11 s warm).
     bucket_type = dict(sig.dtypes)["bucket"]
     all_buckets = sorted({b for a in anchors for b in balls[a]})
     ball_pairs = (
         spark.range(1)
         .select(
             F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(a).cast("bigint").alias("query_id"),
-                            F.lit(b).cast(bucket_type).alias("bucket"),
-                        )
+                F.expr(
+                    "array("
+                    + ",".join(
+                        f"named_struct('query_id', CAST({a} AS"
+                        f" BIGINT), 'bucket', CAST({b} AS"
+                        f" {bucket_type.upper()}))"
                         for a in anchors
                         for b in balls[a]
-                    ]
+                    )
+                    + ")"
                 )
             ).alias("_p")
         )

@@ -297,3 +297,33 @@ def test_residual_and_per_list_adc_match_python(spark):
         li = probe.index(got_res[vid][0])
         want = sum(lut3[li][s][s] for s in range(8))
         assert d == want, vid
+
+
+def test_py_sign_bucket_matches_spark(spark):
+    """Driver-side bucket twin (r15): py_sign_bucket over every
+    collected sf0.001 embedding == the sign_bucket expression the
+    signature store persists. Pins the q_rerank_ann anchor-probe
+    rewrite (bucket derived from the collected anchor row instead of
+    a corpus-vs-store join per run)."""
+    from babylon_data_loader_spark.operators.det_ann import (
+        py_sign_bucket,
+    )
+
+    P, DIM = 8, 64
+    planes = det_planes("annplane", P, DIM)
+    rows = (
+        spark.read.parquet(_PQ)
+        .select(
+            "vec_id",
+            "embedding",
+            sign_bucket(
+                quantize_vec(F.col("embedding")), planes
+            ).alias("bucket"),
+        )
+        .collect()
+    )
+    assert rows, "empty testdata"
+    for r in rows:
+        assert (
+            py_sign_bucket(r["embedding"], planes) == r["bucket"]
+        ), f"bucket mismatch for vec_id={r['vec_id']}"
