@@ -185,22 +185,44 @@ def stored_doc_shingles(
     """:func:`doc_shingles` through the at-rest store — tokenization
     and shingling run once per dataset version; Jaccard verification
     becomes joins against a parquet read. The build derives from the
-    shared at-rest normalized-token store."""
+    shared at-rest normalized-token store.
+
+    r15: the store also carries ``_df`` — each shingle's document
+    frequency (rows per ``_sh``; the table is distinct per doc by
+    construction). The hot-shingle guard consumers pay per run
+    (``drop_oversized_buckets``: a count aggregation + anti-join —
+    one extra full shuffle of the shingle frame) is a pure function
+    of the store content, so it is computed ONCE at build and the
+    guard becomes a scan-time ``WHERE _df <= cap`` — zero per-run
+    shuffles, and skew-proof at any corpus size (the build's count
+    aggregate map-side-combines; no operator ever buffers a hot
+    bucket). Guide §2.4 (remove shuffles outright) applied to the
+    shared derivation, not one lane."""
     from babylon_data_loader_spark.operators.index_store import (
         get_or_build_parquet,
     )
 
-    return get_or_build_parquet(
-        docs,
-        "mh_shingles",
-        f"s{shingle_k}",
-        lambda: doc_shingles(
+    def _build() -> DataFrame:
+        base = doc_shingles(
             docs,
             text_col,
             id_col,
             shingle_k,
             tok_df=_norm_tok(docs, text_col, id_col, "_tok"),
-        ),
+        )
+        dfreq = base.groupBy("_sh").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        return base.join(dfreq, "_sh").select("_id", "_sh", "_df")
+
+    return get_or_build_parquet(
+        docs,
+        "mh_shingles",
+        # v2 = +_df derivation column; the v1 key is retired so
+        # stranded df-less stores are swept on stable datasets
+        f"s{shingle_k}v2",
+        _build,
+        retired_params=(f"s{shingle_k}",),
     )
 
 

@@ -287,10 +287,13 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contained in the other's. The document-frequency cap (a shingle in
     >100 docs generates no candidates — at 100 TB those are
     boilerplate n-grams that would produce quadratic candidates and
-    near-zero containment evidence anyway) is a broadcast ANTI-join
-    against the HOT-shingle list, which stays tiny (≤ rows/cap
-    entries) at any corpus size — the ≤100-df "common" set it
-    replaces grows with the vocabulary and would stop broadcasting.
+    near-zero containment evidence anyway) is a scan-time filter on
+    the shingle store's ``_df`` derivation column (r15 — computed
+    once at store build; the former per-run count-aggregate +
+    anti-join guard paid a full extra shuffle of the shingle frame
+    every execution). The ≤100-df "common" set a join against
+    under-cap shingles would need grows with the vocabulary and
+    would stop broadcasting; a stored per-shingle count does not.
     Pair generation then happens inside each shingle bucket:
     groupBy(shingle) + collect_list (arrays capped at ≤100 ids by the
     guard, so aggregation buffers are bounded by construction) and an
@@ -298,9 +301,6 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the intersection count shuffles only (doc_a, doc_b) pairs, never
     text. Measured at sf0.1: 2.8 s → 2.0 s warm vs the former
     common-join + self-join shape, identical output."""
-    from babylon_data_loader_spark.operators.buckets import (
-        drop_oversized_buckets,
-    )
     from babylon_data_loader_spark.operators.dedup import (
         stored_doc_shingles,
     )
@@ -310,12 +310,21 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AT-REST shingle store (operators/index_store.py — tokenize +
     # shingle runs once per dataset version; every dedup-family query
     # shares the parquet). Two consumers (sizes, rare) each re-scan
-    # the pruned two-column parquet — cheaper than a persist round-trip.
-    sh = stored_doc_shingles(docs).select(
+    # the pruned parquet — cheaper than a persist round-trip.
+    # r15: the document-frequency cap reads the store's ``_df``
+    # derivation column (computed once at store build) instead of
+    # running drop_oversized_buckets per run — the former count
+    # aggregation + anti-join was one extra full shuffle of the
+    # shingle frame on every execution (guide §2.4). Identical
+    # semantics: _df IS rows-per-shingle in this distinct table.
+    stored = stored_doc_shingles(docs)
+    sh = stored.select(
         F.col("_id").alias("doc_id"), F.col("_sh").alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    rare = drop_oversized_buckets(sh, "s", 100)
+    rare = stored.where(F.col("_df") <= 100).select(
+        F.col("_id").alias("doc_id"), F.col("_sh").alias("s")
+    )
     buckets = rare.groupBy("s").agg(
         F.collect_list("doc_id").alias("ids")
     )
