@@ -46,6 +46,30 @@ def _norm_tok(
     ).select(id_col, F.col("tok").alias(alias))
 
 
+def stored_doc_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, _fp) exact-dup fingerprint table through the at-rest
+    store: the md5-over-normalized-text scan — the expensive part of
+    every exact-dedup consumer — runs once per dataset version
+    (r15; the stored_minhash_signatures economics applied one level
+    down). Params fold the derivation columns (the r14 store-keying
+    discipline); no-lineage frames fall back to the inline
+    derivation inside the store helper."""
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
+
+    return get_or_build_parquet(
+        docs,
+        "doc_fp",
+        f"i_{id_col}_t_{text_col}",
+        lambda: docs.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+        ),
+    )
+
+
 def dedup_exact_ids(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -55,10 +79,10 @@ def dedup_exact_ids(
     this and persist it once instead of re-deriving the full
     fingerprint aggregate per consumer — the md5-over-text scan is
     the expensive part (guide §2.3: shuffle/cache keys, not
-    payloads)."""
-    fp = fingerprint(F.col(text_col))
+    payloads); r15 moves that scan behind the at-rest fingerprint
+    store, so a warm run shuffles a stored 16-byte key table."""
     return (
-        docs.select(F.col(id_col), fp.alias("_fp"))
+        stored_doc_fingerprints(docs, text_col, id_col)
         .groupBy("_fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
