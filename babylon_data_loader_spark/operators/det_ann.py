@@ -145,6 +145,18 @@ def py_sign_bucket(vec, planes: list[list[int]]) -> int:
     tests/test_det_ann.py)."""
     import math
 
+    # Loud divergence guards (r15 ADVICE): the Spark twin null-pads a
+    # vec/plane length mismatch via zip_with and routes a null element
+    # to the otherwise(0) branch — python zip would silently TRUNCATE
+    # and float(None) would raise a confusing TypeError. A wrong
+    # bucket is a silent wrong answer; make both cases hard errors.
+    if planes and len(vec) != len(planes[0]):
+        raise ValueError(
+            f"py_sign_bucket: vec dim {len(vec)} != plane dim "
+            f"{len(planes[0])}"
+        )
+    if any(x is None for x in vec):
+        raise ValueError("py_sign_bucket: null embedding element")
     q = [math.floor(float(x) * QUANT) for x in vec]
     out = 0
     for p, plane in enumerate(planes):

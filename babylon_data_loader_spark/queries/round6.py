@@ -194,10 +194,14 @@ def q_rerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rerank_ids_in_play(top20: DataFrame) -> DataFrame:
     """The ≤ |queries|·(k+1) distinct doc ids a candidate frame puts
-    in play for cross-encoder scoring."""
+    in play for cross-encoder scoring. One explode instead of a
+    two-branch union (r16): the candidate frame is referenced once,
+    so plans embedding a cached candidate subtree stay half the
+    size."""
     return (
-        top20.select(F.col("query_id").alias("doc_id"))
-        .union(top20.select(F.col("cand_id").alias("doc_id")))
+        top20.select(
+            F.explode(F.array("query_id", "cand_id")).alias("doc_id")
+        )
         .distinct()
     )
 
@@ -212,71 +216,66 @@ def _cross_encoder_rerank(
     joined only for the pruned candidate set. Pass ``terms`` to reuse
     an at-rest (doc_id, term) table for the in-play docs; by default
     they are tokenized live after candidate pruning."""
-    from babylon_data_loader_spark.operators.dedup import doc_terms
-
-    # expensive stage: token sets for EXACTLY the docs in play — the
-    # ≤ |queries|·(k+1) ids from the candidate frame semi-join the
-    # corpus (broadcast: the id list is candidate-sized by
-    # construction) BEFORE tokenization, so the explode+distinct
-    # shuffle carries a candidate-scale frame, never the corpus.
-    # The pruned term frame is CANDIDATE-scale by construction
-    # (≤ |queries|·(k+1) docs' distinct terms) and is BROADCAST into
-    # every downstream join: the whole scoring stage runs shuffle-free
-    # broadcast-hash-joins no matter how large the corpus grows. A
-    # live-tokenized frame is persisted so the three consumers don't
-    # re-tokenize; an at-rest frame is already a tiny parquet read.
+    # r16 (guide §1.2/§2.4): the scoring stage carries each in-play
+    # doc's DISTINCT-term SET as one array column instead of an
+    # exploded (doc_id, term) stream. |A∩B| and the set sizes become
+    # per-row array ops (size(array_intersect)) on two broadcast
+    # joins, replacing the former five joins + two aggregations
+    # (shared-term count + sizes) — same values by set identity, and
+    # the live path's explode+distinct SHUFFLE disappears entirely
+    # (array_distinct is a narrow projection). Term-set frames are
+    # candidate-scale by construction (≤ |queries|·(k+1) docs), so
+    # the broadcasts stay metadata-sized at any corpus size.
     if terms is None:
+        # token sets for EXACTLY the docs in play — the id list from
+        # the candidate frame semi-joins the corpus (broadcast)
+        # BEFORE tokenization, so no corpus-scale text work. The
+        # size>0 guard reproduces the exploded form's semantics: a
+        # doc whose token array is empty had no (doc_id, term) rows,
+        # so it never joined — and the oracle's DISTINCT/unnest CTE
+        # agrees.
         ids_in_play = _rerank_ids_in_play(top20)
-        terms = persist_tracked(
-            doc_terms(
-                docs.join(
-                    F.broadcast(ids_in_play), "doc_id", "left_semi"
-                )
+        term_sets = persist_tracked(
+            docs.join(F.broadcast(ids_in_play), "doc_id", "left_semi")
+            .select(
+                "doc_id",
+                F.array_distinct(
+                    tokens(F.lower(F.col("text")))
+                ).alias("_terms"),
+            )
+            .where(F.size("_terms") > 0)
+        )
+    else:
+        term_sets = persist_tracked(
+            terms.groupBy("doc_id").agg(
+                F.collect_set("term").alias("_terms")
             )
         )
-    sizes = terms.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms")
-    )
-    shared = (
+    scored = (
         top20.join(
             F.broadcast(
-                terms.withColumnsRenamed(
-                    {"doc_id": "query_id", "term": "q_term"}
+                term_sets.select(
+                    F.col("doc_id").alias("query_id"),
+                    F.col("_terms").alias("_q_terms"),
                 )
             ),
             "query_id",
         )
         .join(
             F.broadcast(
-                terms.withColumnsRenamed(
-                    {"doc_id": "cand_id", "term": "c_term"}
-                )
-            ),
-            ["cand_id"],
-        )
-        .where(F.col("q_term") == F.col("c_term"))
-        .groupBy("query_id", "cand_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    scored = (
-        top20.join(F.broadcast(shared), ["query_id", "cand_id"], "left")
-        .join(
-            F.broadcast(
-                sizes.withColumnsRenamed(
-                    {"doc_id": "query_id", "n_terms": "nq"}
-                )
-            ),
-            "query_id",
-        )
-        .join(
-            F.broadcast(
-                sizes.withColumnsRenamed(
-                    {"doc_id": "cand_id", "n_terms": "nc"}
+                term_sets.select(
+                    F.col("doc_id").alias("cand_id"),
+                    F.col("_terms").alias("_c_terms"),
                 )
             ),
             "cand_id",
         )
-        .withColumn("n_shared", F.coalesce(F.col("n_shared"), F.lit(0)))
+        .withColumn(
+            "n_shared",
+            F.size(F.array_intersect("_q_terms", "_c_terms")),
+        )
+        .withColumn("nq", F.size("_q_terms"))
+        .withColumn("nc", F.size("_c_terms"))
         .select(
             "query_id",
             "cand_id",
@@ -649,26 +648,32 @@ def _rerank_ann_oracle() -> str:
 
 @query("q_rerank_ann", oracle=_rerank_ann_oracle())
 def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of q_rerank_candidates: candidate retrieval
-    through a multi-probe sign-LSH signature structure instead of a
-    corpus scan, then the SAME cross-encoder-style scorer over only
-    the probed candidates. The signature table (vec_id, bucket) is an
-    at-rest store (content-fingerprint keyed, like every index); a
-    probe enumerates the Hamming-radius-2 ball of the anchor's
-    bucket driver-side (37 of 256 bucket ids — metadata-scale) and
-    reads only those buckets: the store IS bucket-partitioned (r12,
-    operators/det_ann.py::det_signature_store), so the probe is a
-    partition-pruned IN filter — the operators/dedup.py tokwin-store
-    economics. Each output row carries hits_at_20 (INTEGER overlap of
-    the probed top-20 with the exact top-20 for its anchor) — the
-    oracle recomputes retrieval, rerank, AND the recall witness
-    exactly, because every retrieval decision is md5-derived integer
-    arithmetic (operators/det_ann.py)."""
+    """The 100 TB form of q_rerank_candidates: multi-probe sign-LSH
+    candidate retrieval (cosine only for ball members, never
+    all-pairs), then the SAME cross-encoder-style scorer over only
+    the probed candidates. A probe enumerates the Hamming-radius-2
+    ball of each anchor's bucket driver-side (37 of 256 bucket ids
+    per anchor — metadata-scale) and membership is decided ON the
+    one embeddings scan: the candidate's bucket is recomputed inline
+    (sign_bucket — 8 integer dot products per row, the exact
+    expression the at-rest signature store is built from) and joined
+    against the broadcast (anchor, bucket) literal. At this ball
+    selectivity (~40% of bucket space across 3 anchors) an id-set
+    structure cannot prune the scan, so recomputing the bit beats
+    shuffling or broadcasting a corpus-scale candidate list (r15
+    ADVICE; guide §8) — the selective-ball probe lanes (q_knn_lsh)
+    keep the bucket-partitioned store path. Each output row carries
+    hits_at_20 (INTEGER overlap of the probed top-20 with the exact
+    top-20 for its anchor) — the oracle recomputes retrieval,
+    rerank, AND the recall witness exactly, because every retrieval
+    decision is md5-derived integer arithmetic
+    (operators/det_ann.py)."""
     from babylon_data_loader_spark.operators.det_ann import (
         det_planes,
-        det_signature_store,
         hamming_ball,
         py_sign_bucket,
+        quantize_vec,
+        sign_bucket,
     )
     from babylon_data_loader_spark.operators.index_store import (
         get_or_build_parquet,
@@ -677,11 +682,6 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     planes = det_planes("annplane", _RA_PLANES, _RA_DIM)
-    # shared bucket-PARTITIONED signature store (r12): the
-    # Hamming-ball probe below is now a partition-pruned read, the
-    # layout the r11 docstring promised; q_knn_lsh probes the same
-    # store
-    sig = det_signature_store(emb, "annplane", planes)
     anchors = [0, 1, 2]
     # r15: anchor rows come from ONE filtered scan of the embeddings
     # table; their buckets are derived driver-side with the bit-exact
@@ -698,14 +698,8 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         a: py_sign_bucket(arows[a]["embedding"], planes)
         for a in anchors
     }
-    # r15: the warm path computes cosine ONLY for bucket-pruned
-    # candidates (was: 6 corpus-wide cosine subtrees, then one shared
-    # 3-anchor pass — both shapes paid a full-corpus similarity scan
-    # per run). The probe enumerates the Hamming balls driver-side,
-    # reads only those buckets from the partition-pruned signature
-    # store, and the candidate ids (metadata-scale by construction)
-    # broadcast into the embeddings scan, so per-run similarity work
-    # is O(candidates), not O(corpus). The exact-recall witness — a
+    # The warm path computes cosine ONLY for ball members (r15; was:
+    # 6 corpus-wide cosine subtrees). The exact-recall witness — a
     # pure function of (corpus fingerprint, anchors, k) — comes from
     # the SAME at-rest ``rerank_top20`` store q_rerank_candidates
     # builds (_exact_top20 is the one definition), so the corpus pass
@@ -716,14 +710,28 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         a: hamming_ball(abuckets[a], _RA_PLANES, _RA_RADIUS)
         for a in anchors
     }
-    # probe: only the ball's buckets are read (partition-pruned on a
-    # bucket-partitioned signature store); the (anchor, bucket) ball
-    # pairs are a metadata-scale literal broadcast. The literal array
-    # is ONE F.expr parse — the element-wise F.struct/F.lit form cost
-    # ~1.7 s of pure py4j round-trips for the ~110 pairs (the r11
-    # _nested_lit lesson, re-measured r15: 1.69 s → 0.11 s warm).
-    bucket_type = dict(sig.dtypes)["bucket"]
-    all_buckets = sorted({b for a in anchors for b in balls[a]})
+    # probe: the (anchor, bucket) ball pairs are a metadata-scale
+    # literal broadcast (ONE F.expr parse — the element-wise
+    # F.struct/F.lit form cost ~1.7 s of pure py4j round-trips for
+    # the ~110 pairs; the r11 _nested_lit lesson, re-measured r15:
+    # 1.69 s → 0.11 s warm). r16: the candidate's bucket is computed
+    # INLINE on the one embeddings scan (sign_bucket — the exact
+    # expression the at-rest signature store is built from, so the
+    # values are identical by construction) and ball membership is a
+    # broadcast join against the tiny pair literal. The former shape
+    # probed the signature store and force-broadcast the resulting
+    # (query_id, cand_id) set back into the embeddings scan — but at
+    # radius 2 over 8 planes the ball covers ~37/256 of bucket space
+    # per anchor, so that broadcast is O(corpus), not metadata-scale
+    # (the r15 ADVICE hazard: it exceeds the 8 GB broadcast cap at
+    # large corpora), and repairing it with an unhinted join would
+    # shuffle the embeddings table by vec_id — a full heavy-payload
+    # exchange (guide §8) just to re-attach a bit the scan can
+    # recompute in 8 integer dot products per row. Inline
+    # recomputation keeps the corpus pass shuffle-free: the only
+    # forced broadcasts left are the ball-pair and anchor literals.
+    # (The bucket-partitioned signature store remains the probe
+    # structure for the selective-ball lanes, e.g. q_knn_lsh.)
     ball_pairs = (
         spark.range(1)
         .select(
@@ -733,7 +741,7 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + ",".join(
                         f"named_struct('query_id', CAST({a} AS"
                         f" BIGINT), 'bucket', CAST({b} AS"
-                        f" {bucket_type.upper()}))"
+                        f" BIGINT))"
                         for a in anchors
                         for b in balls[a]
                     )
@@ -742,11 +750,6 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_p")
         )
         .select("_p.query_id", "_p.bucket")
-    )
-    allowed = (
-        sig.where(F.col("bucket").isin(all_buckets))
-        .join(F.broadcast(ball_pairs), "bucket")
-        .select("query_id", F.col("vec_id").alias("cand_id"))
     )
     anchor_frame = (
         spark.range(1)
@@ -768,15 +771,19 @@ def q_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_q.query_id", "_q.q_emb")
     )
     cand_scored = (
-        emb.join(
-            F.broadcast(allowed),
-            emb["vec_id"] == allowed["cand_id"],
+        emb.withColumn(
+            "_bucket",
+            sign_bucket(quantize_vec(F.col("embedding")), planes),
+        )
+        .join(
+            F.broadcast(ball_pairs),
+            F.col("_bucket") == F.col("bucket"),
         )
         .where(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(anchor_frame), "query_id")
         .select(
             "query_id",
-            "cand_id",
+            F.col("vec_id").alias("cand_id"),
             F.round(
                 cosine(F.col("embedding"), F.col("q_emb")), 9
             ).alias("sim"),

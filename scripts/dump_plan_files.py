@@ -17,7 +17,11 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entrymod  # noqa: E402
 from babylon_data_loader_spark.session import build_session  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# r16: env-overridable so before/after pairs are captured at the SAME
+# SF (r15 mixed sf0.1 before-dumps with sf0.01 after-dumps — plan
+# shape is SF-independent for these queries, but same-SF capture is
+# the evidence standard the verdict asked to restore).
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
