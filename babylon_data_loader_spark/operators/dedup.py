@@ -89,6 +89,29 @@ def dedup_exact_ids(
     )
 
 
+def stored_exact_survivor_ids(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`dedup_exact_ids` through the at-rest store: the survivor
+    ID SET (min id per normalized-text fingerprint) is a pure function
+    of the corpus version, so consumers that only PROBE the set
+    (semi/anti joins — e.g. the composed curation pipeline) read an
+    id-width parquet instead of re-running the fingerprint aggregate's
+    corpus-scale shuffle per run (r16; guide §2.4 — remove shuffles
+    outright). Keyed like the fingerprint store it derives from;
+    no-lineage frames fall back to the inline aggregate."""
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+    )
+
+    return get_or_build_parquet(
+        docs,
+        "xsurv_ids",
+        f"i_{id_col}_t_{text_col}",
+        lambda: dedup_exact_ids(docs, text_col, id_col),
+    )
+
+
 def dedup_exact(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

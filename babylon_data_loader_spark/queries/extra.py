@@ -447,33 +447,56 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
     from babylon_data_loader_spark.operators.dedup import (
-        dedup_exact_ids,
-        dedup_near,
+        jaccard_verify,
+        lsh_candidate_pairs,
         stored_doc_shingles,
+        stored_exact_survivor_ids,
         stored_minhash_signatures,
     )
-    from babylon_data_loader_spark.functions.cache import (
-        persist_tracked,
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     # The near-dup stage runs on the exact-deduped SUBSET but pulls
     # signatures/shingles from the FULL-corpus at-rest stores (the same
-    # parquet the standalone dedup queries read) — dedup_near restricts
-    # the superset to the subset's ids with a semi-join, so the md5
-    # shingle pipeline is never re-derived inside the composition.
-    # r15: the exact-dedup survivor ID SET is computed once and
-    # persisted (id-width) instead of passing the unpersisted
-    # dedup_exact(docs) frame, whose fingerprint-aggregate subtree was
-    # re-executed by every consumer inside dedup_near (plan before:
-    # 6 documents scans; after: 3 — one fingerprint pass, the sig
-    # semi-join and final anti-join probe the cached id set).
-    exact_ids = persist_tracked(dedup_exact_ids(docs))
-    kept = dedup_near(
-        docs.join(exact_ids, "doc_id", "left_semi"),
-        threshold=0.5,
-        signatures=stored_minhash_signatures(docs),
-        shingles_df=stored_doc_shingles(docs),
+    # parquet the standalone dedup queries read). r16: the VERIFIED
+    # pair set over the exact-survivor subset is itself a pure
+    # function of the corpus version (the survivor set is
+    # deterministic: min doc_id per md5 fingerprint), so it is an
+    # at-rest store like the full-corpus mh_pairs table — the whole
+    # LSH candidate + Jaccard-verify chain runs once per dataset
+    # version instead of once per run, and the warm path is one
+    # documents scan (the final semi/anti join-back) plus two
+    # metadata-scale store reads (r15 VERDICT ask #4). NOTE: the pair
+    # chain must be re-derived over the SUBSET (not filtered from the
+    # full-corpus pair store) because the LSH hot-bucket cap counts
+    # bucket sizes within the candidate population — subset counts
+    # differ from corpus counts.
+    # r16: the survivor id set is itself at rest (a pure function of
+    # the corpus version) — the warm path reads an id-width parquet
+    # instead of re-aggregating the fingerprint store per run.
+    exact_ids = stored_exact_survivor_ids(docs)
+
+    def _survivor_pairs() -> DataFrame:
+        survivors = docs.join(exact_ids, "doc_id", "left_semi")
+        sig = stored_minhash_signatures(docs).join(
+            exact_ids, "doc_id", "left_semi"
+        )
+        return jaccard_verify(
+            survivors,
+            lsh_candidate_pairs(sig, "doc_id"),
+            threshold=0.5,
+            shingles_df=stored_doc_shingles(docs),
+        )
+
+    pairs = get_or_build_parquet(
+        docs, "mh_pairs_xsurv", "t50b4s3m1000", _survivor_pairs
+    )
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = (
+        docs.join(exact_ids, "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
     )
     tok = tokens(F.col("text"))
     nt = F.size(tok)

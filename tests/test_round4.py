@@ -204,6 +204,45 @@ def test_stored_minhash_matches_inline_and_reuses(spark, tmp_path):
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
 
 
+def test_stored_exact_survivor_ids_matches_inline(spark, tmp_path):
+    """The at-rest survivor-id set must equal the inline
+    dedup_exact_ids aggregate, and a second call must read the same
+    store (no rewrite)."""
+    import shutil
+
+    from babylon_data_loader_spark.operators.dedup import (
+        dedup_exact_ids,
+        stored_exact_survivor_ids,
+    )
+    from babylon_data_loader_spark.operators.index_store import (
+        df_fingerprint,
+        store_path,
+    )
+
+    data = tmp_path / "ds"
+    data.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        data / "documents.parquet",
+    )
+    docs = load_table(spark, str(data), "documents")
+    inline = sorted(r["doc_id"] for r in dedup_exact_ids(docs).collect())
+    stored = sorted(
+        r["doc_id"] for r in stored_exact_survivor_ids(docs).collect()
+    )
+    assert stored == inline
+
+    path = store_path(
+        spark, "xsurv_ids", df_fingerprint(docs), "i_doc_id_t_text"
+    )
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    again = sorted(
+        r["doc_id"] for r in stored_exact_survivor_ids(docs).collect()
+    )
+    assert again == inline
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+
+
 def test_heavy_hitters_bigint_keys(spark):
     """The partial schema must follow the item column's type — BIGINT
     ids, not just STRING tokens."""
