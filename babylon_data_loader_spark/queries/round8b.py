@@ -771,9 +771,9 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@10 of a sampled-seed IVF index (16 lists) at
     nprobe ∈ {1, 2, 4, 16}. The coarse quantizer is deterministic
     integer arithmetic (operators/det_ann.py), so the curve is
-    oracle-checked exactly; the in-query raises keep the structural
-    invariants (recall non-decreasing in nprobe, exhaustive probe
-    recalls 1.0) as defense-in-depth on top.
+    oracle-checked exactly; the structural invariants (recall
+    non-decreasing in nprobe, exhaustive probe recalls 1.0) are
+    pinned by tests/test_det_ann.py as defense-in-depth on top.
 
     Scale shape: the assigned table IS the at-rest structure now —
     det_ann.det_assigned_store keeps (vec, q, cid) cluster-
@@ -885,17 +885,14 @@ def q_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
-    rows = out.collect()
-    prev = -1.0
-    for r in rows:
-        if r["recall"] < prev:
-            raise AssertionError(
-                f"IVF recall decreased with nprobe: {rows}"
-            )
-        prev = r["recall"]
-    if rows[-1]["recall"] != 1.0:
-        raise AssertionError(
-            f"exhaustive probe (nprobe=16) missed the exact top-10: "
-            f"{rows[-1]}"
-        )
-    return spark.createDataFrame(rows, out.schema)
+    # r16 (VERDICT item 5): the curve frame is returned AS the plan.
+    # The in-query invariant raises used to collect() the 5 rows at
+    # build time and re-wrap them in createDataFrame — leaving the
+    # physical plan rooted at Scan ExistingRDD, every consumer
+    # re-paying the whole curve as sequential driver-side jobs before
+    # the first task of ITS action launched, and the lane's wall time
+    # tracking box contention 1:1. The structural invariants (recall
+    # non-decreasing in nprobe; exhaustive probe recalls 1.0) moved to
+    # tests/test_det_ann.py::test_ivf_nprobe_curve_invariants; the
+    # oracle pins the exact row values every sweep as before.
+    return out

@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
     "q_ks_statistic",        # one-row sample-size scalar
     "q_welch_ttest",         # one-row-per-group moment scalars
     "q_acf",                 # 3-row lag dimension broadcast
+    "q_ivf_nprobe_curve",    # 5-row nprobe dimension broadcast (was
+    # hidden behind the pre-r16 driver-side collect/ExistingRDD root)
     "q_feature_mi",          # one-row total-count scalar
     "q_association_rules",   # one-row basket-count scalar
     "q_bm25_topk",           # one-row corpus-stats scalar

@@ -327,3 +327,24 @@ def test_py_sign_bucket_matches_spark(spark):
         assert (
             py_sign_bucket(r["embedding"], planes) == r["bucket"]
         ), f"bucket mismatch for vec_id={r['vec_id']}"
+
+
+def test_ivf_nprobe_curve_invariants(spark, sf_dir):
+    """The structural invariants q_ivf_nprobe_curve used to assert
+    in-query (r16 moved them here so the lane returns one lazy plan
+    instead of a driver-side collect + re-wrapped local relation):
+    recall is non-decreasing in nprobe, and the exhaustive probe
+    (nprobe = n_lists) recovers the exact top-10 (recall 1.0)."""
+    from babylon_data_loader_spark.queries.round8b import (
+        q_ivf_nprobe_curve,
+    )
+
+    rows = (
+        q_ivf_nprobe_curve(spark, sf_dir)
+        .orderBy("nprobe")
+        .collect()
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8, 16]
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls), f"recall not monotone: {rows}"
+    assert recalls[-1] == 1.0, f"exhaustive probe missed: {rows[-1]}"
