@@ -434,31 +434,50 @@ def get_or_build_parquet(
     return out
 
 
-# Schema cache for store reads, keyed by the marker file's identity:
-# a store dir is immutable once its marker is published (rebuilds
-# overwrite the marker, changing its mtime), so the parquet schema —
-# pure metadata fully determined by the store files — never changes
-# under a live key. Parquet schema INFERENCE launches a footer-reading
-# Spark job per spark.read.parquet call (~85 ms warm, r15 measured);
-# store-heavy lanes access several stores per run, so the per-access
-# inference was a fixed tax on every warm path (guide §1.2). Data
-# reads and partition-directory listing stay fresh per call — only
-# the schema is reused.
+# Schema cache for store reads, keyed PER PATH with a freshness stamp
+# (r16, closing both r15 ADVICE notes on the r15 cache): a store dir
+# is immutable once its marker is published (rebuilds overwrite the
+# marker, changing its mtime), so the parquet schema — pure metadata
+# fully determined by the store files — never changes under a live
+# stamp. The stamp folds in the _store_meta.json sidecar's identity
+# as well as the zero-byte marker's mtime: every (re)build rewrites
+# the meta sidecar, whose SIZE varies with content, so a rebuild
+# landing inside one coarse filesystem timestamp tick still changes
+# the stamp. Keying per path (insert replaces the previous entry)
+# bounds the cache at the number of live stores instead of growing
+# across regenerations in a long-lived process. Parquet schema
+# INFERENCE launches a footer-reading Spark job per
+# spark.read.parquet call (~85 ms warm, r15 measured); store-heavy
+# lanes access several stores per run, so the per-access inference
+# was a fixed tax on every warm path (guide §1.2). Data reads and
+# partition-directory listing stay fresh per call — only the schema
+# is reused.
 _READ_SCHEMA_CACHE: dict = {}
 
 
-def _read_store(spark: SparkSession, path: str, marker: str):
+def _store_stamp(path: str, marker: str):
+    """Freshness stamp for a store dir, or None when unreadable."""
     try:
         mst = os.stat(os.path.join(path, marker))
-        skey = (path, mst.st_mtime_ns, mst.st_size)
     except OSError:
-        skey = None
-    schema = _READ_SCHEMA_CACHE.get(skey) if skey else None
-    if schema is not None:
-        return spark.read.schema(schema).parquet(path)
+        return None
+    try:
+        met = os.stat(os.path.join(path, META_NAME))
+        meta_id = (met.st_size, met.st_mtime_ns)
+    except OSError:
+        meta_id = None
+    return (mst.st_mtime_ns, mst.st_size, meta_id)
+
+
+def _read_store(spark: SparkSession, path: str, marker: str):
+    stamp = _store_stamp(path, marker)
+    if stamp is not None:
+        hit = _READ_SCHEMA_CACHE.get(path)
+        if hit is not None and hit[0] == stamp:
+            return spark.read.schema(hit[1]).parquet(path)
     out = spark.read.parquet(path)
-    if skey is not None:
-        _READ_SCHEMA_CACHE[skey] = out.schema
+    if stamp is not None:
+        _READ_SCHEMA_CACHE[path] = (stamp, out.schema)
     return out
 
 

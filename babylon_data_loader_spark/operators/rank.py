@@ -159,6 +159,23 @@ def _cached_totals_rows(totals: DataFrame, cache_dir: str | None, key: str):
     )
     try:
         if not os.path.exists(os.path.join(sidecar, "_SUCCESS")):
+            # Sweep sidecars of RETIRED versions before publishing:
+            # the _TOTALS_SIDECAR_V bump correctly misses v1 sidecars
+            # but left the old `_totals_{key}` dirs stranded in
+            # still-live ranged stores forever on stable datasets
+            # (r15 ADVICE — the sweep_retired problem one level
+            # down). Current-version sidecars and their `.__tmp_*`
+            # publish staging dirs are left alone, so a concurrent
+            # same-version writer is never disturbed.
+            cur = f"_totals_{_TOTALS_SIDECAR_V}_"
+            for entry in os.listdir(cache_dir):
+                if entry.startswith("_totals_") and not entry.startswith(
+                    cur
+                ):
+                    shutil.rmtree(
+                        os.path.join(cache_dir, entry),
+                        ignore_errors=True,
+                    )
             tmp = f"{sidecar}.__tmp_{os.getpid()}"
             totals.coalesce(1).write.mode("overwrite").parquet(tmp)
             if os.path.isdir(sidecar):

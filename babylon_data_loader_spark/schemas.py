@@ -93,15 +93,18 @@ TESTDATA_TABLES = [
 ]
 
 
-# Schema cache for single-file testdata tables, keyed by the file's
-# (path, size, mtime_ns) identity. Parquet schema INFERENCE launches a
-# footer-reading Spark job per read (~85 ms of a ~107 ms
+# Schema cache for single-file testdata tables, keyed PER PATH with a
+# (size, mtime_ns) freshness stamp. Parquet schema INFERENCE launches
+# a footer-reading Spark job per read (~85 ms of a ~107 ms
 # spark.read.parquet on this box); the schema is pure metadata fully
 # determined by the file bytes, so re-deriving it per load_table call
 # is waste — r15, guide §1.2 (per-call fixed work). The FILE LISTING
-# and all data reads stay fresh per call: only the schema is cached,
-# and a regenerated file (new size/mtime) misses the key and
-# re-infers. Directory-style and remote-scheme paths skip the cache.
+# and all data reads stay fresh per call: only the schema is cached;
+# a regenerated file (new size/mtime) misses the stamp, re-infers,
+# and REPLACES the path's entry — so the cache is bounded at the
+# number of table paths instead of growing across regenerations in a
+# long-lived process (r16, r15 ADVICE). Directory-style and
+# remote-scheme paths skip the cache.
 _SCHEMA_CACHE: dict = {}
 
 
@@ -123,11 +126,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if "://" in path or not os.path.isfile(path):
         return spark.read.parquet(path)
     st = os.stat(path)
-    key = (path, st.st_size, st.st_mtime_ns)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+    stamp = (st.st_size, st.st_mtime_ns)
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == stamp:
+        schema = hit[1]
+    else:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[key] = schema
+        _SCHEMA_CACHE[path] = (stamp, schema)
     return spark.read.schema(schema).parquet(path)
 
 

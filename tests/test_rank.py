@@ -464,3 +464,32 @@ def test_running_max_min_match_window(spark, seed):
 
     with pytest.raises(ValueError, match="exist"):
         running_max(df, order, {"v": F.col("v")})
+
+
+def test_totals_sidecar_sweeps_retired_versions(spark, tmp_path):
+    """Publishing a versioned totals sidecar removes sibling
+    `_totals_*` dirs of RETIRED versions from the cache dir (r15
+    ADVICE: the v1->v2 bump stranded old sidecars forever in
+    still-live ranged stores on stable datasets), while leaving
+    current-version sidecars of other keys alone."""
+    import os
+
+    from babylon_data_loader_spark.operators.rank import (
+        _TOTALS_SIDECAR_V,
+        _cached_totals_rows,
+    )
+
+    cache = tmp_path / "store"
+    cache.mkdir()
+    # a stranded pre-versioning sidecar and a current-version sibling
+    (cache / "_totals_oldkey").mkdir()
+    keep = cache / f"_totals_{_TOTALS_SIDECAR_V}_otherkey"
+    keep.mkdir()
+    totals = spark.createDataFrame([(0, 5)], "_pid int, s long")
+    rows = _cached_totals_rows(totals, str(cache), "k1")
+    assert [(r["_pid"], r["s"]) for r in rows] == [(0, 5)]
+    assert not (cache / "_totals_oldkey").exists()
+    assert keep.exists()
+    assert os.path.exists(
+        cache / f"_totals_{_TOTALS_SIDECAR_V}_k1" / "_SUCCESS"
+    )
