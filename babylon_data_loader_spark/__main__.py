@@ -159,6 +159,29 @@ def _cmd_vacuum(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_sweep_stores(args: argparse.Namespace) -> int:
+    """Maintenance sweep of the at-rest store warehouse: deletes
+    every store whose recorded source files no longer exist unchanged
+    (the r16 full-warehouse complement of the per-access sweeps)."""
+    from babylon_data_loader_spark.operators.index_store import (
+        sweep_dead_stores,
+        warehouse_dir,
+    )
+    from babylon_data_loader_spark.session import build_session
+
+    spark = build_session(app_name="sweep-stores")
+    try:
+        removed = sweep_dead_stores(spark)
+        print(
+            json.dumps(
+                {"warehouse": warehouse_dir(spark), "removed": removed}
+            )
+        )
+    finally:
+        spark.stop()
+    return 0
+
+
 def _cmd_delete(args: argparse.Namespace) -> int:
     """DELETE FROM <lake> WHERE <sql-predicate> — the reference has no
     delete surface (Mongo deletes happen out of band); this is the
@@ -532,6 +555,12 @@ def main(argv: list[str] | None = None) -> int:
         "(default: the lake's stale_claim_s) — protects in-flight writers",
     )
 
+    sub.add_parser(
+        "sweep-stores",
+        help="remove at-rest index stores whose source data no "
+        "longer exists unchanged (full-warehouse maintenance sweep)",
+    )
+
     dele = sub.add_parser(
         "delete-from-lake",
         help="DELETE FROM the lake WHERE a SQL predicate holds "
@@ -662,6 +691,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_fsck(args)
     if args.command == "vacuum-lake":
         return _cmd_vacuum(args)
+    if args.command == "sweep-stores":
+        return _cmd_sweep_stores(args)
     if args.command == "delete-from-lake":
         return _cmd_delete(args)
     if args.command == "optimize-layout":

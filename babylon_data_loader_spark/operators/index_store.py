@@ -373,6 +373,37 @@ def sweep_retired(
     return n
 
 
+def sweep_dead_stores(spark: SparkSession) -> int:
+    """Full-warehouse maintenance sweep (r16, VERDICT ask #6): remove
+    EVERY at-rest store directory whose meta sidecar proves its source
+    data no longer exists unchanged on disk, regardless of kind or
+    params. Complements the per-access sweeps — ``sweep_stale`` only
+    fires for kinds still being accessed and ``sweep_retired`` only
+    for enumerated params renames, so a kind that stops being used
+    entirely strands its stores forever on a long-lived warehouse.
+    Dirs WITHOUT a meta sidecar are left alone (a concurrent build
+    that has not yet published its meta must not be deleted
+    mid-write — the rule sweep_stale applies across params), as are
+    non-store warehouse entries (managed tables, bench scratch).
+    Live-keyed stores are never touched, so ``store_hit`` behaviour
+    is unchanged. Returns how many dirs were removed."""
+    wh = warehouse_dir(spark)
+    if not os.path.isdir(wh):
+        return 0
+    n = 0
+    for entry in os.listdir(wh):
+        if not entry.startswith("idx_"):
+            continue
+        full = os.path.join(wh, entry)
+        if not os.path.exists(os.path.join(full, META_NAME)):
+            continue
+        if store_meta_live(full):
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        n += 1
+    return n
+
+
 def get_or_build_parquet(
     source: DataFrame,
     kind: str,

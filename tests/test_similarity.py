@@ -818,3 +818,51 @@ def test_stored_embedding_pairs_reuse(spark, tmp_path):
     )
     assert out2 == out1
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+
+
+def test_sweep_dead_stores_full_warehouse(spark, tmp_path):
+    """sweep_dead_stores removes every store whose recorded source
+    data no longer exists unchanged — regardless of kind — while
+    leaving live stores and meta-less dirs (possible in-flight
+    builds) untouched (r16 full-warehouse maintenance sweep)."""
+    import os
+    import shutil
+
+    from babylon_data_loader_spark.operators.index_store import (
+        get_or_build_parquet,
+        sweep_dead_stores,
+        warehouse_dir,
+    )
+    from babylon_data_loader_spark.schemas import load_table
+
+    # flush dead stores stranded by earlier tests so the ==0 check
+    # below observes only this test's state
+    sweep_dead_stores(spark)
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        d / "embeddings.parquet",
+    )
+    emb = load_table(spark, str(d), "embeddings")
+    get_or_build_parquet(
+        emb, "swdead", "p1", lambda: emb.select("vec_id").limit(5)
+    ).count()
+    wh = warehouse_dir(spark)
+    dead = [e for e in os.listdir(wh) if e.startswith("idx_swdead_")]
+    assert len(dead) == 1
+    # a meta-less store-like dir: must survive the sweep
+    inflight = os.path.join(wh, "idx_swdead_000000000000_p9")
+    os.makedirs(inflight, exist_ok=True)
+    try:
+        # data still live: nothing removed
+        assert sweep_dead_stores(spark) == 0
+        assert os.path.isdir(os.path.join(wh, dead[0]))
+        # delete the source data: the store becomes dead and sweeps
+        os.remove(d / "embeddings.parquet")
+        assert sweep_dead_stores(spark) >= 1
+        assert not os.path.isdir(os.path.join(wh, dead[0]))
+        assert os.path.isdir(inflight), "meta-less dir was swept"
+    finally:
+        shutil.rmtree(inflight, ignore_errors=True)
